@@ -1,0 +1,124 @@
+"""CDC-semantics queries over the ``events`` table (treated as an ops log).
+
+These exercise the engine's CDC apply operator (operators/cdc.py) — the
+Spark-native re-expression of the reference's sequential applier
+(``/root/reference/app/run.go:301-322``, ``mysql.go:292-355``) — against a
+SQL oracle, by interpreting events as an ops stream:
+
+    signup -> insert, error -> delete, anything else -> partial update
+    payload = props (JSON), sequence = (ts, event_id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from momyre_spark.plans import query
+from momyre_spark.sources.parquet import load_table
+
+
+def _events_as_ops(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        F.col("user_id").alias("_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("props").alias("payload"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Full CDC apply: reset/merge/delete semantics (reference K1–K5 collapsed to
+# final-state-per-key; see operators/cdc.py docstring)
+# --------------------------------------------------------------------------
+@query(
+    "cdc_apply_ops",
+    oracle="""
+    WITH ops AS (
+        SELECT user_id AS _id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'insert'
+                               WHEN 'error'  THEN 'delete'
+                               ELSE 'update' END AS op,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k
+        FROM events
+    ),
+    resets AS (
+        SELECT _id, op AS reset_op, ts AS reset_ts, event_id AS reset_eid
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY _id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM ops WHERE op IN ('insert','delete')) t
+        WHERE rn = 1
+    ),
+    alive AS (SELECT * FROM resets WHERE reset_op = 'insert')
+    SELECT o._id, CAST(o.k AS BIGINT) AS k
+    FROM ops o JOIN alive a ON o._id = a._id
+    WHERE o.op <> 'delete' AND (o.ts, o.event_id) >= (a.reset_ts, a.reset_eid)
+    QUALIFY row_number() OVER (PARTITION BY o._id ORDER BY o.ts DESC, o.event_id DESC) = 1
+    ORDER BY o._id
+    """,
+)
+def cdc_apply_ops(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.cdc import apply_ops
+
+    ops = _events_as_ops(spark, sf)
+    return (
+        apply_ops(ops, fields={"k": "bigint"}, order=("ts", "event_id"))
+        .orderBy("_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON field extraction + latest-wins (reference C2 updatedFields decode +
+# K4 partial update, single-field shape)
+# --------------------------------------------------------------------------
+@query(
+    "cdc_json_field_latest",
+    oracle="""
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def cdc_json_field_latest(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.cdc import latest_state_per_key
+
+    ev = load_table(spark, sf, "events")
+    return (
+        latest_state_per_key(ev, key="user_id", order=["ts", "event_id"])
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flatten projection (reference P1/P2: obj2plain mongo.go:141-155 +
+# col4sql mysql.go:54-56): parse props into a struct, flatten to `props_k`
+# --------------------------------------------------------------------------
+@query(
+    "cdc_flatten_project",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k,
+           event_type
+    FROM events ORDER BY event_id
+    """,
+)
+def cdc_flatten_project(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.spec import flatten
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        F.from_json("props", "struct<k:bigint>").alias("props"),
+        "event_type",
+    )
+    return flatten(ev).orderBy("event_id")

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also be the
+right default on a 1000-executor cluster reading ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy);
+- adaptive + static shuffle partitions sized for the local harness via
+  ``SPARK_GRAFT_CPUS`` (a real cluster overrides ``spark.sql.shuffle.partitions``
+  or relies on AQE's coalescing from a high initial value);
+- Arrow enabled for every pandas UDF / toPandas boundary;
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "momyre-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- query optimization ---------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # --- python <-> jvm boundary ----------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- determinism / oracle parity ------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert at the source boundary
+        # (sources/parquet.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- scan sizing: ~128MB splits hold at any SF ----------------
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,1 @@
+from momyre_spark.functions import text, vectors  # noqa: F401

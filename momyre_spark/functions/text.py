@@ -1,0 +1,113 @@
+"""Text-analysis column expressions for the documents pipeline.
+
+Everything here is a pure ``pyspark.sql.functions`` composition (JVM-side,
+whole-stage codegen, no Python): tokenization, word-shingling, quality
+metrics, stopword-based language scoring, and content fingerprints.
+
+Determinism: metrics avoid transcendental functions (libm results can differ
+in the last ulp across engines), using only +,*,/ and round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from momyre_spark.functions.numeric import round_half_up
+
+# Tiny built-in stopword lists for the language-ID heuristic. The point is
+# the *operator shape* (per-language token-hit scoring + argmax), not
+# linguistic completeness — swap in real lists in production.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "en", "que", "los"],
+    "de": ["der", "die", "das", "und", "zu", "den", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est"],
+}
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty-string safe)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the dedup unit)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(gram)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_hits(text, lang) / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: mix of stopword presence,
+    alphabetic density and length saturation (no transcendentals)."""
+    n = token_count(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    alpha_ratio = F.when(total == 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / total.cast("double")
+    )
+    len_norm = F.least(n, F.lit(200.0)) / F.lit(200.0)
+    return round_half_up(
+        F.lit(0.3) * stopword_ratio(text, "en")
+        + F.lit(0.5) * alpha_ratio
+        + F.lit(0.2) * len_norm,
+        4,
+    )
+
+
+def langid(text: Column) -> Column:
+    """Stopword-hit argmax over the built-in language profiles; ties resolve
+    in fixed profile order, unknown when nothing hits."""
+    hit_cols = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hit_cols.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier profile wins ties
+        expr = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.concat_ws(" ", tokens(F.lower(text))))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Order-insensitive (bag-of-words) fingerprint: md5 over the sorted
+    distinct token set."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text))))))

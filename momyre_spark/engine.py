@@ -1,0 +1,153 @@
+"""Replication engine driver: spec -> DDL reconcile -> snapshot -> stream.
+
+Orchestration layer re-expressing the reference's ``app.Run``
+(``/root/reference/app/run.go:79-336``) on Spark:
+
+- cold start (§3.1): reconcile DDL, snapshot every table (read -> enforce
+  schema -> distributed upsert), delete orphans via anti-join, then start
+  the CDC stream from the pre-snapshot resume point;
+- partial resync (§3.3): only tables whose DDL diff marked columns for
+  resync are re-snapshot; the stream resumes from the existing checkpoint
+  and replays the overlap — idempotent upserts absorb it (the reference
+  relies on the same property, run.go:210-212);
+- ``force`` gates destructive DDL (run.go:168-170 semantics), ``zerop``
+  forces from-scratch (run.go:164-170).
+
+Consistency without the reference's global fsync lock (O2,
+mongo.go:618-640): capture the resume token BEFORE the snapshot read and
+replay the overlap — change-stream resume + idempotent merge makes the
+write lock unnecessary.
+
+The source is injected as ``table -> DataFrame`` (parquet in tests, the
+MongoDB Spark connector in production), the sink as a DBAPI connection
+factory + dialect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from momyre_spark.operators.antijoin import orphan_ids
+from momyre_spark.sinks.ddl import DDLPlan, reconcile
+from momyre_spark.sinks.dialects import DIALECTS
+from momyre_spark.sinks.jdbc_upsert import (
+    ConnFactory,
+    delete_dataframe,
+    upsert_dataframe,
+)
+from momyre_spark.spec import Spec, enforce_schema
+
+SourceFn = Callable[[str], DataFrame]
+
+
+class ReplicationEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: Spec,
+        source: SourceFn,
+        connection_factory: ConnFactory,
+        dialect_name: str = "mysql",
+        force: bool = False,
+        zerop: bool = False,
+        sink_partitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.spec = spec
+        self.source = source
+        self.connection_factory = connection_factory
+        self.dialect_name = dialect_name
+        self.dialect = DIALECTS[dialect_name]
+        self.force = force
+        self.zerop = zerop
+        self.sink_partitions = sink_partitions
+
+    # -- DDL (reference D1-D4) -----------------------------------------
+    def current_sink_schema(self) -> dict[str, dict[str, str]]:
+        """Introspect the sink (SHOW TABLES/COLUMNS analog, portable)."""
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            if self.dialect_name == "sqlite":
+                cur.execute("SELECT name FROM sqlite_master WHERE type='table'")
+                tables = [r[0] for r in cur.fetchall()]
+                out: dict[str, dict[str, str]] = {}
+                for t in tables:
+                    cur.execute(f'PRAGMA table_info("{t}")')
+                    out[t] = {r[1]: r[2].lower() for r in cur.fetchall()}
+                return out
+            cur.execute("SHOW TABLES")
+            tables = [r[0] for r in cur.fetchall()]
+            out = {}
+            for t in tables:
+                cur.execute(f"SHOW COLUMNS FROM {self.dialect.q(t)}")
+                out[t] = {r[0]: str(r[1]).lower() for r in cur.fetchall()}
+            return out
+        finally:
+            conn.close()
+
+    def reconcile_ddl(self) -> DDLPlan:
+        plan = reconcile(
+            self.spec.tables, self.current_sink_schema(), self.dialect, self.force
+        )
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            for stmt in plan.statements:
+                cur.execute(stmt)
+            conn.commit()
+        finally:
+            conn.close()
+        return plan
+
+    # -- snapshot (reference O1/O3, run.go:164-247) --------------------
+    def snapshot_table(self, table: str) -> None:
+        tspec = self.spec.tables[table]
+        df = enforce_schema(self.source(table), tspec)
+        upsert_dataframe(
+            df,
+            connection_factory=self.connection_factory,
+            dialect_name=self.dialect_name,
+            table=table,
+            key="_id",
+            num_partitions=self.sink_partitions,
+        )
+
+    # -- orphan delete (reference J1, run.go:249-279) ------------------
+    def delete_orphans(self, table: str, sink_ids: DataFrame) -> None:
+        src_ids = self.source(table).select("_id")
+        orphans = orphan_ids(sink_ids, src_ids, left_key="_id", right_key="_id")
+        delete_dataframe(
+            orphans,
+            connection_factory=self.connection_factory,
+            dialect_name=self.dialect_name,
+            table=table,
+            key="_id",
+            num_partitions=self.sink_partitions,
+        )
+
+    def sink_ids(self, table: str) -> DataFrame:
+        """S6 key scan (mysql.go:590-604): sink `_id`s as a DataFrame."""
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(f"SELECT {self.dialect.q('_id')} FROM {self.dialect.q(table)}")
+            rows = [(r[0],) for r in cur.fetchall()]
+        finally:
+            conn.close()
+        return self.spark.createDataFrame(rows or [], "`_id` string")
+
+    # -- full run (reference §3.1/§3.3 planner) ------------------------
+    def run_batch_sync(self) -> dict[str, list[str]]:
+        """DDL reconcile + (full | partial) snapshot. Returns what resynced."""
+        plan = self.reconcile_ddl()
+        if self.zerop:
+            resync = {t: list(s.sql_columns) for t, s in self.spec.tables.items()}
+        else:
+            resync = plan.resync_columns
+        for table in resync:
+            self.snapshot_table(table)
+            self.delete_orphans(table, self.sink_ids(table))
+        return resync

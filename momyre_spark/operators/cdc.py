@@ -130,3 +130,103 @@ def apply_ops(
         for f, t in fields.items()
     ]
     return relevant.groupBy(key).agg(*merge_aggs)
+
+
+def merge_ops_microbatch(
+    ops: DataFrame,
+    fields: dict[str, str],
+    key: str = "_id",
+    op_col: str = "op",
+    payload_col: str = "payload",
+    order: Sequence[str] = ("ts",),
+) -> DataFrame:
+    """Reduce one *microbatch* of ops to per-key apply actions.
+
+    Unlike :func:`apply_ops` (which assumes it sees the whole log), a
+    microbatch may contain only partial history for a key — an update to a
+    row whose insert happened in an earlier batch must become a *partial
+    patch*, not a full row. Per key, the batch collapses to ONE action:
+
+    - ``__action='upsert'``: batch contains an insert as its latest reset —
+      the merged row is authoritative (absent fields -> NULL), write whole row;
+    - ``__action='delete'``: latest reset is a delete with no later insert;
+    - ``__action='patch'`` : updates only — merged changed fields, with
+      ``__present`` listing which fields the patch actually sets (so the
+      sink updates only those columns, reference K4 mysql.go:449-476).
+
+    Output columns: key, __action, __present (array<string>), then one typed
+    column per declared field. One shuffle by key; order-insensitive;
+    replay-idempotent (same batch -> same actions).
+    """
+    payload_t = dict(ops.dtypes).get(payload_col, "string")
+    if payload_t == "string":
+        ops = ops.withColumn(payload_col, F.from_json(payload_col, "map<string,string>"))
+    ops = ops.withColumn("__seq", _seq(order))
+
+    resets = (
+        ops.filter(F.col(op_col).isin(INSERT, DELETE))
+        .groupBy(key)
+        .agg(
+            F.max("__seq").alias("__reset_seq"),
+            F.max_by(op_col, "__seq").alias("__reset_op"),
+        )
+    )
+    enriched = ops.join(resets, key, "left")
+
+    # Ops contributing to the final value of each field: for insert-reset
+    # keys, the insert + later updates; for update-only keys, all updates.
+    # Keys whose latest reset is a delete contribute NOTHING — updates after
+    # a delete are no-ops (an UPDATE matching 0 rows in the reference), the
+    # key only gets its delete action.
+    contributing = enriched.filter(
+        (F.col(op_col) != DELETE)
+        & (
+            F.col("__reset_seq").isNull()
+            | (
+                (F.col("__seq") >= F.col("__reset_seq"))
+                & (F.col("__reset_op") == INSERT)
+            )
+        )
+    )
+
+    field_aggs = []
+    for f, t in fields.items():
+        mentioned = F.map_contains_key(F.col(payload_col), F.lit(f))
+        field_aggs.append(
+            F.max_by(
+                F.element_at(F.col(payload_col), F.lit(f)),
+                F.when(mentioned, F.col("__seq")),
+            )
+            .cast(t)
+            .alias(f)
+        )
+        field_aggs.append(F.max(mentioned).alias(f"__has_{f}"))
+    merged = contributing.groupBy(key).agg(
+        F.max(F.col("__reset_op") == INSERT).alias("__is_insert"), *field_aggs
+    )
+
+    deletes = resets.filter(F.col("__reset_op") == DELETE).select(
+        key,
+        F.lit(DELETE).alias("__action"),
+        F.array().cast("array<string>").alias("__present"),
+        *[F.lit(None).cast(t).alias(f) for f, t in fields.items()],
+    )
+
+    present = F.filter(
+        F.array(
+            *[
+                F.when(F.col(f"__has_{f}"), F.lit(f)).otherwise(F.lit(None))
+                for f in fields
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    actions = merged.select(
+        key,
+        F.when(F.col("__is_insert"), F.lit("upsert")).otherwise(F.lit("patch")).alias(
+            "__action"
+        ),
+        present.alias("__present"),
+        *[F.col(f) for f in fields],
+    )
+    return actions.unionByName(deletes)

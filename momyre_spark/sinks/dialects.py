@@ -1,0 +1,94 @@
+"""SQL dialect abstraction for the JDBC/DBAPI sink.
+
+The reference hardcodes MySQL (backtick identifiers, ``ON DUPLICATE KEY
+UPDATE`` via error-1062 fallback, ``SHOW TABLES/COLUMNS`` —
+``/root/reference/app/mysql.go``). The engine keeps those semantics behind a
+dialect object so tests can run on sqlite (no MySQL server in CI) and
+production points at MySQL/MariaDB. Identifiers are validated + quoted —
+the reference concatenates them raw (mysql.go:173,408,482,516), a SQL
+injection the engine does not reproduce (SURVEY.md §7 non-goals).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def check_ident(name: str) -> str:
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+    quote_char: str
+
+    def q(self, ident: str) -> str:
+        return f"{self.quote_char}{check_ident(ident)}{self.quote_char}"
+
+    def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
+        raise NotImplementedError
+
+    def delete_sql(self, table: str, key: str) -> str:
+        return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = ?"
+
+    def insert_sql(self, table: str, columns: list[str]) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("?" for _ in columns)
+        return f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph})"
+
+
+class MySQLDialect(Dialect):
+    """MySQL/MariaDB: INSERT ... ON DUPLICATE KEY UPDATE (the set-based form
+    of the reference's insert-then-update-on-1062 dance, mysql.go:357-374)."""
+
+    def __init__(self) -> None:
+        super().__init__(name="mysql", quote_char="`")
+
+    def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        sets = ", ".join(
+            f"{self.q(c)} = VALUES({self.q(c)})" for c in columns if c != key
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
+    def delete_sql(self, table: str, key: str) -> str:
+        return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = %s"
+
+    def insert_sql(self, table: str, columns: list[str]) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        return f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph})"
+
+
+class SQLiteDialect(Dialect):
+    """sqlite: INSERT ... ON CONFLICT(key) DO UPDATE (test stand-in)."""
+
+    def __init__(self) -> None:
+        super().__init__(name="sqlite", quote_char='"')
+
+    def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("?" for _ in columns)
+        sets = ", ".join(
+            f"{self.q(c)} = excluded.{self.q(c)}" for c in columns if c != key
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT({self.q(key)}) DO UPDATE SET {sets}"
+        )
+
+
+DIALECTS: dict[str, Dialect] = {
+    "mysql": MySQLDialect(),
+    "sqlite": SQLiteDialect(),
+}

@@ -1,0 +1,207 @@
+"""Transactional upsert/delete sink with in-transaction checkpointing.
+
+Re-expression of the reference's write path (``/root/reference/app/mysql.go``):
+
+- K2/K3 upsert        : ``upsertRow``/``appendRow`` (mysql.go:357-431) — one
+                        row, one statement, one txn there; batched
+                        set-based upserts per partition here.
+- K5 delete           : ``deleteRow`` (mysql.go:507-534).
+- K1/K6 exactly-once  : the reference bumps its ``momyre(name,value)``
+                        checkpoint row INSIDE the data transaction
+                        (``updateTimestampInTx``, mysql.go:563-588). The
+                        engine keeps that exact trick, generalized to
+                        microbatches: each partition's transaction also
+                        upserts ``(table, batch_id)`` into the progress
+                        table; a replayed batch is detected and skipped —
+                        idempotent under Structured Streaming's
+                        at-least-once ``foreachBatch`` re-delivery.
+
+Connections are made by a picklable ``connection_factory`` (a zero-arg
+callable returning a DBAPI connection), so executors — not the driver — own
+their connections. Tests inject sqlite; production injects
+``mysql.connector``/``pymysql`` partials. Rows flow through
+``df.foreachPartition`` in batches of ``executemany`` — the Spark-side plan
+stays whatever the caller built (merged CDC state, snapshot projection, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from momyre_spark.sinks.dialects import DIALECTS, Dialect, check_ident
+
+PROGRESS_TABLE = "momyre_progress"  # analog of the `momyre` table (mysql.go:128-144)
+
+ConnFactory = Callable[[], Any]
+
+
+def ensure_progress_table(cur: Any, dialect: Dialect) -> None:
+    """D4: bootstrap the checkpoint table (mysql.go:87-107,128-144)."""
+    q = dialect.q
+    cur.execute(
+        f"CREATE TABLE IF NOT EXISTS {q(PROGRESS_TABLE)} "
+        f"({q('name')} VARCHAR(128) PRIMARY KEY, {q('value')} VARCHAR(64))"
+    )
+
+
+def _progress_key(table: str, part: int | None = None) -> str:
+    # per-PARTITION progress: partitions of one batch commit independently,
+    # so each needs its own replay marker
+    return f"batch:{table}" if part is None else f"batch:{table}:p{part}"
+
+
+def read_progress(cur: Any, dialect: Dialect, name: str, ph: str = "?") -> int | None:
+    """S4: read a resume point (mysql.go:108-123). None = from scratch."""
+    q = dialect.q
+    cur.execute(
+        f"SELECT {q('value')} FROM {q(PROGRESS_TABLE)} WHERE {q('name')} = {ph}",
+        (name,),
+    )
+    row = cur.fetchone()
+    return int(row[0]) if row else None
+
+
+def _write_progress_in_tx(cur: Any, dialect: Dialect, name: str, batch_id: int) -> None:
+    """K6: checkpoint bump inside the open data transaction."""
+    sql = dialect.upsert_sql(PROGRESS_TABLE, ["name", "value"], key="name")
+    cur.execute(sql, (name, str(batch_id)))
+
+
+def upsert_partition(
+    rows: Iterable,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    columns: list[str],
+    key: str,
+    batch_id: int | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """Executor-side body: batched upsert of one partition in one txn.
+
+    With ``batch_id`` set, the transaction also records
+    ``(batch:{table}, batch_id)``; if the stored id already >= batch_id the
+    partition was applied by a previous attempt and is skipped (exactly-once
+    per batch against at-least-once delivery)."""
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    ph = "%s" if dialect_name == "mysql" else "?"
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else None
+    except Exception:
+        part = None
+    pkey = _progress_key(table, part)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        ensure_progress_table(cur, dialect)
+        if batch_id is not None:
+            seen = read_progress(cur, dialect, pkey, ph)
+            if seen is not None and seen >= batch_id:
+                return  # replayed batch/partition — already applied
+        sql = dialect.upsert_sql(table, columns, key)
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(tuple(row[c] for c in columns))
+            if len(buf) >= batch_size:
+                cur.executemany(sql, buf)
+                buf.clear()
+        if buf:
+            cur.executemany(sql, buf)
+        if batch_id is not None:
+            _write_progress_in_tx(cur, dialect, pkey, batch_id)
+        conn.commit()
+    except Exception:
+        conn.rollback()  # mysql.go:301-306 rollback-on-error
+        raise
+    finally:
+        conn.close()
+
+
+def delete_partition(
+    rows: Iterable,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    key: str,
+    batch_size: int = 1000,
+) -> None:
+    """Executor-side body: batched delete of one partition's keys in one txn."""
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        sql = dialect.delete_sql(table, key)
+        buf = [(row[key],) for row in rows]
+        for i in range(0, len(buf), batch_size):
+            cur.executemany(sql, buf[i : i + batch_size])
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def upsert_dataframe(
+    df: DataFrame,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    key: str = "_id",
+    batch_id: int | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Distributed upsert: every partition opens its own connection/txn.
+
+    At scale, ``num_partitions`` caps sink concurrency (a thousand executors
+    hammering one MySQL is the actual bottleneck — the reference never had
+    the problem because it was single-threaded)."""
+    columns = df.columns
+    if key not in columns:
+        raise ValueError(f"key column {key!r} not in DataFrame ({columns})")
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.foreachPartition(
+        lambda rows: upsert_partition(
+            rows,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table,
+            columns=columns,
+            key=key,
+            batch_id=batch_id,
+        )
+    )
+
+
+def delete_dataframe(
+    df: DataFrame,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    key: str = "_id",
+    num_partitions: int | None = None,
+) -> None:
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.select(key).foreachPartition(
+        lambda rows: delete_partition(
+            rows,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table,
+            key=key,
+        )
+    )

@@ -1,0 +1,219 @@
+"""Structured Streaming CDC pipeline (reference §3.2 steady state).
+
+The reference's steady state is: tailable oplog cursor -> decode -> one MySQL
+txn per entry, sequential (``run.go:297-335``). Here the same contract is a
+Structured Streaming query:
+
+    ops stream -> foreachBatch:
+        per table: merge_ops_microbatch (one shuffle, final action per key)
+        -> apply to the sink: upserts (whole rows), patches (present fields
+           only), deletes — each partition one transaction, with the batch id
+           recorded in-txn (sinks/jdbc_upsert.py) for exactly-once apply.
+
+Ordering: the reference relies on a single sequential applier; the engine
+instead collapses each batch to one action per key *before* writing (order-
+insensitive within the batch), and Structured Streaming guarantees batch
+serialization — batch N+1 never starts before N commits. Replay after crash
+re-delivers a completed batch; the in-txn progress marker makes that a no-op.
+
+The ops-stream source is any DataFrame stream with columns
+(ts, ns, op, _id, payload) — file/parquet streams in tests, the MongoDB Spark
+connector's change stream or a Kafka/Debezium topic in production
+(decode mappings per SURVEY.md §2.3: C1-C9 collapse to these five columns
+with the official connector's updateDescription/fullDocument surface).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from momyre_spark.operators.cdc import merge_ops_microbatch
+from momyre_spark.sinks.dialects import DIALECTS, check_ident
+from momyre_spark.sinks.jdbc_upsert import (
+    ConnFactory,
+    _progress_key,
+    _write_progress_in_tx,
+    delete_dataframe,
+    ensure_progress_table,
+    read_progress,
+    upsert_dataframe,
+)
+from momyre_spark.spec import Spec, TableSpec
+
+
+def patch_partition(
+    rows,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    fields: list[str],
+    key: str,
+    batch_id: int | None = None,
+) -> None:
+    """Executor-side partial-update apply (reference K4, mysql.go:449-505).
+
+    Rows carry ``__present`` (fields the patch sets). Rows are grouped by
+    their present-set so each distinct shape becomes one prepared statement
+    executed with executemany — batched, unlike the reference's
+    per-row statements."""
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    ph = "%s" if dialect_name == "mysql" else "?"
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else None
+    except Exception:
+        part = None
+    pkey = _progress_key(f"{table}#patch", part)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        ensure_progress_table(cur, dialect)
+        if batch_id is not None:
+            seen = read_progress(cur, dialect, pkey, ph)
+            if seen is not None and seen >= batch_id:
+                return
+        groups: dict[tuple[str, ...], list[tuple]] = {}
+        for row in rows:
+            present = tuple(f for f in fields if f in set(row["__present"]))
+            if not present:
+                continue  # no-op patch (mysql.go:478-480: empty SET skipped)
+            groups.setdefault(present, []).append(
+                tuple(row[f] for f in present) + (row[key],)
+            )
+        for present, args in groups.items():
+            sets = ", ".join(f"{dialect.q(c)} = {ph}" for c in present)
+            sql = (
+                f"UPDATE {dialect.q(table)} SET {sets} "
+                f"WHERE {dialect.q(key)} = {ph}"
+            )
+            cur.executemany(sql, args)
+        if batch_id is not None:
+            _write_progress_in_tx(cur, dialect, pkey, batch_id)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def apply_actions(
+    actions: DataFrame,
+    table: TableSpec,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    batch_id: int | None = None,
+    key: str = "_id",
+    num_partitions: int | None = None,
+) -> None:
+    """Write a merge_ops_microbatch action frame to the sink."""
+    fields = [c for c in table.sql_columns if c != key]
+    upserts = actions.filter(F.col("__action") == "upsert").select(key, *fields)
+    patches = actions.filter(F.col("__action") == "patch").select(
+        key, "__present", *fields
+    )
+    deletes = actions.filter(F.col("__action") == "delete").select(key)
+
+    upsert_dataframe(
+        upserts,
+        connection_factory=connection_factory,
+        dialect_name=dialect_name,
+        table=table.name,
+        key=key,
+        batch_id=batch_id,
+        num_partitions=num_partitions,
+    )
+    if num_partitions:
+        patches = patches.coalesce(num_partitions)
+    patches.foreachPartition(
+        lambda rows: patch_partition(
+            rows,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table.name,
+            fields=fields,
+            key=key,
+            batch_id=batch_id,
+        )
+    )
+    delete_dataframe(
+        deletes,
+        connection_factory=connection_factory,
+        dialect_name=dialect_name,
+        table=table.name,
+        key=key,
+        num_partitions=num_partitions,
+    )
+
+
+def apply_ops_microbatch(
+    batch_df: DataFrame,
+    batch_id: int,
+    spec: Spec,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    order: Sequence[str] = ("ts",),
+    ns_col: str = "ns",
+    num_partitions: int | None = None,
+) -> None:
+    """foreachBatch body: route ops by namespace, merge, apply per table."""
+    for tname, tspec in spec.tables.items():
+        ops = batch_df.filter(F.col(ns_col) == tname)
+        fields = {c: t for c, t in tspec.sql_columns.items() if c != "_id"}
+        actions = merge_ops_microbatch(ops, fields, key="_id", order=order)
+        apply_actions(
+            actions,
+            tspec,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            batch_id=batch_id,
+            num_partitions=num_partitions,
+        )
+
+
+def start_cdc_stream(
+    ops_stream: DataFrame,
+    spec: Spec,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    checkpoint_dir: str,
+    order: Sequence[str] = ("ts",),
+    trigger: dict[str, Any] | None = None,
+    num_partitions: int | None = None,
+):
+    """Wire the streaming query (reference O5 consume loop, run.go:297-335).
+
+    The Structured Streaming checkpoint dir replaces the reference's
+    ``momyre.timestamp`` resume token (S4/K6) for source offsets; the
+    per-batch progress markers in the sink give exactly-once apply."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ops_microbatch(
+            batch_df,
+            batch_id,
+            spec,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            order=order,
+            num_partitions=num_partitions,
+        )
+
+    writer = (
+        ops_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -34,6 +34,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every query-defining module (they self-register)."""
     from momyre_spark.plans import (  # noqa: F401
+        analytics_queries,
         cdc_queries,
         core_queries,
         dedup_queries,

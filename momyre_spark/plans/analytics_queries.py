@@ -1,0 +1,382 @@
+"""Analytics-surface breadth queries (SURVEY.md §2.4-2.6, §2.10 Q8-Q16 family).
+
+The reference has no joins/aggregations/windows beyond what Q1-Q16 already
+encode; the engine's mandate is the full Spark SQL surface. Each query here
+pins one more operator class against the DuckDB oracle: outer joins,
+grouping sets/rollup, except/union, correlated and scalar subqueries, the
+window-function family (lag/lead/rank/ntile), conditional aggregation, and
+string/date scalar breadth.
+
+Determinism rules as in core_queries (decimal-exact sums surfaced as double,
+total ORDER BY, shared aliases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from momyre_spark.plans import query
+from momyre_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# outer joins
+# --------------------------------------------------------------------------
+@query(
+    "q17_left_outer_join",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, count(s.s_suppkey) AS suppliers
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    ORDER BY n.n_nationkey
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    supplier = load_table(spark, sf, "supplier")
+    return (
+        nation.join(supplier, supplier.s_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").alias("suppliers"))
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q18_full_outer_join",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nk,
+           count(DISTINCT c.c_custkey) AS customers,
+           count(DISTINCT s.s_suppkey) AS suppliers
+    FROM customer c FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    GROUP BY 1 ORDER BY nk
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce(c.c_nationkey, s.s_nationkey).alias("nk"),
+            "c_custkey",
+            "s_suppkey",
+        )
+        .groupBy("nk")
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.countDistinct("s_suppkey").alias("suppliers"),
+        )
+        .orderBy("nk")
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup  (NULL grouping keys rendered as sentinel strings so
+# both engines hash identically)
+# --------------------------------------------------------------------------
+@query(
+    "q19_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           count(*) AS c
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "c",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@query(
+    "q20_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS st,
+           coalesce(o_orderpriority, '<all>') AS pr,
+           count(*) AS c
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY st, pr
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("st"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("pr"),
+            "c",
+        )
+        .orderBy("st", "pr")
+    )
+
+
+# --------------------------------------------------------------------------
+# set ops: EXCEPT / UNION ALL
+# --------------------------------------------------------------------------
+@query(
+    "q21_except",
+    oracle="""
+    SELECT n_nationkey AS k FROM nation
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    ORDER BY k
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    supplier = load_table(spark, sf, "supplier")
+    return (
+        nation.select(F.col("n_nationkey").alias("k"))
+        .exceptAll(supplier.select(F.col("s_nationkey").alias("k")).distinct())
+        .distinct()
+        .orderBy("k")
+    )
+
+
+@query(
+    "q22_union_all_agg",
+    oracle="""
+    SELECT side, count(*) AS c FROM (
+        SELECT 'cust' AS side FROM customer
+        UNION ALL
+        SELECT 'supp' AS side FROM supplier
+    ) t GROUP BY side ORDER BY side
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.lit("cust").alias("side"))
+    s = load_table(spark, sf, "supplier").select(F.lit("supp").alias("side"))
+    return (
+        c.unionByName(s).groupBy("side").agg(F.count(F.lit(1)).alias("c")).orderBy("side")
+    )
+
+
+# --------------------------------------------------------------------------
+# subqueries: correlated EXISTS and scalar
+# --------------------------------------------------------------------------
+@query(
+    "q23_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q24_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS p FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    o.createOrReplaceTempView("__q24_orders")
+    # expressed in Spark SQL to exercise the scalar-subquery planner path
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice AS p FROM __q24_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM __q24_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# window family: lag/lead, rank/dense_rank, ntile
+# --------------------------------------------------------------------------
+@query(
+    "q25_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q26_window_rank_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# conditional aggregation + min/max/avg breadth
+# --------------------------------------------------------------------------
+@query(
+    "q27_conditional_agg",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS returned,
+           count(*) FILTER (WHERE l_discount > 0.05) AS discounted,
+           CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS min_q,
+           CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS max_q
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
+            F.min(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("min_q"),
+            F.max(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("max_q"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# string scalar breadth
+# --------------------------------------------------------------------------
+@query(
+    "q28_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           substring(p_name, 1, 8) AS pfx,
+           replace(p_type, ' ', '_') AS typ,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           length(p_brand) AS blen,
+           reverse(p_brand) AS brev,
+           concat(p_brand, ':', p_type) AS tag
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.substring("p_name", 1, 8).alias("pfx"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("typ"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+            F.length("p_brand").alias("blen"),
+            F.reverse("p_brand").alias("brev"),
+            F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# date scalar breadth
+# --------------------------------------------------------------------------
+@query(
+    "q29_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+           year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+           dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due
+    FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_orderkey
+    """,
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").filter(F.year("o_orderdate") == 1996)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias(
+            "month_start"
+        ),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# array/map expression surface over JSON props
+# --------------------------------------------------------------------------
+@query(
+    "q30_array_map_functions",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("k").alias("distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -92,9 +92,10 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q03(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.sources.parquet import load_events_since
+
     return (
-        load_table(spark, sf, "events")
-        .filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        load_events_since(spark, sf, "2024-01-15 00:00:00")
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )

@@ -1,0 +1,180 @@
+"""Raw oplog decode: normalize MongoDB oplog entries to the engine's ops IR.
+
+Re-expression of the reference's ``handleChange`` (C1-C9,
+``/root/reference/app/mongo.go:157-454`` — its single largest function):
+
+- C1 insert  (``op='i'``)   : whole document is the row
+- C2 update  ``$set``       : partial field map, key from ``o2._id``
+- C3 update  ``$v:2 diff``  : ``i``/``u``/``d`` top-level sections
+- C4 update  ``diff.s<f>``  : nested-subdocument diff sections, re-nested
+                              then flattened (the reference stops at the
+                              third level, mongo.go:354-355; this decoder
+                              recurses to any depth)
+- C5 update  full-replace   : no ``$set``/``$v`` -> o1 IS the document
+- C6 delete  (``op='d'``)   : emit ``{_id}`` delete
+- C7 noop    (``op='n'``)   : dropped
+- C8 txn     (``op='c'``)   : ``applyOps`` array unwrapped recursively, each
+                              inner entry stamped with the outer ``ts``
+- C9 stamping               : every op carries (ts, ns-table, op, _id)
+
+Timestamps pack as ``T<<32 | I`` exactly like the resume token the reference
+persists (mongo.go:171,613).
+
+Decode runs as Arrow-batched ``mapInPandas``: oplog entries are
+dynamic-schema JSON (no stable StructType exists by construction), so this is
+the one ingest boundary where Python-per-batch is the right trade — the
+per-batch work is pure dict walking, and everything downstream
+(merge/apply) is JVM-side. In production the MongoDB Spark connector's change
+streams surface ``updatedFields`` directly and C3/C4 never materialize
+(SURVEY.md §2.3); this decoder exists for raw-oplog parity and tests.
+
+Error semantics preserved: unknown shapes raise (failing the batch/query) —
+the reference fail-stops via log.Fatalln (mongo.go:183 et al.); silently
+dropping data is the one thing a replicator must never do.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+DECODED_SCHEMA = "ts long, ns string, op string, `_id` string, payload string"
+
+
+def pack_ts(t: int, i: int) -> int:
+    """Resume token: T<<32|I (mongo.go:171,613)."""
+    return (int(t) << 32) | int(i)
+
+
+def flatten_doc(doc: dict, prefix: str = "") -> dict:
+    """obj2plain (mongo.go:141-155): nested dicts -> '_'-joined flat keys;
+    arrays/scalars pass through (arrays JSON-serialize at the sink)."""
+    out: dict[str, Any] = {}
+    for k, v in doc.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_doc(v, prefix=f"{key}_"))
+        else:
+            out[key] = v
+    return out
+
+
+def _strip_ns(ns: str) -> str:
+    """'db.users' -> 'users' (P6, mongo.go:166-169)."""
+    return ns.split(".", 1)[1] if "." in ns else ns
+
+
+def _decode_v2_diff(diff: dict) -> dict:
+    """$v:2 diff document -> flat partial-update map (C3+C4).
+
+    Sections: 'i' (insert fields), 'u' (update fields), 'd' (delete fields ->
+    explicit null), 's<name>' (sub-document diff, recursed)."""
+    fields: dict[str, Any] = {}
+    for section, body in diff.items():
+        if section in ("i", "u"):
+            if not isinstance(body, dict):
+                raise ValueError(f"malformed $v:2 '{section}' section: {body!r}")
+            fields.update(flatten_doc(body))
+        elif section == "d":
+            if not isinstance(body, dict):
+                raise ValueError(f"malformed $v:2 'd' section: {body!r}")
+            for f in body:
+                fields[f] = None
+        elif section.startswith("s"):
+            sub = _decode_v2_diff(body)  # any depth, unlike mongo.go:354-355
+            fields.update({f"{section[1:]}_{k}": v for k, v in sub.items()})
+        elif section == "a":  # array-diff marker bool inside 's' sections
+            continue
+        else:
+            raise ValueError(f"unknown $v:2 diff section: {section!r}")
+    return fields
+
+
+def decode_entry(entry: dict) -> list[dict]:
+    """One raw oplog entry -> zero or more normalized ops."""
+    op = entry.get("op")
+    ns = entry.get("ns", "")
+    ts_raw = entry.get("ts", {})
+    ts = pack_ts(ts_raw.get("t", 0), ts_raw.get("i", 0)) if isinstance(ts_raw, dict) else int(ts_raw)
+    o1 = entry.get("o") or {}
+    o2 = entry.get("o2") or {}
+
+    if op == "n":  # C7
+        return []
+    if op == "c":  # C8: transaction unwrap
+        inner = o1.get("applyOps")
+        if inner is None:
+            return []  # other admin commands are not data
+        out: list[dict] = []
+        for sub in inner:
+            sub = dict(sub)
+            sub.setdefault("ts", {"t": ts >> 32, "i": ts & 0xFFFFFFFF})
+            out.extend(decode_entry(sub))
+        return out
+
+    table = _strip_ns(ns)
+    if op == "i":  # C1
+        doc = flatten_doc(o1)
+        _id = str(doc.pop("_id", ""))
+        return [{"ts": ts, "ns": table, "op": "insert", "_id": _id,
+                 "payload": doc}]
+    if op == "d":  # C6
+        _id = str(o1.get("_id", ""))
+        return [{"ts": ts, "ns": table, "op": "delete", "_id": _id, "payload": {}}]
+    if op == "u":
+        _id = str(o2.get("_id", o1.get("_id", "")))
+        if "$set" in o1 or "$unset" in o1:  # C2 (v1 update)
+            fields = flatten_doc(o1.get("$set", {}))
+            fields.update({k: None for k in flatten_doc(o1.get("$unset", {}))})
+            return [{"ts": ts, "ns": table, "op": "update", "_id": _id,
+                     "payload": fields}]
+        if o1.get("$v") == 2 and "diff" in o1:  # C3/C4
+            return [{"ts": ts, "ns": table, "op": "update", "_id": _id,
+                     "payload": _decode_v2_diff(o1["diff"])}]
+        if any(k.startswith("$") for k in o1):
+            raise ValueError(f"unknown update shape: {sorted(o1)}")  # fail-stop
+        # C5 full replace: o1 is the complete document -> an insert-like reset
+        doc = flatten_doc(o1)
+        doc.pop("_id", None)
+        return [{"ts": ts, "ns": table, "op": "insert", "_id": _id,
+                 "payload": doc}]
+    raise ValueError(f"unknown oplog op: {op!r}")  # fail-stop (mongo.go:183)
+
+
+def decode_oplog(
+    raw: DataFrame, tables: list[str] | None = None, entry_col: str = "entry"
+) -> DataFrame:
+    """DataFrame of raw oplog JSON entries -> normalized ops frame.
+
+    ``raw[entry_col]``: JSON text of one oplog entry per row. Namespace
+    filtering (P4) happens post-decode here; with a real connector the
+    ns IN-list is pushed into the source query (mongo.go:463-479)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf[entry_col]:
+                for norm in decode_entry(json.loads(text)):
+                    rows.append(
+                        (
+                            norm["ts"],
+                            norm["ns"],
+                            norm["op"],
+                            norm["_id"],
+                            json.dumps(norm["payload"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["ts", "ns", "op", "_id", "payload"]
+            ).astype({"ts": "int64"})
+
+    out = raw.mapInPandas(run, schema=DECODED_SCHEMA)
+    if tables is not None:
+        from pyspark.sql import functions as F
+
+        out = out.filter(F.col("ns").isin(tables))
+    return out

@@ -49,6 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_since(spark: SparkSession, sf_dir: str, iso_ts: str) -> DataFrame:
+    """Resume-token scan of the events stream (reference P5,
+    mongo.go:481-492: the oplog query composes ``ts > resume`` into the
+    source read).
+
+    The raw column is nanos-since-epoch, so the predicate is applied on the
+    RAW long *before* the timestamp conversion — that keeps it a parquet
+    PushedFilter (row-group pruning / late materialization). Filtering the
+    converted timestamp instead would silently turn this into a full scan —
+    the difference between reading one day and reading 100 TB.
+    """
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(iso_ts).replace(tzinfo=timezone.utc)
+    ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.filter(F.col("ts") > ns).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

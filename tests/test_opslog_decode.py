@@ -1,0 +1,131 @@
+"""Oplog decode tests (C1-C9 parity, SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from momyre_spark.operators.cdc import apply_ops
+from momyre_spark.sources.opslog import (
+    decode_entry,
+    decode_oplog,
+    flatten_doc,
+    pack_ts,
+)
+
+
+def test_pack_ts():
+    assert pack_ts(5, 2) == (5 << 32) | 2
+
+
+def test_flatten_doc_nested_and_arrays():
+    doc = {"a": 1, "cfg": {"pub": "x", "deep": {"v": 2}}, "arr": [1, 2]}
+    assert flatten_doc(doc) == {"a": 1, "cfg_pub": "x", "cfg_deep_v": 2, "arr": [1, 2]}
+
+
+def test_insert_decode_c1():
+    ops = decode_entry(
+        {"op": "i", "ns": "db.users", "ts": {"t": 7, "i": 1},
+         "o": {"_id": "k1", "type": "admin", "cfg": {"pub": "p"}}}
+    )
+    assert ops == [{"ts": pack_ts(7, 1), "ns": "users", "op": "insert",
+                    "_id": "k1", "payload": {"type": "admin", "cfg_pub": "p"}}]
+
+
+def test_update_set_unset_decode_c2():
+    ops = decode_entry(
+        {"op": "u", "ns": "db.users", "ts": {"t": 7, "i": 2},
+         "o": {"$set": {"email": "e@x", "cfg": {"pub": "q"}},
+               "$unset": {"pubkey": True}},
+         "o2": {"_id": "k1"}}
+    )
+    assert ops[0]["op"] == "update" and ops[0]["_id"] == "k1"
+    assert ops[0]["payload"] == {"email": "e@x", "cfg_pub": "q", "pubkey": None}
+
+
+def test_update_v2_diff_decode_c3_c4():
+    ops = decode_entry(
+        {"op": "u", "ns": "db.users", "ts": {"t": 8, "i": 1},
+         "o": {"$v": 2, "diff": {
+             "i": {"newf": 1},
+             "u": {"email": "n@x"},
+             "d": {"pubkey": False},
+             "scfg": {"u": {"pub": "z"}, "sdeep": {"u": {"v": 9}}},
+         }},
+         "o2": {"_id": "k2"}}
+    )
+    assert ops[0]["payload"] == {
+        "newf": 1, "email": "n@x", "pubkey": None,
+        "cfg_pub": "z", "cfg_deep_v": 9,  # third level handled (beyond ref)
+    }
+
+
+def test_full_replace_decode_c5():
+    ops = decode_entry(
+        {"op": "u", "ns": "db.users", "ts": {"t": 9, "i": 1},
+         "o": {"_id": "k3", "type": "fresh"}, "o2": {"_id": "k3"}}
+    )
+    assert ops[0]["op"] == "insert"  # replace resets the whole row
+    assert ops[0]["payload"] == {"type": "fresh"}
+
+
+def test_delete_decode_c6():
+    ops = decode_entry(
+        {"op": "d", "ns": "db.users", "ts": {"t": 9, "i": 2}, "o": {"_id": "k3"}}
+    )
+    assert ops == [{"ts": pack_ts(9, 2), "ns": "users", "op": "delete",
+                    "_id": "k3", "payload": {}}]
+
+
+def test_noop_dropped_c7():
+    assert decode_entry({"op": "n", "ns": "", "ts": {"t": 1, "i": 1}, "o": {}}) == []
+
+
+def test_txn_unwrap_c8():
+    ops = decode_entry(
+        {"op": "c", "ns": "admin.$cmd", "ts": {"t": 11, "i": 1},
+         "o": {"applyOps": [
+             {"op": "i", "ns": "db.users", "o": {"_id": "t1", "type": "a"}},
+             {"op": "d", "ns": "db.regs", "o": {"_id": "t2"}},
+         ]}}
+    )
+    assert [o["op"] for o in ops] == ["insert", "delete"]
+    assert all(o["ts"] == pack_ts(11, 1) for o in ops)  # outer ts stamped
+    assert [o["ns"] for o in ops] == ["users", "regs"]
+
+
+def test_unknown_shapes_fail_stop():
+    with pytest.raises(ValueError):
+        decode_entry({"op": "x", "ns": "db.t", "ts": {"t": 1, "i": 1}})
+    with pytest.raises(ValueError):
+        decode_entry({"op": "u", "ns": "db.t", "ts": {"t": 1, "i": 1},
+                      "o": {"$weird": 1}, "o2": {"_id": "k"}})
+
+
+def test_decode_oplog_to_final_state(spark):
+    """Raw oplog entries -> decode -> CDC apply -> expected final state."""
+    entries = [
+        {"op": "i", "ns": "db.users", "ts": {"t": 1, "i": 1},
+         "o": {"_id": "a", "type": "admin", "email": "a@x"}},
+        {"op": "u", "ns": "db.users", "ts": {"t": 1, "i": 2},
+         "o": {"$set": {"email": "a2@x"}}, "o2": {"_id": "a"}},
+        {"op": "i", "ns": "db.users", "ts": {"t": 1, "i": 3},
+         "o": {"_id": "b", "type": "user"}},
+        {"op": "d", "ns": "db.users", "ts": {"t": 2, "i": 1}, "o": {"_id": "b"}},
+        {"op": "c", "ns": "admin.$cmd", "ts": {"t": 3, "i": 1},
+         "o": {"applyOps": [
+             {"op": "u", "ns": "db.users",
+              "o": {"$v": 2, "diff": {"u": {"type": "root"}}}, "o2": {"_id": "a"}},
+         ]}},
+        {"op": "i", "ns": "db.ignored", "ts": {"t": 4, "i": 1},
+         "o": {"_id": "zz", "x": 1}},
+    ]
+    raw = spark.createDataFrame([Row(entry=json.dumps(e)) for e in entries])
+    ops = decode_oplog(raw, tables=["users"])
+    final = apply_ops(
+        ops, {"type": "string", "email": "string"}, key="_id", order=("ts",)
+    )
+    state = {r["_id"]: (r["type"], r["email"]) for r in final.collect()}
+    assert state == {"a": ("root", "a2@x")}

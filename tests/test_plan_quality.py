@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the 100 TB posture, checked in CI.
+
+Correct results are necessary but not sufficient — these tests pin the plan
+*shape*: predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins for dimension tables, top-k as TakeOrderedAndProject, partial
+aggregation, and no Python-UDF evaluation nodes in pure-expression pipelines.
+A refactor that silently turns a pushed filter into a full scan fails here,
+not in production.
+"""
+
+from __future__ import annotations
+
+import momyre_spark.plans as plans
+from tests.conftest import SF_CORRECT
+
+plans.load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_plan_of(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def q(spark, name):
+    return plans.QUERIES[name](spark, SF_CORRECT)
+
+
+def test_q01_scan_prunes_columns(spark):
+    plan = plan_of(q(spark, "q01_snapshot_project"))  # physical plan only
+    assert "ReadSchema" in plan and "c_custkey" in plan
+    assert "c_acctbal" not in plan  # unused column must not reach the scan
+    assert "c_nationkey" not in plan
+
+
+def test_q02_inlist_filter_pushed_to_parquet(spark):
+    plan = full_plan_of(q(spark, "q02_inlist_filter"))
+    assert "PushedFilters: [In(o_orderstatus" in plan
+
+
+def test_q03_resume_scan_pushes_raw_ts_predicate(spark):
+    plan = full_plan_of(q(spark, "q03_ts_range_filter"))
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts," in plan
+
+
+def test_q05_point_lookup_pushed(spark):
+    plan = full_plan_of(q(spark, "q05_point_lookup"))
+    assert "PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]" in plan
+
+
+def test_q08_q09_dimension_joins_broadcast(spark):
+    assert plan_of(q(spark, "q08_join_agg")).count("BroadcastHashJoin") == 1
+    assert plan_of(q(spark, "q09_multiway_join")).count("BroadcastHashJoin") == 2
+
+
+def test_q06_antijoin_is_hash_antijoin(spark):
+    plan = plan_of(q(spark, "q06_orphan_antijoin"))
+    assert "LeftAnti" in plan  # a real anti-join, not a nested-loop probe
+
+
+def test_q11_has_partial_aggregation(spark):
+    plan = plan_of(q(spark, "q11_tpch_q1_agg"))
+    # map-side partial + final aggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q13_topk_avoids_global_sort(spark):
+    plan = plan_of(q(spark, "q13_topk"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pure_expression_pipelines_have_no_python_eval(spark):
+    """Text/dedup pipelines must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes) — Python evaluation is the slow path."""
+    for name in [
+        "text_analyze_all",
+        "dedup_exact_groups",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "sim_topk_bruteforce",
+        "cdc_apply_ops",
+    ]:
+        plan = plan_of(q(spark, name))
+        assert "EvalPython" not in plan, name
+
+
+def test_cdc_apply_single_exchange_per_aggregation(spark):
+    """The CDC merge must shuffle by key, not sort globally."""
+    plan = plan_of(q(spark, "cdc_apply_ops"))
+    assert "max_by" in plan or "MaxBy" in plan
+    assert "Window" not in plan  # merge path uses aggregates, not window sort

@@ -313,6 +313,62 @@ def simhash_pairs(
     )
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-duplicate *groups* from a pair list: connected components by
+    iterative min-label propagation.
+
+    Each node's label converges to the smallest id reachable from it — the
+    canonical survivor of its duplicate cluster. Converges in
+    O(log(diameter)) rounds (label large-star/small-star style); duplicate
+    clusters are near-cliques so 2-3 rounds in practice. Each round is two
+    hash-aggregations over the edge list — no driver-side graph.
+
+    Returns (id, component) for every node that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).select(F.col("src").alias("id"), "label")
+
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        # cut lineage so the iterative plan doesn't grow unboundedly
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select("id", F.col("label").alias("component"))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -147,3 +147,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# Duplicate groups: LSH pairs -> connected components (no SQL oracle —
+# iterative algorithm; driver records a rows-only check, pytest validates
+# against a Python union-find)
+# --------------------------------------------------------------------------
+@query("dedup_groups")
+def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import duplicate_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    return duplicate_components(pairs).orderBy("id")

@@ -5,6 +5,8 @@ engines produce bit-identical doubles (see functions/text.py docstring).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,3 +170,32 @@ def text_analyze_all(spark: SparkSession, sf: str) -> DataFrame:
     return analyze_documents(docs).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "stop_ratio", "quality", "fp"
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Vectorized pandas-UDF surface: the same token count computed by an
+# Arrow-batched scalar pandas UDF — one logical op, Python-vectorized
+# physical path, same oracle contract.
+# --------------------------------------------------------------------------
+@query(
+    "text_token_counts_pandas_udf",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        stripped = texts.str.strip()
+        return (
+            stripped.str.split(r"\s+").map(len).where(stripped != "", 0).astype("int32")
+        )
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens")).orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,85 @@
+"""Similarity operator unit tests: planted neighbors, expr/numpy parity,
+IVF recall within cells."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Row
+
+from momyre_spark.operators.similarity import (
+    assign_ivf_cells,
+    brute_force_topk,
+    brute_force_topk_numpy,
+    ivf_topk,
+)
+
+
+def _embs(spark, n=60, dim=16, seed=3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    if n > 50:
+        # plant: vec 50 = vec 0 slightly perturbed -> nearest neighbor of 0
+        base = rows[0].embedding
+        rows[50] = Row(vec_id=50, embedding=[x + 0.01 for x in base])
+    return spark.createDataFrame(rows)
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_brute_force_finds_planted_neighbor(spark):
+    emb = _embs(spark)
+    queries = emb.filter("vec_id = 0")
+    top = brute_force_topk(emb, queries, k=3).collect()
+    assert top[0]["neighbor_id"] == 50 and top[0]["rank"] == 1
+    assert top[0]["cos"] > 0.999
+
+
+def test_numpy_path_matches_expression_path(spark):
+    emb = _embs(spark)
+    queries = emb.filter("vec_id < 5")
+    a = [(r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+         for r in brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["neighbor_id"], r["rank"], r["cos"])
+         for r in brute_force_topk_numpy(emb, queries, k=5).orderBy("query_id", "rank").collect()]
+    assert a == b
+
+
+def test_brute_force_matches_python_reference(spark):
+    emb = _embs(spark, n=30)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    queries = emb.filter("vec_id = 7")
+    got = [(r["neighbor_id"]) for r in
+           brute_force_topk(emb, queries, k=5).orderBy("rank").collect()]
+    want = sorted(
+        (i for i in vecs if i != 7),
+        key=lambda i: (-_cos(vecs[7], vecs[i]), i),
+    )[:5]
+    assert got == want
+
+
+def test_ivf_cells_cover_all_vectors(spark):
+    emb = _embs(spark)
+    cells = assign_ivf_cells(emb, num_cells=4)
+    assert cells.count() == 60
+    assert cells.select("cell").distinct().count() <= 4
+
+
+def test_ivf_topk_is_exact_within_cell(spark):
+    emb = _embs(spark)
+    queries = emb.filter("vec_id = 0")
+    cells = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, num_cells=4).collect()}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    got = [r["neighbor_id"] for r in
+           ivf_topk(emb, queries, k=5, num_cells=4).orderBy("rank").collect()]
+    same_cell = [i for i in vecs if i != 0 and cells[i] == cells[0]]
+    want = sorted(same_cell, key=lambda i: (-_cos(vecs[0], vecs[i]), i))[:5]
+    assert got == want
+    assert 50 in got  # the planted near-neighbor lands in the same cell

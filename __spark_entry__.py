@@ -3,6 +3,10 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()``/``oracle_sql()`` expose the full registry (momyre_spark.plans)
 for the driver's DuckDB-oracle correctness gate at sf0.01.
+
+Every callable pins the engine's runtime SQL confs onto the caller's
+SparkSession first (the driver builds its own session; events.parquet uses
+NANOS timestamps that need ``nanosAsLong``, and oracle parity needs UTC).
 """
 
 from __future__ import annotations
@@ -12,18 +16,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import momyre_spark.plans as plans
+from momyre_spark.session import apply_runtime_confs
 
 plans.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped aggregation) on /root/testdata/sf0.001."""
+    apply_runtime_confs(spark)
     return plans.QUERIES["q11_tpch_q1_agg"](spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: plans.QueryFn) -> plans.QueryFn:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(plans.QUERIES)
+    return {name: _wrap(fn) for name, fn in plans.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,6 +25,28 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+# SQL confs the engine depends on that are runtime-settable — applied both at
+# session build and defensively onto externally-created sessions (the
+# verification driver builds its own SparkSession before calling into the
+# engine; without nanosAsLong every events-table read fails on the NANOS
+# parquet timestamps, and without UTC the oracle comparison shifts).
+RUNTIME_SQL_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin the engine's runtime-settable SQL confs on any session."""
+    for k, v in RUNTIME_SQL_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

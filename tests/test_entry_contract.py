@@ -1,0 +1,50 @@
+"""Driver-contract simulation: a FRESH SparkSession (no engine configs, like
+the verification driver's own session) must still run entry() and the
+events-dependent queries correctly."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _bare_session(spark):
+    """newSession(): shares the SparkContext but gets a fresh SQLConf —
+    engine session configs are absent, like in the driver."""
+    s = spark.newSession()
+    for k in (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+    ):
+        s.conf.unset(k)
+    return s
+
+
+def test_entry_runs_on_bare_session(spark):
+    df = entry_mod.entry(_bare_session(spark))
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty", "revenue", "c"]
+
+
+def test_every_query_key_has_callable_and_oracle_subset(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 45
+    # the non-oracle (rows-only) set is exactly the hash-family ops
+    assert set(qs) - set(oracles) == {"dedup_simhash", "dedup_groups"}
+
+
+def test_events_query_on_bare_session(spark):
+    qs = entry_mod.queries()
+    out = qs["q04_latest_ts_probe"](_bare_session(spark), SF_SMOKE).collect()
+    assert len(out) == 1 and out[0]["ts"].startswith("2024-01-")
+
+
+def test_smoke_all_queries_tiny_sf(spark):
+    """Every registered query must execute end-to-end at sf0.001."""
+    bare = _bare_session(spark)
+    for name, fn in entry_mod.queries().items():
+        df = fn(bare, SF_SMOKE)
+        df.limit(5).collect()

@@ -64,6 +64,22 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes — no shingle strings
+    are ever materialized: the n-token window is hashed directly from the
+    zip struct (xxhash64 over n string columns). The cheap path for
+    MinHash/LSH at corpus scale; collision probability ~2^-64 per pair."""
+    toks = tokens(text)
+    n_out = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_out).alias(f"s{i}") for i in range(n)]
+    )
+    gram = F.transform(z, lambda s: F.xxhash64(*[s[f"s{i}"] for i in range(n)]))
+    return F.when(F.size(toks) < n, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(gram)
+    )
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))

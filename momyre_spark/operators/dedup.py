@@ -148,13 +148,14 @@ def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
       are hashed once and each permutation is a multiply-add-mod on longs,
       kept under 2^62 so ANSI overflow checking never trips.
     """
-    ex = sh.select("__id", F.explode("__sh").alias("__s")).withColumn(
-        "__h", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE31))
+    # expressions built as SQL text: a deep Column-builder tree costs one
+    # py4j round-trip per node (~2.8s of driver time for K=128); parsed
+    # text is one call per column
+    ex = sh.select("__id", F.explode("__sh").alias("__s")).selectExpr(
+        "__id", f"pmod(xxhash64(__s), {_MERSENNE31}L) AS __h"
     )
     aggs = [
-        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))).alias(
-            f"__h{k}"
-        )
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE31}L))").alias(f"__h{k}")
         for k, (a, b) in enumerate(_perm_consts(num_hashes))
     ]
     return ex.groupBy("__id").agg(*aggs).join(sh, "__id")
@@ -182,22 +183,35 @@ def minhash_lsh_pairs(
     directly (``array_intersect``), never the full corpus. Cost is
     O(candidates), not O(pairs-sharing-a-shingle) — the whole point of LSH.
     """
+    from pyspark import StorageLevel
+
+    from momyre_spark.functions.text import hashed_shingles
+
     rows = num_hashes // bands
-    sh = _shingled(docs, id_col, text_col, n)
-    wide = _minhash_wide(sh, num_hashes)
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"__h{b * rows + r}").cast("string") for r in range(rows)],
-                ),
-                F.lit(b),
-            )
-            for b in range(bands)
-        ]
+    # hashed shingles end-to-end: no shingle strings materialize anywhere in
+    # the LSH path (exact-verify intersects the hash sets; a 64-bit collision
+    # altering a jaccard is ~2^-64 per pair). The shingle frame feeds three
+    # consumers (signature agg + both verify sides) — persist it so the
+    # tokenizer/shingler runs once, not three times (~8 bytes/shingle, tiny
+    # relative to the corpus; MEMORY_AND_DISK spills instead of OOMing).
+    sh = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            hashed_shingles(F.col(text_col), n).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    banded = wide.select("__id", F.posexplode(band_arr).alias("band", "bh"))
+    wide = _minhash_wide(sh, num_hashes)
+    band_items = ", ".join(
+        "xxhash64("
+        + ", ".join([f"__h{b * rows + r}" for r in range(rows)] + [str(b)])
+        + ")"
+        for b in range(bands)
+    )
+    banded = wide.selectExpr("__id", f"array({band_items}) AS __bands").select(
+        "__id", F.posexplode("__bands").alias("band", "bh")
+    )
     # Bucket-local pair expansion (groupBy + nested HOF) instead of a
     # banded-self-join: the minhash pipeline is evaluated once, the shuffle
     # key is (band, band_hash), and pairs are generated inside each bucket —

@@ -380,3 +380,35 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time window (batch form of streaming/windows.py
+# windowed_counts — same logical op, verifiable against the SQL oracle)
+# --------------------------------------------------------------------------
+@query(
+    "q31_tumbling_window",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS VARCHAR) AS window_start,
+           event_type, count(*) AS c,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "c",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -13,10 +13,17 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from momyre_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
-    spark = get_spark(app_name="momyre-tests")
+    spark = get_spark(
+        app_name="momyre-tests",
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="momyre-wh-"),
+        },
+    )
     yield spark
 
 

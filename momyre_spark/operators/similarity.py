@@ -57,7 +57,7 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", round_half_up(F.col("cos"), 4).alias("cos"))
     )
@@ -117,7 +117,7 @@ def brute_force_topk_numpy(
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", round_half_up(F.col("cos"), 4).alias("cos"))
     )

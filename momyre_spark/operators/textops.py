@@ -20,8 +20,8 @@ def analyze_documents(
     t = F.col(text_col)
     return docs.select(
         F.col(id_col),
-        T.token_count(t).alias("n_tokens"),
-        T.bpe_ish_count(t).alias("n_bpe_tokens"),
+        T.token_count(t).cast("bigint").alias("n_tokens"),
+        T.bpe_ish_count(t).cast("bigint").alias("n_bpe_tokens"),
         round_half_up(T.stopword_ratio(t, "en"), 4).alias("stop_ratio"),
         T.quality_score(t).alias("quality"),
         T.langid(t).alias("pred_lang"),

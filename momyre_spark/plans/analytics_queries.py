@@ -258,9 +258,9 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -318,7 +318,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
             F.substring("p_name", 1, 8).alias("pfx"),
             F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("typ"),
             F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
-            F.length("p_brand").alias("blen"),
+            F.length("p_brand").cast("bigint").alias("blen"),
             F.reverse("p_brand").alias("brev"),
             F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("tag"),
         )
@@ -348,8 +348,8 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias(
             "month_start"
         ),
-        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
-        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).alias("dow"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("yyyymm"),
+        (F.dayofweek(F.col("o_orderdate").cast("date")) - 1).cast("bigint").alias("dow"),
         F.date_add(F.col("o_orderdate").cast("date"), 30).cast("string").alias("due"),
     ).orderBy("o_orderkey")
 

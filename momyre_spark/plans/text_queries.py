@@ -42,8 +42,8 @@ def text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.bpe_ish_count(F.col("text")).alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        T.bpe_ish_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -188,11 +188,11 @@ def text_analyze_all(spark: SparkSession, sf: str) -> DataFrame:
 def text_token_counts_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def n_tokens(texts: pd.Series) -> pd.Series:
         stripped = texts.str.strip()
         return (
-            stripped.str.split(r"\s+").map(len).where(stripped != "", 0).astype("int32")
+            stripped.str.split(r"\s+").map(len).where(stripped != "", 0).astype("int64")
         )
 
     docs = load_table(spark, sf, "documents")

@@ -41,6 +41,15 @@ def frame_digest(df) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+def _dtype_sig(df, col) -> str:
+    """Comparable dtype signature; columns containing NULLs are exempt from
+    width comparison (pandas silently widens nullable ints to float64)."""
+    s = df[col]
+    if s.isna().any():
+        return "nullable"
+    return str(s.dtype)
+
+
 def compare(spark_df, duck_df) -> tuple[bool, str]:
     n1, c1, h1 = frame_digest(spark_df)
     n2, c2, h2 = frame_digest(duck_df)
@@ -48,6 +57,10 @@ def compare(spark_df, duck_df) -> tuple[bool, str]:
         return False, f"row count {n1} != {n2}"
     if c1 != c2:
         return False, f"columns {c1} != {c2}"
+    dt1 = [_dtype_sig(spark_df, c) for c in c1]
+    dt2 = [_dtype_sig(duck_df, c) for c in c2]
+    if dt1 != dt2:
+        return False, f"dtypes {list(zip(c1, dt1, dt2))}"
     if h1 != h2:
         return False, f"value hash mismatch ({n1} rows)"
     return True, f"ok ({n1} rows)"

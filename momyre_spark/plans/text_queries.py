@@ -199,3 +199,90 @@ def text_token_counts_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", n_tokens(F.col("text")).alias("n_tokens")).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level token statistics: explode/unnest + two-level aggregation.
+# Integer-only outputs — no float risk.
+# --------------------------------------------------------------------------
+@query(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_LTOK}) AS t FROM documents)
+    SELECT count(DISTINCT t) AS vocab,
+           count(*) AS total_tokens,
+           count(DISTINCT doc_id) AS docs
+    FROM tok
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    return tok.agg(
+        F.countDistinct("t").alias("vocab"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("doc_id").alias("docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Term frequency / document frequency (the integer core of TF-IDF) + top
+# terms per document with deterministic tie-breaks.
+# --------------------------------------------------------------------------
+@query(
+    "text_term_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_LTOK}) AS t FROM documents)
+    SELECT t AS term,
+           count(DISTINCT doc_id) AS df,
+           count(*) AS tf_total
+    FROM tok GROUP BY t ORDER BY term
+    """,
+)
+def text_term_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    return (
+        tok.groupBy(F.col("t").alias("term"))
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .orderBy("term")
+    )
+
+
+@query(
+    "text_top_terms_per_doc",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_LTOK}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT doc_id, t AS term, tf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf DESC, t) AS rn
+        FROM tf) x
+    WHERE rn <= 3 ORDER BY doc_id, tf DESC, term
+    """,
+)
+def text_top_terms_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from momyre_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("t"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tf")
+        .orderBy("doc_id", F.col("tf").desc(), "term")
+    )

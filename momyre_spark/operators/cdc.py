@@ -21,18 +21,25 @@ Semantics preserved from the reference (SURVEY.md §2.3/§2.7):
 - replay idempotence: re-applying any suffix of the log yields the same final
   state (run.go:210-212 relies on the same property).
 
-Algorithm (all JVM-side built-ins — no UDFs, no driver collect):
-1. per key, find the latest *reset* op (insert or delete) by sequence;
-2. keys whose latest reset is an insert are alive (keys never inserted die);
-3. for each alive key, each field's final value comes from the latest op at
-   or after the reset whose payload *mentions* that field
-   (``max_by(payload[f], seq if map_contains_key(payload, f))``);
-4. cast to the declared sink type (SURVEY.md §1.2 type mapping).
+Algorithm (all JVM-side built-ins — no UDFs, no driver collect, ONE shuffle):
 
-Cost model at 100 TB: one hash-partition by ``_id`` feeding two hash
-aggregates that Catalyst executes with map-side partial aggregation; payload
-maps stay columnar; no window sort is needed (max_by replaces
-row_number-then-filter for the merge path).
+The key insight making a single aggregation pass sufficient: an *insert
+semantically mentions every declared field* (absent fields are set to NULL,
+mysql.go:381-407). Rewriting each op's payload that way means "latest op
+mentioning field f" alone yields the correct final value — an insert
+dominates every older update (field-wise), later updates override it, and
+no per-key reset boundary has to be materialized first. Per key, one
+aggregate computes:
+
+1. the latest reset op (insert/delete) via ``max_by(op, seq | resets)`` —
+   keys whose latest reset is not an insert are dropped (never-inserted and
+   deleted keys, including update-after-delete no-ops);
+2. each field as ``max_by(payload[f], seq | payload mentions f)``;
+3. cast to the declared sink type (SURVEY.md §1.2 type mapping).
+
+Cost model at 100 TB: one hash-partition by ``_id`` into one hash aggregate
+with map-side partial aggregation; payload maps stay columnar; no window
+sort, no self-join, no second exchange.
 """
 
 from __future__ import annotations
@@ -69,6 +76,36 @@ def _seq(order: Sequence[str]) -> Column:
     return cols[0] if len(cols) == 1 else F.struct(*cols)
 
 
+def _with_normalized_payload(
+    ops: DataFrame,
+    fields: dict[str, str],
+    op_col: str,
+    payload_col: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """Parse the payload and rewrite it so inserts mention every declared
+    field (absent -> NULL), updates keep their partial maps, deletes mention
+    nothing. Adds ``__seq``. This normalization is what lets the merge run
+    as a single aggregation (see module docstring)."""
+    payload_t = dict(ops.dtypes).get(payload_col, "string")
+    if payload_t == "string":
+        ops = ops.withColumn(payload_col, F.from_json(payload_col, "map<string,string>"))
+    names = F.array(*[F.lit(f) for f in fields])
+    full = F.map_from_arrays(
+        names,
+        F.transform(names, lambda f: F.element_at(F.col(payload_col), f)),
+    )
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return ops.withColumn(
+        payload_col,
+        F.when(F.col(op_col) == INSERT, full)
+        .when(F.col(op_col) == UPDATE, F.col(payload_col))
+        .otherwise(empty),
+    ).withColumn("__seq", _seq(order))
+
+
 def apply_ops(
     ops: DataFrame,
     fields: dict[str, str],
@@ -91,35 +128,7 @@ def apply_ops(
         Declared sink columns: name -> Spark SQL type string (the engine's
         analog of the reference's YAML column map, momyre.yml:3-15).
     """
-    payload_t = dict(ops.dtypes).get(payload_col, "string")
-    if payload_t == "string":
-        ops = ops.withColumn(payload_col, F.from_json(payload_col, "map<string,string>"))
-
-    seq = _seq(order)
-    ops = ops.withColumn("__seq", seq)
-
-    # (1)+(2): latest reset per key; alive iff it is an insert.
-    resets = (
-        ops.filter(F.col(op_col).isin(INSERT, DELETE))
-        .groupBy(key)
-        .agg(
-            F.max("__seq").alias("__reset_seq"),
-            F.max_by(op_col, "__seq").alias("__reset_op"),
-        )
-        .filter(F.col("__reset_op") == INSERT)
-        .select(key, "__reset_seq")
-    )
-
-    # (3): ops contributing to the final row = the reset insert itself plus
-    # every later update. Join is co-partitioned with the following groupBy
-    # on the same key, so Spark reuses one exchange.
-    relevant = (
-        ops.join(resets, key)
-        .filter(
-            (F.col("__seq") >= F.col("__reset_seq")) & (F.col(op_col) != DELETE)
-        )
-    )
-
+    ops = _with_normalized_payload(ops, fields, op_col, payload_col, order)
     merge_aggs = [
         F.max_by(
             F.element_at(F.col(payload_col), F.lit(f)),
@@ -129,7 +138,15 @@ def apply_ops(
         .alias(f)
         for f, t in fields.items()
     ]
-    return relevant.groupBy(key).agg(*merge_aggs)
+    reset_op = F.max_by(
+        F.col(op_col), F.when(F.col(op_col).isin(INSERT, DELETE), F.col("__seq"))
+    ).alias("__reset_op")
+    return (
+        ops.groupBy(key)
+        .agg(reset_op, *merge_aggs)
+        .filter(F.col("__reset_op") == INSERT)
+        .drop("__reset_op")
+    )
 
 
 def merge_ops_microbatch(
@@ -155,39 +172,11 @@ def merge_ops_microbatch(
       sink updates only those columns, reference K4 mysql.go:449-476).
 
     Output columns: key, __action, __present (array<string>), then one typed
-    column per declared field. One shuffle by key; order-insensitive;
+    column per declared field. ONE shuffle by key (same normalized-payload
+    single-aggregation as :func:`apply_ops`); order-insensitive;
     replay-idempotent (same batch -> same actions).
     """
-    payload_t = dict(ops.dtypes).get(payload_col, "string")
-    if payload_t == "string":
-        ops = ops.withColumn(payload_col, F.from_json(payload_col, "map<string,string>"))
-    ops = ops.withColumn("__seq", _seq(order))
-
-    resets = (
-        ops.filter(F.col(op_col).isin(INSERT, DELETE))
-        .groupBy(key)
-        .agg(
-            F.max("__seq").alias("__reset_seq"),
-            F.max_by(op_col, "__seq").alias("__reset_op"),
-        )
-    )
-    enriched = ops.join(resets, key, "left")
-
-    # Ops contributing to the final value of each field: for insert-reset
-    # keys, the insert + later updates; for update-only keys, all updates.
-    # Keys whose latest reset is a delete contribute NOTHING — updates after
-    # a delete are no-ops (an UPDATE matching 0 rows in the reference), the
-    # key only gets its delete action.
-    contributing = enriched.filter(
-        (F.col(op_col) != DELETE)
-        & (
-            F.col("__reset_seq").isNull()
-            | (
-                (F.col("__seq") >= F.col("__reset_seq"))
-                & (F.col("__reset_op") == INSERT)
-            )
-        )
-    )
+    ops = _with_normalized_payload(ops, fields, op_col, payload_col, order)
 
     field_aggs = []
     for f, t in fields.items():
@@ -201,17 +190,19 @@ def merge_ops_microbatch(
             .alias(f)
         )
         field_aggs.append(F.max(mentioned).alias(f"__has_{f}"))
-    merged = contributing.groupBy(key).agg(
-        F.max(F.col("__reset_op") == INSERT).alias("__is_insert"), *field_aggs
-    )
+    reset_op = F.max_by(
+        F.col(op_col), F.when(F.col(op_col).isin(INSERT, DELETE), F.col("__seq"))
+    ).alias("__reset_op")
+    merged = ops.groupBy(key).agg(reset_op, *field_aggs)
 
-    deletes = resets.filter(F.col("__reset_op") == DELETE).select(
-        key,
-        F.lit(DELETE).alias("__action"),
-        F.array().cast("array<string>").alias("__present"),
-        *[F.lit(None).cast(t).alias(f) for f, t in fields.items()],
+    # Action per key: delete keys emit only the key (updates after a delete
+    # are no-ops — an UPDATE matching 0 rows in the reference); insert-reset
+    # keys are authoritative whole rows; reset-less keys are partial patches.
+    action = (
+        F.when(F.col("__reset_op") == DELETE, F.lit(DELETE))
+        .when(F.col("__reset_op") == INSERT, F.lit("upsert"))
+        .otherwise(F.lit("patch"))
     )
-
     present = F.filter(
         F.array(
             *[
@@ -221,12 +212,15 @@ def merge_ops_microbatch(
         ),
         lambda x: x.isNotNull(),
     )
-    actions = merged.select(
+    is_delete = F.col("__action") == DELETE
+    return merged.withColumn("__action", action).select(
         key,
-        F.when(F.col("__is_insert"), F.lit("upsert")).otherwise(F.lit("patch")).alias(
-            "__action"
-        ),
-        present.alias("__present"),
-        *[F.col(f) for f in fields],
+        "__action",
+        F.when(is_delete, F.array().cast("array<string>"))
+        .otherwise(present)
+        .alias("__present"),
+        *[
+            F.when(is_delete, F.lit(None).cast(t)).otherwise(F.col(f)).alias(f)
+            for f, t in fields.items()
+        ],
     )
-    return actions.unionByName(deletes)

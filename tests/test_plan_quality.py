@@ -87,7 +87,12 @@ def test_pure_expression_pipelines_have_no_python_eval(spark):
 
 
 def test_cdc_apply_single_exchange_per_aggregation(spark):
-    """The CDC merge must shuffle by key, not sort globally."""
+    """The CDC merge is ONE hash shuffle by key (single aggregation pass) —
+    no window sort, no reset-join second exchange."""
     plan = plan_of(q(spark, "cdc_apply_ops"))
     assert "max_by" in plan or "MaxBy" in plan
     assert "Window" not in plan  # merge path uses aggregates, not window sort
+    # exactly one hash exchange (the key shuffle); the only other exchange
+    # is the final presentation orderBy's range partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -11,11 +11,15 @@ NANOS timestamps that need ``nanosAsLong``, and oracle parity needs UTC).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-import momyre_spark.plans as plans
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import momyre_spark.plans as plans  # noqa: E402
 from momyre_spark.session import apply_runtime_confs
 
 plans.load_all()

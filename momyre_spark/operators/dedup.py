@@ -109,13 +109,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """K-permutation MinHash signature per document.
+    """K-permutation MinHash signature per document (array<long> of size K).
 
-    Permutation k is simulated as ``xxhash64(shingle, seed=k)`` (Spark's
-    xxhash64 takes a per-call seed via extra literal column); the signature
-    component is the min over the document's shingle set. Entirely columnar:
-    one transform producing an array<long> of size K, min-aggregated via
-    higher-order functions — no explode, no shuffle until LSH banding.
+    Built on the universal-hash permutation family over one base shingle
+    hash (see ``_minhash_wide``); the signature component is the min over
+    the document's shingle set.
     """
     wide = _minhash_wide(_shingled(docs, id_col, text_col, n), num_hashes)
     sig = F.array(*[F.col(f"__h{k}") for k in range(num_hashes)])

@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q11_tpch_q1_agg",
+    "q32_tpch_q3_shape",
+    "q33_tpch_q5_shape",
     "q08_join_agg",
     "q09_multiway_join",
     "q07_latest_wins_merge",

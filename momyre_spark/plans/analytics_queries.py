@@ -412,3 +412,89 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: selective filters + 3-way join + grouped revenue + top-k
+# --------------------------------------------------------------------------
+@query(
+    "q32_tpch_q3_shape",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 shape: 5-way join through dims with broadcast, grouped revenue
+# --------------------------------------------------------------------------
+@query(
+    "q33_tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )

@@ -166,19 +166,30 @@ def apply_ops_microbatch(
     ns_col: str = "ns",
     num_partitions: int | None = None,
 ) -> None:
-    """foreachBatch body: route ops by namespace, merge, apply per table."""
-    for tname, tspec in spec.tables.items():
-        ops = batch_df.filter(F.col(ns_col) == tname)
-        fields = {c: t for c, t in tspec.sql_columns.items() if c != "_id"}
-        actions = merge_ops_microbatch(ops, fields, key="_id", order=order)
-        apply_actions(
-            actions,
-            tspec,
-            connection_factory=connection_factory,
-            dialect_name=dialect_name,
-            batch_id=batch_id,
-            num_partitions=num_partitions,
-        )
+    """foreachBatch body: route ops by namespace, merge, apply per table.
+
+    The batch is persisted for the duration of the apply: each table's
+    branch filters the same frame, and without the persist a 10-table spec
+    would re-read/re-decode the micro-batch 10 times."""
+    multi_table = len(spec.tables) > 1
+    if multi_table:
+        batch_df = batch_df.persist()
+    try:
+        for tname, tspec in spec.tables.items():
+            ops = batch_df.filter(F.col(ns_col) == tname)
+            fields = {c: t for c, t in tspec.sql_columns.items() if c != "_id"}
+            actions = merge_ops_microbatch(ops, fields, key="_id", order=order)
+            apply_actions(
+                actions,
+                tspec,
+                connection_factory=connection_factory,
+                dialect_name=dialect_name,
+                batch_id=batch_id,
+                num_partitions=num_partitions,
+            )
+    finally:
+        if multi_table:
+            batch_df.unpersist()
 
 
 def start_cdc_stream(

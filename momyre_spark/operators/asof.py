@@ -1,0 +1,75 @@
+"""As-of join: each left row matched to the latest right row at-or-before it.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/Pandas do). The naive encoding —
+inequality join + per-left-row max — explodes to O(L x R) pairs per key
+before aggregating. This implementation is the scalable union-window form:
+
+    tag left(side=1) and right(side=0) rows, union them,
+    per key ORDER BY (ts, side): carry the last non-null right payload
+    forward with ``last(col, ignorenulls=True)``, keep left rows.
+
+Cost: ONE shuffle by key + one sort — linear in |L|+|R|, no pair blow-up.
+``side`` in the sort key makes ties deterministic: a right row at exactly
+left.ts sorts first and therefore matches (at-or-before semantics).
+
+This is also the CDC-lookup primitive: "state of dimension D as of this
+event's timestamp" against a change-log of D.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for every left row, the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (NULLs when none).
+
+    ``right_cols``: right payload columns to carry (default: all but key/ts).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{t}" for c, t in left.dtypes) + ">"
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "__side",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        "__left.*",
+        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

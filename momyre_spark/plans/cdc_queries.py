@@ -122,3 +122,72 @@ def cdc_flatten_project(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
     )
     return flatten(ev).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# As-of join (operators/asof.py): each purchase matched to the user's latest
+# click at-or-before it. Oracle = DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, CAST(c.ts AS VARCHAR) AS click_ts, c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(purchases, clicks, on="user_id", right_cols=["ts", "value"],
+                  suffix="_click")
+        .select(
+            "event_id",
+            F.col("ts_click").cast("string").alias("click_ts"),
+            F.col("value_click").alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: lineitems shipped within 30 days of their order date
+# (equi key + time-range condition)
+# --------------------------------------------------------------------------
+@query(
+    "range_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS fast_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def range_join_ship_lag(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    return (
+        o.join(
+            l,
+            (l.l_orderkey == o.o_orderkey)
+            & (l.l_shipdate >= o.o_orderdate)
+            & (l.l_shipdate < F.date_add(o.o_orderdate.cast("date"), 30).cast("timestamp")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("fast_lines"))
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,67 @@
+"""As-of join operator unit tests (vs a Python reference)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from momyre_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return f"2024-01-01 {s}"
+
+
+def test_asof_basic_semantics(spark):
+    left = spark.createDataFrame([
+        Row(k=1, ts=_t("10:00:00"), lv="L1"),
+        Row(k=1, ts=_t("12:00:00"), lv="L2"),
+        Row(k=2, ts=_t("10:30:00"), lv="L3"),
+        Row(k=3, ts=_t("09:00:00"), lv="L4"),   # no right rows for k=3
+    ]).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([
+        Row(k=1, ts=_t("09:00:00"), rv="R-early"),
+        Row(k=1, ts=_t("11:00:00"), rv="R-mid"),
+        Row(k=1, ts=_t("13:00:00"), rv="R-late"),
+        Row(k=2, ts=_t("10:30:00"), rv="R-exact"),  # ties: at-or-before matches
+    ]).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {r["lv"]: r["rv_r"] for r in
+           asof_join(left, right, on="k", right_cols=["rv"], suffix="_r").collect()}
+    assert out == {
+        "L1": "R-early",   # 10:00 -> latest right <= is 09:00
+        "L2": "R-mid",     # 12:00 -> 11:00 (13:00 is in the future)
+        "L3": "R-exact",   # exact-timestamp right row matches (inclusive)
+        "L4": None,        # no right row at or before
+    }
+
+
+def test_asof_join_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(11)
+    left_rows = [Row(k=rng.randrange(5), ts=rng.randrange(1000), lid=i)
+                 for i in range(200)]
+    right_rows = [Row(k=rng.randrange(5), ts=rng.randrange(1000), rid=i)
+                  for i in range(200)]
+    # unique (k, ts) on the right so the match is well-defined
+    seen = set()
+    right_rows = [r for r in right_rows
+                  if (r.k, r.ts) not in seen and not seen.add((r.k, r.ts))]
+
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+    got = {r["lid"]: r["rid_r"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     right_cols=["rid"], suffix="_r").collect()}
+
+    by_key: dict[int, list] = {}
+    for r in right_rows:
+        by_key.setdefault(r.k, []).append((r.ts, r.rid))
+    for rows in by_key.values():
+        rows.sort()
+    want = {}
+    for r in left_rows:
+        cand = [(t, rid) for t, rid in by_key.get(r.k, []) if t <= r.ts]
+        want[r.lid] = cand[-1][1] if cand else None
+    assert got == want

@@ -488,8 +488,10 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == o.o_orderkey)
+        # supplier scales with SF (unlike nation/region) — no broadcast hint;
+        # AQE picks broadcast at small SF and shuffle join at scale
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )

@@ -24,4 +24,6 @@ Layout
 
 __version__ = "0.1.0"
 
-from momyre_spark.session import get_spark  # noqa: F401
+from momyre_spark.engine import ReplicationEngine  # noqa: F401
+from momyre_spark.session import apply_runtime_confs, get_spark  # noqa: F401
+from momyre_spark.spec import Spec, TableSpec, parse_spec  # noqa: F401

@@ -139,15 +139,59 @@ class ReplicationEngine:
             conn.close()
         return self.spark.createDataFrame(rows or [], "`_id` string")
 
+    # -- column-granular backfill (improvement over the reference, which
+    # computes per-column resync sets but then rewrites whole rows anyway —
+    # run.go:219-247) --------------------------------------------------
+    def backfill_columns(self, table: str, columns: list[str]) -> None:
+        """Patch ONLY the given columns from the source — rows written as
+        partial updates, untouched columns never travel or get overwritten.
+
+        At 100 TB this is the difference between re-shipping the table and
+        shipping one new column."""
+        from pyspark.sql import functions as F
+
+        from momyre_spark.streaming.pipeline import patch_partition
+
+        tspec = self.spec.tables[table]
+        df = enforce_schema(self.source(table), tspec).select("_id", *columns)
+        fields = list(columns)
+        present = F.array(*[F.lit(c) for c in columns])
+        patched = df.withColumn("__present", present)
+        if self.sink_partitions:
+            patched = patched.coalesce(self.sink_partitions)
+        # close over plain locals — a lambda capturing `self` would drag the
+        # SparkSession into the task closure (unpicklable)
+        cf, dn = self.connection_factory, self.dialect_name
+        patched.foreachPartition(
+            lambda rows: patch_partition(
+                rows,
+                connection_factory=cf,
+                dialect_name=dn,
+                table=table,
+                fields=fields,
+                key="_id",
+            )
+        )
+
     # -- full run (reference §3.1/§3.3 planner) ------------------------
     def run_batch_sync(self) -> dict[str, list[str]]:
-        """DDL reconcile + (full | partial) snapshot. Returns what resynced."""
+        """DDL reconcile + (full | column-granular) sync. Returns what synced.
+
+        New tables (or ``--zerop``) get a full snapshot + orphan delete;
+        existing tables with newly added/retyped columns get a
+        column-granular backfill patch."""
         plan = self.reconcile_ddl()
         if self.zerop:
             resync = {t: list(s.sql_columns) for t, s in self.spec.tables.items()}
         else:
             resync = plan.resync_columns
-        for table in resync:
-            self.snapshot_table(table)
-            self.delete_orphans(table, self.sink_ids(table))
+        for table, cols in resync.items():
+            full = self.zerop or set(cols) >= set(
+                self.spec.tables[table].ddl_columns()
+            )
+            if full:
+                self.snapshot_table(table)
+                self.delete_orphans(table, self.sink_ids(table))
+            else:
+                self.backfill_columns(table, [c for c in cols if c != "_id"])
         return resync

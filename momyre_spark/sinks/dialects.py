@@ -27,6 +27,7 @@ def check_ident(name: str) -> str:
 class Dialect:
     name: str
     quote_char: str
+    ph: str = "?"  # DBAPI parameter placeholder
 
     def q(self, ident: str) -> str:
         return f"{self.quote_char}{check_ident(ident)}{self.quote_char}"
@@ -48,7 +49,7 @@ class MySQLDialect(Dialect):
     of the reference's insert-then-update-on-1062 dance, mysql.go:357-374)."""
 
     def __init__(self) -> None:
-        super().__init__(name="mysql", quote_char="`")
+        super().__init__(name="mysql", quote_char="`", ph="%s")
 
     def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
         cols = ", ".join(self.q(c) for c in columns)
@@ -88,7 +89,34 @@ class SQLiteDialect(Dialect):
         )
 
 
+class PostgresDialect(Dialect):
+    """PostgreSQL: INSERT ... ON CONFLICT (key) DO UPDATE."""
+
+    def __init__(self) -> None:
+        super().__init__(name="postgres", quote_char='"', ph="%s")
+
+    def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        sets = ", ".join(
+            f"{self.q(c)} = EXCLUDED.{self.q(c)}" for c in columns if c != key
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT ({self.q(key)}) DO UPDATE SET {sets}"
+        )
+
+    def delete_sql(self, table: str, key: str) -> str:
+        return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = %s"
+
+    def insert_sql(self, table: str, columns: list[str]) -> str:
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        return f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph})"
+
+
 DIALECTS: dict[str, Dialect] = {
     "mysql": MySQLDialect(),
     "sqlite": SQLiteDialect(),
+    "postgres": PostgresDialect(),
 }

@@ -89,7 +89,7 @@ def upsert_partition(
     per batch against at-least-once delivery)."""
     dialect = DIALECTS[dialect_name]
     check_ident(table)
-    ph = "%s" if dialect_name == "mysql" else "?"
+    ph = dialect.ph
     try:
         from pyspark import TaskContext
 

@@ -63,7 +63,7 @@ def patch_partition(
     per-row statements."""
     dialect = DIALECTS[dialect_name]
     check_ident(table)
-    ph = "%s" if dialect_name == "mysql" else "?"
+    ph = dialect.ph
     try:
         from pyspark import TaskContext
 

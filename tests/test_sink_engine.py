@@ -187,3 +187,49 @@ def test_engine_batch_sync_roundtrip(spark, tmp_path):
     eng.snapshot_table("users")
     eng.delete_orphans("users", eng.sink_ids("users"))
     assert len(all_rows(factory)) == 50
+
+
+def test_postgres_dialect_sql_shapes():
+    d = DIALECTS["postgres"]
+    up = d.upsert_sql("users", ["_id", "type"], key="_id")
+    assert up == (
+        'INSERT INTO "users" ("_id", "type") VALUES (%s, %s) '
+        'ON CONFLICT ("_id") DO UPDATE SET "type" = EXCLUDED."type"'
+    )
+    assert d.delete_sql("users", "_id") == 'DELETE FROM "users" WHERE "_id" = %s'
+    assert d.ph == "%s"
+
+
+def test_engine_column_granular_backfill(spark, tmp_path):
+    """A newly declared column backfills as a patch: existing column values
+    not present at the source anymore must SURVIVE (whole-row rewrite would
+    clobber them)."""
+    path = str(tmp_path / "backfill.db")
+    factory = functools.partial(sqlite3.connect, path, timeout=60)
+    conn = factory()
+    conn.execute(
+        'CREATE TABLE "users" ("_id" varchar(24) PRIMARY KEY, '
+        '"type" varchar(100), "email" varchar(100))'
+    )
+    conn.executemany(
+        'INSERT INTO "users" VALUES (?, ?, ?)',
+        [(f"{i:024x}", "keep-me", f"old{i}@x") for i in range(20)],
+    )
+    conn.commit(); conn.close()
+
+    # spec now also declares pubkey; the source no longer carries `type`
+    # values we want (simulating drifted historical data that only lives in
+    # the sink) — backfill must touch ONLY pubkey
+    spec = parse_spec(SPEC_YAML)
+    src = spark.createDataFrame(
+        [Row(_id=f"{i:024x}", type="WRONG", email=f"new{i}@x", pubkey=f"pk{i}")
+         for i in range(20)]
+    )
+    eng = ReplicationEngine(spark, spec, lambda t: src, factory,
+                            dialect_name="sqlite", sink_partitions=1)
+    resynced = eng.run_batch_sync()
+    assert resynced == {"users": ["pubkey"]}
+    rows = all_rows(factory)
+    assert all(r["pubkey"].startswith("pk") for r in rows)   # backfilled
+    assert all(r["type"] == "keep-me" for r in rows)         # untouched
+    assert all(r["email"].startswith("old") for r in rows)   # untouched

@@ -80,22 +80,32 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
     stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(stop, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    n = token_count(text)
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_from_tokens(tokens(text), lang)
+
+
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        stopword_hits(text, lang) / n.cast("double")
+        stopword_hits_from_tokens(toks, lang) / n.cast("double")
     )
 
 
-def quality_score(text: Column) -> Column:
-    """Deterministic [0,1] quality heuristic: mix of stopword presence,
-    alphabetic density and length saturation (no transcendentals)."""
-    n = token_count(text).cast("double")
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_ratio_from_tokens(tokens(text), lang)
+
+
+def quality_score_from_tokens(text: Column, toks: Column) -> Column:
+    """Deterministic [0,1] quality heuristic from a pre-tokenized column:
+    mix of stopword presence, alphabetic density and length saturation (no
+    transcendentals). Pass a *materialized* token column — re-deriving
+    tokens inside each metric multiplies the regex tokenizer cost per row."""
+    n = F.size(toks).cast("double")
     alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
     total = F.length(F.regexp_replace(text, r"\s", ""))
     alpha_ratio = F.when(total == 0, F.lit(0.0)).otherwise(
@@ -103,22 +113,30 @@ def quality_score(text: Column) -> Column:
     )
     len_norm = F.least(n, F.lit(200.0)) / F.lit(200.0)
     return round_half_up(
-        F.lit(0.3) * stopword_ratio(text, "en")
+        F.lit(0.3) * stopword_ratio_from_tokens(toks, "en")
         + F.lit(0.5) * alpha_ratio
         + F.lit(0.2) * len_norm,
         4,
     )
 
 
-def langid(text: Column) -> Column:
+def quality_score(text: Column) -> Column:
+    return quality_score_from_tokens(text, tokens(text))
+
+
+def langid_from_tokens(toks: Column) -> Column:
     """Stopword-hit argmax over the built-in language profiles; ties resolve
     in fixed profile order, unknown when nothing hits."""
-    hit_cols = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    hit_cols = {lang: stopword_hits_from_tokens(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*hit_cols.values())
     expr = F.lit("und")
     for lang in reversed(list(STOPWORDS)):  # earlier profile wins ties
         expr = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def langid(text: Column) -> Column:
+    return langid_from_tokens(tokens(text))
 
 
 def fingerprint(text: Column) -> Column:

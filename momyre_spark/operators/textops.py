@@ -18,13 +18,25 @@ def analyze_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     t = F.col(text_col)
-    return docs.select(
+    # materialize the token arrays once: every metric reads the bound
+    # columns instead of re-running the regex tokenizer (Catalyst does not
+    # collapse expensive multi-referenced expressions across projections)
+    staged = docs.select(
         F.col(id_col),
-        T.token_count(t).cast("bigint").alias("n_tokens"),
-        T.bpe_ish_count(t).cast("bigint").alias("n_bpe_tokens"),
-        round_half_up(T.stopword_ratio(t, "en"), 4).alias("stop_ratio"),
-        T.quality_score(t).alias("quality"),
-        T.langid(t).alias("pred_lang"),
-        T.fingerprint(t).alias("fp"),
-        T.content_fingerprint(t).alias("content_fp"),
+        t.alias("__text"),
+        T.tokens(t).alias("__toks"),
+        T.tokens(F.lower(t)).alias("__ltoks"),
+    )
+    toks, text = F.col("__toks"), F.col("__text")
+    return staged.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        T.bpe_ish_count(text).cast("bigint").alias("n_bpe_tokens"),
+        round_half_up(T.stopword_ratio_from_tokens(toks, "en"), 4).alias("stop_ratio"),
+        T.quality_score_from_tokens(text, toks).alias("quality"),
+        T.langid_from_tokens(toks).alias("pred_lang"),
+        F.md5(F.concat_ws(" ", F.col("__ltoks"))).alias("fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("__ltoks"))))
+        ).alias("content_fp"),
     )

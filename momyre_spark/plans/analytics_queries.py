@@ -500,3 +500,68 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map pandas UDF (applyInPandas): per-key numpy computation.
+# Median is exactly determined (mean of the two middle doubles), so both
+# engines produce bit-identical results.
+# --------------------------------------------------------------------------
+@query(
+    "q35_grouped_map_median",
+    oracle="""
+    SELECT user_id, median(value) AS med, count(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "med": [float(np.median(pdf["value"].to_numpy()))],
+                "n": [len(pdf)],
+            }
+        )
+
+    ev = load_table(spark, sf, "events").select("user_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(stats, schema="user_id long, med double, n long")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF: one input row -> many output rows (tokenizer as a table
+# function), registered and invoked from SQL with LATERAL.
+# --------------------------------------------------------------------------
+@query(
+    "q36_udtf_tokenize",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE doc_id < 20 ORDER BY ALL
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in text.strip().split():
+                yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token
+        FROM __docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id < 20
+        ORDER BY d.doc_id, t.token
+        """
+    )

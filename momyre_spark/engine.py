@@ -115,6 +115,18 @@ class ReplicationEngine:
             num_partitions=self.sink_partitions,
         )
 
+    def snapshot_to_lake(
+        self, table: str, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Snapshot a table into columnar lake layout instead of (or beside)
+        the JDBC sink — the engine extension that makes replicated data
+        directly queryable at 100 TB (partition pruning, column pruning)."""
+        from momyre_spark.sinks.lake import write_partitioned
+
+        tspec = self.spec.tables[table]
+        df = enforce_schema(self.source(table), tspec)
+        write_partitioned(df, path, partition_by or [])
+
     # -- orphan delete (reference J1, run.go:249-279) ------------------
     def delete_orphans(self, table: str, sink_ids: DataFrame) -> None:
         src_ids = self.source(table).select("_id")

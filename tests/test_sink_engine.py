@@ -233,3 +233,19 @@ def test_engine_column_granular_backfill(spark, tmp_path):
     assert all(r["pubkey"].startswith("pk") for r in rows)   # backfilled
     assert all(r["type"] == "keep-me" for r in rows)         # untouched
     assert all(r["email"].startswith("old") for r in rows)   # untouched
+
+
+def test_engine_snapshot_to_lake(spark, tmp_path):
+    spec = parse_spec(SPEC_YAML)
+    src = spark.createDataFrame(
+        [Row(_id=f"{i:024x}", type=("admin" if i % 3 == 0 else "user"),
+             email=f"u{i}@x", pubkey=f"p{i}") for i in range(30)]
+    )
+    eng = ReplicationEngine(spark, spec, lambda t: src,
+                            connection_factory=None, dialect_name="sqlite")
+    out = str(tmp_path / "lake_users")
+    eng.snapshot_to_lake("users", out, partition_by=["type"])
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert sorted(r[0] for r in back.select("type").distinct().collect()) == \
+        ["admin", "user"]

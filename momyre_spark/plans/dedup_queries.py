@@ -161,3 +161,19 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.8)
     return duplicate_components(pairs).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Full curation pipeline (operators/curate.py): quality gate -> lang filter
+# -> exact dedup -> LSH near-dup removal. Iterative components => rows-only
+# driver check; pytest validates against a Python reference (test_curate.py).
+# --------------------------------------------------------------------------
+@query("curate_corpus")
+def curate_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf, "documents")
+    curated, _report = curate_corpus(
+        docs, min_tokens=10, min_quality=0.3, neardup_threshold=0.8
+    )
+    return curated.select("doc_id", "lang", "n_chars").orderBy("doc_id")

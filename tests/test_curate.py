@@ -1,0 +1,61 @@
+"""Corpus-curation pipeline vs an independent Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+from momyre_spark.operators.curate import curate_corpus
+from momyre_spark.sources.parquet import load_table
+from tests.conftest import SF_CORRECT
+
+
+def test_curate_stages_and_counts(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    curated, report = curate_corpus(
+        docs, min_tokens=10, min_quality=0.3, languages=("en", "es"),
+        neardup_threshold=0.8,
+    )
+    rep = {r["stage"]: r["docs"] for r in report.collect()}
+    assert rep["input"] == 500
+    assert rep["quality_lang_gate"] <= rep["input"]
+    assert rep["exact_dedup"] <= rep["quality_lang_gate"]
+    assert rep["neardup_removed"] <= rep["exact_dedup"]
+    assert curated.count() == rep["neardup_removed"]
+    # gated languages only
+    assert {r[0] for r in curated.select("lang").distinct().collect()} <= {"en", "es"}
+
+
+def test_curate_matches_python_reference(spark):
+    """Synthetic corpus with known exact dups, near-dups and junk."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest tonight").split()
+    rows = []
+    # 0,1: exact dups (case); 2: near-dup of 0 (one word); 3: distinct;
+    # 4: too short; 5: wrong language; 6,7: near-dup pair of each other
+    rows.append(Row(doc_id=0, lang="en", text=" ".join(base)))
+    rows.append(Row(doc_id=1, lang="en", text=" ".join(base).upper()))
+    rows.append(Row(doc_id=2, lang="en", text=" ".join(base[:-1] + ["today"])))
+    rows.append(Row(doc_id=3, lang="en",
+                    text="a completely different document about the engines of "
+                         "distributed computation in the modern data stack era"))
+    rows.append(Row(doc_id=4, lang="en", text="too short"))
+    rows.append(Row(doc_id=5, lang="zz", text=" ".join(base)))
+    other = ("many unrelated words describing the cooking of pasta with a "
+             "rich tomato sauce and fresh basil leaves in the summer").split()
+    rows.append(Row(doc_id=6, lang="en", text=" ".join(other)))
+    rows.append(Row(doc_id=7, lang="en", text=" ".join(other[:-1] + ["autumn"])))
+
+    docs = spark.createDataFrame(rows)
+    curated, report = curate_corpus(
+        docs, min_tokens=10, min_quality=0.0, languages=("en",),
+        neardup_threshold=0.5,
+    )
+    survivors = sorted(r["doc_id"] for r in curated.collect())
+    # 4 (short) and 5 (lang) gated; 1 exact-dups to 0; 2 near-dups to 0;
+    # 7 near-dups to 6 -> survivors 0, 3, 6
+    assert survivors == [0, 3, 6]
+    rep = {r["stage"]: r["docs"] for r in report.collect()}
+    assert rep == {"input": 8, "quality_lang_gate": 6,
+                   "exact_dedup": 5, "neardup_removed": 3}

@@ -388,14 +388,16 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force — see
-    operators/similarity.py for the bucketed scale path)."""
-    from momyre_spark.functions.vectors import cosine
+    operators/similarity.py for the bucketed scale path). Vectors are
+    unit-normalized once per row so each pair costs one dot fold."""
+    from momyre_spark.functions.vectors import add_normalized, dot
 
-    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    nv = add_normalized(emb, vec_col, "__nv")
+    a = nv.select(F.col(id_col).alias("a_id"), F.col("__nv").alias("va"))
+    b = nv.select(F.col(id_col).alias("b_id"), F.col("__nv").alias("vb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cos"))
     )

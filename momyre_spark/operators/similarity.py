@@ -39,16 +39,18 @@ from momyre_spark.functions.vectors import cosine
 
 
 def _pairs_with_cosine(corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    q = add_normalized(queries, vec_col, "__nv").select(
+        F.col(id_col).alias("query_id"), F.col("__nv").alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    c = add_normalized(corpus, vec_col, "__nv").select(
+        F.col(id_col).alias("neighbor_id"), F.col("__nv").alias("__cv")
     )
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("__cv"), F.col("__qv")))
+        .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
 
 
@@ -135,11 +137,14 @@ def assign_ivf_cells(
     centroids (production: k-means|| via pyspark.ml). Assignment is a
     broadcast join + argmax over per-centroid cosine — no shuffle of the
     corpus."""
-    cents = emb.orderBy(id_col).limit(num_cells).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    nemb = add_normalized(emb, vec_col, "__nv")
+    cents = nemb.orderBy(id_col).limit(num_cells).select(
+        F.col(id_col).alias("cent_id"), F.col("__nv").alias("cent_vec")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "__cs", cosine(F.col(vec_col), F.col("cent_vec"))
+    scored = nemb.crossJoin(F.broadcast(cents)).withColumn(
+        "__cs", dot(F.col("__nv"), F.col("cent_vec"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
     return (
@@ -161,22 +166,26 @@ def ivf_topk(
 
     At scale the corpus is written partitioned/bucketed by ``cell`` so a
     query's scan prunes to one partition (~N/C vectors)."""
-    cells = assign_ivf_cells(emb, num_cells, id_col, vec_col)
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    cells = add_normalized(
+        assign_ivf_cells(emb, num_cells, id_col, vec_col), vec_col, "__nv"
+    )
     q = cells.join(
         queries.select(id_col), id_col, "left_semi"
     ).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        F.col("__nv").alias("__qv"),
         F.col("cell").alias("__qcell"),
     )
     c = cells.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
+        F.col("__nv").alias("__cv"),
         F.col("cell").alias("__ccell"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("__cv"), F.col("__qv")))
+        .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)

@@ -123,17 +123,17 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 # bit-identical across engines.
 # --------------------------------------------------------------------------
 _DUCK_COSINE_PAIRS = """
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                                    (acc, x) -> acc + x)) AS nn
+            FROM e0),
+    e AS (SELECT e0.vec_id, list_transform(e0.v, x -> x / nrm.nn) AS v
+          FROM e0 JOIN nrm USING (vec_id)),
     p AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
-                           (acc, x) -> acc + x)
-               / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]),
-                                   (acc, x) -> acc + x))
-                  * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]),
-                                     (acc, x) -> acc + x))) AS cos
+                           (acc, x) -> acc + x) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     )
     SELECT a_id, b_id, floor(cos * 10000 + 0.5) / 10000.0 AS cos FROM p

@@ -17,17 +17,25 @@ from momyre_spark.sources.parquet import load_table
 N_QUERIES = 8  # query set = vec_id < 8
 TOP_K = 10
 
+# normalized-vector CTEs + plain dot product: mirrors the engine exactly
+# (norm = sequential square fold; per-element division; sequential dot fold)
+_DUCK_NORM_CTE = """
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                                    (acc, x) -> acc + x)) AS nn
+            FROM e0),
+    e AS (SELECT e0.vec_id, list_transform(e0.v, x -> x / nrm.nn) AS v
+          FROM e0 JOIN nrm USING (vec_id))
+"""
+
 _DUCK_COS = """
         list_reduce(list_transform(range(1, 65), i -> {a}.v[i] * {b}.v[i]),
                     (acc, x) -> acc + x)
-        / (sqrt(list_reduce(list_transform(range(1, 65), i -> {a}.v[i] * {a}.v[i]),
-                            (acc, x) -> acc + x))
-           * sqrt(list_reduce(list_transform(range(1, 65), i -> {b}.v[i] * {b}.v[i]),
-                              (acc, x) -> acc + x)))
 """
 
 _DUCK_TOPK = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {_DUCK_NORM_CTE},
     q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -72,7 +80,7 @@ def sim_topk_numpy(spark: SparkSession, sf: str) -> DataFrame:
 _N_CELLS = 16
 
 _DUCK_IVF = f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH {_DUCK_NORM_CTE},
     cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
     assign AS (
         SELECT e.vec_id, e.v, cents.cent_id AS cell,

@@ -96,3 +96,12 @@ def test_cdc_apply_single_exchange_per_aggregation(spark):
     # is the final presentation orderBy's range partitioning
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_q32_q33_join_shapes(spark):
+    p32 = plan_of(q(spark, "q32_tpch_q3_shape"))
+    assert p32.count("BroadcastHashJoin") >= 2  # filtered dims broadcast
+    assert "TakeOrderedAndProject" in p32      # top-10 without global sort
+    assert "(c_mktsegment" in p32              # segment filter reaches the scan
+    p33 = plan_of(q(spark, "q33_tpch_q5_shape"))
+    assert "BroadcastHashJoin" in p33 or "SortMergeJoin" in p33

@@ -40,10 +40,34 @@ RUNTIME_SQL_CONFS = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make ``momyre_spark`` importable on executor Python workers.
+
+    Pandas-UDF / mapInPandas closures reference this package; workers only
+    inherit the driver's cwd by accident (and not at all on a real cluster
+    or when the driver runs elsewhere). Zip the package once per
+    SparkContext and addPyFile it — the canonical dependency-shipping path.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_momyre_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    base = os.path.join(tempfile.gettempdir(), "momyre_spark_pkg")
+    archive = shutil.make_archive(base, "zip", root_dir=root, base_dir="momyre_spark")
+    sc.addPyFile(archive)
+    sc._momyre_pkg_shipped = True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Pin the engine's runtime-settable SQL confs on any session."""
+    """Pin the engine's runtime-settable SQL confs on any session and ship
+    the package to executors."""
     for k, v in RUNTIME_SQL_CONFS.items():
         spark.conf.set(k, v)
+    ship_package(spark)
     return spark
 
 
@@ -79,4 +103,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

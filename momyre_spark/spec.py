@@ -147,7 +147,25 @@ def flatten_exprs(schema: StructType, prefix: str = "", sep: str = "_") -> list[
     return out
 
 
+def flatten_names(schema: StructType, prefix: str = "", sep: str = "_") -> list[str]:
+    out: list[str] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, StructType):
+            out.extend(flatten_names(f.dataType, prefix=f"{path}.", sep=sep))
+        else:
+            out.append(path.replace(".", sep))
+    return out
+
+
 def flatten(df: DataFrame, sep: str = "_") -> DataFrame:
+    # '_'-joined flattening can collide ({a:{b:1}} and a literal a_b field
+    # both become a_b). The reference silently overwrites map entries
+    # (mongo.go:141-155); silently losing a column is not acceptable here.
+    names = flatten_names(df.schema, sep=sep)
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"flatten name collision(s): {sorted(dupes)}")
     return df.select(*flatten_exprs(df.schema, sep=sep))
 
 

@@ -138,3 +138,17 @@ def test_microbatch_stream_equals_sequential(spark):
                     for f in a["__present"]:
                         state[key][f] = a[f]
     assert state == sequential_apply(ops)
+
+
+def test_apply_ops_empty_input(spark):
+    df = spark.createDataFrame([], OPS_SCHEMA)
+    out = apply_ops(df, FIELD_TYPES, key="_id", order=("ts",))
+    assert out.count() == 0
+    assert out.columns == ["_id"] + FIELDS
+
+
+def test_merge_microbatch_empty_input(spark):
+    df = spark.createDataFrame([], OPS_SCHEMA)
+    out = merge_ops_microbatch(df, FIELD_TYPES, key="_id", order=("ts",))
+    assert out.count() == 0
+    assert out.columns == ["_id", "__action", "__present"] + FIELDS

@@ -117,3 +117,11 @@ def test_defaults_applied(spark):
     out = enforce_schema(df, spec.tables["t"])
     rows = {r["_id"]: r for r in out.collect()}
     assert rows["x"]["a"] == "zz" and rows["y"]["a"] == "set"
+
+
+def test_flatten_collision_raises(spark):
+    df = spark.createDataFrame([Row(a_b=1, a=Row(b=2))])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision.*a_b"):
+        flatten(df)

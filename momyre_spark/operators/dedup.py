@@ -262,25 +262,28 @@ def simhash_fingerprints(
     """
     from momyre_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            ),
-        )
-
+    # explode + wide hash-aggregate (the minhash-wide pattern): one token
+    # hash per row, 63 conditional-sum votes with map-side partial
+    # aggregation — HOF fold chains per row codegen poorly and re-evaluate
+    # their input arrays.
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).selectExpr(id_col, "xxhash64(__t) AS __h")
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftrightunsigned(__h, {i}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END)"
+            ).alias(f"__v{i}")
+            for i in range(bits)
+        ]
+    )
     fp = F.lit(0).cast("long")
     for i in range(bits):
-        fp = fp + F.when(vote(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+        fp = fp + F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return docs.select(F.col(id_col), fp.alias("simhash"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -78,12 +78,12 @@ def decode_change_stream(stream: DataFrame) -> DataFrame:
         F.col("updateDescription.updatedFields").cast("string"),
         "map<string,string>",
     )
-    removed_nulls = F.map_from_arrays(
+    removed = F.coalesce(
         F.col("updateDescription.removedFields"),
-        F.transform(
-            F.col("updateDescription.removedFields"),
-            lambda _: F.lit(None).cast("string"),
-        ),
+        F.array().cast("array<string>"),
+    )  # NULL removedFields must not null the whole merged payload map
+    removed_nulls = F.map_from_arrays(
+        removed, F.transform(removed, lambda _: F.lit(None).cast("string"))
     )
     op = (
         F.when(F.col("operationType") == "insert", F.lit("insert"))

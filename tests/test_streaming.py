@@ -112,3 +112,42 @@ def test_streaming_query_end_to_end(spark, tmp_path):
         assert _sink_state(factory) == expected
     finally:
         q.stop()
+
+
+def test_multi_table_routing(spark, tmp_path):
+    """Ops for two tables in one stream route to their own sinks."""
+    path = str(tmp_path / "multi.db")
+    factory = functools.partial(sqlite3.connect, path, timeout=60)
+    conn = factory()
+    for t in ("users", "regs"):
+        conn.execute(
+            f'CREATE TABLE "{t}" ("_id" varchar(24) PRIMARY KEY, '
+            '"type" varchar(100), "email" varchar(100), "pubkey" varchar(100))'
+        )
+    conn.commit(); conn.close()
+
+    spec = parse_spec(
+        "tables:\n"
+        "  users: {type: varchar(100), email: varchar(100), pubkey: varchar(100)}\n"
+        "  regs: {type: varchar(100), email: varchar(100), pubkey: varchar(100)}\n"
+    )
+    import json as _json
+
+    rows = [
+        (1, "users", "insert", "u1", _json.dumps({"type": "a"})),
+        (2, "regs", "insert", "r1", _json.dumps({"type": "b"})),
+        (3, "users", "update", "u1", _json.dumps({"email": "u@x"})),
+        (4, "regs", "delete", "r1", "{}"),
+        (5, "regs", "insert", "r2", _json.dumps({"type": "c"})),
+    ]
+    batch = spark.createDataFrame(rows, OPS_SCHEMA)
+    apply_ops_microbatch(
+        batch, 0, spec, connection_factory=factory,
+        dialect_name="sqlite", num_partitions=1,
+    )
+    conn = factory()
+    users = conn.execute('SELECT "_id","type","email" FROM "users"').fetchall()
+    regs = conn.execute('SELECT "_id","type" FROM "regs"').fetchall()
+    conn.close()
+    assert users == [("u1", "a", "u@x")]
+    assert regs == [("r2", "c")]

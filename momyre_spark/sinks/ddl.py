@@ -45,6 +45,30 @@ def create_table_sql(spec: TableSpec, dialect: Dialect) -> str:
     return f"CREATE TABLE {q(spec.name)} ({', '.join(cols)})"
 
 
+def reorder_columns_sql(
+    spec: TableSpec, current_order: list[str], dialect: Dialect
+) -> list[str]:
+    """D3 (mysql.go:267-285): `_id` FIRST, then declared order via a
+    CHANGE ... AFTER chain. Cosmetic — emitted only for dialects whose DDL
+    supports column positioning (MySQL); others return []."""
+    if dialect.name != "mysql":
+        return []
+    q = dialect.q
+    want = [ID_COL, *spec.ddl_columns().keys()]
+    if current_order == want:
+        return []
+    types = {ID_COL: ID_DDL_TYPE, **spec.ddl_columns()}
+    stmts = [
+        f"ALTER TABLE {q(spec.name)} MODIFY {q(ID_COL)} {ID_DDL_TYPE} NOT NULL FIRST"
+    ]
+    for prev, col in zip(want, want[1:]):
+        stmts.append(
+            f"ALTER TABLE {q(spec.name)} MODIFY {q(col)} {types[col]} NULL "
+            f"AFTER {q(prev)}"
+        )
+    return stmts
+
+
 def reconcile(
     specs: dict[str, TableSpec],
     current: dict[str, dict[str, str]],

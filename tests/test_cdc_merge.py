@@ -152,3 +152,20 @@ def test_merge_microbatch_empty_input(spark):
     out = merge_ops_microbatch(df, FIELD_TYPES, key="_id", order=("ts",))
     assert out.count() == 0
     assert out.columns == ["_id", "__action", "__present"] + FIELDS
+
+
+def test_apply_ops_fail_stop_on_uncastable_value(spark):
+    """ANSI casts make malformed payload values fail the job — the engine's
+    analog of the reference's log.Fatalln fail-stop (mongo.go:183 et al.):
+    a replicator must never silently corrupt data."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    ops = [
+        {"ts": 1, "ns": "users", "op": "insert", "_id": "k",
+         "payload": {"n": "not-a-number"}},
+    ]
+    df = spark.createDataFrame(ops_as_rows(ops), OPS_SCHEMA)
+    out = apply_ops(df, {"n": "bigint"}, key="_id", order=("ts",))
+    with _pytest.raises(PySparkException, match="CAST_INVALID_INPUT"):
+        out.collect()

@@ -249,3 +249,21 @@ def test_engine_snapshot_to_lake(spark, tmp_path):
     assert back.count() == 30
     assert sorted(r[0] for r in back.select("type").distinct().collect()) == \
         ["admin", "user"]
+
+
+def test_reorder_columns_sql_mysql_only():
+    from momyre_spark.sinks.ddl import reorder_columns_sql
+
+    spec = parse_spec(SPEC_YAML).tables["users"]
+    got = reorder_columns_sql(
+        spec, ["email", "_id", "type", "pubkey"], DIALECTS["mysql"]
+    )
+    assert got[0] == "ALTER TABLE `users` MODIFY `_id` varchar(24) NOT NULL FIRST"
+    assert got[1] == ("ALTER TABLE `users` MODIFY `type` varchar(100) NULL "
+                      "AFTER `_id`")
+    assert got[-1] == ("ALTER TABLE `users` MODIFY `pubkey` varchar(100) NULL "
+                       "AFTER `email`")
+    # already ordered -> no statements; non-mysql -> no statements
+    ordered = ["_id", "type", "email", "pubkey"]
+    assert reorder_columns_sql(spec, ordered, DIALECTS["mysql"]) == []
+    assert reorder_columns_sql(spec, ["x"], DIALECTS["sqlite"]) == []

@@ -565,3 +565,33 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY d.doc_id, t.token
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Regex scalar surface: extract / match / replace / count
+# --------------------------------------------------------------------------
+@query(
+    "q37_regex_functions",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           CASE WHEN regexp_matches(p_name, '[0-9]') THEN 1 ELSE 0 END AS has_digit,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_norm,
+           len(regexp_extract_all(p_type, '[A-Z]+')) AS n_words
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+            F.when(F.col("p_name").rlike("[0-9]"), 1).otherwise(0).alias("has_digit"),
+            F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_norm"),
+            F.size(F.regexp_extract_all("p_type", F.lit("[A-Z]+"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_words"),
+        )
+        .orderBy("p_partkey")
+    )

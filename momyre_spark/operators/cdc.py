@@ -156,6 +156,7 @@ def merge_ops_microbatch(
     op_col: str = "op",
     payload_col: str = "payload",
     order: Sequence[str] = ("ts",),
+    emit_seq: bool = False,
 ) -> DataFrame:
     """Reduce one *microbatch* of ops to per-key apply actions.
 
@@ -193,7 +194,12 @@ def merge_ops_microbatch(
     reset_op = F.max_by(
         F.col(op_col), F.when(F.col(op_col).isin(INSERT, DELETE), F.col("__seq"))
     ).alias("__reset_op")
-    merged = ops.groupBy(key).agg(reset_op, *field_aggs)
+    extra = []
+    if emit_seq:
+        # per-key high-water mark of the primary sequence column — the
+        # monotonic guard for out-of-order cross-batch delivery
+        extra.append(F.max(F.col(order[0])).cast("long").alias("__ts"))
+    merged = ops.groupBy(key).agg(reset_op, *field_aggs, *extra)
 
     # Action per key: delete keys emit only the key (updates after a delete
     # are no-ops — an UPDATE matching 0 rows in the reference); insert-reset
@@ -219,6 +225,7 @@ def merge_ops_microbatch(
         F.when(is_delete, F.array().cast("array<string>"))
         .otherwise(present)
         .alias("__present"),
+        *([F.col("__ts")] if emit_seq else []),
         *[
             F.when(is_delete, F.lit(None).cast(t)).otherwise(F.col(f)).alias(f)
             for f, t in fields.items()

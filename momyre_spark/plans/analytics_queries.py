@@ -595,3 +595,30 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Collect/array aggregation surface: deterministic via sort-then-join
+# --------------------------------------------------------------------------
+@query(
+    "q38_collect_agg",
+    oracle="""
+    SELECT n_nationkey,
+           array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+           count(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey ORDER BY n_nationkey
+    """,
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("suppliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("n_nationkey")
+    )

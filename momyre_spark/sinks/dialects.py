@@ -35,6 +35,29 @@ class Dialect:
     def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
         raise NotImplementedError
 
+    def guarded_upsert_sql(
+        self, table: str, columns: list[str], key: str, ts_col: str
+    ) -> str:
+        """Upsert that only overwrites when the incoming row's sequence
+        column is >= the stored one — last-writer-wins under out-of-order
+        cross-batch delivery. ``ts_col`` must be in ``columns``."""
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join(self.ph for _ in columns)
+        sets = ", ".join(
+            f"{self.q(c)} = excluded.{self.q(c)}" for c in columns if c != key
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT({self.q(key)}) DO UPDATE SET {sets} "
+            f"WHERE excluded.{self.q(ts_col)} >= {self.q(table)}.{self.q(ts_col)}"
+        )
+
+    def guarded_delete_sql(self, table: str, key: str, ts_col: str) -> str:
+        return (
+            f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = {self.ph} "
+            f"AND {self.q(ts_col)} <= {self.ph}"
+        )
+
     def delete_sql(self, table: str, key: str) -> str:
         return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = ?"
 
@@ -57,6 +80,26 @@ class MySQLDialect(Dialect):
         sets = ", ".join(
             f"{self.q(c)} = VALUES({self.q(c)})" for c in columns if c != key
         )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
+    def guarded_upsert_sql(
+        self, table: str, columns: list[str], key: str, ts_col: str
+    ) -> str:
+        # MySQL has no WHERE on ON DUPLICATE KEY UPDATE; per-column IF with
+        # the sequence column assigned LAST (assignments evaluate in order)
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        guard = f"VALUES({self.q(ts_col)}) >= {self.q(ts_col)}"
+        data_cols = [c for c in columns if c not in (key, ts_col)]
+        sets = ", ".join(
+            f"{self.q(c)} = IF({guard}, VALUES({self.q(c)}), {self.q(c)})"
+            for c in data_cols
+        )
+        sets += (f", {self.q(ts_col)} = IF({guard}, VALUES({self.q(ts_col)}), "
+                 f"{self.q(ts_col)})")
         return (
             f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
             f"ON DUPLICATE KEY UPDATE {sets}"

@@ -80,6 +80,7 @@ def upsert_partition(
     key: str,
     batch_id: int | None = None,
     batch_size: int = 1000,
+    ts_guard_col: str | None = None,
 ) -> None:
     """Executor-side body: batched upsert of one partition in one txn.
 
@@ -106,7 +107,10 @@ def upsert_partition(
             seen = read_progress(cur, dialect, pkey, ph)
             if seen is not None and seen >= batch_id:
                 return  # replayed batch/partition — already applied
-        sql = dialect.upsert_sql(table, columns, key)
+        if ts_guard_col is not None:
+            sql = dialect.guarded_upsert_sql(table, columns, key, ts_guard_col)
+        else:
+            sql = dialect.upsert_sql(table, columns, key)
         buf: list[tuple] = []
         for row in rows:
             buf.append(tuple(row[c] for c in columns))
@@ -133,6 +137,7 @@ def delete_partition(
     table: str,
     key: str,
     batch_size: int = 1000,
+    ts_guard_col: str | None = None,
 ) -> None:
     """Executor-side body: batched delete of one partition's keys in one txn."""
     dialect = DIALECTS[dialect_name]
@@ -140,8 +145,12 @@ def delete_partition(
     conn = connection_factory()
     try:
         cur = conn.cursor()
-        sql = dialect.delete_sql(table, key)
-        buf = [(row[key],) for row in rows]
+        if ts_guard_col is not None:
+            sql = dialect.guarded_delete_sql(table, key, ts_guard_col)
+            buf = [(row[key], row["__ts"]) for row in rows]
+        else:
+            sql = dialect.delete_sql(table, key)
+            buf = [(row[key],) for row in rows]
         for i in range(0, len(buf), batch_size):
             cur.executemany(sql, buf[i : i + batch_size])
         conn.commit()
@@ -161,6 +170,7 @@ def upsert_dataframe(
     key: str = "_id",
     batch_id: int | None = None,
     num_partitions: int | None = None,
+    ts_guard_col: str | None = None,
 ) -> None:
     """Distributed upsert: every partition opens its own connection/txn.
 
@@ -181,6 +191,7 @@ def upsert_dataframe(
             columns=columns,
             key=key,
             batch_id=batch_id,
+            ts_guard_col=ts_guard_col,
         )
     )
 
@@ -193,15 +204,18 @@ def delete_dataframe(
     table: str,
     key: str = "_id",
     num_partitions: int | None = None,
+    ts_guard_col: str | None = None,
 ) -> None:
     if num_partitions:
         df = df.coalesce(num_partitions)
-    df.select(key).foreachPartition(
+    cols = [key] if ts_guard_col is None else [key, "__ts"]
+    df.select(*cols).foreachPartition(
         lambda rows: delete_partition(
             rows,
             connection_factory=connection_factory,
             dialect_name=dialect_name,
             table=table,
             key=key,
+            ts_guard_col=ts_guard_col,
         )
     )

@@ -54,6 +54,7 @@ def patch_partition(
     fields: list[str],
     key: str,
     batch_id: int | None = None,
+    ts_guard_col: str | None = None,
 ) -> None:
     """Executor-side partial-update apply (reference K4, mysql.go:449-505).
 
@@ -85,15 +86,26 @@ def patch_partition(
             present = tuple(f for f in fields if f in set(row["__present"]))
             if not present:
                 continue  # no-op patch (mysql.go:478-480: empty SET skipped)
-            groups.setdefault(present, []).append(
-                tuple(row[f] for f in present) + (row[key],)
-            )
+            args = tuple(row[f] for f in present)
+            if ts_guard_col is not None:
+                args += (row["__ts"], row[key], row["__ts"])
+            else:
+                args += (row[key],)
+            groups.setdefault(present, []).append(args)
         for present, args in groups.items():
             sets = ", ".join(f"{dialect.q(c)} = {ph}" for c in present)
-            sql = (
-                f"UPDATE {dialect.q(table)} SET {sets} "
-                f"WHERE {dialect.q(key)} = {ph}"
-            )
+            if ts_guard_col is not None:
+                sql = (
+                    f"UPDATE {dialect.q(table)} SET {sets}, "
+                    f"{dialect.q(ts_guard_col)} = {ph} "
+                    f"WHERE {dialect.q(key)} = {ph} "
+                    f"AND {dialect.q(ts_guard_col)} <= {ph}"
+                )
+            else:
+                sql = (
+                    f"UPDATE {dialect.q(table)} SET {sets} "
+                    f"WHERE {dialect.q(key)} = {ph}"
+                )
             cur.executemany(sql, args)
         if batch_id is not None:
             _write_progress_in_tx(cur, dialect, pkey, batch_id)
@@ -114,14 +126,28 @@ def apply_actions(
     batch_id: int | None = None,
     key: str = "_id",
     num_partitions: int | None = None,
+    ts_guard_col: str | None = None,
 ) -> None:
-    """Write a merge_ops_microbatch action frame to the sink."""
+    """Write a merge_ops_microbatch action frame to the sink.
+
+    With ``ts_guard_col`` the actions frame must carry ``__ts`` (from
+    ``merge_ops_microbatch(emit_seq=True)``) and the sink table a matching
+    sequence column: every write is then guarded by the per-key high-water
+    mark, making apply correct under OUT-OF-ORDER cross-batch delivery
+    (reordered Kafka partitions, replayed ranges) — a failure mode the
+    reference's totally-ordered oplog could never produce."""
     fields = [c for c in table.sql_columns if c != key]
-    upserts = actions.filter(F.col("__action") == "upsert").select(key, *fields)
-    patches = actions.filter(F.col("__action") == "patch").select(
-        key, "__present", *fields
+    guard_cols = ["__ts"] if ts_guard_col else []
+    upsert_sel = [key, *fields] + (
+        [F.col("__ts").alias(ts_guard_col)] if ts_guard_col else []
     )
-    deletes = actions.filter(F.col("__action") == "delete").select(key)
+    upserts = actions.filter(F.col("__action") == "upsert").select(*upsert_sel)
+    patches = actions.filter(F.col("__action") == "patch").select(
+        key, "__present", *guard_cols, *fields
+    )
+    deletes = actions.filter(F.col("__action") == "delete").select(
+        key, *guard_cols
+    )
 
     upsert_dataframe(
         upserts,
@@ -131,6 +157,7 @@ def apply_actions(
         key=key,
         batch_id=batch_id,
         num_partitions=num_partitions,
+        ts_guard_col=ts_guard_col,
     )
     if num_partitions:
         patches = patches.coalesce(num_partitions)
@@ -143,6 +170,7 @@ def apply_actions(
             fields=fields,
             key=key,
             batch_id=batch_id,
+            ts_guard_col=ts_guard_col,
         )
     )
     delete_dataframe(
@@ -152,6 +180,7 @@ def apply_actions(
         table=table.name,
         key=key,
         num_partitions=num_partitions,
+        ts_guard_col=ts_guard_col,
     )
 
 
@@ -165,6 +194,7 @@ def apply_ops_microbatch(
     order: Sequence[str] = ("ts",),
     ns_col: str = "ns",
     num_partitions: int | None = None,
+    ts_guard_col: str | None = None,
 ) -> None:
     """foreachBatch body: route ops by namespace, merge, apply per table.
 
@@ -178,7 +208,10 @@ def apply_ops_microbatch(
         for tname, tspec in spec.tables.items():
             ops = batch_df.filter(F.col(ns_col) == tname)
             fields = {c: t for c, t in tspec.sql_columns.items() if c != "_id"}
-            actions = merge_ops_microbatch(ops, fields, key="_id", order=order)
+            actions = merge_ops_microbatch(
+                ops, fields, key="_id", order=order,
+                emit_seq=ts_guard_col is not None,
+            )
             apply_actions(
                 actions,
                 tspec,
@@ -186,6 +219,7 @@ def apply_ops_microbatch(
                 dialect_name=dialect_name,
                 batch_id=batch_id,
                 num_partitions=num_partitions,
+                ts_guard_col=ts_guard_col,
             )
     finally:
         if multi_table:

@@ -262,3 +262,35 @@ def start_cdc_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def supervise(
+    start_query,
+    max_restarts: int = -1,
+    backoff_seconds: float = 5.0,
+    on_failure=None,
+):
+    """Restart-forever supervision (reference O5: the endless tailing-cursor
+    restart loop, run.go:330-335).
+
+    ``start_query``: zero-arg callable returning a StreamingQuery (it must
+    reuse the same checkpoint dir, so each restart resumes from the last
+    committed offsets and the sink's batch-progress markers absorb any
+    replayed batch). ``max_restarts < 0`` = forever. Returns the number of
+    restarts performed once the query ends cleanly or the budget is spent.
+    """
+    import time as _time
+
+    restarts = 0
+    while True:
+        query = start_query()
+        try:
+            query.awaitTermination()
+            return restarts  # clean stop
+        except Exception as exc:  # failed batch / source error
+            if on_failure is not None:
+                on_failure(exc)
+            if max_restarts >= 0 and restarts >= max_restarts:
+                raise
+            restarts += 1
+            _time.sleep(backoff_seconds)

@@ -28,6 +28,7 @@ HEADLINE = [
     "q16_window_running_sum",
     "q06_orphan_antijoin",
     "cdc_apply_ops",
+    "cdc_apply_synthetic_1m",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "sim_topk_numpy",

@@ -191,3 +191,76 @@ def range_join_ship_lag(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("fast_lines"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Synthetic CDC merge at scale: 1M ops over 50k keys generated from pure
+# modular arithmetic (engine-neutral, so the full merge is oracle-checkable
+# at any size). The headline CDC-throughput benchmark.
+# --------------------------------------------------------------------------
+_N_SYN = 1_000_000
+_K_SYN = 50_000
+
+_SYN_ORACLE = f"""
+    WITH seq AS (SELECT i FROM generate_series(0, {_N_SYN - 1}) t(i)),
+    ops AS (
+        SELECT i AS ts, 'k' || CAST(i % {_K_SYN} AS VARCHAR) AS _id,
+               CASE WHEN i % 11 = 0 THEN 'delete'
+                    WHEN i % 3 = 0 THEN 'insert'
+                    ELSE 'update' END AS op,
+               i
+        FROM seq
+    ),
+    resets AS (
+        SELECT _id, max(ts) AS rts
+        FROM ops WHERE op IN ('insert', 'delete') GROUP BY _id
+    ),
+    alive AS (
+        SELECT o._id, r.rts FROM ops o JOIN resets r
+          ON o._id = r._id AND o.ts = r.rts AND o.op = 'insert'
+    ),
+    merged AS (
+        SELECT o._id,
+               max(CASE WHEN o.op = 'insert' OR o.i % 2 = 0 THEN o.ts END) AS ta,
+               max(CASE WHEN o.op = 'insert' OR o.i % 2 = 1 THEN o.ts END) AS tb
+        FROM ops o JOIN alive a ON o._id = a._id
+        WHERE o.ts >= a.rts AND o.op <> 'delete'
+        GROUP BY o._id
+    )
+    SELECT _id, CAST(ta % 97 AS BIGINT) AS a, CAST(tb % 13 AS BIGINT) AS b
+    FROM merged ORDER BY _id
+"""
+
+
+@query("cdc_apply_synthetic_1m", oracle=_SYN_ORACLE)
+def cdc_apply_synthetic_1m(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.cdc import apply_ops
+
+    i = F.col("id")
+    op = (
+        F.when(i % 11 == 0, F.lit("delete"))
+        .when(i % 3 == 0, F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    payload = (
+        F.when(
+            op == "insert",
+            F.concat(F.lit('{"a":'), (i % 97).cast("string"),
+                     F.lit(',"b":'), (i % 13).cast("string"), F.lit("}")),
+        )
+        .when(op == "delete", F.lit("{}"))
+        .when(i % 2 == 0,
+              F.concat(F.lit('{"a":'), (i % 97).cast("string"), F.lit("}")))
+        .otherwise(
+            F.concat(F.lit('{"b":'), (i % 13).cast("string"), F.lit("}")))
+    )
+    ops = spark.range(_N_SYN).select(
+        i.alias("ts"),
+        F.concat(F.lit("k"), (i % _K_SYN).cast("string")).alias("_id"),
+        op.alias("op"),
+        payload.alias("payload"),
+    )
+    return (
+        apply_ops(ops, {"a": "bigint", "b": "bigint"}, key="_id", order=("ts",))
+        .orderBy("_id")
+    )

@@ -31,6 +31,7 @@ HEADLINE = [
     "cdc_apply_synthetic_1m",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_minhash_synthetic_20k",
     "sim_topk_numpy",
     "text_analyze_all",
 ]

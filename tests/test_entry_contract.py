@@ -33,7 +33,7 @@ def test_every_query_key_has_callable_and_oracle_subset(spark):
     assert set(oracles) <= set(qs)
     assert len(qs) >= 45
     # the non-oracle (rows-only) set is exactly the hash-family ops
-    assert set(qs) - set(oracles) == {"dedup_simhash", "dedup_groups", "curate_corpus", "sim_topk_srp_lsh"}
+    assert set(qs) - set(oracles) == {"dedup_simhash", "dedup_groups", "curate_corpus", "sim_topk_srp_lsh", "dedup_minhash_synthetic_20k"}
 
 
 def test_events_query_on_bare_session(spark):

@@ -622,3 +622,38 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot: event counts per user-decile pivoted by event type. The oracle uses
+# portable conditional aggregation; pivot cells are coalesced to 0 so both
+# engines agree on combos absent from the data.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q39_pivot",
+    oracle="""
+    SELECT user_id % 10 AS decile,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1 ORDER BY decile
+    """,
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "decile", F.col("user_id") % 10
+    )
+    pivoted = (
+        ev.groupBy("decile")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return pivoted.select(
+        "decile",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    ).orderBy("decile")

@@ -657,3 +657,60 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         "decile",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Null-handling scalar surface: nullif / ifnull / nvl2-style branching
+# --------------------------------------------------------------------------
+@query(
+    "q40_null_functions",
+    oracle="""
+    SELECT s_suppkey,
+           nullif(s_nationkey, 0) AS nk_or_null,
+           coalesce(nullif(s_name, ''), '<unnamed>') AS name_or_default,
+           CASE WHEN s_acctbal IS NULL THEN 'missing' ELSE 'present' END AS bal_state
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load_table(spark, sf, "supplier")
+        .select(
+            "s_suppkey",
+            F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk_or_null"),
+            F.coalesce(
+                F.nullif(F.col("s_name"), F.lit("")), F.lit("<unnamed>")
+            ).alias("name_or_default"),
+            F.when(F.col("s_acctbal").isNull(), "missing")
+            .otherwise("present")
+            .alias("bal_state"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# split_part / array-index string surface
+# --------------------------------------------------------------------------
+@query(
+    "q41_split_part",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS t1,
+           split_part(p_type, ' ', -1) AS tlast,
+           len(string_split(p_type, ' ')) AS nparts
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    parts = F.split(F.col("p_type"), " ")
+    return (
+        load_table(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.element_at(parts, 1).alias("t1"),
+            F.element_at(parts, -1).alias("tlast"),
+            F.size(parts).cast("bigint").alias("nparts"),
+        )
+        .orderBy("p_partkey")
+    )

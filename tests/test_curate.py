@@ -59,3 +59,23 @@ def test_curate_matches_python_reference(spark):
     rep = {r["stage"]: r["docs"] for r in report.collect()}
     assert rep == {"input": 8, "quality_lang_gate": 6,
                    "exact_dedup": 5, "neardup_removed": 3}
+
+
+def test_curate_to_lake_roundtrip(spark, tmp_path):
+    """Curated corpus persisted to lang-partitioned lake layout and read
+    back with partition pruning — the full training-data delivery path."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.sinks.lake import write_partitioned
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    curated, _ = curate_corpus(docs, min_tokens=10, min_quality=0.3,
+                               neardup_threshold=0.8)
+    out = str(tmp_path / "curated")
+    write_partitioned(curated, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == curated.count()
+    en = back.filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert en.count() == curated.filter("lang = 'en'").count()

@@ -5,8 +5,8 @@ inequality join + per-left-row max — explodes to O(L x R) pairs per key
 before aggregating. This implementation is the scalable union-window form:
 
     tag left(side=1) and right(side=0) rows, union them,
-    per key ORDER BY (ts, side): carry the last non-null right payload
-    forward with ``last(col, ignorenulls=True)``, keep left rows.
+    per key ORDER BY (ts, side): carry the last non-null right row forward
+    as ONE struct with ``last(struct, ignorenulls=True)``, keep left rows.
 
 Cost: ONE shuffle by key + one sort — linear in |L|+|R|, no pair blow-up.
 ``side`` in the sort key makes ties deterministic: a right row at exactly
@@ -40,12 +40,21 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
+    # The whole right payload is carried as ONE struct with a single
+    # last(ignorenulls=True): the matched left row gets every column from the
+    # SAME right row, even when some of that row's payload columns are NULL.
+    # (Per-column carries would backfill a NULL payload value from an older
+    # right row, fabricating a row that never existed.)
+    right_dtypes = dict(right.dtypes)
+    r_struct_type = (
+        "struct<" + ",".join(f"`{c}`:{right_dtypes[c]}" for c in right_cols) + ">"
+    )
     lhs = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     rhs = right.select(
         F.col(on).alias("__k"),
@@ -54,7 +63,7 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"`{c}`:{t}" for c, t in left.dtypes) + ">"
         ).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -64,12 +73,9 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         "__side",
         "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     return carried.filter(F.col("__side") == 1).select(
         "__left.*",
-        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )

@@ -47,10 +47,20 @@ def ensure_progress_table(cur: Any, dialect: Dialect) -> None:
     )
 
 
-def _progress_key(table: str, part: int | None = None) -> str:
+def _progress_key(
+    table: str, part: int | None = None, layout: int | None = None
+) -> str:
     # per-PARTITION progress: partitions of one batch commit independently,
-    # so each needs its own replay marker
-    return f"batch:{table}" if part is None else f"batch:{table}:p{part}"
+    # so each needs its own replay marker. The total partition count is part
+    # of the key: a replayed batch with a DIFFERENT row-to-partition layout
+    # (changed num_partitions / shuffle-partition conf between restarts) must
+    # not match the old markers — skipping rows never applied loses writes,
+    # while reapplying is safe (upserts/patches/deletes are idempotent).
+    if part is None:
+        return f"batch:{table}"
+    if layout is None:
+        return f"batch:{table}:p{part}"
+    return f"batch:{table}:p{part}of{layout}"
 
 
 def read_progress(cur: Any, dialect: Dialect, name: str, ph: str = "?") -> int | None:
@@ -81,13 +91,16 @@ def upsert_partition(
     batch_id: int | None = None,
     batch_size: int = 1000,
     ts_guard_col: str | None = None,
+    layout: int | None = None,
 ) -> None:
     """Executor-side body: batched upsert of one partition in one txn.
 
     With ``batch_id`` set, the transaction also records
     ``(batch:{table}, batch_id)``; if the stored id already >= batch_id the
     partition was applied by a previous attempt and is skipped (exactly-once
-    per batch against at-least-once delivery)."""
+    per batch against at-least-once delivery). ``layout`` is the batch's
+    total partition count — part of the marker key, so replays under a
+    different partition layout reapply instead of silently skipping."""
     dialect = DIALECTS[dialect_name]
     check_ident(table)
     ph = dialect.ph
@@ -98,7 +111,7 @@ def upsert_partition(
         part = tc.partitionId() if tc is not None else None
     except Exception:
         part = None
-    pkey = _progress_key(table, part)
+    pkey = _progress_key(table, part, layout)
     conn = connection_factory()
     try:
         cur = conn.cursor()
@@ -182,7 +195,9 @@ def upsert_dataframe(
         raise ValueError(f"key column {key!r} not in DataFrame ({columns})")
     if num_partitions:
         df = df.coalesce(num_partitions)
-    df.foreachPartition(
+    rdd = df.rdd
+    layout = rdd.getNumPartitions()
+    rdd.foreachPartition(
         lambda rows: upsert_partition(
             rows,
             connection_factory=connection_factory,
@@ -192,6 +207,7 @@ def upsert_dataframe(
             key=key,
             batch_id=batch_id,
             ts_guard_col=ts_guard_col,
+            layout=layout,
         )
     )
 

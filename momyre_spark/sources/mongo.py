@@ -66,13 +66,47 @@ def change_stream_reader(
     )
 
 
+def _decode_cluster_time(ct) -> F.Column:
+    """clusterTime -> packed T<<32|I resume order, defensively.
+
+    The connector surfaces clusterTime as a BSON timestamp, which lands in
+    Spark either as a castable long/timestamp OR as an extended-JSON string
+    ``{"$timestamp": {"t": ..., "i": ...}}`` (schema-inference dependent).
+    A naive ``cast('long')`` yields NULL on the extended-JSON form and
+    silently breaks merge ordering and ts guards — so parse the struct form
+    first, fall back to the cast, and FAIL-STOP (raise_error) if neither
+    decodes: emitting unordered ops is the one thing a replicator must
+    never do (reference fail-stop stance, mongo.go:183).
+    """
+    ct_str = ct.cast("string")
+    parsed = F.from_json(ct_str, "struct<`$timestamp`:struct<t:long,i:long>>")
+    tsi = parsed["$timestamp"]
+    packed = F.when(
+        tsi.isNotNull(), F.shiftleft(tsi["t"], 32).bitwiseOR(tsi["i"])
+    )
+    ts = F.coalesce(packed, ct.try_cast("long"))
+    return F.when(
+        ts.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("momyre: undecodable clusterTime: "),
+                F.coalesce(ct_str, F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(ts)
+
+
 def decode_change_stream(stream: DataFrame) -> DataFrame:
     """Connector change-stream frame -> the engine's ops IR
-    (ts, ns, op, _id, payload-json).
+    (ts, seq, [tok,] ns, op, _id, payload-json).
 
     C1-C9 as column expressions: operationType maps to the 3-verb IR,
     updateDescription.updatedFields is already the partial payload,
     removedFields become explicit nulls, clusterTime is the resume order.
+    Events inside a multi-document transaction share one clusterTime, so
+    when the frame carries the resume token (``_id._data``) it is emitted
+    as ``tok`` — a lexicographically monotonic keystring — and the apply
+    order becomes ``("ts", "seq", "tok")`` (pipeline auto-detects it).
     """
     updated = F.from_json(
         F.col("updateDescription.updatedFields").cast("string"),
@@ -102,8 +136,19 @@ def decode_change_stream(stream: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit("{}"))
     )
+    has_token = any(
+        f.name == "_id"
+        and f.dataType.typeName() == "struct"
+        and "_data" in f.dataType.fieldNames()
+        for f in stream.schema.fields
+    )
+    tok_cols = (
+        [F.col("_id._data").cast("string").alias("tok")] if has_token else []
+    )
     return stream.filter(op.isNotNull()).select(
-        F.col("clusterTime").cast("long").alias("ts"),
+        _decode_cluster_time(F.col("clusterTime")).alias("ts"),
+        F.lit(0).cast("long").alias("seq"),
+        *tok_cols,
         F.substring_index(F.col("ns.coll"), ".", -1).alias("ns"),
         op.alias("op"),
         F.col("documentKey._id").cast("string").alias("_id"),

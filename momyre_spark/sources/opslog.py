@@ -14,8 +14,10 @@ Re-expression of the reference's ``handleChange`` (C1-C9,
 - C6 delete  (``op='d'``)   : emit ``{_id}`` delete
 - C7 noop    (``op='n'``)   : dropped
 - C8 txn     (``op='c'``)   : ``applyOps`` array unwrapped recursively, each
-                              inner entry stamped with the outer ``ts``
-- C9 stamping               : every op carries (ts, ns-table, op, _id)
+                              inner entry stamped with the outer ``ts`` plus
+                              ``seq`` = array position (ts alone ties within
+                              a txn; apply with ``order=("ts", "seq")``)
+- C9 stamping               : every op carries (ts, seq, ns-table, op, _id)
 
 Timestamps pack as ``T<<32 | I`` exactly like the resume token the reference
 persists (mongo.go:171,613).
@@ -42,7 +44,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-DECODED_SCHEMA = "ts long, ns string, op string, `_id` string, payload string"
+DECODED_SCHEMA = (
+    "ts long, seq long, ns string, op string, `_id` string, payload string"
+)
 
 
 def pack_ts(t: int, i: int) -> int:
@@ -114,33 +118,41 @@ def decode_entry(entry: dict) -> list[dict]:
             sub = dict(sub)
             sub.setdefault("ts", {"t": ts >> 32, "i": ts & 0xFFFFFFFF})
             out.extend(decode_entry(sub))
+        # All inner ops share the outer ts (same T<<32|I), so ts alone cannot
+        # order a txn touching one key twice (e.g. insert then update). The
+        # reference applies applyOps strictly in array order (mongo.go:428-454);
+        # seq preserves that order as a secondary sort key — apply with
+        # order=("ts", "seq").
+        for i, norm in enumerate(out):
+            norm["seq"] = i
         return out
 
     table = _strip_ns(ns)
     if op == "i":  # C1
         doc = flatten_doc(o1)
         _id = str(doc.pop("_id", ""))
-        return [{"ts": ts, "ns": table, "op": "insert", "_id": _id,
+        return [{"ts": ts, "seq": 0, "ns": table, "op": "insert", "_id": _id,
                  "payload": doc}]
     if op == "d":  # C6
         _id = str(o1.get("_id", ""))
-        return [{"ts": ts, "ns": table, "op": "delete", "_id": _id, "payload": {}}]
+        return [{"ts": ts, "seq": 0, "ns": table, "op": "delete", "_id": _id,
+                 "payload": {}}]
     if op == "u":
         _id = str(o2.get("_id", o1.get("_id", "")))
         if "$set" in o1 or "$unset" in o1:  # C2 (v1 update)
             fields = flatten_doc(o1.get("$set", {}))
             fields.update({k: None for k in flatten_doc(o1.get("$unset", {}))})
-            return [{"ts": ts, "ns": table, "op": "update", "_id": _id,
-                     "payload": fields}]
+            return [{"ts": ts, "seq": 0, "ns": table, "op": "update",
+                     "_id": _id, "payload": fields}]
         if o1.get("$v") == 2 and "diff" in o1:  # C3/C4
-            return [{"ts": ts, "ns": table, "op": "update", "_id": _id,
-                     "payload": _decode_v2_diff(o1["diff"])}]
+            return [{"ts": ts, "seq": 0, "ns": table, "op": "update",
+                     "_id": _id, "payload": _decode_v2_diff(o1["diff"])}]
         if any(k.startswith("$") for k in o1):
             raise ValueError(f"unknown update shape: {sorted(o1)}")  # fail-stop
         # C5 full replace: o1 is the complete document -> an insert-like reset
         doc = flatten_doc(o1)
         doc.pop("_id", None)
-        return [{"ts": ts, "ns": table, "op": "insert", "_id": _id,
+        return [{"ts": ts, "seq": 0, "ns": table, "op": "insert", "_id": _id,
                  "payload": doc}]
     raise ValueError(f"unknown oplog op: {op!r}")  # fail-stop (mongo.go:183)
 
@@ -162,6 +174,7 @@ def decode_oplog(
                     rows.append(
                         (
                             norm["ts"],
+                            norm["seq"],
                             norm["ns"],
                             norm["op"],
                             norm["_id"],
@@ -169,8 +182,8 @@ def decode_oplog(
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["ts", "ns", "op", "_id", "payload"]
-            ).astype({"ts": "int64"})
+                rows, columns=["ts", "seq", "ns", "op", "_id", "payload"]
+            ).astype({"ts": "int64", "seq": "int64"})
 
     out = raw.mapInPandas(run, schema=DECODED_SCHEMA)
     if tables is not None:

@@ -17,7 +17,8 @@ serialization — batch N+1 never starts before N commits. Replay after crash
 re-delivers a completed batch; the in-txn progress marker makes that a no-op.
 
 The ops-stream source is any DataFrame stream with columns
-(ts, ns, op, _id, payload) — file/parquet streams in tests, the MongoDB Spark
+(ts, ns, op, _id, payload) plus an optional ``seq`` tie-breaker (emitted by
+the raw-oplog decoder for txn unwraps) — file/parquet streams in tests, the MongoDB Spark
 connector's change stream or a Kafka/Debezium topic in production
 (decode mappings per SURVEY.md §2.3: C1-C9 collapse to these five columns
 with the official connector's updateDescription/fullDocument surface).
@@ -55,13 +56,15 @@ def patch_partition(
     key: str,
     batch_id: int | None = None,
     ts_guard_col: str | None = None,
+    layout: int | None = None,
 ) -> None:
     """Executor-side partial-update apply (reference K4, mysql.go:449-505).
 
     Rows carry ``__present`` (fields the patch sets). Rows are grouped by
     their present-set so each distinct shape becomes one prepared statement
     executed with executemany — batched, unlike the reference's
-    per-row statements."""
+    per-row statements. ``layout`` (total partition count) keys the replay
+    marker so a changed partition layout reapplies instead of skipping."""
     dialect = DIALECTS[dialect_name]
     check_ident(table)
     ph = dialect.ph
@@ -72,7 +75,7 @@ def patch_partition(
         part = tc.partitionId() if tc is not None else None
     except Exception:
         part = None
-    pkey = _progress_key(f"{table}#patch", part)
+    pkey = _progress_key(f"{table}#patch", part, layout)
     conn = connection_factory()
     try:
         cur = conn.cursor()
@@ -133,9 +136,18 @@ def apply_actions(
     With ``ts_guard_col`` the actions frame must carry ``__ts`` (from
     ``merge_ops_microbatch(emit_seq=True)``) and the sink table a matching
     sequence column: every write is then guarded by the per-key high-water
-    mark, making apply correct under OUT-OF-ORDER cross-batch delivery
-    (reordered Kafka partitions, replayed ranges) — a failure mode the
-    reference's totally-ordered oplog could never produce."""
+    mark, making stale UPDATES/UPSERTS no-ops under OUT-OF-ORDER cross-batch
+    delivery (reordered Kafka partitions, replayed ranges) — a failure mode
+    the reference's totally-ordered oplog could never produce.
+
+    KNOWN LIMIT (resurrection window): a guarded DELETE physically removes
+    the row *and therefore its high-water mark*; a stale upsert arriving
+    after that delete finds no row to compare against and re-inserts it.
+    Closing the window requires tombstones (soft-delete rows carrying the
+    guard ts, compacted later) — not implemented; deployments whose
+    transport can reorder a delete before an older upsert should either
+    keep per-key ordering in the transport (Kafka key-partitioning does) or
+    add a tombstone table."""
     fields = [c for c in table.sql_columns if c != key]
     guard_cols = ["__ts"] if ts_guard_col else []
     upsert_sel = [key, *fields] + (
@@ -161,7 +173,9 @@ def apply_actions(
     )
     if num_partitions:
         patches = patches.coalesce(num_partitions)
-    patches.foreachPartition(
+    patch_rdd = patches.rdd
+    patch_layout = patch_rdd.getNumPartitions()
+    patch_rdd.foreachPartition(
         lambda rows: patch_partition(
             rows,
             connection_factory=connection_factory,
@@ -171,6 +185,7 @@ def apply_actions(
             key=key,
             batch_id=batch_id,
             ts_guard_col=ts_guard_col,
+            layout=patch_layout,
         )
     )
     delete_dataframe(
@@ -191,7 +206,7 @@ def apply_ops_microbatch(
     *,
     connection_factory: ConnFactory,
     dialect_name: str,
-    order: Sequence[str] = ("ts",),
+    order: Sequence[str] | None = None,
     ns_col: str = "ns",
     num_partitions: int | None = None,
     ts_guard_col: str | None = None,
@@ -200,7 +215,17 @@ def apply_ops_microbatch(
 
     The batch is persisted for the duration of the apply: each table's
     branch filters the same frame, and without the persist a 10-table spec
-    would re-read/re-decode the micro-batch 10 times."""
+    would re-read/re-decode the micro-batch 10 times.
+
+    ``order=None`` (default) auto-selects the tie-breakers the IR carries:
+    ``seq`` (txn-unwrap array position, sources/opslog.py C8 — inner
+    applyOps ops share the outer ts) and ``tok`` (connector resume token,
+    sources/mongo.py — txn events share one clusterTime), giving
+    ``("ts", "seq", "tok")`` / ``("ts", "seq")`` / ``("ts",)``."""
+    if order is None:
+        order = tuple(
+            c for c in ("ts", "seq", "tok") if c in batch_df.columns
+        )
     multi_table = len(spec.tables) > 1
     if multi_table:
         batch_df = batch_df.persist()
@@ -233,7 +258,7 @@ def start_cdc_stream(
     connection_factory: ConnFactory,
     dialect_name: str,
     checkpoint_dir: str,
-    order: Sequence[str] = ("ts",),
+    order: Sequence[str] | None = None,
     trigger: dict[str, Any] | None = None,
     num_partitions: int | None = None,
 ):

@@ -65,3 +65,22 @@ def test_asof_join_matches_python_reference(spark):
         cand = [(t, rid) for t, rid in by_key.get(r.k, []) if t <= r.ts]
         want[r.lid] = cand[-1][1] if cand else None
     assert got == want
+
+
+def test_asof_null_right_payload_not_backfilled(spark):
+    """A NULL payload value in the MATCHED right row must stay NULL — not be
+    backfilled from an older right row (regression: per-column carries would
+    combine columns from different right rows into a row that never existed).
+    """
+    left = spark.createDataFrame([Row(k=1, ts=10, lid="L")])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=1, a="old-a", b="old-b"),
+            Row(k=1, ts=5, a=None, b="new-b"),  # matched row: a IS NULL
+        ]
+    )
+    row = asof_join(
+        left, right, on="k", right_cols=["a", "b"], suffix="_r"
+    ).collect()[0]
+    assert row["b_r"] == "new-b"
+    assert row["a_r"] is None  # NOT "old-a"

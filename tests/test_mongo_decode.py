@@ -57,3 +57,76 @@ def test_update_with_null_removed_fields(spark):
     ])
     [r] = decode_change_stream(df).collect()
     assert json.loads(r["payload"]) == {"type": "y"}
+
+
+# --- documented connector change-event schema variants -----------------
+# The connector's change events carry clusterTime in schema-inference-
+# dependent forms and a resume token at `_id._data`; these fixtures pin the
+# decode contract against the DOCUMENTED event shapes, not just the
+# simplified long-typed one above.
+
+EXT_SCHEMA = (
+    "_id struct<_data:string>, "
+    "operationType string, clusterTime string, "
+    "ns struct<db:string, coll:string>, "
+    "documentKey struct<_id:string>, "
+    "fullDocument string, "
+    "updateDescription struct<updatedFields:string, removedFields:array<string>>"
+)
+
+
+def _ext_ct(t, i):
+    return json.dumps({"$timestamp": {"t": t, "i": i}})
+
+
+def test_extended_json_cluster_time_packs_t_i(spark):
+    df = spark.createDataFrame([
+        (("tokA",), "insert", _ext_ct(7, 3), ("db", "users"), ("k1",),
+         json.dumps({"type": "a"}), (None, None)),
+    ], EXT_SCHEMA)
+    [r] = decode_change_stream(df).collect()
+    assert r["ts"] == (7 << 32) | 3  # packed exactly like the resume token
+    assert r["tok"] == "tokA"
+
+
+def test_undecodable_cluster_time_fails_stop(spark):
+    import pytest
+
+    df = spark.createDataFrame([
+        (("tokB",), "insert", "garbage", ("db", "users"), ("k1",),
+         json.dumps({"type": "a"}), (None, None)),
+    ], EXT_SCHEMA)
+    with pytest.raises(Exception, match="undecodable clusterTime"):
+        decode_change_stream(df).collect()
+
+
+def test_txn_events_ordered_by_resume_token(spark):
+    """Events in one multi-document txn share clusterTime; the resume token
+    (lexicographically monotonic) must break the tie so last-writer-wins
+    matches the commit order."""
+    from momyre_spark.operators.cdc import apply_ops
+
+    ct = _ext_ct(9, 1)
+    df = spark.createDataFrame([
+        (("t01",), "insert", ct, ("db", "users"), ("k",),
+         json.dumps({"v": "first"}), (None, None)),
+        (("t02",), "update", ct, ("db", "users"), ("k",), None,
+         (json.dumps({"v": "second"}), [])),
+        (("t03",), "update", ct, ("db", "users"), ("k",), None,
+         (json.dumps({"v": "third"}), [])),
+    ], EXT_SCHEMA)
+    ops = decode_change_stream(df)
+    assert ops.columns[:3] == ["ts", "seq", "tok"]
+    final = apply_ops(ops, {"v": "string"}, key="_id",
+                      order=("ts", "seq", "tok"))
+    assert {r["_id"]: r["v"] for r in final.collect()} == {"k": "third"}
+
+
+def test_long_cluster_time_still_decodes(spark):
+    df = _rows(spark, [
+        ("insert", 42, ("db", "users"), ("k1",),
+         json.dumps({"type": "a"}), (None, None)),
+    ])
+    [r] = decode_change_stream(df).collect()
+    assert r["ts"] == 42 and r["seq"] == 0
+    assert "tok" not in decode_change_stream(df).columns

@@ -30,8 +30,9 @@ def test_insert_decode_c1():
         {"op": "i", "ns": "db.users", "ts": {"t": 7, "i": 1},
          "o": {"_id": "k1", "type": "admin", "cfg": {"pub": "p"}}}
     )
-    assert ops == [{"ts": pack_ts(7, 1), "ns": "users", "op": "insert",
-                    "_id": "k1", "payload": {"type": "admin", "cfg_pub": "p"}}]
+    assert ops == [{"ts": pack_ts(7, 1), "seq": 0, "ns": "users",
+                    "op": "insert", "_id": "k1",
+                    "payload": {"type": "admin", "cfg_pub": "p"}}]
 
 
 def test_update_set_unset_decode_c2():
@@ -75,8 +76,8 @@ def test_delete_decode_c6():
     ops = decode_entry(
         {"op": "d", "ns": "db.users", "ts": {"t": 9, "i": 2}, "o": {"_id": "k3"}}
     )
-    assert ops == [{"ts": pack_ts(9, 2), "ns": "users", "op": "delete",
-                    "_id": "k3", "payload": {}}]
+    assert ops == [{"ts": pack_ts(9, 2), "seq": 0, "ns": "users",
+                    "op": "delete", "_id": "k3", "payload": {}}]
 
 
 def test_noop_dropped_c7():
@@ -93,6 +94,7 @@ def test_txn_unwrap_c8():
     )
     assert [o["op"] for o in ops] == ["insert", "delete"]
     assert all(o["ts"] == pack_ts(11, 1) for o in ops)  # outer ts stamped
+    assert [o["seq"] for o in ops] == [0, 1]  # applyOps array order preserved
     assert [o["ns"] for o in ops] == ["users", "regs"]
 
 
@@ -125,7 +127,29 @@ def test_decode_oplog_to_final_state(spark):
     raw = spark.createDataFrame([Row(entry=json.dumps(e)) for e in entries])
     ops = decode_oplog(raw, tables=["users"])
     final = apply_ops(
-        ops, {"type": "string", "email": "string"}, key="_id", order=("ts",)
+        ops, {"type": "string", "email": "string"}, key="_id",
+        order=("ts", "seq")
     )
     state = {r["_id"]: (r["type"], r["email"]) for r in final.collect()}
     assert state == {"a": ("root", "a2@x")}
+
+
+def test_txn_same_key_applies_in_array_order(spark):
+    """A txn inserting then updating the SAME key must converge to the
+    update's state — ts ties (identical outer T<<32|I) are broken by seq
+    (applyOps array position), matching the reference's strict in-order
+    apply (mongo.go:428-454)."""
+    entry = {"op": "c", "ns": "admin.$cmd", "ts": {"t": 20, "i": 1},
+             "o": {"applyOps": [
+                 {"op": "i", "ns": "db.users", "o": {"_id": "k", "v": "first"}},
+                 {"op": "u", "ns": "db.users",
+                  "o": {"$set": {"v": "second"}}, "o2": {"_id": "k"}},
+                 {"op": "u", "ns": "db.users",
+                  "o": {"$set": {"v": "third"}}, "o2": {"_id": "k"}},
+             ]}}
+    norm = decode_entry(entry)
+    assert [o["seq"] for o in norm] == [0, 1, 2]
+    raw = spark.createDataFrame([Row(entry=json.dumps(entry))])
+    ops = decode_oplog(raw, tables=["users"])
+    final = apply_ops(ops, {"v": "string"}, key="_id", order=("ts", "seq"))
+    assert {r["_id"]: r["v"] for r in final.collect()} == {"k": "third"}

@@ -87,6 +87,32 @@ def test_upsert_batch_replay_skipped(spark, db):
     assert all_rows(db)[0]["type"] == "REPLAY"
 
 
+def test_replay_with_changed_partition_layout_reapplies(spark, db):
+    """A replayed batch whose rows land in a DIFFERENT partition layout must
+    REAPPLY (idempotent), not skip: the old per-partition markers belong to a
+    different row-to-partition mapping, and skipping would lose writes."""
+    df = spark.createDataFrame(
+        [Row(_id=k, type="v1", email="e", pubkey="p") for k in "abcd"]
+    )
+    upsert_dataframe(df, connection_factory=db, dialect_name="sqlite",
+                     table="users", batch_id=3, num_partitions=2)
+    # crash-replay of batch 3, but now as ONE partition: rows previously in
+    # partition 1 of 2 would be "skipped" under a layout-blind marker
+    df2 = spark.createDataFrame(
+        [Row(_id=k, type="v2", email="e", pubkey="p") for k in "abcd"]
+    )
+    upsert_dataframe(df2, connection_factory=db, dialect_name="sqlite",
+                     table="users", batch_id=3, num_partitions=1)
+    assert all(r["type"] == "v2" for r in all_rows(db))
+    # replay under the SAME layout still skips
+    df3 = spark.createDataFrame(
+        [Row(_id=k, type="v3", email="e", pubkey="p") for k in "abcd"]
+    )
+    upsert_dataframe(df3, connection_factory=db, dialect_name="sqlite",
+                     table="users", batch_id=3, num_partitions=1)
+    assert all(r["type"] == "v2" for r in all_rows(db))
+
+
 def test_delete_dataframe(spark, db):
     df = spark.createDataFrame(
         [Row(_id=k, type="t", email="e", pubkey="p") for k in "abc"]

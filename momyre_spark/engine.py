@@ -53,6 +53,9 @@ class ReplicationEngine:
         force: bool = False,
         zerop: bool = False,
         sink_partitions: int | None = None,
+        jdbc_url: str | None = None,
+        jdbc_properties: dict[str, str] | None = None,
+        jdbc_predicates: Callable[[str], list[str]] | None = None,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -63,6 +66,14 @@ class ReplicationEngine:
         self.force = force
         self.zerop = zerop
         self.sink_partitions = sink_partitions
+        # When set, sink READS (the orphan-scan key read) go through
+        # spark.read.jdbc — executor-side, partitionable — instead of a
+        # driver-side DBAPI fetchall. ``jdbc_predicates(table)`` optionally
+        # returns one WHERE clause per read partition (string keys can't use
+        # numeric range partitioning).
+        self.jdbc_url = jdbc_url
+        self.jdbc_properties = jdbc_properties or {}
+        self.jdbc_predicates = jdbc_predicates
 
     # -- DDL (reference D1-D4) -----------------------------------------
     def current_sink_schema(self) -> dict[str, dict[str, str]]:
@@ -141,7 +152,28 @@ class ReplicationEngine:
         )
 
     def sink_ids(self, table: str) -> DataFrame:
-        """S6 key scan (mysql.go:590-604): sink `_id`s as a DataFrame."""
+        """S6 key scan (mysql.go:590-604): sink `_id`s as a DataFrame.
+
+        With ``jdbc_url`` configured this is a distributed
+        ``spark.read.jdbc`` key-only scan (the projection is pushed into the
+        remote query; ``jdbc_predicates`` splits it across executors) — the
+        scale path: sink ids never pass through the driver. The DBAPI
+        fetchall below is the TEST fallback only (sqlite has no JDBC driver
+        here); at 100 TB it would OOM the driver."""
+        if self.jdbc_url is not None:
+            from momyre_spark.sources.jdbc import read_sink_ids
+
+            preds = (
+                self.jdbc_predicates(table) if self.jdbc_predicates else None
+            )
+            return read_sink_ids(
+                self.spark,
+                self.jdbc_url,
+                table,
+                key="_id",
+                properties=self.jdbc_properties,
+                predicates=preds,
+            )
         conn = self.connection_factory()
         try:
             cur = conn.cursor()

@@ -45,13 +45,21 @@ def curate_corpus(
 ) -> tuple[DataFrame, DataFrame]:
     t = F.col(text_col)
 
+    from pyspark import StorageLevel
+
     gated = docs.filter(
         (token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)
     )
     if languages is not None:
         gated = gated.filter(F.col(lang_col).isin(*languages))
 
-    exact = dedup_exact(gated, id_col=id_col, text_col=text_col)
+    # ``exact`` feeds three consumers (LSH pairs, the curated anti-join, the
+    # report) and ``curated`` two (return value, report) — persisted so
+    # consuming BOTH outputs runs the dedup/LSH stages once, not per
+    # consumer (MEMORY_AND_DISK: spills, never OOMs; evicted lazily).
+    exact = dedup_exact(gated, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     pairs = minhash_lsh_pairs(
         exact, threshold=neardup_threshold, id_col=id_col, text_col=text_col
@@ -60,7 +68,9 @@ def curate_corpus(
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    curated = exact.join(losers, id_col, "left_anti")
+    curated = exact.join(losers, id_col, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     report = (
         docs.select(F.lit("input").alias("stage"), F.lit(0).alias("ord"), F.col(id_col))

@@ -11,8 +11,10 @@ designed so the expensive pairwise work never goes quadratic in the corpus:
                     generation touches only same-bucket pairs)
 - simhash         : 64-bit sign-aggregated token hashes; near-dups = small
                     hamming distance, bucketed by 16-bit blocks
-- embedding_cosine: near-dup pairs in embedding space (delegates to
-                    operators/similarity.py primitives)
+- embedding_cosine: near-dup pairs in embedding space — SRP-LSH bucketed
+                    candidates (equi-join on (table, bucket)) + exact-cosine
+                    verify; all-pairs brute force only as an explicit
+                    ``method='exact'`` small-N baseline
 
 No Python UDFs anywhere — shingling, hashing, banding and verification are
 all built-in higher-order functions, so the whole plan stays in codegen.
@@ -250,15 +252,25 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 63,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per document: sign of the per-bit vote over token hashes.
 
-    bit_i(fp) = 1 iff sum over tokens of (+1 if bit_i(xxhash64(token)) else -1) > 0.
+    bit_i(fp) = 1 iff sum over tokens of (+1 if bit_i(hash(token)) else -1) > 0.
     63 bits so the fingerprint stays in a non-negative signed long. Bit
     positions are Python ints unrolled at plan-build time (shift amounts
     cannot be Columns), so this is one wide codegen'd projection: tokens ->
     hashes -> 63 fold-votes -> fingerprint.
+
+    ``token_hash``: 'xxhash64' (default — the fast scale path) or
+    'md5_prefix' (first 15 hex chars of md5 as a 60-bit int; caps ``bits``
+    at 60). The md5 form is engine-neutral — DuckDB computes the identical
+    fingerprint, making the operator fully oracle-checkable; same votes,
+    same blocking, same verify either way.
     """
     from momyre_spark.functions.text import tokens
 
@@ -266,9 +278,16 @@ def simhash_fingerprints(
     # hash per row, 63 conditional-sum votes with map-side partial
     # aggregation — HOF fold chains per row codegen poorly and re-evaluate
     # their input arrays.
+    if token_hash == "md5_prefix":
+        bits = min(bits, 60)
+        hash_expr = "CAST(conv(substr(md5(__t), 1, 15), 16, 10) AS BIGINT) AS __h"
+    elif token_hash == "xxhash64":
+        hash_expr = "xxhash64(__t) AS __h"
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     ex = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).selectExpr(id_col, "xxhash64(__t) AS __h")
+    ).selectExpr(id_col, hash_expr)
     votes = ex.groupBy(id_col).agg(
         *[
             F.expr(
@@ -291,13 +310,14 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked by 16-bit chunks.
 
     Pigeonhole: distance <= 3 over 4 chunks -> at least one chunk identical,
     so the join key is (chunk_index, chunk_value) — never all-pairs.
     """
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    fps = simhash_fingerprints(docs, id_col, text_col, token_hash=token_hash)
     chunk = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
@@ -322,7 +342,7 @@ def simhash_pairs(
         .select(
             F.col("l.__id").alias("a_id"),
             F.col("r.__id").alias("b_id"),
-            ham.alias("hamming"),
+            ham.cast("bigint").alias("hamming"),
         )
         .distinct()
     )
@@ -384,22 +404,118 @@ def duplicate_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def srp_params_for(
+    threshold: float, target_recall: float = 0.999, max_tables: int = 96
+) -> tuple[int, int]:
+    """(num_planes, num_tables) for SRP-LSH at a cosine threshold.
+
+    Per-plane collision probability for two vectors at the threshold angle
+    is c = 1 - arccos(threshold)/pi; a table of p planes collides with c^p
+    and T tables give recall 1 - (1 - c^p)^T. Picks the largest p (fewest
+    candidates) whose required T stays within ``max_tables`` — low
+    thresholds therefore get few planes and many tables, high thresholds
+    many planes and few candidate collisions.
+    """
+    import math
+
+    c = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if c >= 1.0:
+        return 1, 1
+    for p in range(31, 0, -1):
+        per_table = c**p
+        if per_table <= 0.0:
+            continue
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table))
+        if t <= max_tables:
+            return p, max(1, t)
+    return 1, max_tables
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    method: str = "srp_lsh",
+    num_planes: int | None = None,
+    num_tables: int | None = None,
+    target_recall: float = 0.999,
+    seed: int = 0x5EED,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force — see
-    operators/similarity.py for the bucketed scale path). Vectors are
-    unit-normalized once per row so each pair costs one dot fold."""
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    ``method='srp_lsh'`` (default — the scale path): candidates come from
+    SRP-LSH buckets (similarity.srp_planes / with_srp_buckets), expanded
+    bucket-locally exactly like the MinHash path — shuffle key is
+    ``(table, bucket)``, pairs materialize only inside buckets, and every
+    join is an equi-join (no BroadcastNestedLoopJoin / cartesian anywhere).
+    Candidates are then exact-cosine verified, so precision is always 1.0;
+    recall is the LSH collision bound — (num_planes, num_tables) default to
+    :func:`srp_params_for` at ``target_recall``.
+
+    ``method='exact'``: the all-pairs O(N^2) baseline (non-equi join ->
+    BroadcastNestedLoopJoin). Small-N oracle/testing ONLY — never at scale.
+    """
     from momyre_spark.functions.vectors import add_normalized, dot
 
     nv = add_normalized(emb, vec_col, "__nv")
-    a = nv.select(F.col(id_col).alias("a_id"), F.col("__nv").alias("va"))
-    b = nv.select(F.col(id_col).alias("b_id"), F.col("__nv").alias("vb"))
+    if method == "exact":
+        a = nv.select(F.col(id_col).alias("a_id"), F.col("__nv").alias("va"))
+        b = nv.select(F.col(id_col).alias("b_id"), F.col("__nv").alias("vb"))
+        return (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", dot(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cos"))
+        )
+    if method != "srp_lsh":
+        raise ValueError(f"unknown method: {method!r}")
+
+    from momyre_spark.operators.similarity import srp_planes, with_srp_buckets
+
+    if num_planes is None or num_tables is None:
+        auto_p, auto_t = srp_params_for(threshold, target_recall)
+        num_planes = num_planes if num_planes is not None else auto_p
+        num_tables = num_tables if num_tables is not None else auto_t
+    planes = srp_planes(num_tables, num_planes, dim, seed)
+
+    from pyspark import StorageLevel
+
+    # normalized vectors feed bucket hashing AND both verify sides
+    nv = nv.select(F.col(id_col).alias("__id"), F.col("__nv")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = with_srp_buckets(nv, planes, "__nv").select(
+        "__id", F.posexplode("__buckets").alias("table", "bucket")
+    )
+    # bucket-local pair expansion (the minhash_lsh_pairs pattern): one
+    # shuffle on (table, bucket), pairs generated inside each bucket
+    buckets = (
+        banded.groupBy("table", "bucket")
+        .agg(F.collect_set("__id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("ids", F.array_sort("ids"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x: F.transform(
+                F.filter("ids", lambda y: y > x),
+                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    va = nv.select(F.col("__id").alias("a_id"), F.col("__nv").alias("va"))
+    vb = nv.select(F.col("__id").alias("b_id"), F.col("__nv").alias("vb"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
         .withColumn("cos", dot(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cos"))

@@ -92,7 +92,13 @@ def brute_force_topk_numpy(
     """
     import numpy as np
 
-    qrows = queries.select(id_col, vec_col).collect()  # queries are small by contract
+    MAX_QUERIES = 100_000  # the query matrix rides in every task closure
+    qrows = queries.select(id_col, vec_col).limit(MAX_QUERIES + 1).collect()
+    if len(qrows) > MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_numpy: query set exceeds {MAX_QUERIES} rows — "
+            "it must be broadcastable; batch the queries or use srp_lsh_topk"
+        )
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -125,6 +131,47 @@ def brute_force_topk_numpy(
     )
 
 
+def srp_planes(
+    num_tables: int, num_planes: int, dim: int, seed: int = 0x5EED
+) -> list[list[list[float]]]:
+    """Deterministic Gaussian hyperplanes: [table][plane][dim]."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]
+
+
+def _srp_bucket_sql(vec_col: str, table_planes: list[list[float]]) -> str:
+    """SQL text for one table's bucket id: sign-bit pattern over its planes.
+
+    Built as parsed SQL, not a Column tree — a tables x planes x dim
+    ``F.lit`` tree costs one py4j round-trip per literal (the minhash-wide
+    lesson, dedup.py); one selectExpr parse is flat."""
+    terms = []
+    for p, plane in enumerate(table_planes):
+        arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        proj = (
+            f"aggregate(zip_with(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {arr}, "
+            f"(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_srp_buckets(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "__buckets",
+) -> DataFrame:
+    """Attach ``out_col``: array<long> of per-table SRP bucket ids."""
+    items = ", ".join(_srp_bucket_sql(vec_col, tp) for tp in planes)
+    return df.selectExpr("*", f"array({items}) AS `{out_col}`")
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -146,49 +193,36 @@ def srp_lsh_topk(
     with high probability while the bucket join touches ~N/2^planes vectors
     per table — the classic cosine-LSH trade (recall tunable via
     tables x planes).
+
+    Candidate generation is a HASH join on the exploded ``(table, bucket)``
+    key — an OR-of-bucket-equalities condition would execute as a
+    BroadcastNestedLoopJoin scanning every corpus row against every query
+    (LSH would save cosines but not the O(N x |q|) pair scan). The exploded
+    equi-join partitions by bucket, which is the shape that survives scale;
+    the candidate set is identical (union over tables).
     """
-    import random as _random
+    planes = srp_planes(num_tables, num_planes, dim, seed)
 
-    rng = _random.Random(seed)
-    planes = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-        for _ in range(num_tables)
-    ]
-
-    def bucket_cols(df: DataFrame) -> DataFrame:
-        from momyre_spark.functions.vectors import dot, to_double
-
-        out = df
-        for t, table_planes in enumerate(planes):
-            sig = F.lit(0).cast("long")
-            for p, plane in enumerate(table_planes):
-                proj = dot(
-                    to_double(F.col(vec_col)),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                )
-                sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            out = out.withColumn(f"__b{t}", sig)
-        return out
-
-    q = bucket_cols(queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        *[F.col(f"__b{t}").alias(f"__qb{t}") for t in range(num_tables)],
+    q_ex = (
+        with_srp_buckets(queries, planes, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.posexplode("__buckets").alias("__table", "__bucket"),
+        )
     )
-    c = bucket_cols(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        *[F.col(f"__b{t}") for t in range(num_tables)],
+    c_ex = (
+        with_srp_buckets(corpus, planes, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.posexplode("__buckets").alias("__table", "__bucket"),
+        )
     )
-    any_bucket = None
-    for t in range(num_tables):
-        clause = F.col(f"__b{t}") == F.col(f"__qb{t}")
-        any_bucket = clause if any_bucket is None else (any_bucket | clause)
     cand = (
-        c.join(F.broadcast(q), any_bucket)
+        c_ex.join(F.broadcast(q_ex), ["__table", "__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos", cosine(F.col("__cv"), F.col("__qv")))
     )
     return _topk(cand, k)

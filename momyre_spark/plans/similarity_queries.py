@@ -116,13 +116,20 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# SRP-LSH bucketed ANN (rows-only: the hyperplane constants are engine-side;
-# recall vs the exact baseline is asserted in tests/test_similarity_ops.py)
-@query("sim_topk_srp_lsh")
+# SRP-LSH bucketed ANN. The operator is approximate, but candidates are
+# exact-rescored, so whenever every true top-k neighbor collides with its
+# query in >=1 table the output EQUALS the exact top-k — and the oracle is
+# the same exact-topk SQL as the brute-force queries. The registered params
+# (2 planes, 48 tables) put the per-neighbor miss probability at
+# (1 - c^2)^48 <= 3.5e-9 even for this fixture's weakest top-10 member
+# (cos 0.24 -> c = 0.577); planes are seed-pinned, so the run is
+# deterministic. Recall at a *production* operating point (fewer, wider
+# tables) is asserted separately in tests/test_similarity_ops.py.
+@query("sim_topk_srp_lsh", oracle=_DUCK_TOPK)
 def sim_topk_srp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.similarity import srp_lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
     return srp_lsh_topk(
-        emb, _queries_df(spark, sf), k=TOP_K, num_planes=4, num_tables=8
+        emb, _queries_df(spark, sf), k=TOP_K, num_planes=2, num_tables=48
     ).orderBy("query_id", "rank")

@@ -24,7 +24,21 @@ def read_table(
     num_partitions: int = 8,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    predicates: list[str] | None = None,
 ) -> DataFrame:
+    """Read a sink table as a DataFrame.
+
+    Partitioning options (pick one):
+    - ``partition_column`` + bounds: numeric/date range splits;
+    - ``predicates``: one WHERE clause per partition (the route for STRING
+      keys like ``_id`` — e.g. bucketing on a key prefix). Predicates must
+      cover every row exactly once.
+    """
+    if predicates is not None:
+        return spark.read.jdbc(
+            url=url, table=table, predicates=predicates,
+            properties=dict(properties or {}),
+        )
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

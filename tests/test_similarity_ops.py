@@ -113,3 +113,38 @@ def test_srp_lsh_recall_vs_bruteforce(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_srp_lsh_plan_is_hash_join_not_bnlj(spark):
+    """Candidate generation must be an equi-join on (table, bucket) — an
+    OR-of-bucket-equalities condition degrades to BroadcastNestedLoopJoin,
+    which scans every corpus row against every query."""
+    from momyre_spark.operators.similarity import srp_lsh_topk
+
+    emb = _embs(spark)
+    queries = emb.filter("vec_id < 3")
+    plan = (
+        srp_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=4, dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_embedding_neardup_lsh_matches_exact_and_plan_shape(spark):
+    """LSH-bucketed near-dup pairs: same pairs as the exact method on the
+    fixture, and an all-equi-join plan (no cartesian anywhere)."""
+    from momyre_spark.operators.dedup import embedding_neardup_pairs
+    from momyre_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r["a_id"], r["b_id"], r["cos"]) for r in
+             embedding_neardup_pairs(emb, 0.4, method="exact").collect()}
+    lsh_df = embedding_neardup_pairs(emb, 0.4, target_recall=1 - 1e-6)
+    lsh = {(r["a_id"], r["b_id"], r["cos"]) for r in lsh_df.collect()}
+    assert lsh == exact and len(exact) > 0
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -67,40 +67,83 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (a < b, jaccard >= threshold).
 
-    Inverted-index join: explode distinct shingles, self-join on the shingle,
-    count per pair. Candidate universe = pairs sharing at least one shingle —
-    at scale, shingle frequency skew is the hazard; very frequent shingles
-    can be capped (``max_shingle_freq``-style document-frequency pruning is a
-    natural extension; for threshold >= 0.5 prune-safe variants exist).
-    Output jaccard is exact integer arithmetic divided once at the end.
+    ``prefix_filter=True`` (default — the scale path) generates candidates
+    by PREFIX FILTERING (exact, lossless): shingles are globally ordered by
+    document frequency (rarest first) and each document indexes only its
+    first ``|d| - ceil(t*|d|) + 1`` shingles — any pair with J >= t must
+    share a prefix shingle (pigeonhole on the overlap bound), so the
+    inverted-index self-join runs over the rare prefix only. This is what
+    bounds candidate blow-up under shingle skew: a stop-phrase shared by
+    half the corpus lands in almost no prefixes, so it never materializes
+    the quadratic bucket. Candidates are then exact-verified by
+    intersecting full shingle sets.
+
+    ``prefix_filter=False``: plain inverted-index join over every shingle,
+    counting intersections per pair — fine for small/uniform corpora,
+    quadratic under hot shingles.
     """
     sh = _shingled(docs, id_col, text_col, n)
-    sizes = sh.select("__id", F.size("__sh").alias("__n"))
-    ex = sh.select("__id", F.explode("__sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    if not prefix_filter:
+        sizes = sh.select("__id", F.size("__sh").alias("__n"))
+        ex = sh.select("__id", F.explode("__sh").alias("s"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sizes.select(F.col("__id").alias("ia"), F.col("__n").alias("na"))
+        sb = sizes.select(F.col("__id").alias("ib"), F.col("__n").alias("nb"))
+        return (
+            inter.join(sa, "ia")
+            .join(sb, "ib")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.col("ia").alias("a_id"),
+                F.col("ib").alias("b_id"),
+                round_half_up(F.col("jaccard"), 4).alias("jaccard"),
+            )
+        )
+
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # feeds index + both verify sides
+    ex = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("__rk", F.row_number().over(w))
+        # prefix length: removing ceil(t*n)-1 shingles cannot break J >= t,
+        # so a qualifying pair must collide within the first n-ceil(t*n)+1
+        .filter(F.col("__rk") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        .select("__id", "s")
     )
-    sa = sizes.select(F.col("__id").alias("ia"), F.col("__n").alias("na"))
-    sb = sizes.select(F.col("__id").alias("ib"), F.col("__n").alias("nb"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("a_id"), F.col("b.__id").alias("b_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa"))
+    sb = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter / (F.size("__sa") + F.size("__sb") - inter).cast("double")
     return (
-        inter.join(sa, "ia")
-        .join(sb, "ib")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-        )
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("ia").alias("a_id"),
-            F.col("ib").alias("b_id"),
-            round_half_up(F.col("jaccard"), 4).alias("jaccard"),
-        )
+        .select("a_id", "b_id", round_half_up(F.col("jaccard"), 4).alias("jaccard"))
     )
 
 

@@ -19,9 +19,9 @@ Three physical strategies for the same logical op (top-k neighbors by cosine):
                                nearest of C centroids; a query searches only
                                its own cell. Approximate (recall < 1 near cell
                                boundaries), but the scan per query drops from
-                               N to ~N/C. Centroid "training" here picks the
-                               first C vectors deterministically; swap in
-                               k-means centroids in production.
+                               N to ~N/C. Centroids: k-means|| via
+                               pyspark.ml (production) or a deterministic
+                               first-C stub (cross-engine oracle tests).
 """
 
 from __future__ import annotations
@@ -228,24 +228,79 @@ def srp_lsh_topk(
     return _topk(cand, k)
 
 
+def train_kmeans_centroids(
+    emb: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """k-means|| centroids over (optionally sampled) unit-normalized vectors.
+
+    Training runs on a sample at scale (``sample_fraction``) — centroid
+    quality needs only a sketch of the distribution, not the corpus. The
+    returned centroids are plain Python lists: dimension-sized, they ride
+    to executors in the assignment expression (no MLlib dependency at
+    query time).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from momyre_spark.functions.vectors import add_normalized
+
+    train = emb
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    feats = add_normalized(train, vec_col, "__nv").select(
+        array_to_vector(F.col("__nv")).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def assign_ivf_cells(
     emb: DataFrame,
     num_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | str = "first_c",
 ) -> DataFrame:
-    """Assign each vector to its nearest 'centroid' cell.
+    """Assign each vector to its nearest centroid cell.
 
-    Deterministic stub training: the ``num_cells`` lowest-id vectors act as
-    centroids (production: k-means|| via pyspark.ml). Assignment is a
-    broadcast join + argmax over per-centroid cosine — no shuffle of the
-    corpus."""
+    ``centroids``:
+    - ``'kmeans'``  : train k-means|| via pyspark.ml (the production path —
+      data-adapted cells; see :func:`train_kmeans_centroids`);
+    - ``'first_c'`` : the ``num_cells`` lowest-id vectors act as centroids —
+      a deterministic stub that both engines can reproduce (oracle tests);
+      on clustered data its recall collapses (tested), so never at scale;
+    - an explicit list of vectors (pre-trained / cached).
+
+    Assignment is a broadcast join + argmax over per-centroid cosine — no
+    shuffle of the corpus.
+    """
     from momyre_spark.functions.vectors import add_normalized, dot
 
     nemb = add_normalized(emb, vec_col, "__nv")
-    cents = nemb.orderBy(id_col).limit(num_cells).select(
-        F.col(id_col).alias("cent_id"), F.col("__nv").alias("cent_vec")
-    )
+    if centroids == "kmeans":
+        centroids = train_kmeans_centroids(emb, num_cells, vec_col)
+    if centroids == "first_c":
+        cents = nemb.orderBy(id_col).limit(num_cells).select(
+            F.col(id_col).alias("cent_id"), F.col("__nv").alias("cent_vec")
+        )
+    else:
+        # unit-normalize the centroids so cosine argmax assignment is the
+        # spherical-k-means rule (a k-means mean of unit vectors is not unit)
+        import math
+
+        def _unit(c: list[float]) -> list[float]:
+            n = math.sqrt(sum(x * x for x in c)) or 1.0
+            return [float(x) / n for x in c]
+
+        cents = nemb.sparkSession.createDataFrame(
+            [(i, _unit(c)) for i, c in enumerate(centroids)],
+            "cent_id long, cent_vec array<double>",
+        )
     scored = nemb.crossJoin(F.broadcast(cents)).withColumn(
         "__cs", dot(F.col("__nv"), F.col("cent_vec"))
     )
@@ -264,15 +319,18 @@ def ivf_topk(
     num_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | str = "first_c",
 ) -> DataFrame:
     """Approximate top-k: search only the query's IVF cell.
 
-    At scale the corpus is written partitioned/bucketed by ``cell`` so a
-    query's scan prunes to one partition (~N/C vectors)."""
+    At scale: ``centroids='kmeans'`` (data-adapted cells) and the corpus
+    written partitioned/bucketed by ``cell`` so a query's scan prunes to one
+    partition (~N/C vectors)."""
     from momyre_spark.functions.vectors import add_normalized, dot
 
     cells = add_normalized(
-        assign_ivf_cells(emb, num_cells, id_col, vec_col), vec_col, "__nv"
+        assign_ivf_cells(emb, num_cells, id_col, vec_col, centroids),
+        vec_col, "__nv",
     )
     q = cells.join(
         queries.select(id_col), id_col, "left_semi"

@@ -18,7 +18,8 @@ produce an unsplittable multi-GB file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -48,3 +49,126 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def _read_or_empty(
+    spark: SparkSession, path: str, schema: str
+) -> tuple[DataFrame, bool]:
+    try:
+        return spark.read.parquet(path), True
+    except Exception:  # first batch: table does not exist yet
+        return spark.createDataFrame([], schema), False
+
+
+def merge_cdc_actions(
+    spark: SparkSession,
+    path: str,
+    actions: DataFrame,
+    fields: dict[str, str],
+    key: str = "_id",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Copy-on-write MERGE of a CDC action frame into a parquet lake table —
+    the lake analog of the JDBC transactional apply, for stacks without a
+    Delta/Iceberg runtime (none is available here; with one, this function
+    is a single ``MERGE INTO``).
+
+    ``actions`` is a ``merge_ops_microbatch`` frame: one row per key with
+    ``__action`` in (upsert, patch, delete), ``__present`` naming the fields
+    a patch sets, and one typed column per declared field. Semantics match
+    the JDBC sink: upsert replaces the row, patch updates only its present
+    fields (an explicit null stays null), delete removes the key, and a
+    patch to a nonexistent key is a no-op. Re-merging the same batch is
+    idempotent — the Structured Streaming at-least-once replay contract.
+
+    Scale shape: unpartitioned tables are fully rewritten (small dims);
+    with ``partition_by``, only AFFECTED partitions are rewritten via
+    dynamic partition overwrite — affected = partitions holding an acted-on
+    key plus partitions receiving rows, so a 100 TB table with a 1-partition
+    batch rewrites one partition. Affected partitions whose rows all vanish
+    (delete/move-out) are cleared explicitly — dynamic overwrite cannot
+    write an empty partition.
+    """
+    schema = f"`{key}` string, " + ", ".join(
+        f"`{f}` {t}" for f, t in fields.items()
+    )
+    existing, existed = _read_or_empty(spark, path, schema)
+    existing = existing.select(key, *fields)
+
+    a, e = actions.alias("a"), existing.alias("e")
+    ak, ek = F.col(f"a.{key}"), F.col(f"e.{key}")
+    act = F.col("a.__action")
+
+    if partition_by and existed:
+        # prune the merge's read side to partitions that can change
+        touched = existing.join(
+            actions.select(key), key, "left_semi"
+        ).select(*partition_by).distinct()
+        incoming = actions.filter(F.col("__action") != "delete").select(
+            *partition_by
+        ).distinct()
+        affected = touched.unionByName(incoming).distinct()
+        e = existing.join(F.broadcast(affected), partition_by, "left_semi").alias("e")
+        ek = F.col(f"e.{key}")
+
+    joined = e.join(a, ek == ak, "full_outer")
+    keep = ~(
+        F.coalesce(act == "delete", F.lit(False))
+        | ((act == "patch") & ek.isNull())  # patch to missing key: no-op
+    )
+    out_fields = []
+    for f in fields:
+        patched = F.when(
+            F.array_contains(F.col("a.__present"), F.lit(f)), F.col(f"a.{f}")
+        ).otherwise(F.col(f"e.{f}"))
+        out_fields.append(
+            F.when(act == "upsert", F.col(f"a.{f}"))
+            .when(act == "patch", patched)
+            .otherwise(F.col(f"e.{f}"))
+            .alias(f)
+        )
+    merged = joined.filter(keep).select(
+        F.coalesce(ak, ek).alias(key), *out_fields
+    )
+
+    if not partition_by:
+        # full rewrite through a staging read: the output overwrites its own
+        # input, so materialize first (localCheckpoint cuts the lineage)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+            "maxRecordsPerFile", str(max_records_per_file)
+        ).parquet(path)
+        return
+
+    merged = merged.localCheckpoint(eager=True)
+    if existed:
+        # partitions that were affected but end up with zero rows would be
+        # silently skipped by dynamic overwrite — clear them explicitly
+        emptied = [
+            r
+            for r in affected.subtract(
+                merged.select(*partition_by).distinct()
+            ).collect()
+        ]
+        if emptied:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            hconf = jsc.hadoopConfiguration()
+            for r in emptied:
+                part_path = "/".join(
+                    f"{c}={r[c]}" for c in partition_by
+                )
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_path}")
+                fs = p.getFileSystem(hconf)
+                fs.delete(p, True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.mode("overwrite")
+            .option("maxRecordsPerFile", str(max_records_per_file))
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -108,3 +108,62 @@ def test_duplicate_components_matches_union_find(spark):
     assert got == _components_reference(pairs)
     # chain 1-2-3-10-11-12-13 collapses to min label 1; 20-21 separate
     assert got[13] == 1 and got[21] == 20
+
+
+def test_prefix_filter_matches_plain_inverted_index(spark):
+    """Prefix filtering is lossless: identical pairs + jaccards on the
+    fixture corpus, both orders of magnitude."""
+    from momyre_spark.operators.dedup import ngram_jaccard_pairs
+    from momyre_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for t in (0.5, 0.8):
+        fast = {(r["a_id"], r["b_id"], r["jaccard"]) for r in
+                ngram_jaccard_pairs(docs, threshold=t).collect()}
+        plain = {(r["a_id"], r["b_id"], r["jaccard"]) for r in
+                 ngram_jaccard_pairs(docs, threshold=t, prefix_filter=False).collect()}
+        assert fast == plain and len(plain) > 0
+
+
+def test_prefix_filter_bounds_hot_shingle_candidates(spark):
+    """A stop-phrase shared by EVERY document must not make candidate
+    generation quadratic: with prefix filtering the hot shingles fall
+    outside the rare-first prefixes, so candidates stay ~linear."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 300 docs, each ending in the same hot phrase (7 shared shingles);
+    # unique head per doc, so true J(a,b) ~ 7/25 << 0.5 for all pairs
+    rows = [
+        Row(doc_id=i,
+            text=" ".join(f"u{i}w{j}" for j in range(12))
+            + " the quick brown fox jumps over the lazy dog")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    assert pairs.count() == 0  # no true near-dups
+
+    # candidate set (pre-verify) stays bounded: rerun candidate stage alone
+    # by instrumenting via the plain path comparison — the plain inverted
+    # index would generate 300*299/2 = 44850 candidate pairs from the hot
+    # shingles; assert the prefix path's verify join stays tiny by timing
+    # proxy: count distinct prefix-join pairs directly
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from momyre_spark.operators.dedup import _shingled
+
+    sh = _shingled(docs, "doc_id", "text", 3)
+    ex = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("s"))
+    prefix = (ex.join(freq, "s").withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") <= F.col("__n") - F.ceil(F.lit(0.5) * F.col("__n")) + 1)
+              .select("__id", "s"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ncand = (a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+             .select("a.__id", "b.__id").distinct().count())
+    assert ncand == 0  # hot shingles excluded from every prefix

@@ -49,3 +49,148 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# ------------------------------------------------------------------
+# Copy-on-write CDC merge into the lake (merge_cdc_actions)
+# ------------------------------------------------------------------
+FIELDS = {"type": "string", "email": "string"}
+
+
+def _actions(spark, rows):
+    return spark.createDataFrame(
+        rows, "`_id` string, __action string, __present array<string>, "
+              "type string, email string"
+    )
+
+
+def _lake(spark, path):
+    return {
+        r["_id"]: (r["type"], r["email"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_lake_merge_upsert_patch_delete(spark, tmp_path):
+    path = str(tmp_path / "users_lake")
+    b1 = _actions(spark, [
+        ("a", "upsert", ["type", "email"], "admin", "a@x"),
+        ("b", "upsert", ["type", "email"], "user", "b@x"),
+    ])
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    merge_cdc_actions(spark, path, b1, FIELDS)
+    assert _lake(spark, path) == {"a": ("admin", "a@x"), "b": ("user", "b@x")}
+
+    b2 = _actions(spark, [
+        ("a", "patch", ["email"], None, "a2@x"),     # only email changes
+        ("b", "delete", [], None, None),
+        ("c", "patch", ["type"], "ghost", None),     # patch to missing: no-op
+        ("d", "upsert", ["type"], "new", None),      # absent field -> NULL
+    ])
+    merge_cdc_actions(spark, path, b2, FIELDS)
+    assert _lake(spark, path) == {"a": ("admin", "a2@x"), "d": ("new", None)}
+
+
+def test_lake_merge_replay_is_idempotent(spark, tmp_path):
+    """Re-merging the SAME action batch (Structured Streaming at-least-once
+    replay) must not change the table."""
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    path = str(tmp_path / "users_lake")
+    merge_cdc_actions(spark, path, _actions(spark, [
+        ("a", "upsert", ["type", "email"], "v1", "e1"),
+    ]), FIELDS)
+    batch = _actions(spark, [
+        ("a", "patch", ["type"], "v2", None),
+        ("b", "upsert", ["type", "email"], "nb", "eb"),
+    ])
+    merge_cdc_actions(spark, path, batch, FIELDS)
+    state1 = _lake(spark, path)
+    merge_cdc_actions(spark, path, batch, FIELDS)  # crash-replay
+    assert _lake(spark, path) == state1 == {
+        "a": ("v2", "e1"), "b": ("nb", "eb")
+    }
+
+
+def test_lake_merge_streaming_foreachbatch(spark, tmp_path):
+    """ops stream -> merge_ops_microbatch -> lake merge, end to end."""
+    import json
+
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.cdc import merge_ops_microbatch
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    path = str(tmp_path / "lake_users")
+    src = str(tmp_path / "ops_in")
+    ops = [
+        Row(ts=1, ns="users", op="insert", _id="a",
+            payload=json.dumps({"type": "admin", "email": "a@x"})),
+        Row(ts=2, ns="users", op="insert", _id="b",
+            payload=json.dumps({"type": "user", "email": "b@x"})),
+        Row(ts=3, ns="users", op="update", _id="a",
+            payload=json.dumps({"email": "a2@x"})),
+        Row(ts=4, ns="users", op="delete", _id="b", payload="{}"),
+    ]
+    spark.createDataFrame(ops).write.json(src)
+
+    def handle(batch_df, batch_id):
+        actions = merge_ops_microbatch(batch_df, FIELDS, key="_id", order=("ts",))
+        merge_cdc_actions(spark, path, actions, FIELDS)
+
+    stream = spark.readStream.schema(
+        "ts long, ns string, op string, `_id` string, payload string"
+    ).json(src)
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _lake(spark, path) == {"a": ("admin", "a2@x")}
+
+
+def test_lake_merge_partitioned_rewrites_only_affected(spark, tmp_path):
+    """Partitioned merge: untouched partitions keep their files (mtime
+    unchanged); a partition emptied by deletes disappears."""
+    import os
+    import time
+
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    fields = {"region": "string", "v": "string"}
+
+    def acts(rows):
+        return spark.createDataFrame(
+            rows, "`_id` string, __action string, __present array<string>, "
+                  "region string, v string")
+
+    path = str(tmp_path / "part_lake")
+    merge_cdc_actions(spark, path, acts([
+        ("a", "upsert", ["region", "v"], "eu", "1"),
+        ("b", "upsert", ["region", "v"], "us", "1"),
+        ("c", "upsert", ["region", "v"], "ap", "1"),
+    ]), fields, partition_by=["region"])
+
+    def files(p):
+        out = {}
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = files(path)
+    time.sleep(1.1)
+    merge_cdc_actions(spark, path, acts([
+        ("b", "patch", ["v"], None, "2"),   # touches us only
+        ("c", "delete", [], None, None),    # empties ap
+    ]), fields, partition_by=["region"])
+    after = files(path)
+
+    eu_before = {f: t for f, t in before.items() if "region=eu" in f}
+    assert all(after.get(f) == t for f, t in eu_before.items())  # eu untouched
+    assert not any("region=ap" in f for f in after)              # ap cleared
+    got = {r["_id"]: (r["region"], r["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"a": ("eu", "1"), "b": ("us", "2")}

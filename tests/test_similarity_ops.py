@@ -7,6 +7,7 @@ import math
 import random
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from momyre_spark.operators.similarity import (
     assign_ivf_cells,
@@ -148,3 +149,57 @@ def test_embedding_neardup_lsh_matches_exact_and_plan_shape(spark):
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_kmeans_centroids_beat_first_c_on_clustered_data(spark):
+    """On clustered data the first-C 'centroid' stub samples only some
+    clusters (recall collapses for queries near uncovered regions); k-means
+    centroids adapt to the distribution and recover the true neighbors."""
+    import random
+
+    from momyre_spark.operators.similarity import (
+        ivf_topk,
+        train_kmeans_centroids,
+    )
+
+    rng = random.Random(17)
+    dim, per = 16, 40
+    # 6 well-separated cluster centers; the first `per` ids ALL belong to
+    # cluster 0, so first-C centroids are 8 near-identical cluster-0 vectors
+    centers = []
+    for c in range(6):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5
+        centers.append([8.0 * x / n for x in v])
+    rows = []
+    for c in range(6):
+        for j in range(per):
+            vec = [centers[c][d] + rng.gauss(0, 1.0) for d in range(dim)]
+            rows.append(Row(vec_id=c * per + j, embedding=[float(x) for x in vec]))
+    emb = spark.createDataFrame(rows)
+    # one query per cluster
+    queries = emb.filter(F.col("vec_id") % per == 3)
+
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(result):
+        sets = {}
+        for r in result:
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vals = [len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+                for q in exact_sets]
+        return sum(vals) / len(vals)
+
+    r_first = recall(ivf_topk(emb, queries, k=10, num_cells=6,
+                              centroids="first_c").collect())
+    cents = train_kmeans_centroids(emb, num_cells=6)
+    r_kmeans = recall(ivf_topk(emb, queries, k=10, num_cells=6,
+                               centroids=cents).collect())
+    # first-C centroids all sit in cluster 0: queries from other clusters
+    # land in a near-arbitrary cell -> recall collapses; k-means covers all 6
+    assert r_kmeans >= 0.95, r_kmeans
+    assert r_first <= 0.85, r_first
+    assert r_kmeans > r_first

@@ -96,6 +96,53 @@ def _decode_cluster_time(ct) -> F.Column:
     ).otherwise(ts)
 
 
+def _field_type(stream: DataFrame, *path: str):
+    """DataType at a dotted path in the stream schema, or None."""
+    dt = stream.schema
+    for name in path:
+        if not hasattr(dt, "fieldNames") or name not in dt.fieldNames():
+            return None
+        dt = dt[name].dataType
+    return dt
+
+
+def _flatten_struct_json(col, dtype) -> F.Column:
+    """Struct column -> JSON text of the FLATTENED document.
+
+    Mirrors the reference's obj2plain (mongo.go:141-155) at plan time:
+    nested structs flatten to '_'-joined names, dotted field names (the
+    connector's updatedFields uses literal 'cfg.pub' keys) rewrite '.'->'_'
+    (col4sql, mysql.go:54-56), arrays/maps JSON-serialize whole, scalars
+    cast to string. Pure column expressions — no Python in the stream.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    names: list[str] = []
+    values: list[F.Column] = []
+
+    def walk(prefix: str, c, dt: StructType) -> None:
+        for f in dt.fields:
+            name = (prefix + f.name).replace(".", "_")
+            child = c[f.name]
+            if isinstance(f.dataType, StructType):
+                walk(name + "_", child, f.dataType)
+            elif isinstance(f.dataType, (ArrayType, MapType)):
+                names.append(name)
+                values.append(F.to_json(child))
+            else:
+                names.append(name)
+                values.append(child.cast("string"))
+
+    walk("", col, dtype)
+    if not names:
+        return F.lit("{}")
+    return F.to_json(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n in names]), F.array(*values)
+        )
+    )
+
+
 def decode_change_stream(stream: DataFrame) -> DataFrame:
     """Connector change-stream frame -> the engine's ops IR
     (ts, seq, [tok,] ns, op, _id, payload-json).
@@ -107,33 +154,83 @@ def decode_change_stream(stream: DataFrame) -> DataFrame:
     when the frame carries the resume token (``_id._data``) it is emitted
     as ``tok`` — a lexicographically monotonic keystring — and the apply
     order becomes ``("ts", "seq", "tok")`` (pipeline auto-detects it).
+
+    Schema-form tolerance (the connector surfaces documents either as JSON
+    text or as inferred structs, depending on configuration):
+    - struct-typed ``fullDocument``/``updatedFields`` are flattened at plan
+      time (nested structs -> '_'-joined names, reference obj2plain);
+    - string-typed ``updatedFields`` keys have '.'-paths rewritten to '_'
+      (col4sql parity) — string-typed ``fullDocument`` must already be flat
+      (raw nested JSON needs the opslog decoder's Python flatten);
+    - ``updateDescription.truncatedArrays``: the post-image of a truncated
+      array is NOT in the event. With a looked-up ``fullDocument`` present
+      the update is decoded as a full replace (correct last-write state);
+      without one the row fail-stops — emitting a stale array silently is
+      data corruption.
     """
-    updated = F.from_json(
-        F.col("updateDescription.updatedFields").cast("string"),
-        "map<string,string>",
-    )
+    upd_t = _field_type(stream, "updateDescription", "updatedFields")
+    if upd_t is not None and upd_t.typeName() == "struct":
+        updated = F.from_json(
+            _flatten_struct_json(F.col("updateDescription.updatedFields"), upd_t),
+            "map<string,string>",
+        )
+    else:
+        updated = F.transform_keys(
+            F.from_json(
+                F.col("updateDescription.updatedFields").cast("string"),
+                "map<string,string>",
+            ),
+            lambda k, _v: F.replace(k, F.lit("."), F.lit("_")),
+        )
     removed = F.coalesce(
-        F.col("updateDescription.removedFields"),
+        F.transform(
+            F.col("updateDescription.removedFields"),
+            lambda x: F.replace(x, F.lit("."), F.lit("_")),
+        ),
         F.array().cast("array<string>"),
     )  # NULL removedFields must not null the whole merged payload map
     removed_nulls = F.map_from_arrays(
         removed, F.transform(removed, lambda _: F.lit(None).cast("string"))
     )
+
+    full_t = _field_type(stream, "fullDocument")
+    if full_t is not None and full_t.typeName() == "struct":
+        full_doc = _flatten_struct_json(F.col("fullDocument"), full_t)
+    else:
+        full_doc = F.col("fullDocument").cast("string")
+
+    trunc_t = _field_type(stream, "updateDescription", "truncatedArrays")
+    has_trunc = (
+        F.size(F.coalesce(
+            F.col("updateDescription.truncatedArrays"),
+            F.array().cast(trunc_t.simpleString() if trunc_t is not None else "array<string>"),
+        )) > 0
+        if trunc_t is not None
+        else F.lit(False)
+    )
+
+    is_update = F.col("operationType") == "update"
     op = (
         F.when(F.col("operationType") == "insert", F.lit("insert"))
         .when(F.col("operationType") == "replace", F.lit("insert"))
-        .when(F.col("operationType") == "update", F.lit("update"))
+        # truncated arrays + looked-up post-image -> decode as full replace
+        .when(is_update & has_trunc & F.col("fullDocument").isNotNull(), F.lit("insert"))
+        .when(is_update, F.lit("update"))
         .when(F.col("operationType") == "delete", F.lit("delete"))
     )
+    update_payload = F.when(
+        has_trunc & F.col("fullDocument").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("momyre: truncatedArrays without a fullDocument "
+                      "post-image (configure fullDocument=updateLookup): key "),
+                F.col("documentKey._id").cast("string"),
+            )
+        ).cast("string"),
+    ).otherwise(F.to_json(F.map_concat(updated, removed_nulls)))
     payload = (
-        F.when(
-            F.col("operationType").isin("insert", "replace"),
-            F.col("fullDocument").cast("string"),
-        )
-        .when(
-            F.col("operationType") == "update",
-            F.to_json(F.map_concat(updated, removed_nulls)),
-        )
+        F.when(op == "insert", F.coalesce(full_doc, F.lit("{}")))
+        .when(is_update, update_payload)
         .otherwise(F.lit("{}"))
     )
     has_token = any(

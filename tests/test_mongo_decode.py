@@ -130,3 +130,92 @@ def test_long_cluster_time_still_decodes(spark):
     [r] = decode_change_stream(df).collect()
     assert r["ts"] == 42 and r["seq"] == 0
     assert "tok" not in decode_change_stream(df).columns
+
+
+# --- struct-typed event schemas (connector with inferred document schema) --
+
+STRUCT_SCHEMA = (
+    "_id struct<_data:string>, "
+    "operationType string, clusterTime string, "
+    "ns struct<db:string, coll:string>, "
+    "documentKey struct<_id:string>, "
+    "fullDocument struct<type:string, cfg:struct<pub:string, deep:struct<v:bigint>>, tags:array<string>>, "
+    "updateDescription struct<updatedFields:struct<`cfg.pub`:string, email:string>, removedFields:array<string>>"
+)
+
+
+def test_struct_full_document_flattens_nested(spark):
+    df = spark.createDataFrame([
+        (("t1",), "insert", _ext_ct(5, 1), ("db", "users"), ("k1",),
+         ("admin", ("pk", (9,)), ["x", "y"]), (None, None)),
+    ], STRUCT_SCHEMA)
+    [r] = decode_change_stream(df).collect()
+    assert json.loads(r["payload"]) == {
+        "type": "admin", "cfg_pub": "pk", "cfg_deep_v": "9",
+        "tags": '["x","y"]',  # arrays JSON-serialize whole (reference §1.2)
+    }
+
+
+def test_struct_updated_fields_dotted_keys_rewrite(spark):
+    df = spark.createDataFrame([
+        (("t2",), "update", _ext_ct(5, 2), ("db", "users"), ("k1",), None,
+         (("newpub", "e@x"), ["old.field"])),
+    ], STRUCT_SCHEMA)
+    [r] = decode_change_stream(df).collect()
+    assert json.loads(r["payload"]) == {
+        "cfg_pub": "newpub", "email": "e@x", "old_field": None,
+    }
+
+
+def test_string_updated_fields_dotted_keys_rewrite(spark):
+    df = _rows(spark, [
+        ("update", 11, ("db", "users"), ("k4",), None,
+         (json.dumps({"cfg.pub": "z"}), [])),
+    ])
+    [r] = decode_change_stream(df).collect()
+    assert json.loads(r["payload"]) == {"cfg_pub": "z"}
+
+
+# --- truncatedArrays ------------------------------------------------------
+
+TRUNC_SCHEMA = (
+    "_id struct<_data:string>, "
+    "operationType string, clusterTime string, "
+    "ns struct<db:string, coll:string>, "
+    "documentKey struct<_id:string>, "
+    "fullDocument string, "
+    "updateDescription struct<updatedFields:string, removedFields:array<string>, "
+    "truncatedArrays:array<struct<field:string, newSize:int>>>"
+)
+
+
+def test_truncated_arrays_with_lookup_becomes_replace(spark):
+    df = spark.createDataFrame([
+        (("t3",), "update", _ext_ct(6, 1), ("db", "users"), ("k1",),
+         json.dumps({"type": "post", "tags": "[1]"}),
+         (json.dumps({"type": "post"}), [], [("tags", 1)])),
+    ], TRUNC_SCHEMA)
+    [r] = decode_change_stream(df).collect()
+    assert r["op"] == "insert"  # full reset from the looked-up post-image
+    assert json.loads(r["payload"])["tags"] == "[1]"
+
+
+def test_truncated_arrays_without_lookup_fails_stop(spark):
+    import pytest
+
+    df = spark.createDataFrame([
+        (("t4",), "update", _ext_ct(6, 2), ("db", "users"), ("k1",), None,
+         (json.dumps({"type": "post"}), [], [("tags", 1)])),
+    ], TRUNC_SCHEMA)
+    with pytest.raises(Exception, match="truncatedArrays"):
+        decode_change_stream(df).collect()
+
+
+def test_plain_update_with_trunc_schema_still_decodes(spark):
+    df = spark.createDataFrame([
+        (("t5",), "update", _ext_ct(6, 3), ("db", "users"), ("k1",), None,
+         (json.dumps({"email": "e@x"}), [], None)),
+    ], TRUNC_SCHEMA)
+    [r] = decode_change_stream(df).collect()
+    assert r["op"] == "update"
+    assert json.loads(r["payload"]) == {"email": "e@x"}

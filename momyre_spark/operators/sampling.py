@@ -1,0 +1,139 @@
+"""Deterministic sharding / splitting / sampling / packing for training data.
+
+The operators a corpus pipeline needs between curation and the trainer:
+
+- ``assign_shards``      : stable hash-sharding (export fan-out, data-parallel
+                           reader assignment);
+- ``train_val_split``    : deterministic holdout by key hash — the same doc
+                           lands in the same split on every run and at every
+                           scale, with no coordination;
+- ``stratified_sample``  : EXACT per-stratum fractions (window rank over a
+                           hash order), unlike ``df.sampleBy`` which is only
+                           approximate;
+- ``pack_sequences``     : contiguous token-budget packing — assign documents
+                           to fixed-token-budget bins (context-window packing
+                           for pretraining batches).
+
+Everything is a pure column/window composition (no UDFs, no RNG): the
+"randomness" is a hash of the key, so results are reproducible across runs,
+engines and partitionings. Hashes use the md5-prefix trick (first 15 hex
+chars as a 60-bit int) so a SQL oracle can recompute them bit-identically.
+
+At 100 TB: assign_shards/train_val_split are map-only (fuse into the scan);
+stratified_sample is one shuffle per stratum-window; pack_sequences is one
+shuffle (window by shard) — and because bins are contiguous in hash order,
+downstream per-bin reads are range reads, not gathers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _key_hash(name: str) -> Column:
+    """Engine-neutral 60-bit key hash: int(md5(key)[:15], 16)."""
+    return F.expr(
+        f"CAST(conv(substr(md5(CAST(`{name}` AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def assign_shards(
+    df: DataFrame, num_shards: int, id_col: str = "doc_id", out_col: str = "shard"
+) -> DataFrame:
+    """Stable hash-shard per row: ``md5hash(id) % num_shards``.
+
+    Map-only; adding rows never moves existing rows between shards (unlike
+    round-robin or monotonically_increasing_id schemes)."""
+    return df.withColumn(
+        out_col, F.pmod(_key_hash(id_col), F.lit(num_shards)).cast("bigint")
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    val_fraction: float = 0.01,
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic holdout: ``val`` iff ``md5hash(id) % R < frac * R``.
+
+    Coordination-free and stable under corpus growth — a document's split
+    never changes when other documents are added or the job re-runs."""
+    cut = int(val_fraction * resolution)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.pmod(_key_hash(id_col), F.lit(resolution)) < cut, F.lit("val")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """EXACT stratified sample: ``ceil(frac * |stratum|)`` rows per stratum.
+
+    Rows are ranked inside each stratum by key hash (a deterministic
+    pseudo-random order) and the first ``ceil(frac * n)`` kept — so the
+    sample size is exact, not binomial like ``DataFrame.sampleBy``, and the
+    same rows are chosen on every run. Strata missing from ``fractions``
+    use ``default_fraction``. One window shuffle on the stratum key.
+    """
+    frac = F.lit(float(default_fraction))
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    w = Window.partitionBy(strata_col).orderBy(_key_hash(id_col), F.col(id_col))
+    n = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(n))
+        .filter(F.col("__rk") <= F.ceil(frac * F.col("__n")))
+        .drop("__rk", "__n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Contiguous token-budget packing (concat-and-chunk): documents are
+    laid out in hash-of-id order as one token stream cut every
+    ``max_tokens``; a document's ``bin`` is the chunk index where its FIRST
+    token lands.
+
+    This is streaming context-window packing for pretraining: deterministic,
+    one window pass, bins are contiguous ranges of the order so per-bin
+    reads stay sequential. Documents longer than ``max_tokens`` get a bin of
+    their own (they must be truncated/split downstream — flagged via
+    ``overflow``). With ``shard_col`` the window partitions per shard, so
+    packing parallelizes across shards instead of one global sort.
+    """
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(_key_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn(
+            bin_col,
+            F.floor((F.col("__cum") - F.col(token_col)) / F.lit(max_tokens)).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("overflow", F.col(token_col) > F.lit(max_tokens))
+        .drop("__cum")
+    )

@@ -39,6 +39,7 @@ def load_all() -> None:
         core_queries,
         dedup_queries,
         multimodal_queries,
+        pipeline_queries,
         similarity_queries,
         text_queries,
     )
@@ -75,6 +76,11 @@ DRIVER_PRIORITY = [
     # multimodal plumbing
     "mm_image_meta",
     "mm_frame_sample",
+    # training-pipeline ops (added round 2 — no prior row)
+    "pipe_shard_assignment",
+    "pipe_train_val_split",
+    "pipe_stratified_sample",
+    "pipe_pack_sequences",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Training-pipeline queries: sharding / splits / sampling / packing
+(operators/sampling.py) over ``documents``.
+
+All four operators are hash-deterministic with the engine-neutral md5-prefix
+key hash, so every query carries a full DuckDB value-hash oracle — the
+"random" sample is bit-identically reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from momyre_spark.plans import query
+from momyre_spark.sources.parquet import load_table
+
+# engine-neutral 60-bit key hash, DuckDB form
+_H = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_N_SHARDS = 8
+_VAL_RES = 1_000_000
+_VAL_FRAC = 0.05
+_STRATA = {"en": 0.5, "de": 0.25}
+_DEFAULT_FRAC = 0.1
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pipe_shard_assignment",
+    oracle=f"""
+    SELECT doc_id, {_H} % {_N_SHARDS} AS shard
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pipe_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import assign_shards
+
+    docs = load_table(spark, sf, "documents")
+    return assign_shards(docs, _N_SHARDS).select("doc_id", "shard").orderBy("doc_id")
+
+
+@query(
+    "pipe_train_val_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_H} % {_VAL_RES} < {int(_VAL_FRAC * _VAL_RES)}
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pipe_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import train_val_split
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        train_val_split(docs, _VAL_FRAC, resolution=_VAL_RES)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipe_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY {_H}, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n,
+               CASE lang WHEN 'en' THEN {_STRATA['en']} WHEN 'de' THEN {_STRATA['de']}
+                    ELSE {_DEFAULT_FRAC} END AS frac
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked
+    WHERE rk <= ceil(frac * n)
+    ORDER BY doc_id
+    """,
+)
+def pipe_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        stratified_sample(
+            docs, _STRATA, strata_col="lang", default_fraction=_DEFAULT_FRAC
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY {_H}, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(floor((cum - n) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           n > {_PACK_BUDGET} AS overflow
+    FROM c ORDER BY doc_id
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import token_count
+    from momyre_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return (
+        pack_sequences(docs, _PACK_BUDGET)
+        .select("doc_id", "bin", "overflow")
+        .orderBy("doc_id")
+    )

@@ -81,6 +81,7 @@ DRIVER_PRIORITY = [
     "pipe_train_val_split",
     "pipe_stratified_sample",
     "pipe_pack_sequences",
+    "emb_quantize_int8",
 ]
 
 

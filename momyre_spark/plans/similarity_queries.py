@@ -133,3 +133,61 @@ def sim_topk_srp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return srp_lsh_topk(
         emb, _queries_df(spark, sf), k=TOP_K, num_planes=2, num_tables=48
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (functions/embeddings.py): the 4x-smaller ANN
+# scan path. The oracle replicates the quantization arithmetic exactly
+# (identical double sequence: x*127/max_abs, round half-away-from-zero in
+# both engines), checked via exact integer aggregates of the quantized
+# vector plus a reconstruction-error bound.
+# --------------------------------------------------------------------------
+_DUCK_QUANT = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS max_abs
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, max_abs,
+               CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs END AS safe,
+               list_transform(v, x -> CAST(round(x * 127.0 /
+                   (CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs END)) AS BIGINT)) AS qv
+        FROM m
+    )
+    SELECT vec_id,
+           floor((max_abs / 127.0) * 10000 + 0.5) / 10000.0 AS scale_r4,
+           list_reduce(qv, (a, x) -> a + x) AS qsum,
+           list_max(qv) AS qmax,
+           list_min(qv) AS qmin,
+           list_max(list_transform(range(1, 65),
+               i -> abs(v[i] - qv[i] * (max_abs / 127.0))))
+               <= (max_abs / 127.0) / 2.0 + 1e-12 AS max_err_ok
+    FROM q ORDER BY vec_id
+"""
+
+
+@query("emb_quantize_int8", oracle=_DUCK_QUANT)
+def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.embeddings import dequantize_int8, quantize_int8
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.vectors import to_double
+
+    emb = load_table(spark, sf, "embeddings")
+    quant = emb.select(
+        "vec_id", to_double(F.col("embedding")).alias("v"),
+        quantize_int8(F.col("embedding")).alias("qz"),
+    )
+    ql = F.transform(F.col("qz.q"), lambda x: x.cast("bigint"))
+    err = F.zip_with(
+        F.col("v"), dequantize_int8(F.col("qz")), lambda x, d: F.abs(x - d)
+    )
+    return quant.select(
+        "vec_id",
+        round_half_up(F.col("qz.scale"), 4).alias("scale_r4"),
+        F.aggregate(ql, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
+        F.array_max(ql).alias("qmax"),
+        F.array_min(ql).alias("qmin"),
+        (F.array_max(err) <= F.col("qz.scale") / 2.0 + 1e-12).alias("max_err_ok"),
+    ).orderBy("vec_id")

@@ -56,6 +56,9 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     return docs.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
     ).filter(F.size("__sh") > 0)
@@ -237,8 +240,11 @@ def minhash_lsh_pairs(
     # consumers (signature agg + both verify sides) — persist it so the
     # tokenizer/shingler runs once, not three times (~8 bytes/shingle, tiny
     # relative to the corpus; MEMORY_AND_DISK spills instead of OOMing).
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
     sh = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col).alias("__id"),
             hashed_shingles(F.col(text_col), n).alias("__sh"),
         )
@@ -328,7 +334,9 @@ def simhash_fingerprints(
         hash_expr = "xxhash64(__t) AS __h"
     else:
         raise ValueError(f"unknown token_hash: {token_hash!r}")
-    ex = docs.select(
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    ex = ensure_parallelism(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).selectExpr(id_col, hash_expr)
     votes = ex.groupBy(id_col).agg(

@@ -18,6 +18,9 @@ def analyze_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     t = F.col(text_col)
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     # materialize the token arrays once: every metric reads the bound
     # columns instead of re-running the regex tokenizer (Catalyst does not
     # collapse expensive multi-referenced expressions across projections)

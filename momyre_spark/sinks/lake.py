@@ -172,3 +172,91 @@ def merge_cdc_actions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_records_per_file: int = 5_000_000,
+    small_file_threshold: int = 4,
+) -> int:
+    """Small-file compaction: rewrite partitions whose file count exceeds
+    ``small_file_threshold`` into few large files. Returns the number of
+    partitions rewritten (0 = nothing to do).
+
+    Streaming CDC merges and frequent small batches accrete files; scans
+    then pay per-file open cost and lose row-group locality. Compaction is
+    the lake's VACUUM: per affected partition, read -> coalesce ->
+    dynamic-partition-overwrite, leaving well-sized partitions untouched.
+    Unpartitioned tables compact whole when over the threshold.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return 0
+
+    def parquet_count(p) -> int:
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    if not partition_by:
+        if parquet_count(root) <= small_file_threshold:
+            return 0
+        df = spark.read.parquet(path).localCheckpoint(eager=True)
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_records_per_file))
+            .parquet(path)
+        )
+        return 1
+
+    # find over-fragmented leaf partitions
+    fragmented = []
+    stack = [(root, {})]
+    while stack:
+        cur, vals = stack.pop()
+        for st in fs.listStatus(cur):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue
+            col, val = name.split("=", 1)
+            nxt = dict(vals, **{col: val})
+            if len(nxt) == len(partition_by):
+                if parquet_count(st.getPath()) > small_file_threshold:
+                    fragmented.append(nxt)
+            else:
+                stack.append((st.getPath(), nxt))
+    if not fragmented:
+        return 0
+
+    df = spark.read.parquet(path)
+    cond = None
+    for vals in fragmented:
+        clause = None
+        for c in partition_by:
+            eq = F.col(c).cast("string") == vals[c]
+            clause = eq if clause is None else (clause & eq)
+        cond = clause if cond is None else (cond | clause)
+    part = df.filter(cond).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            part.repartition(*[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_records_per_file))
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(fragmented)

@@ -194,3 +194,41 @@ def test_lake_merge_partitioned_rewrites_only_affected(spark, tmp_path):
     got = {r["_id"]: (r["region"], r["v"])
            for r in spark.read.parquet(path).collect()}
     assert got == {"a": ("eu", "1"), "b": ("us", "2")}
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    import os
+
+    from momyre_spark.sinks.lake import compact_partitions
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    # 16 writers per partition -> fragmented layout
+    df.repartition(16).write.partitionBy("p").parquet(path)
+
+    def nfiles(sub):
+        d = os.path.join(path, sub)
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert nfiles("p=0") > 4
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    n = compact_partitions(spark, path, partition_by=["p"])
+    assert n == 2
+    assert nfiles("p=0") == 1 and nfiles("p=1") == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+    # second run: nothing to do
+    assert compact_partitions(spark, path, partition_by=["p"]) == 0
+
+
+def test_compaction_unpartitioned(spark, tmp_path):
+    from momyre_spark.sinks.lake import compact_partitions
+
+    path = str(tmp_path / "frag2")
+    spark.range(500).repartition(12).write.parquet(path)
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert compact_partitions(spark, path) == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+    assert compact_partitions(spark, path) == 0

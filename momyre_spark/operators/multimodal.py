@@ -4,12 +4,18 @@ Design: image/audio/video payloads are ``binary`` columns with a sibling
 metadata struct; all per-item work runs as Arrow-batched ``mapInPandas`` so
 bytes move executor-side in columnar batches and never touch the driver.
 Partitioning, schemas, batch shapes and the UDF signatures are real and
-tested; the *decoders themselves* are STUBS — the imaging/audio libraries
-(PIL, soundfile, av, ...) are not in this environment, so decode is either
+tested. Decoders:
 
-- ``mode="fake"``  : a deterministic byte-derived fake (testable end-to-end), or
-- ``mode="real"``  : guarded imports that raise ``NotImplementedError`` with
-                     a clear message when the library is absent.
+- ``mode="real"``  : REAL decode for netpbm images (P5 grayscale / P6 RGB,
+                     parsed with pure numpy — no external library needed);
+                     other formats (JPEG/PNG/...) need PIL/opencv, absent in
+                     this environment, and raise ``NotImplementedError`` with
+                     a clear message.
+- ``mode="fake"``  : a deterministic byte-derived fake (plumbing tests for
+                     arbitrary payloads).
+
+``resize_images`` is a fully real operator over netpbm payloads:
+decode -> nearest-neighbor resample (numpy indexing) -> re-encode.
 
 The testdata has no binary table, so ``with_binary_payload`` manufactures one
 from ``documents.text`` (utf-8 bytes) — in production this column comes
@@ -47,6 +53,61 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (64 + n % 512, 64 + (n * 7) % 512, 3)
 
 
+def decode_netpbm(payload: bytes):
+    """Parse a binary netpbm image (P5 grayscale / P6 RGB) with numpy.
+
+    Returns ``(width, height, channels, array[h, w, c] uint8)``. Raises
+    ``ValueError`` on malformed input and ``NotImplementedError`` for
+    non-netpbm magics (those need an imaging library).
+    """
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            f"payload magic {magic!r} is not netpbm (P5/P6); JPEG/PNG/... "
+            "decode requires PIL/opencv, not available in this environment"
+        )
+    channels = 3 if magic == b"P6" else 1
+
+    # header tokens: magic, width, height, maxval — whitespace separated,
+    # '#' comments run to end of line; pixel data starts after ONE
+    # whitespace byte following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    need = width * height * channels
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated netpbm raster")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, channels)
+    return width, height, channels, arr
+
+
+def encode_netpbm(arr) -> bytes:
+    """uint8 array[h, w, c] (c in {1, 3}) -> binary netpbm bytes."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
 def extract_image_meta(
     df: DataFrame, id_col: str = "doc_id", data_col: str = "data", mode: str = "fake"
 ) -> DataFrame:
@@ -59,12 +120,6 @@ def extract_image_meta(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                # STUB: real decode needs an imaging library absent here.
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv — not available in "
-                    "this environment; use mode='fake' for plumbing tests"
-                )
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
                 "n_bytes": pdf[data_col].map(len).astype("int64"),
@@ -72,13 +127,62 @@ def extract_image_meta(
                     lambda b: hashlib.md5(bytes(b)).hexdigest()
                 ),
             }
-            dims = pdf[data_col].map(lambda b: _fake_decode(bytes(b)))
+            if mode == "real":
+                dims = pdf[data_col].map(
+                    lambda b: decode_netpbm(bytes(b))[:3]
+                )
+            else:
+                dims = pdf[data_col].map(lambda b: _fake_decode(bytes(b)))
             out["width"] = dims.map(lambda d: d[0]).astype("int32")
             out["height"] = dims.map(lambda d: d[1]).astype("int32")
             out["channels"] = dims.map(lambda d: d[2]).astype("int32")
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, channels int, data binary"
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """REAL image resize over netpbm payloads (decode -> nearest-neighbor
+    resample -> re-encode), Arrow-batched per partition.
+
+    Nearest-neighbor via pure numpy index maps — the canonical shape for any
+    per-image transform at scale: bytes in, bytes out, no driver round-trip,
+    no Python object per pixel."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, datas = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[data_col]):
+                w0, h0, c, arr = decode_netpbm(bytes(payload))
+                rows = (np.arange(height) * h0) // height
+                cols = (np.arange(width) * w0) // width
+                resized = arr[rows][:, cols]
+                ids.append(int(did))
+                ws.append(width)
+                hs.append(height)
+                cs.append(c)
+                datas.append(encode_netpbm(resized))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(cs, dtype="int32"),
+                    "data": pd.Series(datas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(

@@ -66,3 +66,79 @@ def test_sample_frames_fanout(spark):
     # doc 3: 1000 bytes -> 10 frames -> 0,4,8
     assert [f["frame_idx"] for f in by_doc[3]] == [0, 4, 8]
     assert by_doc[3][1]["frame_digest"] == hashlib.md5(b"b" * 100).hexdigest()
+
+
+# ------------------------------------------------------------------
+# REAL netpbm decode / resize (pure numpy — no imaging library)
+# ------------------------------------------------------------------
+def _ppm(w, h, seed=1):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from momyre_spark.operators.multimodal import encode_netpbm
+
+    return encode_netpbm(arr), arr
+
+
+def test_netpbm_decode_roundtrip():
+    import numpy as np
+
+    from momyre_spark.operators.multimodal import decode_netpbm
+
+    payload, arr = _ppm(17, 9)
+    w, h, c, out = decode_netpbm(payload)
+    assert (w, h, c) == (17, 9, 3)
+    assert np.array_equal(out, arr)
+    # comments + arbitrary whitespace in header
+    with_comment = b"P5\n# a comment\n 4\t2 # trailing\n255\n" + bytes(range(8))
+    w, h, c, out = decode_netpbm(with_comment)
+    assert (w, h, c) == (4, 2, 1)
+    assert out.flatten().tolist() == list(range(8))
+
+
+def test_netpbm_unknown_magic_and_truncation():
+    import pytest
+
+    from momyre_spark.operators.multimodal import decode_netpbm
+
+    with pytest.raises(NotImplementedError, match="netpbm"):
+        decode_netpbm(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_netpbm(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_real_image_meta_on_ppm_payloads(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.multimodal import extract_image_meta
+
+    rows = []
+    for i, (w, h) in enumerate([(8, 6), (12, 4), (5, 5)]):
+        payload, _ = _ppm(w, h, seed=i)
+        rows.append(Row(doc_id=i, data=bytearray(payload)))
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    got = {r["doc_id"]: (r["width"], r["height"], r["channels"])
+           for r in extract_image_meta(df, mode="real").collect()}
+    assert got == {0: (8, 6, 3), 1: (12, 4, 3), 2: (5, 5, 3)}
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.multimodal import decode_netpbm, resize_images
+
+    payload, arr = _ppm(16, 8, seed=7)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, data=bytearray(payload))], "doc_id long, data binary"
+    )
+    [r] = resize_images(df, width=4, height=4).collect()
+    assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+    w, h, c, out = decode_netpbm(bytes(r["data"]))
+    assert (w, h, c) == (4, 4, 3)
+    # nearest-neighbor: out[y, x] == arr[y*8//4, x*16//4]
+    rows_idx = (np.arange(4) * 8) // 4
+    cols_idx = (np.arange(4) * 16) // 4
+    assert np.array_equal(out, arr[rows_idx][:, cols_idx])

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Structured Streaming checkpoint dir")
     p.add_argument("--sink-partitions", type=int, default=8,
                    help="max concurrent sink connections")
+    p.add_argument("--lake-root", default=None,
+                   help="write to a parquet lake at this root instead of "
+                        "the JDBC sink (snapshot + copy-on-write CDC merge)")
     return p
 
 
@@ -112,8 +115,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     if args.mode in ("batch", "both"):
-        resynced = engine.run_batch_sync()
-        print(f"resynced: {resynced}", file=sys.stderr)
+        if args.lake_root:
+            for table in spec.tables:
+                engine.snapshot_to_lake(table, f"{args.lake_root}/{table}")
+            print(f"snapshotted to lake: {sorted(spec.tables)}", file=sys.stderr)
+        else:
+            resynced = engine.run_batch_sync()
+            print(f"resynced: {resynced}", file=sys.stderr)
 
     if args.mode in ("stream", "both"):
         from momyre_spark.sources.mongo import change_stream_reader, decode_change_stream
@@ -124,16 +132,24 @@ def main(argv: list[str] | None = None) -> int:
             raw = change_stream_reader(spark, inp, db, table).load()
             streams.append(decode_change_stream(raw))
         ops = streams[0]
-        for s in streams[1:]:
-            ops = ops.unionByName(s)
-        query = start_cdc_stream(
-            ops,
-            spec,
-            connection_factory=mysql_connection_factory(out),
-            dialect_name="mysql",
-            checkpoint_dir=args.checkpoint,
-            num_partitions=args.sink_partitions,
-        )
+        for st in streams[1:]:
+            ops = ops.unionByName(st)
+        if args.lake_root:
+            from momyre_spark.streaming.pipeline import start_cdc_lake_stream
+
+            query = start_cdc_lake_stream(
+                ops, spec, lake_root=args.lake_root,
+                checkpoint_dir=args.checkpoint,
+            )
+        else:
+            query = start_cdc_stream(
+                ops,
+                spec,
+                connection_factory=mysql_connection_factory(out),
+                dialect_name="mysql",
+                checkpoint_dir=args.checkpoint,
+                num_partitions=args.sink_partitions,
+            )
         query.awaitTermination()
     return 0
 

@@ -319,3 +319,63 @@ def supervise(
                 raise
             restarts += 1
             _time.sleep(backoff_seconds)
+
+
+def start_cdc_lake_stream(
+    ops_stream: DataFrame,
+    spec: Spec,
+    *,
+    lake_root: str,
+    checkpoint_dir: str,
+    order: Sequence[str] | None = None,
+    ns_col: str = "ns",
+    partition_by: dict[str, list[str]] | None = None,
+    trigger: dict[str, Any] | None = None,
+):
+    """CDC stream into the LAKE: each micro-batch merges per-table actions
+    into ``{lake_root}/{table}`` via the copy-on-write parquet MERGE
+    (sinks/lake.merge_cdc_actions) — the path that makes replicated tables
+    directly scannable at 100 TB without an RDBMS in the loop.
+
+    Exactly-once story: Structured Streaming serializes batches and
+    checkpoints offsets; the merge itself is idempotent (re-merging a
+    replayed batch reproduces the same table), so at-least-once foreachBatch
+    delivery converges. ``partition_by`` optionally maps table -> partition
+    columns for affected-partition-only rewrites.
+    """
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        o = order
+        if o is None:
+            o = tuple(c for c in ("ts", "seq", "tok") if c in batch_df.columns)
+        multi_table = len(spec.tables) > 1
+        if multi_table:
+            batch_df = batch_df.persist()
+        try:
+            for tname, tspec in spec.tables.items():
+                ops = batch_df.filter(F.col(ns_col) == tname)
+                fields = {
+                    c: t for c, t in tspec.sql_columns.items() if c != "_id"
+                }
+                actions = merge_ops_microbatch(ops, fields, key="_id", order=o)
+                merge_cdc_actions(
+                    batch_df.sparkSession,
+                    f"{lake_root}/{tname}",
+                    actions,
+                    fields,
+                    key="_id",
+                    partition_by=(partition_by or {}).get(tname),
+                )
+        finally:
+            if multi_table:
+                batch_df.unpersist()
+
+    writer = (
+        ops_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -36,3 +36,12 @@ def test_mysql_factory_parses_url_and_is_picklable():
     )
     assert params == {"host": "db.host", "port": 3307, "user": "alice",
                       "password": "secret", "database": "prod"}
+
+
+def test_lake_root_flag_parses():
+    from momyre_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["--config", "x.yml", "--mode", "batch", "--lake-root", "/tmp/lake"]
+    )
+    assert args.lake_root == "/tmp/lake"

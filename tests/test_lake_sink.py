@@ -232,3 +232,55 @@ def test_compaction_unpartitioned(spark, tmp_path):
     assert compact_partitions(spark, path) == 1
     assert {r["id"] for r in spark.read.parquet(path).collect()} == before
     assert compact_partitions(spark, path) == 0
+
+
+def test_cdc_lake_stream_end_to_end(spark, tmp_path):
+    """Raw oplog -> decode -> start_cdc_lake_stream -> per-table lake state,
+    including a txn touching one key twice (seq order) and a delete."""
+    import json
+
+    from pyspark.sql import Row
+
+    from momyre_spark.sources.opslog import decode_oplog
+    from momyre_spark.spec import parse_spec
+    from momyre_spark.streaming.pipeline import start_cdc_lake_stream
+
+    entries = [
+        {"op": "i", "ns": "db.users", "ts": {"t": 1, "i": 1},
+         "o": {"_id": "a", "type": "admin", "email": "a@x"}},
+        {"op": "u", "ns": "db.users", "ts": {"t": 1, "i": 2},
+         "o": {"$set": {"email": "a2@x"}}, "o2": {"_id": "a"}},
+        {"op": "i", "ns": "db.users", "ts": {"t": 2, "i": 1},
+         "o": {"_id": "b", "type": "user"}},
+        {"op": "d", "ns": "db.users", "ts": {"t": 3, "i": 1}, "o": {"_id": "b"}},
+        {"op": "c", "ns": "admin.$cmd", "ts": {"t": 4, "i": 1},
+         "o": {"applyOps": [
+             {"op": "i", "ns": "db.users", "o": {"_id": "c", "v": "first"}},
+             {"op": "u", "ns": "db.users",
+              "o": {"$set": {"v": "last"}}, "o2": {"_id": "c"}},
+         ]}},
+    ]
+    src = str(tmp_path / "oplog_in")
+    spark.createDataFrame(
+        [Row(entry=json.dumps(e)) for e in entries]
+    ).write.json(src)
+
+    spec = parse_spec(
+        "tables:\n  users:\n    type: varchar(100)\n    email: varchar(100)\n"
+        "    v: varchar(100)\n"
+    )
+    raw = spark.readStream.schema("entry string").json(src)
+    q = start_cdc_lake_stream(
+        decode_oplog(raw, tables=["users"]), spec,
+        lake_root=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = {r["_id"]: (r["type"], r["email"], r["v"])
+           for r in spark.read.parquet(str(tmp_path / "lake" / "users")).collect()}
+    assert got == {
+        "a": ("admin", "a2@x", None),
+        "c": (None, None, "last"),   # txn: insert then update, seq-ordered
+    }  # b deleted

@@ -82,6 +82,9 @@ DRIVER_PRIORITY = [
     "pipe_stratified_sample",
     "pipe_pack_sequences",
     "emb_quantize_int8",
+    "q42_percentiles",
+    "q43_levenshtein",
+    "q44_sessionize_batch",
 ]
 
 

@@ -718,3 +718,128 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated, = DuckDB quantile_cont): the reporting
+# workhorse the approximate sketches (approx_percentile) trade away.
+# --------------------------------------------------------------------------
+@query(
+    "q42_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000.0 AS p25,
+           floor(quantile_cont(l_extendedprice, 0.5)  * 10000 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(l_extendedprice, 0.9)  * 10000 + 0.5) / 10000.0 AS p90,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.numeric import round_half_up
+
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_half_up(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            round_half_up(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            round_half_up(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance scalar surface (fuzzy matching / dedup pre-filter)
+# --------------------------------------------------------------------------
+@query(
+    "q43_levenshtein",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(split_part(p_type, ' ', 1), split_part(p_type, ' ', -1)) AS d_type,
+           levenshtein(p_brand, 'Brand#33') AS d_brand
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    parts = F.split(F.col("p_type"), " ")
+    return (
+        load_table(spark, sf, "part")
+        .select(
+            "p_partkey",
+            F.levenshtein(F.element_at(parts, 1), F.element_at(parts, -1))
+            .cast("bigint").alias("d_type"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#33"))
+            .cast("bigint").alias("d_brand"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: gap-based sessions via lag + running sum of
+# boundary flags — the batch twin of streaming/sessionize.py (same session
+# definition, 30-minute inactivity gap).
+# --------------------------------------------------------------------------
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "q44_sessionize_batch",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+               lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev_es
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > {_SESSION_GAP_S}
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT user_id, event_id, es,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_id
+        FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(es) AS start_es, max(es) AS end_es
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > _SESSION_GAP_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("new_s").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("es").alias("start_es"),
+            F.max("es").alias("end_es"),
+        )
+        .orderBy("user_id", "session_id")
+    )

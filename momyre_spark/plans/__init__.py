@@ -52,7 +52,8 @@ def load_all() -> None:
 # driver-verified row across rounds (r01: the 50 below the fold; r02+: the
 # 20 here + the next 30). Within the list: oracle-checked before rows-only.
 DRIVER_PRIORITY = [
-    # text analysis (oracle-checked)
+    # --- cheap first: maximizes recorded rows under any driver budget ---
+    # text analysis
     "text_token_counts",
     "text_quality",
     "text_langid",
@@ -62,29 +63,31 @@ DRIVER_PRIORITY = [
     "text_vocab_stats",
     "text_term_stats",
     "text_top_terms_per_doc",
-    # similarity search (oracle-checked)
+    # similarity search
     "sim_topk_bruteforce",
     "sim_topk_numpy",
     "sim_topk_ivf",
     "sim_topk_srp_lsh",
-    # dedup + curation
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_groups",
-    "curate_corpus",
-    "dedup_minhash_synthetic_20k",
     # multimodal plumbing
     "mm_image_meta",
     "mm_frame_sample",
-    # training-pipeline ops (added round 2 — no prior row)
+    # training-pipeline ops (added round 2)
     "pipe_shard_assignment",
     "pipe_train_val_split",
     "pipe_stratified_sample",
     "pipe_pack_sequences",
     "emb_quantize_int8",
+    # analytics breadth (added round 2)
     "q42_percentiles",
     "q43_levenshtein",
     "q44_sessionize_batch",
+    "q45_salted_join",
+    # --- heavier LLM-dedup family last within the priority block ---
+    "dedup_simhash",
+    "dedup_groups",
+    "dedup_embedding_cosine",
+    "curate_corpus",
+    "dedup_minhash_synthetic_20k",
 ]
 
 

@@ -843,3 +843,31 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join (operators/skew.py): result-equivalent to the plain
+# equi-join — the oracle IS the plain join — while the physical plan spreads
+# a hot key over `salts` partitions. Driver-verifies the skew path's
+# correctness; the skew-distribution property is tested in
+# test_skew_and_windows.py.
+# --------------------------------------------------------------------------
+@query(
+    "q45_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice AS p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 350000
+    ORDER BY o.o_orderkey
+    """,
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 350000)
+    c = load_table(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return (
+        salted_join(o, c.select("o_custkey", "c_name"), on="o_custkey")
+        .select("o_orderkey", "c_name", F.col("o_totalprice").alias("p"))
+        .orderBy("o_orderkey")
+    )

@@ -139,6 +139,66 @@ def langid(text: Column) -> Column:
     return langid_from_tokens(tokens(text))
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITHOUT dedup (frequency-preserving, unlike shingles()).
+    Same zip-of-shifted-slices construction — see shingles() for why."""
+    toks = tokens(text)
+    n_out = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_out).alias(f"s{i}") for i in range(n)]
+    )
+    gram = F.transform(z, lambda s: F.concat_ws(" ", *[s[f"s{i}"] for i in range(n)]))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(gram)
+
+
+def dup_token_fraction_from_tokens(toks: Column) -> Column:
+    """Gopher-style repetition signal: fraction of tokens that repeat an
+    earlier token (1 - distinct/total); 0 for empty documents."""
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    )
+
+
+def digit_fraction(text: Column) -> Column:
+    """Digits / non-whitespace chars (0 for whitespace-only text)."""
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / total.cast("double")
+    )
+
+
+def symbol_fraction(text: Column) -> Column:
+    """Non-alphanumeric / non-whitespace chars over non-whitespace chars —
+    high values flag markup/boilerplate (Gopher symbol-to-word heuristic)."""
+    sym = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    total = F.length(F.regexp_replace(text, r"\s", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        sym.cast("double") / total.cast("double")
+    )
+
+
+# PII patterns — RE2/Java-portable subset: no lookaround, no backrefs, so the
+# DuckDB oracle (RE2) and Spark (java.util.regex) match identical spans.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, then international phone numbers with
+    typed placeholders. Order is load-bearing (phone must not eat IP octets)
+    and mirrored exactly in the DuckDB oracle."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def fingerprint(text: Column) -> Column:
     """Exact-dedup fingerprint: md5 of whitespace-normalized lowercase text."""
     return F.md5(F.concat_ws(" ", tokens(F.lower(text))))

@@ -63,6 +63,11 @@ DRIVER_PRIORITY = [
     "text_vocab_stats",
     "text_term_stats",
     "text_top_terms_per_doc",
+    # text-pipeline breadth (added round 2, second pass)
+    "text_repetition",
+    "text_top_bigram_frac",
+    "text_pii_redact",
+    "text_bm25_topk",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_numpy",

@@ -256,6 +256,224 @@ def text_term_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality-filter metrics (pure map, no shuffle):
+# duplicate-token fraction, digit density, symbol density, and a keep flag.
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len(list_distinct({_TOK})) END AS nd,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS sym,
+               length(regexp_replace(text, '\\s', '', 'g')) AS total
+        FROM documents
+    )
+    SELECT doc_id, n AS n_tokens,
+           floor((CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - nd / CAST(n AS DOUBLE) END) * 10000 + 0.5) / 10000.0 AS dup_token_frac,
+           floor((CASE WHEN total = 0 THEN 0.0 ELSE digits / CAST(total AS DOUBLE) END) * 10000 + 0.5) / 10000.0 AS digit_frac,
+           floor((CASE WHEN total = 0 THEN 0.0 ELSE sym / CAST(total AS DOUBLE) END) * 10000 + 0.5) / 10000.0 AS symbol_frac,
+           (n >= 5 AND (CASE WHEN n = 0 THEN 0.0 ELSE 1.0 - nd / CAST(n AS DOUBLE) END) <= 0.9) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions import text as T
+
+    docs = load_table(spark, sf, "documents")
+    toks = T.tokens(F.col("text"))
+    dup = T.dup_token_fraction_from_tokens(toks)
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        round_half_up(dup, 4).alias("dup_token_frac"),
+        round_half_up(T.digit_fraction(F.col("text")), 4).alias("digit_frac"),
+        round_half_up(T.symbol_fraction(F.col("text")), 4).alias("symbol_frac"),
+        ((F.size(toks) >= 5) & (dup <= 0.9)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Top-bigram concentration (Gopher top-n-gram filter): the fraction of all
+# word bigrams taken by the most frequent one. One explode + two hash aggs
+# keyed by doc_id — map-side partial aggregation, no all-pairs anything.
+# --------------------------------------------------------------------------
+@query(
+    "text_top_bigram_frac",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_LTOK} AS ts FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+        FROM tok WHERE len(ts) >= 2
+    ),
+    c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(max(c) AS BIGINT) AS top_bigram_count,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           floor(max(c) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS top_bigram_frac
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_top_bigram_frac(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("b")
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bigram_count"),
+            F.sum("c").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "top_bigram_count",
+            "n_bigrams",
+            round_half_up(
+                F.col("top_bigram_count") / F.col("n_bigrams").cast("double"), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction. The corpus is synthetic and PII-free, so each
+# row is augmented with deterministic doc_id-derived PII — identically in
+# both engines — making every regex actually fire. Patterns are an
+# RE2/Java-portable subset (functions/text.py PII_*).
+# --------------------------------------------------------------------------
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                    || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS aug
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(aug, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(aug, '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b')) AS n_ips,
+           len(regexp_extract_all(aug, '\\+[0-9]{{7,15}}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(aug, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<IP>', 'g'),
+             '\\+[0-9]{{7,15}}', '<PHONE>', 'g') AS redacted
+    FROM a ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions import text as T
+
+    docs = load_table(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+    )
+    return (
+        docs.select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            T.pii_count(F.col("aug"), T.PII_EMAIL).cast("bigint").alias("n_emails"),
+            T.pii_count(F.col("aug"), T.PII_IPV4).cast("bigint").alias("n_ips"),
+            T.pii_count(F.col("aug"), T.PII_PHONE).cast("bigint").alias("n_phones"),
+            T.redact_pii(F.col("aug")).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 document ranking for a fixed query-term set. The IDF uses the
+# rational Robertson surrogate (N - df + 0.5)/(df + 0.5) — no log — so
+# every arithmetic step is +,*,/ over exact-integer inputs and both engines
+# produce bit-identical doubles. Corpus stats (N, avgdl, per-term df) are a
+# single-row aggregate broadcast to the scoring map — one tiny shuffle.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ["spark", "table", "merge"]
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter({_LTOK}, t -> t = '{term}'))"
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_LTOK}) END AS dl,
+               {", ".join(f"{_bm25_tf_sql(t)} AS tf_{t}" for t in _BM25_TERMS)}
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {", ".join(f"CAST(count(*) FILTER (WHERE tf_{t} > 0) AS BIGINT) AS df_{t}" for t in _BM25_TERMS)}
+        FROM d
+    )
+    SELECT doc_id, dl,
+           floor(({" + ".join(f"(n - df_{t} + 0.5) / (df_{t} + 0.5) * (tf_{t} * 2.2) / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))" for t in _BM25_TERMS)}) * 10000 + 0.5) / 10000.0 AS score
+    FROM d, s
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = tokens(F.lower(F.col("text")))
+
+    def _tf(term: str):
+        # a two-arg lambda would receive (element, index) from F.filter —
+        # bind the term via closure, not a default arg
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[_tf(t).cast("bigint").alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).cast("bigint").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        term_score = (
+            (F.col("n") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            * (F.col(f"tf_{t}") * F.lit(2.2))
+            / (F.col(f"tf_{t}") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")))
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        scored.select("doc_id", "dl", round_half_up(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "text_top_terms_per_doc",
     oracle=f"""

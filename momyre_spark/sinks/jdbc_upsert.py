@@ -92,6 +92,7 @@ def upsert_partition(
     batch_size: int = 1000,
     ts_guard_col: str | None = None,
     layout: int | None = None,
+    progress_label: str | None = None,
 ) -> None:
     """Executor-side body: batched upsert of one partition in one txn.
 
@@ -111,7 +112,7 @@ def upsert_partition(
         part = tc.partitionId() if tc is not None else None
     except Exception:
         part = None
-    pkey = _progress_key(table, part, layout)
+    pkey = _progress_key(progress_label or table, part, layout)
     conn = connection_factory()
     try:
         cur = conn.cursor()
@@ -184,6 +185,7 @@ def upsert_dataframe(
     batch_id: int | None = None,
     num_partitions: int | None = None,
     ts_guard_col: str | None = None,
+    progress_label: str | None = None,
 ) -> None:
     """Distributed upsert: every partition opens its own connection/txn.
 
@@ -208,8 +210,49 @@ def upsert_dataframe(
             batch_id=batch_id,
             ts_guard_col=ts_guard_col,
             layout=layout,
+            progress_label=progress_label,
         )
     )
+
+
+def purge_tombstones(
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    tombstone_col: str,
+    ts_guard_col: str,
+    older_than: int,
+) -> int:
+    """Compact soft-deleted rows: physically DELETE rows flagged by
+    ``tombstone_col`` whose high-water mark is older than ``older_than``.
+
+    Run this as periodic maintenance once the retention window exceeds the
+    transport's maximum reorder horizon — after that, no stale upsert for
+    the key can still arrive, so dropping the tombstone (and its guard ts)
+    is safe. Returns the number of rows purged. Driver-side single
+    statement: the flagged set is bounded by delete traffic, not table
+    size, and the sink indexes the primary key, not the flag."""
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    ph = dialect.ph
+    q = dialect.q
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"DELETE FROM {q(table)} WHERE {q(tombstone_col)} = 1 "
+            f"AND {q(ts_guard_col)} < {ph}",
+            (older_than,),
+        )
+        n = cur.rowcount
+        conn.commit()
+        return n if n is not None else 0
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
 
 
 def delete_dataframe(

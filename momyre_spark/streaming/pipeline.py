@@ -130,6 +130,7 @@ def apply_actions(
     key: str = "_id",
     num_partitions: int | None = None,
     ts_guard_col: str | None = None,
+    tombstone_col: str | None = None,
 ) -> None:
     """Write a merge_ops_microbatch action frame to the sink.
 
@@ -140,19 +141,28 @@ def apply_actions(
     delivery (reordered Kafka partitions, replayed ranges) — a failure mode
     the reference's totally-ordered oplog could never produce.
 
-    KNOWN LIMIT (resurrection window): a guarded DELETE physically removes
-    the row *and therefore its high-water mark*; a stale upsert arriving
-    after that delete finds no row to compare against and re-inserts it.
-    Closing the window requires tombstones (soft-delete rows carrying the
-    guard ts, compacted later) — not implemented; deployments whose
-    transport can reorder a delete before an older upsert should either
-    keep per-key ordering in the transport (Kafka key-partitioning does) or
-    add a tombstone table."""
+    RESURRECTION WINDOW and ``tombstone_col``: a guarded DELETE physically
+    removes the row *and therefore its high-water mark*; a stale upsert
+    arriving after that delete finds no row to compare against and
+    re-inserts it. Passing ``tombstone_col`` (requires ``ts_guard_col``)
+    closes the window: deletes become guarded soft-delete upserts that keep
+    the key + high-water mark with ``tombstone_col = 1``, upserts write
+    ``tombstone_col = 0``, and a stale upsert after a newer delete is
+    correctly rejected by the guard. Readers must filter
+    ``tombstone_col = 0``; compact flagged rows later with
+    ``sinks.jdbc_upsert.purge_tombstones``. Without ``tombstone_col``,
+    deployments whose transport can reorder a delete before an older upsert
+    should keep per-key ordering in the transport (Kafka key-partitioning
+    does)."""
+    if tombstone_col is not None and ts_guard_col is None:
+        raise ValueError("tombstone_col requires ts_guard_col")
     fields = [c for c in table.sql_columns if c != key]
     guard_cols = ["__ts"] if ts_guard_col else []
     upsert_sel = [key, *fields] + (
         [F.col("__ts").alias(ts_guard_col)] if ts_guard_col else []
     )
+    if tombstone_col is not None:
+        upsert_sel.append(F.lit(0).alias(tombstone_col))
     upserts = actions.filter(F.col("__action") == "upsert").select(*upsert_sel)
     patches = actions.filter(F.col("__action") == "patch").select(
         key, "__present", *guard_cols, *fields
@@ -188,15 +198,35 @@ def apply_actions(
             layout=patch_layout,
         )
     )
-    delete_dataframe(
-        deletes,
-        connection_factory=connection_factory,
-        dialect_name=dialect_name,
-        table=table.name,
-        key=key,
-        num_partitions=num_partitions,
-        ts_guard_col=ts_guard_col,
-    )
+    if tombstone_col is not None:
+        # soft delete: a guarded upsert that keeps the key + high-water mark
+        # with the tombstone flag set — closes the resurrection window
+        tombstones = deletes.select(
+            key,
+            F.col("__ts").alias(ts_guard_col),
+            F.lit(1).alias(tombstone_col),
+        )
+        upsert_dataframe(
+            tombstones,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table.name,
+            key=key,
+            batch_id=batch_id,
+            num_partitions=num_partitions,
+            ts_guard_col=ts_guard_col,
+            progress_label=f"{table.name}#tombstone",
+        )
+    else:
+        delete_dataframe(
+            deletes,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table.name,
+            key=key,
+            num_partitions=num_partitions,
+            ts_guard_col=ts_guard_col,
+        )
 
 
 def apply_ops_microbatch(
@@ -210,6 +240,7 @@ def apply_ops_microbatch(
     ns_col: str = "ns",
     num_partitions: int | None = None,
     ts_guard_col: str | None = None,
+    tombstone_col: str | None = None,
 ) -> None:
     """foreachBatch body: route ops by namespace, merge, apply per table.
 
@@ -245,6 +276,7 @@ def apply_ops_microbatch(
                 batch_id=batch_id,
                 num_partitions=num_partitions,
                 ts_guard_col=ts_guard_col,
+                tombstone_col=tombstone_col,
             )
     finally:
         if multi_table:
@@ -261,12 +293,16 @@ def start_cdc_stream(
     order: Sequence[str] | None = None,
     trigger: dict[str, Any] | None = None,
     num_partitions: int | None = None,
+    ts_guard_col: str | None = None,
+    tombstone_col: str | None = None,
 ):
     """Wire the streaming query (reference O5 consume loop, run.go:297-335).
 
     The Structured Streaming checkpoint dir replaces the reference's
     ``momyre.timestamp`` resume token (S4/K6) for source offsets; the
-    per-batch progress markers in the sink give exactly-once apply."""
+    per-batch progress markers in the sink give exactly-once apply.
+    ``ts_guard_col``/``tombstone_col``: see apply_actions — sequence-guarded
+    writes and soft deletes for out-of-order transports."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         apply_ops_microbatch(
@@ -277,6 +313,8 @@ def start_cdc_stream(
             dialect_name=dialect_name,
             order=order,
             num_partitions=num_partitions,
+            ts_guard_col=ts_guard_col,
+            tombstone_col=tombstone_col,
         )
 
     writer = (

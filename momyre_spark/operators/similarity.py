@@ -265,6 +265,7 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | str = "first_c",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell.
 
@@ -305,10 +306,13 @@ def assign_ivf_cells(
         "__cs", dot(F.col("__nv"), F.col("cent_vec"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
+    out_cols = [id_col, vec_col, F.col("cent_id").alias("cell")]
+    if keep_score:
+        out_cols.append(F.col("__cs").alias("cell_cos"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("cell"))
+        .select(*out_cols)
     )
 
 

@@ -73,6 +73,7 @@ DRIVER_PRIORITY = [
     "sim_topk_numpy",
     "sim_topk_ivf",
     "sim_topk_srp_lsh",
+    "sim_cluster_profile",
     # multimodal plumbing
     "mm_image_meta",
     "mm_frame_sample",

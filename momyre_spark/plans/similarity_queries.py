@@ -136,6 +136,51 @@ def sim_topk_srp_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cluster profile: per-IVF-cell population and assignment-cosine range —
+# the diagnostic a semantic-dedup / IVF-tuning pass reads to spot skewed or
+# degenerate cells before committing to a partitioning. Broadcast-join
+# assignment (no corpus shuffle) + one hash agg on the cell id; aggregates
+# are count/min/max, so no float-summation order sensitivity.
+# --------------------------------------------------------------------------
+_DUCK_CLUSTER_PROFILE = f"""
+    WITH {_DUCK_NORM_CTE},
+    cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, cents.cent_id AS cell,
+               {_DUCK_COS.format(a="e", b="cents")} AS cs,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a="e", b="cents")} DESC, cents.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           floor(min(cs) * 10000 + 0.5) / 10000.0 AS min_cos,
+           floor(max(cs) * 10000 + 0.5) / 10000.0 AS max_cos
+    FROM assign WHERE rn = 1
+    GROUP BY cell ORDER BY cell
+"""
+
+
+@query("sim_cluster_profile", oracle=_DUCK_CLUSTER_PROFILE)
+def sim_cluster_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.operators.similarity import assign_ivf_cells
+
+    emb = load_table(spark, sf, "embeddings")
+    cells = assign_ivf_cells(emb, _N_CELLS, keep_score=True)
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.min("cell_cos"), 4).alias("min_cos"),
+            round_half_up(F.max("cell_cos"), 4).alias("max_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+# --------------------------------------------------------------------------
 # int8 embedding quantization (functions/embeddings.py): the 4x-smaller ANN
 # scan path. The oracle replicates the quantization arithmetic exactly
 # (identical double sequence: x*127/max_abs, round half-away-from-zero in

@@ -76,6 +76,11 @@ def test_pure_expression_pipelines_have_no_python_eval(spark):
     ArrowEvalPython nodes) — Python evaluation is the slow path."""
     for name in [
         "text_analyze_all",
+        "text_repetition",
+        "text_pii_redact",
+        "text_top_bigram_frac",
+        "text_bm25_topk",
+        "sim_cluster_profile",
         "dedup_exact_groups",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

@@ -43,3 +43,44 @@ def analyze_documents(
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("__ltoks"))))
         ).alias("content_fp"),
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, benchmark doc) pairs sharing
+    >= ``min_shared`` distinct word n-gram shingles — the standard check
+    that evaluation data has not leaked into a training corpus.
+
+    Shape at scale: both sides explode to (doc, shingle); the benchmark set
+    is tiny relative to the corpus, so its shingle frame is BROADCAST and
+    the corpus is never shuffled — the whole check is a map-side hash join
+    plus one hash agg on (doc_id, bench_id). Set ``broadcast_bench=False``
+    for the (unusual) case of a corpus-sized right side, which falls back
+    to a shuffle hash join on the shingle key. For very large n-gram
+    spaces, swap `shingles` for `hashed_shingles` (64-bit hashes instead of
+    strings) — same plan, 10x narrower shuffle rows; string shingles are
+    kept here so cross-engine oracles can reproduce them.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(T.shingles(F.lower(F.col(text_col)), n)).alias("__s"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(T.shingles(F.lower(F.col(text_col)), n)).alias("__s"),
+    )
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "__s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

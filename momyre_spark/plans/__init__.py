@@ -68,6 +68,7 @@ DRIVER_PRIORITY = [
     "text_top_bigram_frac",
     "text_pii_redact",
     "text_bm25_topk",
+    "text_decontaminate",
     # similarity search
     "sim_topk_bruteforce",
     "sim_topk_numpy",

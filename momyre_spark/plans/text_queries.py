@@ -474,6 +474,45 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: corpus docs sharing >= 3 distinct word
+# trigrams with any doc of the "benchmark" set (fixture: the 20 lowest
+# doc_ids). Broadcast bench shingles + map-side hash join — the corpus is
+# never shuffled (operators/textops.ngram_contamination).
+# --------------------------------------------------------------------------
+_DECON_BENCH_MAX = 20  # doc_id < 20 plays the benchmark set
+_DECON_MIN_SHARED = 3
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_LTOK} AS ts FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+                      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+        FROM tok WHERE len(ts) >= 3
+    ),
+    b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < {_DECON_BENCH_MAX}),
+    c AS (SELECT doc_id, s FROM sh WHERE doc_id >= {_DECON_BENCH_MAX})
+    SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM c JOIN b USING (s)
+    GROUP BY 1, 2 HAVING count(*) >= {_DECON_MIN_SHARED}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import ngram_contamination
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < _DECON_BENCH_MAX)
+    corpus = docs.filter(F.col("doc_id") >= _DECON_BENCH_MAX)
+    return ngram_contamination(
+        corpus, bench, n=3, min_shared=_DECON_MIN_SHARED
+    ).orderBy("doc_id", "bench_id")
+
+
 @query(
     "text_top_terms_per_doc",
     oracle=f"""

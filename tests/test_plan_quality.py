@@ -103,6 +103,15 @@ def test_cdc_apply_single_exchange_per_aggregation(spark):
     assert "Join" not in plan
 
 
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark shingle frame is broadcast — the corpus never shuffles
+    for the join, and there is no nested-loop fallback."""
+    plan = plan_of(q(spark, "text_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q32_q33_join_shapes(spark):
     p32 = plan_of(q(spark, "q32_tpch_q3_shape"))
     assert p32.count("BroadcastHashJoin") >= 2  # filtered dims broadcast

@@ -89,6 +89,8 @@ DRIVER_PRIORITY = [
     "q43_levenshtein",
     "q44_sessionize_batch",
     "q45_salted_join",
+    "q46_range_interval_window",
+    "q47_grouping_sets",
     # --- heavier LLM-dedup family last within the priority block ---
     "dedup_simhash",
     "dedup_groups",

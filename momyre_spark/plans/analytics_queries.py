@@ -871,3 +871,75 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "c_name", F.col("o_totalprice").alias("p"))
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time RANGE window frame: trailing 30-day revenue per customer —
+# value-based frames (RANGE), unlike q16's row-count frame (ROWS). The
+# order key is integer epoch-days so both engines use the same numeric
+# frame; the measure is summed as DECIMAL(18,2) (exact arithmetic — a
+# RANGE frame's aggregation order is engine-internal, so float sums would
+# be order-sensitive).
+# --------------------------------------------------------------------------
+@query(
+    "q46_range_interval_window",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(sum(p) OVER (
+               PARTITION BY o_custkey ORDER BY d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS DOUBLE) AS trailing_30d
+    FROM o ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.withColumn(
+            "trailing_30d",
+            F.sum("p").over(w).cast("decimal(18,2)").cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "trailing_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the general form rollup/cube (q19/q20) specialize.
+# Expressed through the engine's SQL entry point. Exact decimal sums, so
+# no float-summation order sensitivity across grouping combinations.
+# --------------------------------------------------------------------------
+_Q47_SQL = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS c,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+    FROM {table}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("q47_grouping_sets", oracle=_Q47_SQL.format(table="orders"))
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("__q47_orders")
+    return spark.sql(_Q47_SQL.format(table="__q47_orders"))

@@ -33,7 +33,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_minhash_synthetic_20k",
     "sim_topk_numpy",
+    "sim_cluster_profile",
     "text_analyze_all",
+    "text_decontaminate",
+    "text_bm25_topk",
 ]
 
 

@@ -284,3 +284,39 @@ def test_cdc_lake_stream_end_to_end(spark, tmp_path):
         "a": ("admin", "a2@x", None),
         "c": (None, None, "last"),   # txn: insert then update, seq-ordered
     }  # b deleted
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: a selective predicate on the SECOND clustered
+    column touches far fewer files than a linearly-sorted layout (where
+    every file spans the full second-column range). Measured as the number
+    of files that actually contain matching rows — the same file set
+    parquet min/max stats let the scan skip."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.sinks.lake import write_zordered
+
+    n = 20_000
+    grid = spark.range(n).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], num_files=16)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    def files_with_matches(path):
+        df = spark.read.parquet(path).filter(F.col("y") < 60)
+        return df.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+
+    z_files = files_with_matches(zpath)
+    l_files = files_with_matches(lpath)
+    # linear-by-x layout spreads every y-range over all 16 files
+    assert l_files == 16
+    assert z_files < l_files / 2, (z_files, l_files)
+    # layout must not change the data
+    assert spark.read.parquet(zpath).count() == n

@@ -52,3 +52,66 @@ def deduped_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def start_rollup_to_sink(
+    events: DataFrame,
+    *,
+    connection_factory,
+    dialect_name: str,
+    table: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    trigger: dict | None = None,
+):
+    """Continuously-maintained materialized rollup: the watermarked windowed
+    aggregate is UPSERTED into a serving table every micro-batch (update
+    mode), keyed by (window_start, *group_cols) — a streaming materialized
+    view over a 100 TB/day event stream whose serving-store write volume is
+    O(changed windows per batch), not O(events).
+
+    The sink table needs columns: window_key (varchar PK), window_start,
+    window_end, the group columns, c, total. Update-mode re-emissions of a
+    window (late rows within the watermark) overwrite the previous row —
+    upserts make the view converge; rows later than the watermark are
+    dropped by the aggregation (state stays finite).
+    """
+    from momyre_spark.sinks.jdbc_upsert import upsert_dataframe
+
+    agg = windowed_counts(
+        events, window=window, watermark=watermark, ts_col=ts_col,
+        group_cols=group_cols,
+    )
+    key = F.concat_ws(
+        "|", F.col("window_start").cast("string"), *[F.col(c) for c in group_cols]
+    )
+    out = agg.select(
+        key.alias("window_key"),
+        F.col("window_start").cast("string").alias("window_start"),
+        F.col("window_end").cast("string").alias("window_end"),
+        *group_cols,
+        "c",
+        "total",
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_dataframe(
+            batch_df,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table,
+            key="window_key",
+            batch_id=batch_id,
+        )
+
+    writer = (
+        out.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lake-root", default=None,
                    help="write to a parquet lake at this root instead of "
                         "the JDBC sink (snapshot + copy-on-write CDC merge)")
+    p.add_argument("--ts-guard-col", default=None,
+                   help="sink sequence column: guard every write by the "
+                        "per-key high-water mark (out-of-order transports)")
+    p.add_argument("--tombstone-col", default=None,
+                   help="with --ts-guard-col: soft deletes keep the key + "
+                        "mark as flagged rows (closes the delete-then-stale-"
+                        "upsert resurrection window)")
     return p
 
 
@@ -149,6 +156,8 @@ def main(argv: list[str] | None = None) -> int:
                 dialect_name="mysql",
                 checkpoint_dir=args.checkpoint,
                 num_partitions=args.sink_partitions,
+                ts_guard_col=args.ts_guard_col,
+                tombstone_col=args.tombstone_col,
             )
         query.awaitTermination()
     return 0

@@ -65,6 +65,10 @@ def main() -> None:
 
         run()
         timings[name] = round(min(run(), run()), 3)
+        # operators persist() intermediates that outlive their query; drop
+        # them so each query is measured self-contained, not under the
+        # accumulated cache/GC pressure of every query before it
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -99,7 +99,13 @@ def get_spark(
         # --- scan sizing: ~128MB splits hold at any SF ----------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver AND all N executor threads in ONE JVM: size the
+        # heap for the executor side, not a remote driver's. 8g starves 32
+        # task threads (GC dominates mid-benchmark once cached frames from
+        # LSH/curate persist()s accumulate); the harness box has 128 GiB.
+        # On a real cluster this knob is irrelevant — executors get their own
+        # spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

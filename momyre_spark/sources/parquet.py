@@ -37,15 +37,20 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as nanos-since-
-    # epoch long (spark.sql.legacy.parquet.nanosAsLong) — truncate to a µs
-    # timestamp, matching DuckDB's CAST(ts AS TIMESTAMP) on the same file.
-    # `div` is exact long integer division (a double round-trip would lose
-    # precision above 2^53 ns).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    # Normalize events.ts across the generator's physical encodings:
+    # - TIMESTAMP(NANOS): Spark reads it as nanos-since-epoch long
+    #   (spark.sql.legacy.parquet.nanosAsLong) — truncate to a µs timestamp
+    #   with exact `div` integer division (a double round-trip would lose
+    #   precision above 2^53 ns);
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    #   TIMESTAMP_NTZ — cast to the session type (UTC session, so the
+    #   instant is unchanged and matches DuckDB's naive read).
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -54,20 +59,29 @@ def load_events_since(spark: SparkSession, sf_dir: str, iso_ts: str) -> DataFram
     mongo.go:481-492: the oplog query composes ``ts > resume`` into the
     source read).
 
-    The raw column is nanos-since-epoch, so the predicate is applied on the
-    RAW long *before* the timestamp conversion — that keeps it a parquet
-    PushedFilter (row-group pruning / late materialization). Filtering the
-    converted timestamp instead would silently turn this into a full scan —
-    the difference between reading one day and reading 100 TB.
+    The predicate is applied on the RAW column *before* any conversion —
+    that keeps it a parquet PushedFilter (row-group pruning / late
+    materialization). Filtering a converted/derived column instead would
+    silently turn this into a full scan — the difference between reading
+    one day and reading 100 TB. Handles both physical encodings of
+    events.ts (see load_table): nanos-as-long gets a long predicate,
+    µs timestamps get a typed timestamp literal (both push down).
     """
     from datetime import datetime, timezone
 
-    dt = datetime.fromisoformat(iso_ts).replace(tzinfo=timezone.utc)
-    ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.filter(F.col("ts") > ns).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        dt = datetime.fromisoformat(iso_ts).replace(tzinfo=timezone.utc)
+        ns = int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+        return raw.filter(F.col("ts") > ns).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    lit_type = "TIMESTAMP_NTZ" if ts_type == "timestamp_ntz" else "TIMESTAMP"
+    out = raw.filter(F.col("ts") > F.expr(f"{lit_type} '{iso_ts}'"))
+    if ts_type == "timestamp_ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def load_tables(

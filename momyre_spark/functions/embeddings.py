@@ -37,3 +37,36 @@ def dequantize_int8(quant: Column) -> Column:
     return F.transform(
         quant["q"], lambda x: x.cast("double") * quant["scale"]
     )
+
+
+def projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 7, scale: int = 10_000
+) -> list[list[float]]:
+    """Deterministic dense random-projection matrix (out_dim x in_dim).
+
+    Johnson–Lindenstrauss style Gaussian projection, quantized to 4 decimal
+    places so the exact same literals can be embedded in an oracle SQL
+    string — the Spark plan and the oracle then multiply identical numbers
+    and agree bit-for-bit at double precision."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+    return (np.round(m * scale) / scale).tolist()
+
+
+def project(vec: Column, matrix: list[list[float]]) -> Column:
+    """Dense matrix-vector product as a JVM-side expression: array<double>.
+
+    One fold per output dimension (``aggregate(zip_with(v, row, *), +)``) —
+    stays inside whole-stage codegen, no UDF, no shuffle; at 100 TB this is
+    a map-only stage fused into the scan."""
+    v = to_double(vec)
+    outs = []
+    for row in matrix:
+        lit_row = F.array(*[F.lit(float(x)) for x in row])
+        prod = F.zip_with(v, lit_row, lambda x, y: x * y)
+        outs.append(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        )
+    return F.array(*outs)

@@ -1,0 +1,98 @@
+"""Incremental aggregate maintenance: merge a delta into a maintained agg.
+
+At 100 TB the difference between "recompute the aggregate over the whole
+table" and "fold today's delta into yesterday's aggregate" is the difference
+between scanning 100 TB and scanning the delta. The reference has no
+aggregate surface at all; this is the standard warehouse pattern expressed
+Spark-first: the maintained aggregate lives as a (small, per-group) table,
+each micro-batch/partition of new rows is pre-aggregated with map-side
+partials, and the two are combined group-wise.
+
+Mergeable aggregates supported (``kind``):
+- ``count``  — merged by SUM; retractable with ``weight_col`` (+1/-1);
+- ``sum``    — merged by SUM; retractable with ``weight_col``;
+- ``min``/``max`` — merged by MIN/MAX; only valid for *insert-only* deltas
+  (a retraction could remove the current extremum — that needs a full
+  recompute or an exact-NDV sketch per group, deliberately out of scope).
+
+Plan shape: ``agg(delta)`` is one hash aggregate over the delta only;
+``unionByName`` + second group-by touches |groups(base)| + |groups(delta)|
+rows — both sides already aggregated, so the final exchange is tiny and
+broadcast-joinable against serving queries. The base table is NEVER
+rescanned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _delta_expr(kind: str, src: str | None, weight_col: str | None) -> Column:
+    if kind == "count":
+        if weight_col:
+            return F.sum(F.col(weight_col))
+        return F.count(F.lit(1))
+    if kind == "sum":
+        assert src is not None
+        if weight_col:
+            return F.sum(F.col(src) * F.col(weight_col))
+        return F.sum(src)
+    if kind in ("min", "max"):
+        assert src is not None
+        if weight_col:
+            raise ValueError(f"{kind} is not retractable; drop weight_col")
+        return _MERGE[kind](src)
+    raise ValueError(f"unknown aggregate kind: {kind}")
+
+
+def aggregate_delta(
+    delta: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Pre-aggregate a delta batch to the maintained-aggregate schema.
+
+    ``aggs`` maps output column -> (kind, source column). With
+    ``weight_col`` set, each delta row carries +1 (insert) / -1 (retract)
+    and count/sum become signed folds.
+    """
+    return delta.groupBy(*keys).agg(
+        *[
+            _delta_expr(kind, src, weight_col).alias(out)
+            for out, (kind, src) in aggs.items()
+        ]
+    )
+
+
+def merge_aggregates(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+    weight_col: str | None = None,
+    delta_is_aggregated: bool = False,
+) -> DataFrame:
+    """Fold ``delta`` into the maintained aggregate ``base_agg``.
+
+    ``base_agg`` must already have the output schema (keys + agg columns).
+    Groups appearing only in one side pass through; groups in both merge
+    with the aggregate's combine function. A count that reaches 0 under
+    retractions keeps its row (count=0) — dropping it is a policy choice
+    left to the caller (``.filter("cnt > 0")``).
+    """
+    d = (
+        delta
+        if delta_is_aggregated
+        else aggregate_delta(delta, keys, aggs, weight_col)
+    )
+    cols = [*keys, *aggs]
+    merged = base_agg.select(*cols).unionByName(d.select(*cols))
+    return merged.groupBy(*keys).agg(
+        *[_MERGE[kind](out).alias(out) for out, (kind, _) in aggs.items()]
+    )

@@ -1,0 +1,249 @@
+"""Maintenance-surface queries: SCD2 history, incremental aggregate
+maintenance, table stats profiling, bounded-memory grouped top-k, and
+random-projection embedding reduction.
+
+These extend the CDC/analytics surface with the operations a warehouse
+maintains *around* the replicated tables: history tracking
+(operators/scd.py), delta-folded aggregates (operators/incremental.py),
+ANALYZE-style column stats (operators/profile.py), and the two-level
+top-k (operators/topk.py). Each carries a full DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from momyre_spark.functions.numeric import round4_sql, round_half_up
+from momyre_spark.plans import query
+from momyre_spark.sources.parquet import load_table
+
+_OPS_SQL = """
+    SELECT user_id AS _id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'error'  THEN 'delete'
+                           ELSE 'update' END AS op,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 history (operators/scd.py): every non-delete op opens a
+# validity interval, closed by the key's next op. The reference only keeps
+# latest state (mysql.go:292-355); this is the time-travel view of the same
+# ops stream. ONE shuffle + one window sort.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}),
+    v AS (
+        SELECT _id, k, op, ts, event_id,
+               lead(ts) OVER (PARTITION BY _id ORDER BY ts, event_id) AS valid_to
+        FROM ops
+    )
+    SELECT _id, k, epoch_us(ts) AS valid_from_us, event_id AS valid_from_event_id,
+           epoch_us(valid_to) AS valid_to_us, valid_to IS NULL AS is_current
+    FROM v WHERE op <> 'delete'
+    ORDER BY _id, valid_from_us, valid_from_event_id
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.scd import scd2_history
+
+    ev = load_table(spark, sf, "events")
+    ops = ev.select(
+        F.col("user_id").alias("_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    hist = scd2_history(
+        ops, key="_id", order=("ts", "event_id"), value_cols=("k",)
+    )
+    return hist.select(
+        "_id",
+        "k",
+        F.unix_micros("valid_from_ts").alias("valid_from_us"),
+        F.col("valid_from_event_id"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("_id", "valid_from_us", "valid_from_event_id")
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py): the
+# maintained per-user aggregate over "yesterday" (ts < cutoff) folded with
+# the delta (ts >= cutoff) — result must equal the full recompute, which IS
+# the oracle. The base table is never rescanned; only the delta aggregates.
+# --------------------------------------------------------------------------
+_CUTOFF = "2024-01-20 00:00:00"
+
+@query(
+    "cdc_incremental_agg",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS cnt,
+           {round4_sql('sum(value)')} AS sum_value,
+           {round4_sql('min(value)')} AS min_value,
+           {round4_sql('max(value)')} AS max_value
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def cdc_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.incremental import (
+        aggregate_delta,
+        merge_aggregates,
+    )
+
+    aggs = {
+        "cnt": ("count", None),
+        "sum_value": ("sum", "value"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+    cutoff = F.expr(f"TIMESTAMP '{_CUTOFF}'")
+    # the maintained aggregate (in production: a stored table, not a scan)
+    base_agg = aggregate_delta(
+        ev.filter(F.col("ts") < cutoff), ["user_id"], aggs
+    )
+    delta = ev.filter(F.col("ts") >= cutoff)
+    merged = merge_aggregates(base_agg, delta, ["user_id"], aggs)
+    return merged.select(
+        "user_id",
+        "cnt",
+        round_half_up(F.col("sum_value"), 4).alias("sum_value"),
+        round_half_up(F.col("min_value"), 4).alias("min_value"),
+        round_half_up(F.col("max_value"), 4).alias("max_value"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column stats in one scan (operators/profile.py). The query
+# pins the exact-NDV path; at 100 TB the operator defaults to HLL++ NDVs
+# (no Expand in the plan).
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_discount", "l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        num = c in ("l_quantity", "l_discount")
+        if num:
+            mn, mx = (
+                f"{round4_sql(f'min({c})')}",
+                f"{round4_sql(f'max({c})')}",
+            )
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS ndv, {mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str FROM lineitem"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("stats_profile", oracle=_profile_oracle())
+def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf, "lineitem")
+    return profile_columns(li, list(_PROFILE_COLS), exact_ndv=True).orderBy(
+        "col_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bounded-memory grouped top-k (operators/topk.py): top-3 customers per
+# nation by balance, merged from salted partial top-ks — never sorts a whole
+# group. Oracle is the window-function formulation.
+# --------------------------------------------------------------------------
+@query(
+    "agg_grouped_topk",
+    oracle="""
+    SELECT c_nationkey, CAST(rank AS BIGINT) AS rank, c_acctbal, c_custkey
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey DESC
+               ) AS rank
+        FROM customer
+    ) WHERE rank <= 3
+    ORDER BY c_nationkey, rank
+    """,
+)
+def agg_grouped_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.topk import grouped_topk
+
+    cust = load_table(spark, sf, "customer")
+    return (
+        grouped_topk(
+            cust,
+            group_cols=["c_nationkey"],
+            order_col="c_acctbal",
+            k=3,
+            payload_cols=["c_custkey"],
+            descending=True,
+        )
+        .select(
+            "c_nationkey",
+            F.col("rank").cast("bigint").alias("rank"),
+            "c_acctbal",
+            "c_custkey",
+        )
+        .orderBy("c_nationkey", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-projection dimensionality reduction (functions/embeddings.project):
+# 64 -> 8 dims with a seeded JL matrix whose 4-decimal literals are embedded
+# in BOTH plans, so Spark's fold and DuckDB's list_dot_product multiply
+# identical numbers. Map-only, fused into the scan.
+# --------------------------------------------------------------------------
+_RP_OUT = 8
+_RP_SEED = 7
+
+
+def _rp_matrix() -> list[list[float]]:
+    from momyre_spark.functions.embeddings import projection_matrix
+
+    return projection_matrix(64, _RP_OUT, seed=_RP_SEED)
+
+
+def _rp_oracle() -> str:
+    rows = _rp_matrix()
+    dots = ", ".join(
+        round4_sql(
+            "list_dot_product(embedding::DOUBLE[], ["
+            + ",".join(repr(x) for x in row)
+            + "]::DOUBLE[])"
+        )
+        for row in rows
+    )
+    return f"SELECT vec_id, [{dots}] AS proj FROM embeddings ORDER BY vec_id"
+
+
+@query("emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.embeddings import project
+
+    emb = load_table(spark, sf, "embeddings")
+    proj = project(F.col("embedding"), _rp_matrix())
+    return emb.select(
+        "vec_id",
+        F.transform(proj, lambda x: round_half_up(x, 4)).alias("proj"),
+    ).orderBy("vec_id")

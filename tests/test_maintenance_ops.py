@@ -1,0 +1,155 @@
+"""Unit tests for the maintenance operators: SCD2 history, incremental
+aggregate maintenance (incl. retractions), stats profiling, and the
+two-level grouped top-k (incl. plan shape: no Window, no whole-group sort).
+
+Oracle parity for the registered queries is covered by
+test_oracle_queries.py; these pin the operator semantics the oracles
+can't reach (retraction weights, approx-NDV plan shape, hot-group
+bounded memory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from momyre_spark.operators.incremental import aggregate_delta, merge_aggregates
+from momyre_spark.operators.profile import profile_columns
+from momyre_spark.operators.scd import scd2_history
+from momyre_spark.operators.topk import grouped_topk
+
+AGGS = {"cnt": ("count", None), "total": ("sum", "v")}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- SCD2 ----
+def test_scd2_intervals_and_delete_closes(spark):
+    ops = spark.createDataFrame(
+        [
+            ("a", 1, 0, "insert", 10),
+            ("a", 2, 0, "update", 11),
+            ("a", 3, 0, "delete", None),
+            ("a", 4, 0, "insert", 12),
+            ("b", 1, 0, "insert", 20),
+        ],
+        "_id string, ts long, seq long, op string, k int",
+    )
+    out = scd2_history(ops, key="_id", order=("ts", "seq"), value_cols=("k",))
+    got = _rows(
+        out.select("_id", "k", "valid_from_ts", "valid_to", "is_current")
+    )
+    assert got == sorted(
+        [
+            ("a", 10, 1, 2, False),   # closed by the update
+            ("a", 11, 2, 3, False),   # closed by the DELETE (no version row)
+            ("a", 12, 4, None, True),  # re-insert reopens
+            ("b", 20, 1, None, True),
+        ]
+    )
+
+
+def test_scd2_delete_only_key_yields_no_rows(spark):
+    ops = spark.createDataFrame(
+        [("x", 5, 0, "delete", None)],
+        "_id string, ts long, seq long, op string, k int",
+    )
+    assert scd2_history(ops, order=("ts", "seq"), value_cols=("k",)).count() == 0
+
+
+# ----------------------------------------------------- incremental agg ----
+def test_merge_aggregates_equals_full_recompute(spark):
+    full = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("c", 4.0)], "g string, v double"
+    )
+    base = aggregate_delta(full.filter(F.col("v") <= 2.0), ["g"], AGGS)
+    delta = full.filter(F.col("v") > 2.0)
+    merged = merge_aggregates(base, delta, ["g"], AGGS)
+    assert _rows(merged) == _rows(aggregate_delta(full, ["g"], AGGS))
+
+
+def test_merge_aggregates_retraction_weights(spark):
+    base = spark.createDataFrame([("a", 3, 6.0)], "g string, cnt long, total double")
+    # retract one (a, 2.0) row, add one (a, 5.0) row
+    delta = spark.createDataFrame(
+        [("a", 2.0, -1), ("a", 5.0, 1)], "g string, v double, w int"
+    )
+    out = merge_aggregates(base, delta, ["g"], AGGS, weight_col="w").collect()[0]
+    assert (out["cnt"], out["total"]) == (3, 9.0)
+
+
+def test_minmax_rejects_retraction_weights(spark):
+    import pytest
+
+    delta = spark.createDataFrame([("a", 1.0, 1)], "g string, v double, w int")
+    with pytest.raises(ValueError, match="not retractable"):
+        aggregate_delta(delta, ["g"], {"lo": ("min", "v")}, weight_col="w")
+
+
+def test_merge_only_touches_delta_groups(spark):
+    """Groups absent from the delta pass through the merge unchanged."""
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 2, 5.0)], "g string, cnt long, total double"
+    )
+    delta = spark.createDataFrame([("b", 7.0)], "g string, v double")
+    got = {r["g"]: (r["cnt"], r["total"]) for r in
+           merge_aggregates(base, delta, ["g"], AGGS).collect()}
+    assert got == {"a": (1, 1.0), "b": (3, 12.0)}
+
+
+# --------------------------------------------------------------- profile --
+def test_profile_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (2.0, "y"), (None, "x")], "n double, s string"
+    )
+    got = {r["col_name"]: r for r in profile_columns(df, ["n", "s"], exact_ndv=True).collect()}
+    n, s = got["n"], got["s"]
+    assert (n["n_rows"], n["n_nulls"], n["ndv"], n["min_num"], n["max_num"]) == (3, 1, 2, 1.0, 2.0)
+    assert n["min_str"] is None
+    assert (s["n_nulls"], s["ndv"], s["min_str"], s["max_str"]) == (0, 2, "x", "y")
+    assert s["min_num"] is None
+
+
+def test_profile_approx_path_has_no_expand(spark):
+    """exact_ndv=False must stay a plain one-pass agg: no Expand operator."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("n"), F.col("id").cast("string").alias("s")
+    )
+    exact_plan = profile_columns(df, ["n", "s"], exact_ndv=True)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_columns(df, ["n", "s"], exact_ndv=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # multiple exact distincts need Expand
+    assert "Expand" not in approx_plan
+
+
+# ---------------------------------------------------------------- top-k ---
+def test_grouped_topk_matches_window_formulation(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(g, i * 31 % 97, i) for g in ("a", "b") for i in range(200)],
+        "g string, v int, id int",
+    )
+    got = _rows(grouped_topk(df, ["g"], "v", 5, ["id"]).select("g", "rank", "v", "id"))
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").desc())
+    want = _rows(
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("g", "rank", "v", "id")
+    )
+    assert got == want
+
+
+def test_grouped_topk_plan_has_no_window(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    plan = grouped_topk(df, ["g"], "v", 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("sort_array", "")  # no whole-group sort
+
+
+def test_grouped_topk_ascending(spark):
+    df = spark.createDataFrame([("a", 3), ("a", 1), ("a", 2)], "g string, v int")
+    got = [r["v"] for r in grouped_topk(df, ["g"], "v", 2, descending=False).orderBy("rank").collect()]
+    assert got == [1, 2]

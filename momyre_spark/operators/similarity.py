@@ -280,39 +280,60 @@ def assign_ivf_cells(
     Assignment is a broadcast join + argmax over per-centroid cosine — no
     shuffle of the corpus.
     """
-    from momyre_spark.functions.vectors import add_normalized, dot
+    from momyre_spark.functions.vectors import add_normalized
 
     nemb = add_normalized(emb, vec_col, "__nv")
+    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids)
+    out_cols = [id_col, vec_col, F.col("cent_id").alias("cell")]
+    if keep_score:
+        out_cols.append(F.col("__cs").alias("cell_cos"))
+    return _nearest_cells(nemb, cents, id_col, n_best=1).select(*out_cols)
+
+
+def _centroid_frame(
+    emb: DataFrame,
+    nemb: DataFrame,
+    num_cells: int,
+    id_col: str,
+    centroids: list[list[float]] | str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Resolve the centroid spec to a (cent_id, cent_vec) frame — built ONCE
+    so corpus assignment and query probing share identical cells."""
     if centroids == "kmeans":
         centroids = train_kmeans_centroids(emb, num_cells, vec_col)
     if centroids == "first_c":
-        cents = nemb.orderBy(id_col).limit(num_cells).select(
+        return nemb.orderBy(id_col).limit(num_cells).select(
             F.col(id_col).alias("cent_id"), F.col("__nv").alias("cent_vec")
         )
-    else:
-        # unit-normalize the centroids so cosine argmax assignment is the
-        # spherical-k-means rule (a k-means mean of unit vectors is not unit)
-        import math
+    # unit-normalize the centroids so cosine argmax assignment is the
+    # spherical-k-means rule (a k-means mean of unit vectors is not unit)
+    import math
 
-        def _unit(c: list[float]) -> list[float]:
-            n = math.sqrt(sum(x * x for x in c)) or 1.0
-            return [float(x) / n for x in c]
+    def _unit(c: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        return [float(x) / n for x in c]
 
-        cents = nemb.sparkSession.createDataFrame(
-            [(i, _unit(c)) for i, c in enumerate(centroids)],
-            "cent_id long, cent_vec array<double>",
-        )
+    return nemb.sparkSession.createDataFrame(
+        [(i, _unit(c)) for i, c in enumerate(centroids)],
+        "cent_id long, cent_vec array<double>",
+    )
+
+
+def _nearest_cells(
+    nemb: DataFrame, cents: DataFrame, id_col: str, n_best: int
+) -> DataFrame:
+    """The ``n_best`` nearest cells per vector (with ``__rn`` probe rank and
+    ``__cs`` centroid cosine). Broadcast centroids + per-id window — the
+    vector side is never shuffled beyond its own ids."""
+    from momyre_spark.functions.vectors import dot
+
     scored = nemb.crossJoin(F.broadcast(cents)).withColumn(
         "__cs", dot(F.col("__nv"), F.col("cent_vec"))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
-    out_cols = [id_col, vec_col, F.col("cent_id").alias("cell")]
-    if keep_score:
-        out_cols.append(F.col("__cs").alias("cell_cos"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*out_cols)
+    return scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= n_best
     )
 
 
@@ -324,32 +345,36 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | str = "first_c",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's IVF cell.
+    """Approximate top-k: search the query's ``nprobe`` nearest IVF cells.
+
+    ``nprobe=1`` is classic IVF; raising it recovers the recall lost to
+    cell-boundary neighbors (the standard multi-probe trade: scanned
+    fraction ~ nprobe/C). Corpus vectors still live in exactly one cell —
+    only the broadcast query side fans out, so the join stays an equi-join
+    on the cell id and candidate pairs are unique by construction.
 
     At scale: ``centroids='kmeans'`` (data-adapted cells) and the corpus
-    written partitioned/bucketed by ``cell`` so a query's scan prunes to one
-    partition (~N/C vectors)."""
+    written partitioned/bucketed by ``cell`` so a query's scan prunes to
+    ``nprobe`` partitions (~nprobe·N/C vectors)."""
     from momyre_spark.functions.vectors import add_normalized, dot
 
-    cells = add_normalized(
-        assign_ivf_cells(emb, num_cells, id_col, vec_col, centroids),
-        vec_col, "__nv",
-    )
-    q = cells.join(
-        queries.select(id_col), id_col, "left_semi"
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__nv").alias("__qv"),
-        F.col("cell").alias("__qcell"),
-    )
-    c = cells.select(
+    nemb = add_normalized(emb, vec_col, "__nv")
+    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids, vec_col)
+    corpus = _nearest_cells(nemb, cents, id_col, n_best=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__nv").alias("__cv"),
-        F.col("cell").alias("__ccell"),
+        F.col("cent_id").alias("__ccell"),
+    )
+    qv = nemb.join(queries.select(id_col), id_col, "left_semi")
+    q = _nearest_cells(qv, cents, id_col, n_best=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__nv").alias("__qv"),
+        F.col("cent_id").alias("__qcell"),
     )
     scored = (
-        c.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
+        corpus.join(F.broadcast(q), F.col("__ccell") == F.col("__qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )

@@ -203,3 +203,53 @@ def test_ivf_kmeans_centroids_beat_first_c_on_clustered_data(spark):
     assert r_kmeans >= 0.95, r_kmeans
     assert r_first <= 0.85, r_first
     assert r_kmeans > r_first
+
+
+def test_ivf_multiprobe_recovers_boundary_recall(spark):
+    """Over-partitioned index (more cells than natural clusters): a query's
+    true neighbors straddle adjacent cells, so nprobe=1 misses the ones in
+    the sibling cell; probing more cells recovers them. Monotone recall in
+    nprobe, reaching ~exact once the probed cells cover the cluster."""
+    import random
+
+    from momyre_spark.operators.similarity import (
+        ivf_topk,
+        train_kmeans_centroids,
+    )
+
+    rng = random.Random(29)
+    dim, per = 16, 60
+    centers = []
+    for c in range(4):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5
+        centers.append([8.0 * x / n for x in v])
+    rows = []
+    for c in range(4):
+        for j in range(per):
+            vec = [centers[c][d] + rng.gauss(0, 1.0) for d in range(dim)]
+            rows.append(Row(vec_id=c * per + j, embedding=[float(x) for x in vec]))
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") % per == 7)
+
+    exact_sets = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(result):
+        sets = {}
+        for r in result:
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        vals = [len(exact_sets[q] & sets.get(q, set())) / len(exact_sets[q])
+                for q in exact_sets]
+        return sum(vals) / len(vals)
+
+    # 12 cells over 4 clusters -> every cluster is split ~3 ways
+    cents = train_kmeans_centroids(emb, num_cells=12)
+    r1 = recall(ivf_topk(emb, queries, k=10, num_cells=12,
+                         centroids=cents, nprobe=1).collect())
+    r3 = recall(ivf_topk(emb, queries, k=10, num_cells=12,
+                         centroids=cents, nprobe=3).collect())
+    assert r3 >= r1
+    assert r3 >= 0.95, (r1, r3)
+    assert r1 < 0.9, r1  # the over-partitioned single-probe must actually miss

@@ -58,6 +58,46 @@ class Dialect:
             f"AND {self.q(ts_col)} <= {self.ph}"
         )
 
+    # two-arg least/greatest spelling (sqlite scalar MIN/MAX; others
+    # LEAST/GREATEST)
+    least_fn = "MIN"
+    greatest_fn = "MAX"
+
+    def merge_upsert_sql(
+        self, table: str, columns: list[str], key: str, merge: dict[str, str]
+    ) -> str:
+        """Upsert that COMBINES with the stored row instead of replacing it:
+        ``merge`` maps column -> 'sum' | 'min' | 'max' | 'replace'. This is
+        what lets a streaming micro-batch fold pre-aggregated deltas into a
+        maintained aggregate table with one statement per row — the
+        sink-side half of operators/incremental.py. NOT idempotent ('sum'
+        double-applies on replay) — callers must pair it with the in-txn
+        batch progress marker, which is exactly what merge_upsert_partition
+        does."""
+        t, e = self.q(table), "excluded"
+
+        def combine(c: str) -> str:
+            qc = self.q(c)
+            kind = merge.get(c, "replace")
+            if kind == "replace":
+                return f"{qc} = {e}.{qc}"
+            stored, new = f"{t}.{qc}", f"{e}.{qc}"
+            if kind == "sum":
+                return f"{qc} = {stored} + {new}"
+            if kind == "min":
+                return f"{qc} = {self.least_fn}({stored}, {new})"
+            if kind == "max":
+                return f"{qc} = {self.greatest_fn}({stored}, {new})"
+            raise ValueError(f"unknown merge kind {kind!r} for column {c!r}")
+
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join(self.ph for _ in columns)
+        sets = ", ".join(combine(c) for c in columns if c != key)
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT({self.q(key)}) DO UPDATE SET {sets}"
+        )
+
     def delete_sql(self, table: str, key: str) -> str:
         return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = ?"
 
@@ -105,6 +145,32 @@ class MySQLDialect(Dialect):
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
 
+    def merge_upsert_sql(
+        self, table: str, columns: list[str], key: str, merge: dict[str, str]
+    ) -> str:
+        # MySQL spelling: ON DUPLICATE KEY UPDATE, incoming row via
+        # VALUES(col), stored row via the bare column name
+        def combine(c: str) -> str:
+            qc = self.q(c)
+            kind = merge.get(c, "replace")
+            if kind == "replace":
+                return f"{qc} = VALUES({qc})"
+            if kind == "sum":
+                return f"{qc} = {qc} + VALUES({qc})"
+            if kind == "min":
+                return f"{qc} = LEAST({qc}, VALUES({qc}))"
+            if kind == "max":
+                return f"{qc} = GREATEST({qc}, VALUES({qc}))"
+            raise ValueError(f"unknown merge kind {kind!r} for column {c!r}")
+
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        sets = ", ".join(combine(c) for c in columns if c != key)
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
     def delete_sql(self, table: str, key: str) -> str:
         return f"DELETE FROM {self.q(table)} WHERE {self.q(key)} = %s"
 
@@ -134,6 +200,9 @@ class SQLiteDialect(Dialect):
 
 class PostgresDialect(Dialect):
     """PostgreSQL: INSERT ... ON CONFLICT (key) DO UPDATE."""
+
+    least_fn = "LEAST"
+    greatest_fn = "GREATEST"
 
     def __init__(self) -> None:
         super().__init__(name="postgres", quote_char='"', ph="%s")

@@ -215,6 +215,105 @@ def upsert_dataframe(
     )
 
 
+def merge_upsert_partition(
+    rows: Iterable,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    columns: list[str],
+    key: str,
+    merge: dict[str, str],
+    batch_id: int | None = None,
+    batch_size: int = 1000,
+    layout: int | None = None,
+    progress_label: str | None = None,
+) -> None:
+    """Executor-side body: COMBINING upsert of one partition in one txn.
+
+    Same transaction/progress discipline as upsert_partition, but conflicts
+    merge with the stored row (sum/min/max per ``merge``) instead of
+    replacing it. The batch progress marker is what makes this exactly-once:
+    additive merges double-apply on replay, so the replay-skip is
+    correctness here, not just an optimization."""
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    ph = dialect.ph
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else None
+    except Exception:
+        part = None
+    pkey = _progress_key(progress_label or table, part, layout)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        ensure_progress_table(cur, dialect)
+        if batch_id is not None:
+            seen = read_progress(cur, dialect, pkey, ph)
+            if seen is not None and seen >= batch_id:
+                return  # replayed batch/partition — already merged
+        sql = dialect.merge_upsert_sql(table, columns, key, merge)
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(tuple(row[c] for c in columns))
+            if len(buf) >= batch_size:
+                cur.executemany(sql, buf)
+                buf.clear()
+        if buf:
+            cur.executemany(sql, buf)
+        if batch_id is not None:
+            _write_progress_in_tx(cur, dialect, pkey, batch_id)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def merge_upsert_dataframe(
+    df: DataFrame,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    table: str,
+    merge: dict[str, str],
+    key: str = "_id",
+    batch_id: int | None = None,
+    num_partitions: int | None = None,
+    progress_label: str | None = None,
+) -> None:
+    """Distributed combining upsert (sink half of operators/incremental.py):
+    each row folds into the maintained aggregate row for its key."""
+    columns = df.columns
+    if key not in columns:
+        raise ValueError(f"key column {key!r} not in DataFrame ({columns})")
+    unknown = set(merge) - set(columns)
+    if unknown:
+        raise ValueError(f"merge columns not in DataFrame: {sorted(unknown)}")
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    rdd = df.rdd
+    layout = rdd.getNumPartitions()
+    rdd.foreachPartition(
+        lambda rows: merge_upsert_partition(
+            rows,
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table,
+            columns=columns,
+            key=key,
+            merge=merge,
+            batch_id=batch_id,
+            layout=layout,
+            progress_label=progress_label,
+        )
+    )
+
+
 def purge_tombstones(
     *,
     connection_factory: ConnFactory,

@@ -115,3 +115,64 @@ def start_rollup_to_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def start_incremental_agg_to_sink(
+    events: DataFrame,
+    *,
+    connection_factory,
+    dialect_name: str,
+    table: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    aggs: dict[str, tuple[str, str | None]],
+    trigger: dict | None = None,
+    num_partitions: int | None = None,
+):
+    """Continuously-maintained UNWINDOWED aggregate: each micro-batch
+    pre-aggregates its delta (operators/incremental.aggregate_delta) and
+    FOLDS it into the serving table with a combining upsert
+    (``cnt = cnt + delta``, ``lo = min(lo, delta)``, ...).
+
+    Contrast with start_rollup_to_sink: no window, no watermark, no Spark
+    aggregation state at all — the running total lives in the SINK, so
+    state is zero on the cluster and the stream handles unbounded keys.
+    Append-mode per batch; sink write volume is O(distinct keys per batch).
+    Exactly-once: additive merges are NOT idempotent, so the per-(table,
+    partition, batch, layout) progress marker inside the merge transaction
+    is what makes replays safe (merge_upsert_partition skips them).
+
+    The sink table needs columns: ``*keys`` (PK = the concatenated
+    ``agg_key``) + one column per ``aggs`` entry.
+    """
+    from momyre_spark.operators.incremental import aggregate_delta
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    kinds = {out: kind for out, (kind, _) in aggs.items()}
+    merge = {
+        out: {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[k]
+        for out, k in kinds.items()
+    }
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        delta = aggregate_delta(batch_df, list(keys), aggs)
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+        merge_upsert_dataframe(
+            delta.select(key.alias("agg_key"), *keys, *aggs),
+            connection_factory=connection_factory,
+            dialect_name=dialect_name,
+            table=table,
+            merge=merge,
+            key="agg_key",
+            batch_id=batch_id,
+            num_partitions=num_partitions,
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,155 @@
+"""Streaming incremental aggregate maintenance
+(streaming/windows.start_incremental_agg_to_sink): per-batch deltas FOLDED
+into a serving table via combining upserts — the running total lives in the
+sink, Spark holds zero aggregation state. Also pins the merge_upsert sink
+primitive: combine semantics, replay exactly-once, and the dialect SQL."""
+
+from __future__ import annotations
+
+import functools
+import json
+import sqlite3
+
+import pytest
+
+
+def _mk_sink(tmp_path, name="aggserve"):
+    path = str(tmp_path / "agg.db")
+    factory = functools.partial(sqlite3.connect, path, timeout=60)
+    conn = factory()
+    conn.execute(
+        f'CREATE TABLE "{name}" ("agg_key" varchar(64) PRIMARY KEY, '
+        '"user" varchar(16), "cnt" bigint, "total" double, '
+        '"lo" double, "hi" double)'
+    )
+    conn.commit()
+    conn.close()
+    return factory
+
+
+AGGS = {
+    "cnt": ("count", None),
+    "total": ("sum", "v"),
+    "lo": ("min", "v"),
+    "hi": ("max", "v"),
+}
+
+
+def _write(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for u, v in rows:
+            f.write(json.dumps({"user": u, "v": v}) + "\n")
+
+
+def _run(spark, srcdir, ckpt, factory):
+    from momyre_spark.streaming.windows import start_incremental_agg_to_sink
+
+    stream = spark.readStream.schema("user string, v double").json(str(srcdir))
+    q = start_incremental_agg_to_sink(
+        stream,
+        connection_factory=factory,
+        dialect_name="sqlite",
+        table="aggserve",
+        checkpoint_dir=str(ckpt),
+        keys=("user",),
+        aggs=AGGS,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+
+def _state(factory):
+    conn = factory()
+    try:
+        cur = conn.execute('SELECT "user","cnt","total","lo","hi" FROM "aggserve"')
+        return {r[0]: r[1:] for r in cur.fetchall()}
+    finally:
+        conn.close()
+
+
+def test_incremental_agg_folds_across_batches(spark, tmp_path):
+    factory = _mk_sink(tmp_path)
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+
+    _write(src / "b1.json", [("a", 1.0), ("a", 5.0), ("b", 10.0)])
+    _run(spark, src, ckpt, factory)
+    assert _state(factory) == {"a": (2, 6.0, 1.0, 5.0), "b": (1, 10.0, 10.0, 10.0)}
+
+    # second batch folds INTO the stored rows (checkpoint resumes the stream)
+    _write(src / "b2.json", [("a", 0.5), ("c", 7.0)])
+    _run(spark, src, ckpt, factory)
+    assert _state(factory) == {
+        "a": (3, 6.5, 0.5, 5.0),
+        "b": (1, 10.0, 10.0, 10.0),
+        "c": (1, 7.0, 7.0, 7.0),
+    }
+
+
+def test_incremental_agg_matches_batch_groupby(spark, tmp_path):
+    """Streamed-in-batches result == one-shot batch aggregate of all rows."""
+    import random
+
+    from momyre_spark.operators.incremental import aggregate_delta
+
+    rng = random.Random(5)
+    rows = [(f"u{rng.randrange(7)}", round(rng.uniform(-5, 5), 3)) for _ in range(300)]
+    factory = _mk_sink(tmp_path)
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    third = len(rows) // 3
+    for i in range(3):
+        _write(src / f"b{i}.json", rows[i * third: None if i == 2 else (i + 1) * third])
+        _run(spark, src, ckpt, factory)
+
+    df = spark.createDataFrame(rows, "user string, v double")
+    want = {
+        r["user"]: (r["cnt"], r["total"], r["lo"], r["hi"])
+        for r in aggregate_delta(df, ["user"], AGGS).collect()
+    }
+    got = _state(factory)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert got[u][1] == pytest.approx(want[u][1], abs=1e-9)
+        assert got[u][2:] == want[u][2:]
+
+
+def test_merge_upsert_replay_is_skipped(spark, tmp_path):
+    """Additive merges are not idempotent — the in-txn progress marker must
+    make a replayed (same batch_id, same layout) partition a no-op."""
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    factory = _mk_sink(tmp_path)
+    df = spark.createDataFrame(
+        [("a", "a", 1, 2.0, 2.0, 2.0)],
+        "agg_key string, user string, cnt long, total double, lo double, hi double",
+    ).coalesce(1)
+    merge = {"cnt": "sum", "total": "sum", "lo": "min", "hi": "max"}
+    for _ in range(3):  # replay the SAME batch three times
+        merge_upsert_dataframe(
+            df, connection_factory=factory, dialect_name="sqlite",
+            table="aggserve", merge=merge, key="agg_key", batch_id=77,
+        )
+    assert _state(factory)["a"] == (1, 2.0, 2.0, 2.0)
+    # a NEW batch id applies
+    merge_upsert_dataframe(
+        df, connection_factory=factory, dialect_name="sqlite",
+        table="aggserve", merge=merge, key="agg_key", batch_id=78,
+    )
+    assert _state(factory)["a"] == (2, 4.0, 2.0, 2.0)
+
+
+def test_merge_upsert_sql_spellings():
+    from momyre_spark.sinks.dialects import DIALECTS
+
+    merge = {"cnt": "sum", "lo": "min", "hi": "max"}
+    lite = DIALECTS["sqlite"].merge_upsert_sql("t", ["k", "cnt", "lo", "hi"], "k", merge)
+    assert '"cnt" = "t"."cnt" + excluded."cnt"' in lite
+    assert '"lo" = MIN("t"."lo", excluded."lo")' in lite
+    my = DIALECTS["mysql"].merge_upsert_sql("t", ["k", "cnt", "lo", "hi"], "k", merge)
+    assert "`cnt` = `cnt` + VALUES(`cnt`)" in my
+    assert "`hi` = GREATEST(`hi`, VALUES(`hi`))" in my
+    pg = DIALECTS["postgres"].merge_upsert_sql("t", ["k", "cnt", "lo", "hi"], "k", merge)
+    assert '"lo" = LEAST("t"."lo", excluded."lo")' in pg
+    with pytest.raises(ValueError, match="unknown merge kind"):
+        DIALECTS["sqlite"].merge_upsert_sql("t", ["k", "x"], "k", {"x": "avg"})

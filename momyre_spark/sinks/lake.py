@@ -60,6 +60,39 @@ def _read_or_empty(
         return spark.createDataFrame([], schema), False
 
 
+def apply_actions(
+    existing: DataFrame,
+    actions: DataFrame,
+    fields: dict[str, str],
+    key: str = "_id",
+) -> DataFrame:
+    """The MERGE expression core: existing rows full-outer-joined with a
+    ``merge_ops_microbatch`` action frame -> post-merge rows. Shared by the
+    in-place lake merge and the versioned-snapshot merge; semantics match
+    the JDBC sink (upsert replaces, patch updates present fields, delete
+    drops, patch-to-missing is a no-op)."""
+    a, e = actions.alias("a"), existing.alias("e")
+    ak, ek = F.col(f"a.{key}"), F.col(f"e.{key}")
+    act = F.col("a.__action")
+    joined = e.join(a, ek == ak, "full_outer")
+    keep = ~(
+        F.coalesce(act == "delete", F.lit(False))
+        | ((act == "patch") & ek.isNull())  # patch to missing key: no-op
+    )
+    out_fields = []
+    for f in fields:
+        patched = F.when(
+            F.array_contains(F.col("a.__present"), F.lit(f)), F.col(f"a.{f}")
+        ).otherwise(F.col(f"e.{f}"))
+        out_fields.append(
+            F.when(act == "upsert", F.col(f"a.{f}"))
+            .when(act == "patch", patched)
+            .otherwise(F.col(f"e.{f}"))
+            .alias(f)
+        )
+    return joined.filter(keep).select(F.coalesce(ak, ek).alias(key), *out_fields)
+
+
 def merge_cdc_actions(
     spark: SparkSession,
     path: str,
@@ -96,10 +129,6 @@ def merge_cdc_actions(
     existing, existed = _read_or_empty(spark, path, schema)
     existing = existing.select(key, *fields)
 
-    a, e = actions.alias("a"), existing.alias("e")
-    ak, ek = F.col(f"a.{key}"), F.col(f"e.{key}")
-    act = F.col("a.__action")
-
     if partition_by and existed:
         # prune the merge's read side to partitions that can change
         touched = existing.join(
@@ -109,28 +138,11 @@ def merge_cdc_actions(
             *partition_by
         ).distinct()
         affected = touched.unionByName(incoming).distinct()
-        e = existing.join(F.broadcast(affected), partition_by, "left_semi").alias("e")
-        ek = F.col(f"e.{key}")
-
-    joined = e.join(a, ek == ak, "full_outer")
-    keep = ~(
-        F.coalesce(act == "delete", F.lit(False))
-        | ((act == "patch") & ek.isNull())  # patch to missing key: no-op
-    )
-    out_fields = []
-    for f in fields:
-        patched = F.when(
-            F.array_contains(F.col("a.__present"), F.lit(f)), F.col(f"a.{f}")
-        ).otherwise(F.col(f"e.{f}"))
-        out_fields.append(
-            F.when(act == "upsert", F.col(f"a.{f}"))
-            .when(act == "patch", patched)
-            .otherwise(F.col(f"e.{f}"))
-            .alias(f)
+        existing = existing.join(
+            F.broadcast(affected), partition_by, "left_semi"
         )
-    merged = joined.filter(keep).select(
-        F.coalesce(ak, ek).alias(key), *out_fields
-    )
+
+    merged = apply_actions(existing, actions, fields, key)
 
     if not partition_by:
         # full rewrite through a staging read: the output overwrites its own

@@ -369,6 +369,7 @@ def start_cdc_lake_stream(
     ns_col: str = "ns",
     partition_by: dict[str, list[str]] | None = None,
     trigger: dict[str, Any] | None = None,
+    versioned: bool = False,
 ):
     """CDC stream into the LAKE: each micro-batch merges per-table actions
     into ``{lake_root}/{table}`` via the copy-on-write parquet MERGE
@@ -380,8 +381,15 @@ def start_cdc_lake_stream(
     replayed batch reproduces the same table), so at-least-once foreachBatch
     delivery converges. ``partition_by`` optionally maps table -> partition
     columns for affected-partition-only rewrites.
+
+    ``versioned=True`` routes merges through the snapshot store
+    (sinks/snapshots.snapshot_merge_cdc): every micro-batch commits a new
+    manifest version, so the table is time-travelable batch-by-batch and
+    readers are isolated from in-flight merges; pair with a periodic
+    ``snapshot_vacuum`` for retention.
     """
     from momyre_spark.sinks.lake import merge_cdc_actions
+    from momyre_spark.sinks.snapshots import snapshot_merge_cdc
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         o = order
@@ -397,7 +405,8 @@ def start_cdc_lake_stream(
                     c: t for c, t in tspec.sql_columns.items() if c != "_id"
                 }
                 actions = merge_ops_microbatch(ops, fields, key="_id", order=o)
-                merge_cdc_actions(
+                merge = snapshot_merge_cdc if versioned else merge_cdc_actions
+                merge(
                     batch_df.sparkSession,
                     f"{lake_root}/{tname}",
                     actions,

@@ -1,0 +1,246 @@
+"""Versioned lake snapshots: commit/read/time-travel, manifest-driven
+partition pruning, copy-on-write merge (untouched partitions re-referenced,
+not rewritten), and vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from momyre_spark.sinks.snapshots import (
+    current_version,
+    list_versions,
+    read_manifest,
+    snapshot_merge_cdc,
+    snapshot_read,
+    snapshot_vacuum,
+    snapshot_write,
+)
+
+FIELDS = {"val": "bigint", "region": "string"}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "_id string, val bigint, region string")
+
+
+def _actions(spark, rows):
+    # (_id, action, val, region, present)
+    return spark.createDataFrame(
+        rows, "_id string, __action string, val bigint, region string, __present array<string>"
+    )
+
+
+def _state(df):
+    return sorted((r["_id"], r["val"], r["region"]) for r in df.collect())
+
+
+def test_write_read_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root)
+    v2 = snapshot_write(spark, _df(spark, [("a", 10, "eu")]), root)
+    assert (v1, v2) == (1, 2)
+    assert current_version(spark, root) == 2
+    assert _state(snapshot_read(spark, root)) == [("a", 10, "eu")]
+    # the pre-overwrite table is still readable at its version
+    assert _state(snapshot_read(spark, root, version=1)) == [
+        ("a", 1, "eu"), ("b", 2, "us"),
+    ]
+
+
+def test_merge_cow_rereferences_untouched_partitions(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark,
+        _df(spark, [("a", 1, "eu"), ("b", 2, "us"), ("c", 3, "ap")]),
+        root,
+        partition_by=["region"],
+    )
+    acts = _actions(
+        spark, [("a", "upsert", 100, "eu", ["val", "region"])]
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root, acts, FIELDS, partition_by=["region"]
+    )
+    assert _state(snapshot_read(spark, root)) == [
+        ("a", 100, "eu"), ("b", 2, "us"), ("c", 3, "ap"),
+    ]
+    m1, m2 = read_manifest(spark, root, 1), read_manifest(spark, root, v2)
+    # us/ap data dirs are the SAME paths as version 1 (no rewrite);
+    # only eu points into the new version's data dir
+    assert m2["partitions"]["region=us"] == m1["partitions"]["region=us"]
+    assert m2["partitions"]["region=ap"] == m1["partitions"]["region=ap"]
+    assert m2["partitions"]["region=eu"] != m1["partitions"]["region=eu"]
+    assert f"data/v{v2}" in m2["partitions"]["region=eu"]
+    # and version 1 still reads the pre-merge row
+    assert ("a", 1, "eu") in _state(snapshot_read(spark, root, version=1))
+
+
+def test_merge_delete_empties_partition(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root,
+        partition_by=["region"],
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [("b", "delete", None, None, [])]),
+        FIELDS, partition_by=["region"],
+    )
+    m2 = read_manifest(spark, root, v2)
+    assert "region=us" not in m2["partitions"]  # emptied -> dropped
+    assert _state(snapshot_read(spark, root)) == [("a", 1, "eu")]
+    assert _state(snapshot_read(spark, root, version=1)) == [
+        ("a", 1, "eu"), ("b", 2, "us"),
+    ]
+
+
+def test_merge_patch_and_missing_key_noop(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu")]), root, partition_by=["region"]
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [
+            ("a", "patch", 5, None, ["val"]),          # updates val only
+            ("zz", "patch", 9, "eu", ["val"]),          # missing key: no-op
+        ]),
+        FIELDS, partition_by=["region"],
+    )
+    assert v2 == 2
+    assert _state(snapshot_read(spark, root)) == [("a", 5, "eu")]
+
+
+def test_partition_filter_prunes_manifest_entries(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root,
+        partition_by=["region"],
+    )
+    got = snapshot_read(spark, root, partition_filter={"region": "eu"})
+    assert _state(got) == [("a", 1, "eu")]
+    # pruning happened on the driver: the scan's input files all live in eu
+    files = [r[0] for r in got.withColumn("f", F.input_file_name()).select("f").distinct().collect()]
+    assert files and all("region%3Deu" in f or "__p_region=eu" in f for f in files)
+
+
+def test_vacuum_drops_expired_versions_keeps_live_data(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root,
+        partition_by=["region"],
+    )
+    snapshot_merge_cdc(
+        spark, root, _actions(spark, [("a", "upsert", 2, "eu", ["val", "region"])]),
+        FIELDS, partition_by=["region"],
+    )
+    snapshot_merge_cdc(
+        spark, root, _actions(spark, [("a", "upsert", 3, "eu", ["val", "region"])]),
+        FIELDS, partition_by=["region"],
+    )
+    expired = snapshot_vacuum(spark, root, keep_last=2)
+    assert expired == [1]
+    assert list_versions(spark, root) == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root, version=1)
+    # v2 re-referenced v1's us partition — vacuum must NOT delete shared dirs
+    assert _state(snapshot_read(spark, root, version=2)) == [
+        ("a", 2, "eu"), ("b", 2, "us"),
+    ]
+    assert _state(snapshot_read(spark, root, version=3)) == [
+        ("a", 3, "eu"), ("b", 2, "us"),
+    ]
+
+
+def test_first_merge_bootstraps_table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [
+            ("a", "upsert", 1, "eu", ["val", "region"]),
+            ("gone", "delete", None, None, []),
+        ]),
+        FIELDS, partition_by=["region"],
+    )
+    assert v1 == 1
+    assert _state(snapshot_read(spark, root)) == [("a", 1, "eu")]
+
+
+def test_unpartitioned_merge_versions(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root)
+    snapshot_merge_cdc(
+        spark, root, _actions(spark, [("b", "upsert", 2, "us", ["val", "region"])]),
+        FIELDS,
+    )
+    assert _state(snapshot_read(spark, root)) == [("a", 1, "eu"), ("b", 2, "us")]
+    assert _state(snapshot_read(spark, root, version=1)) == [("a", 1, "eu")]
+
+
+def test_replayed_merge_is_reproducible_not_stacked(spark, tmp_path):
+    """Re-merging the same batch creates a new version with the SAME state
+    (merge semantics are idempotent per batch) — history grows, data
+    doesn't drift."""
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu")]), root, partition_by=["region"]
+    )
+    acts = _actions(spark, [("a", "upsert", 7, "eu", ["val", "region"])])
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"])
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"])
+    assert _state(snapshot_read(spark, root, version=2)) == [("a", 7, "eu")]
+    assert _state(snapshot_read(spark, root, version=3)) == [("a", 7, "eu")]
+
+
+def test_cdc_stream_into_versioned_store(spark, tmp_path):
+    """Raw oplog stream -> versioned snapshot store: each micro-batch run
+    commits a version; the final table matches the in-place lake result and
+    earlier batches remain time-travelable."""
+    import json
+
+    from pyspark.sql import Row
+
+    from momyre_spark.sources.opslog import decode_oplog
+    from momyre_spark.spec import parse_spec
+    from momyre_spark.streaming.pipeline import start_cdc_lake_stream
+
+    spec = parse_spec("tables:\n  users:\n    email: varchar(100)\n")
+    root = str(tmp_path / "lake")
+
+    def run(entries, srcname):
+        src = str(tmp_path / srcname)
+        spark.createDataFrame(
+            [Row(entry=json.dumps(e)) for e in entries]
+        ).write.json(src)
+        raw = spark.readStream.schema("entry string").json(src)
+        q = start_cdc_lake_stream(
+            decode_oplog(raw, tables=["users"]), spec,
+            lake_root=root,
+            checkpoint_dir=str(tmp_path / f"ckpt_{srcname}"),
+            trigger={"availableNow": True},
+            versioned=True,
+        )
+        q.awaitTermination(120)
+
+    run([
+        {"op": "i", "ns": "db.users", "ts": {"t": 1, "i": 1},
+         "o": {"_id": "a", "email": "a@x"}},
+        {"op": "i", "ns": "db.users", "ts": {"t": 1, "i": 2},
+         "o": {"_id": "b", "email": "b@x"}},
+    ], "b1")
+    run([
+        {"op": "u", "ns": "db.users", "ts": {"t": 2, "i": 1},
+         "o": {"$set": {"email": "a2@x"}}, "o2": {"_id": "a"}},
+        {"op": "d", "ns": "db.users", "ts": {"t": 2, "i": 2}, "o": {"_id": "b"}},
+    ], "b2")
+
+    tbl = f"{root}/users"
+    assert current_version(spark, tbl) == 2
+    now = {r["_id"]: r["email"] for r in snapshot_read(spark, tbl).collect()}
+    assert now == {"a": "a2@x"}
+    before = {r["_id"]: r["email"]
+              for r in snapshot_read(spark, tbl, version=1).collect()}
+    assert before == {"a": "a@x", "b": "b@x"}

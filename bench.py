@@ -37,6 +37,12 @@ HEADLINE = [
     "text_analyze_all",
     "text_decontaminate",
     "text_bm25_topk",
+    # round-2 maintenance surface: window-heavy history, multi-distinct
+    # profiling, salted grouped top-k, map-only JL projection
+    "cdc_scd2_history",
+    "stats_profile",
+    "agg_grouped_topk",
+    "emb_random_projection",
 ]
 
 

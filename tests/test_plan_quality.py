@@ -119,3 +119,44 @@ def test_q32_q33_join_shapes(spark):
     assert "(c_mktsegment" in p32              # segment filter reaches the scan
     p33 = plan_of(q(spark, "q33_tpch_q5_shape"))
     assert "BroadcastHashJoin" in p33 or "SortMergeJoin" in p33
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """At 100 TB a selective dimension filter must reach the fact scan as a
+    runtime bloom filter (Spark injects it when the application side exceeds
+    its size threshold — scaled to 0 here to demonstrate at test SF). The
+    engine's session keeps the optimization enabled; this pins both the conf
+    and the plan shape so a conf regression fails CI."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    saved_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF_CORRECT}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            big.join(dim, big.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan  # fact scan probes the bloom filter
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)

@@ -186,21 +186,21 @@ def snapshot_write(
     root: str,
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
+    batch_id: int | None = None,
 ) -> int:
     """Commit ``df`` as a full new version. Returns the version number."""
     parent = current_version(spark, root)
     v = (parent or 0) + 1
     dirs = _write_version_data(df, root, v, partition_by, max_records_per_file)
-    return _commit(
-        spark,
-        root,
-        {
-            "version": v,
-            "parent": parent,
-            "partition_by": list(partition_by or []),
-            "partitions": dirs,
-        },
-    )
+    man = {
+        "version": v,
+        "parent": parent,
+        "partition_by": list(partition_by or []),
+        "partitions": dirs,
+    }
+    if batch_id is not None:
+        man["batch_id"] = batch_id
+    return _commit(spark, root, man)
 
 
 def snapshot_read(
@@ -242,6 +242,7 @@ def snapshot_merge_cdc(
     key: str = "_id",
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
+    batch_id: int | None = None,
 ) -> int:
     """Copy-on-write MERGE as a new version.
 
@@ -249,8 +250,18 @@ def snapshot_merge_cdc(
     IO); affected ones (holding an acted-on key, or receiving rows) are
     rewritten under the new version's data dir; emptied ones are dropped
     from the manifest. Time travel keeps the pre-merge table readable at
-    the parent version."""
+    the parent version.
+
+    With ``batch_id`` set (the streaming path passes foreachBatch's epoch),
+    the committed manifest records it and a replayed batch whose id is <=
+    the current manifest's is skipped — exactly-once version history under
+    at-least-once delivery (without it, a replay re-commits an identical
+    but version-bumped state)."""
     parent = current_version(spark, root)
+    if batch_id is not None and parent is not None:
+        seen = read_manifest(spark, root, parent).get("batch_id")
+        if seen is not None and seen >= batch_id:
+            return parent  # replayed batch — state already committed
     if parent is None:
         first = apply_actions(
             spark.createDataFrame(
@@ -263,7 +274,8 @@ def snapshot_merge_cdc(
             key,
         )
         return snapshot_write(
-            spark, first, root, partition_by, max_records_per_file
+            spark, first, root, partition_by, max_records_per_file,
+            batch_id=batch_id,
         )
     man = read_manifest(spark, root, parent)
     pby = man["partition_by"]
@@ -275,13 +287,17 @@ def snapshot_merge_cdc(
     v = parent + 1
 
     if not pby:
+        # no lineage cut needed: the output dir (data/v{N}) never overlaps
+        # the input version's files
         merged = apply_actions(existing, actions, fields, key)
         dirs = _write_version_data(merged, root, v, None, max_records_per_file)
-        return _commit(
-            spark,
-            root,
-            {"version": v, "parent": parent, "partition_by": [], "partitions": dirs},
-        )
+        man = {
+            "version": v, "parent": parent, "partition_by": [],
+            "partitions": dirs,
+        }
+        if batch_id is not None:
+            man["batch_id"] = batch_id
+        return _commit(spark, root, man)
 
     touched = existing.join(actions.select(key), key, "left_semi").select(
         *pby
@@ -304,16 +320,15 @@ def snapshot_merge_cdc(
         if k not in affected_keys  # untouched: re-reference parent data
     }
     partitions.update(new_dirs)  # affected-and-nonempty: new data
-    return _commit(
-        spark,
-        root,
-        {
-            "version": v,
-            "parent": parent,
-            "partition_by": pby,
-            "partitions": partitions,
-        },
-    )
+    man = {
+        "version": v,
+        "parent": parent,
+        "partition_by": pby,
+        "partitions": partitions,
+    }
+    if batch_id is not None:
+        man["batch_id"] = batch_id
+    return _commit(spark, root, man)
 
 
 def snapshot_vacuum(

@@ -405,14 +405,21 @@ def start_cdc_lake_stream(
                     c: t for c, t in tspec.sql_columns.items() if c != "_id"
                 }
                 actions = merge_ops_microbatch(ops, fields, key="_id", order=o)
+                kwargs = {
+                    "key": "_id",
+                    "partition_by": (partition_by or {}).get(tname),
+                }
+                if versioned:
+                    # the epoch id makes replayed batches skip instead of
+                    # re-committing an identical version
+                    kwargs["batch_id"] = batch_id
                 merge = snapshot_merge_cdc if versioned else merge_cdc_actions
                 merge(
                     batch_df.sparkSession,
                     f"{lake_root}/{tname}",
                     actions,
                     fields,
-                    key="_id",
-                    partition_by=(partition_by or {}).get(tname),
+                    **kwargs,
                 )
         finally:
             if multi_table:

@@ -209,17 +209,20 @@ def test_cdc_stream_into_versioned_store(spark, tmp_path):
 
     spec = parse_spec("tables:\n  users:\n    email: varchar(100)\n")
     root = str(tmp_path / "lake")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
 
     def run(entries, srcname):
-        src = str(tmp_path / srcname)
+        # ONE source dir + ONE checkpoint across runs: epochs grow
+        # monotonically, exactly like a long-lived stream
         spark.createDataFrame(
             [Row(entry=json.dumps(e)) for e in entries]
-        ).write.json(src)
+        ).coalesce(1).write.mode("append").json(src)
         raw = spark.readStream.schema("entry string").json(src)
         q = start_cdc_lake_stream(
             decode_oplog(raw, tables=["users"]), spec,
             lake_root=root,
-            checkpoint_dir=str(tmp_path / f"ckpt_{srcname}"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
             trigger={"availableNow": True},
             versioned=True,
         )
@@ -244,3 +247,25 @@ def test_cdc_stream_into_versioned_store(spark, tmp_path):
     before = {r["_id"]: r["email"]
               for r in snapshot_read(spark, tbl, version=1).collect()}
     assert before == {"a": "a@x", "b": "b@x"}
+
+
+def test_merge_replay_with_batch_id_skips_commit(spark, tmp_path):
+    """Same batch_id replayed -> no new version; the epoch in the manifest
+    is the streaming path's exactly-once-version-history guard."""
+    root = str(tmp_path / "tbl")
+    acts = _actions(spark, [("a", "upsert", 1, "eu", ["val", "region"])])
+    v1 = snapshot_merge_cdc(
+        spark, root, acts, FIELDS, partition_by=["region"], batch_id=5
+    )
+    v_replay = snapshot_merge_cdc(
+        spark, root, acts, FIELDS, partition_by=["region"], batch_id=5
+    )
+    assert (v1, v_replay) == (1, 1)
+    assert list_versions(spark, root) == [1]
+    v2 = snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [("a", "upsert", 2, "eu", ["val", "region"])]),
+        FIELDS, partition_by=["region"], batch_id=6,
+    )
+    assert v2 == 2
+    assert _state(snapshot_read(spark, root)) == [("a", 2, "eu")]

@@ -59,7 +59,9 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     # steady-state timing: one untimed warmup (JIT/codegen/parquet footers),
-    # then the best of two timed runs per query
+    # then the best of three timed runs per query — min, not mean, because
+    # the sandbox host shows bursty CPU steal and the metric of interest is
+    # the plan's cost, not the neighbors'
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
@@ -70,7 +72,7 @@ def main() -> None:
             return time.perf_counter() - t0
 
         run()
-        timings[name] = round(min(run(), run()), 3)
+        timings[name] = round(min(run(), run(), run()), 3)
         # operators persist() intermediates that outlive their query; drop
         # them so each query is measured self-contained, not under the
         # accumulated cache/GC pressure of every query before it

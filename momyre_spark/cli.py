@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lake-root", default=None,
                    help="write to a parquet lake at this root instead of "
                         "the JDBC sink (snapshot + copy-on-write CDC merge)")
+    p.add_argument("--versioned", action="store_true",
+                   help="with --lake-root: commit through the versioned "
+                        "snapshot store (time travel; one version per "
+                        "snapshot/micro-batch)")
     p.add_argument("--ts-guard-col", default=None,
                    help="sink sequence column: guard every write by the "
                         "per-key high-water mark (out-of-order transports)")
@@ -124,7 +128,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode in ("batch", "both"):
         if args.lake_root:
             for table in spec.tables:
-                engine.snapshot_to_lake(table, f"{args.lake_root}/{table}")
+                engine.snapshot_to_lake(
+                    table, f"{args.lake_root}/{table}", versioned=args.versioned
+                )
             print(f"snapshotted to lake: {sorted(spec.tables)}", file=sys.stderr)
         else:
             resynced = engine.run_batch_sync()
@@ -147,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
             query = start_cdc_lake_stream(
                 ops, spec, lake_root=args.lake_root,
                 checkpoint_dir=args.checkpoint,
+                versioned=args.versioned,
             )
         else:
             query = start_cdc_stream(

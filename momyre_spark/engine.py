@@ -127,15 +127,29 @@ class ReplicationEngine:
         )
 
     def snapshot_to_lake(
-        self, table: str, path: str, partition_by: list[str] | None = None
+        self,
+        table: str,
+        path: str,
+        partition_by: list[str] | None = None,
+        versioned: bool = False,
     ) -> None:
         """Snapshot a table into columnar lake layout instead of (or beside)
         the JDBC sink — the engine extension that makes replicated data
-        directly queryable at 100 TB (partition pruning, column pruning)."""
-        from momyre_spark.sinks.lake import write_partitioned
+        directly queryable at 100 TB (partition pruning, column pruning).
 
+        ``versioned=True`` commits through the snapshot store
+        (sinks/snapshots.py): each snapshot becomes a time-travelable
+        version, and the follow-up CDC stream (``start_cdc_lake_stream``
+        with ``versioned=True``) appends versions to the same table."""
         tspec = self.spec.tables[table]
         df = enforce_schema(self.source(table), tspec)
+        if versioned:
+            from momyre_spark.sinks.snapshots import snapshot_write
+
+            snapshot_write(self.spark, df, path, partition_by)
+            return
+        from momyre_spark.sinks.lake import write_partitioned
+
         write_partitioned(df, path, partition_by or [])
 
     # -- orphan delete (reference J1, run.go:249-279) ------------------

@@ -45,3 +45,13 @@ def test_lake_root_flag_parses():
         ["--config", "x.yml", "--mode", "batch", "--lake-root", "/tmp/lake"]
     )
     assert args.lake_root == "/tmp/lake"
+
+
+def test_versioned_flag_parses():
+    from momyre_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["--config", "x.yml", "--lake-root", "/tmp/lake", "--versioned"]
+    )
+    assert args.versioned is True
+    assert build_parser().parse_args(["--config", "x.yml"]).versioned is False

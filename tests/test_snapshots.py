@@ -269,3 +269,35 @@ def test_merge_replay_with_batch_id_skips_commit(spark, tmp_path):
     )
     assert v2 == 2
     assert _state(snapshot_read(spark, root)) == [("a", 2, "eu")]
+
+
+def test_engine_snapshot_to_lake_versioned(spark, tmp_path):
+    """engine.snapshot_to_lake(versioned=True) commits version 1; a second
+    snapshot becomes version 2 with version 1 still readable."""
+    from momyre_spark.engine import ReplicationEngine
+    from momyre_spark.spec import parse_spec
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("1", "ann"), ("2", "bob")], "_id string, name string"
+    ).write.parquet(src)
+    spec = parse_spec("tables:\n  users:\n    name: varchar(64)\n")
+    eng = ReplicationEngine(
+        spark, spec,
+        source=lambda t: spark.read.parquet(src),
+        connection_factory=None, dialect_name="sqlite",
+    )
+    root = str(tmp_path / "tbl")
+    eng.snapshot_to_lake("users", root, versioned=True)
+    spark.createDataFrame(
+        [("1", "ann2")], "_id string, name string"
+    ).write.mode("overwrite").parquet(src)
+    eng.snapshot_to_lake("users", root, versioned=True)
+    assert current_version(spark, root) == 2
+    assert sorted(
+        (r["_id"], r["name"]) for r in snapshot_read(spark, root).collect()
+    ) == [("1", "ann2")]
+    assert sorted(
+        (r["_id"], r["name"])
+        for r in snapshot_read(spark, root, version=1).collect()
+    ) == [("1", "ann"), ("2", "bob")]

@@ -571,3 +571,72 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", round_half_up(F.col("cos"), 4).alias("cos"))
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    words_per_segment: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Sub-document (line/paragraph-level) exact dedup: split every document
+    into segments, keep only each distinct segment's GLOBAL first occurrence
+    (ordered by (doc, position)), and reassemble the surviving text.
+
+    This is the pretraining-corpus cleanup that document-level dedup cannot
+    do: boilerplate repeated across half the corpus (headers, licenses,
+    navigation) disappears from every document but its first. On real
+    corpora the split unit is the paragraph/line (``F.split(text, '\\n')``
+    — identical plan); the fixture corpus is one line per document, so the
+    unit here is a fixed run of ``words_per_segment`` words.
+
+    Plan shape at 100 TB: segment explode is map-only; first-occurrence
+    resolution is ONE hash aggregation keyed by the segment (map-side
+    partial min) + one equi-join back; reassembly is one hash aggregation
+    by doc id (uniform key). Nothing enumerates segment pairs, and the only
+    driver-side value is the plan itself.
+
+    Output: ``id_col``, ``text`` (deduped, original segment order),
+    ``n_segments`` (pre-dedup), ``n_kept``. Documents whose every segment
+    was seen earlier keep a row with empty text — corpus statistics need
+    the zero, and a downstream length gate drops them explicitly.
+    """
+    words = F.split(F.col(text_col), sep)
+    nseg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_segment + 1, words_per_segment), sep
+        ),
+    )
+    parts = docs.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    )
+    first = parts.groupBy("seg").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first")
+    )
+    kept = parts.join(first, "seg").filter(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("pos") == F.col("__first.pos"))
+    )
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = parts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(survivors, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -393,3 +393,48 @@ def dedup_minhash_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# Sub-document (segment/paragraph-level) exact dedup: distinct segments
+# survive only at their global first occurrence; documents reassemble from
+# survivors (operators/dedup.segment_dedup). On real corpora the unit is
+# the newline paragraph — identical plan, different split expression.
+# --------------------------------------------------------------------------
+_SEG_W = 10
+
+@query(
+    "dedup_segments",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(ws[(i*{_SEG_W}+1):(i*{_SEG_W}+{_SEG_W})], ' ') AS seg
+        FROM w, UNNEST(range(CAST(ceil(len(ws) / {_SEG_W}.0) AS BIGINT))) AS t(i)
+    ),
+    kept AS (
+        SELECT doc_id, pos, seg FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY seg ORDER BY doc_id, pos
+            ) AS rn FROM segs
+        ) WHERE rn = 1
+    ),
+    survivors AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(s.text, '') AS text, t.n_segments,
+           COALESCE(s.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN survivors s ON t.doc_id = s.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf, "documents")
+    return segment_dedup(docs, words_per_segment=_SEG_W).orderBy("doc_id")

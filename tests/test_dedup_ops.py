@@ -167,3 +167,36 @@ def test_prefix_filter_bounds_hot_shingle_candidates(spark):
     ncand = (a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
              .select("a.__id", "b.__id").distinct().count())
     assert ncand == 0  # hot shingles excluded from every prefix
+
+
+def test_segment_dedup_drops_boilerplate_keeps_first(spark):
+    from momyre_spark.operators.dedup import segment_dedup
+
+    boiler = "x " * 9 + "x"  # exactly one 10-word segment
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha words here"),
+            (2, boiler + " other beta content words"),
+            (3, boiler),  # nothing but boilerplate -> empty survivor
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in segment_dedup(docs, 10).collect()}
+    assert got[1]["text"].startswith(boiler)       # first occurrence kept
+    assert "unique alpha" in got[1]["text"]
+    assert not got[2]["text"].startswith("x")      # later copy dropped
+    assert "other beta" in got[2]["text"]
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0
+    assert got[3]["n_segments"] == 1
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    from momyre_spark.operators.dedup import segment_dedup
+
+    seg = " ".join(["w"] * 10)
+    docs = spark.createDataFrame(
+        [(1, seg + " " + seg)], "doc_id long, text string"
+    )
+    row = segment_dedup(docs, 10).collect()[0]
+    assert row["n_segments"] == 2 and row["n_kept"] == 1
+    assert row["text"] == seg

@@ -283,7 +283,7 @@ def assign_ivf_cells(
     from momyre_spark.functions.vectors import add_normalized
 
     nemb = add_normalized(emb, vec_col, "__nv")
-    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids)
+    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids, vec_col)
     out_cols = [id_col, vec_col, F.col("cent_id").alias("cell")]
     if keep_score:
         out_cols.append(F.col("__cs").alias("cell_cos"))

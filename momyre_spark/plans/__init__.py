@@ -101,21 +101,26 @@ DRIVER_PRIORITY = [
 ]
 
 
-def _driver_verified() -> set[str]:
-    """Query names with a fully-green row in any prior CORRECTNESS_r*.json.
+def _driver_verified() -> dict[str, int]:
+    """Query name -> LATEST round with a fully-green row in
+    CORRECTNESS_r*.json.
 
     The external driver records a bounded number of correctness rows per
     round, taken in ``ordered_queries()`` order. Reading the recorded
     results back lets the ordering adapt each round: anything not yet
-    verified goes first, so across rounds every registered query earns a
-    green row no matter how large the registry grows."""
+    verified goes first; once coverage is full, the stalest green rows
+    (verified longest ago, most code churn since) rotate to the front so
+    every query's driver signal keeps refreshing."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -130,24 +135,22 @@ def _driver_verified() -> set[str]:
                 and row.get("schema_match")
                 and not row.get("err")
             ):
-                seen.add(name)
-    return seen
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry ordered for the driver: never-verified queries first.
+    """Registry ordered for the driver: never-verified queries first, then
+    verified ones OLDEST round first (stalest driver signal refreshes
+    before recently-confirmed rows are re-checked).
 
-    Within each half (unverified, then verified) the static
-    ``DRIVER_PRIORITY`` list acts as a cheap-first hint, followed by
-    registration order."""
+    Within equal staleness the static ``DRIVER_PRIORITY`` list acts as a
+    cheap-first hint, followed by registration order."""
     verified = _driver_verified()
     hint = [n for n in DRIVER_PRIORITY if n in QUERIES]
     hint += [n for n in QUERIES if n not in hint]
-    out: dict[str, QueryFn] = {}
-    for name in hint:
-        if name not in verified:
-            out[name] = QUERIES[name]
-    for name in hint:
-        if name not in out:
-            out[name] = QUERIES[name]
-    return out
+    rank = {n: i for i, n in enumerate(hint)}
+    ordered = sorted(
+        hint, key=lambda n: (verified.get(n, 0), rank[n])
+    )
+    return {name: QUERIES[name] for name in ordered}

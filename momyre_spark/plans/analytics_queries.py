@@ -545,7 +545,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q36_udtf_tokenize",
-    oracle="""
+    oracle=r"""
     SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
     FROM documents WHERE doc_id < 20 ORDER BY ALL
     """,

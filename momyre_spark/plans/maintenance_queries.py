@@ -165,6 +165,21 @@ def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The 100 TB default: HLL++ NDVs keep the aggregate a plain partial+final
+# hash agg (no Expand duplicating every row once per distinct-agg). No SQL
+# oracle — HLL sketches aren't cross-engine reproducible; the driver records
+# a rows-only check and tests/test_maintenance_ops.py bounds the estimate
+# against the exact NDV (±5%).
+@query("stats_profile_approx")
+def stats_profile_approx(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf, "lineitem")
+    return profile_columns(li, list(_PROFILE_COLS), exact_ndv=False).orderBy(
+        "col_name"
+    )
+
+
 # --------------------------------------------------------------------------
 # Bounded-memory grouped top-k (operators/topk.py): top-3 customers per
 # nation by balance, merged from salted partial top-ks — never sorts a whole
@@ -213,6 +228,12 @@ def agg_grouped_topk(spark: SparkSession, sf: str) -> DataFrame:
 # 64 -> 8 dims with a seeded JL matrix whose 4-decimal literals are embedded
 # in BOTH plans, so Spark's fold and DuckDB's list_dot_product multiply
 # identical numbers. Map-only, fused into the scan.
+#
+# The projected vector is emitted as a "[a,b,...]" STRING, not
+# array<double>: the driver's pandas canonicalizer cannot factorize an
+# array column (r02 err: unhashable numpy.ndarray). Each element goes
+# through round_half_up -> DECIMAL(20,4) -> string on both engines, which
+# sidesteps their different double->string shortest-repr formatting.
 # --------------------------------------------------------------------------
 _RP_OUT = 8
 _RP_SEED = 7
@@ -226,15 +247,20 @@ def _rp_matrix() -> list[list[float]]:
 
 def _rp_oracle() -> str:
     rows = _rp_matrix()
-    dots = ", ".join(
-        round4_sql(
+    elems = ", ".join(
+        "CAST(CAST("
+        + round4_sql(
             "list_dot_product(embedding::DOUBLE[], ["
             + ",".join(repr(x) for x in row)
             + "]::DOUBLE[])"
         )
+        + " AS DECIMAL(20,4)) AS VARCHAR)"
         for row in rows
     )
-    return f"SELECT vec_id, [{dots}] AS proj FROM embeddings ORDER BY vec_id"
+    return (
+        f"SELECT vec_id, '[' || concat_ws(',', {elems}) || ']' AS proj "
+        "FROM embeddings ORDER BY vec_id"
+    )
 
 
 @query("emb_random_projection", oracle=_rp_oracle())
@@ -243,7 +269,13 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     proj = project(F.col("embedding"), _rp_matrix())
+    rounded = F.transform(
+        proj,
+        lambda x: round_half_up(x, 4).cast("decimal(20,4)").cast("string"),
+    )
     return emb.select(
         "vec_id",
-        F.transform(proj, lambda x: round_half_up(x, 4)).alias("proj"),
+        F.concat(F.lit("["), F.concat_ws(",", rounded), F.lit("]")).alias(
+            "proj"
+        ),
     ).orderBy("vec_id")

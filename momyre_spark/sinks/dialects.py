@@ -106,6 +106,104 @@ class Dialect:
         ph = ", ".join("?" for _ in columns)
         return f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph})"
 
+    # -------------------------------------------- staged two-phase merge --
+    # Combining merges (sum) are NOT idempotent, and per-partition replay
+    # markers only match when the replay reuses the same row-to-partition
+    # layout — a restart that changes num_partitions / AQE coalescing would
+    # double-apply deltas. The staged protocol is layout-independent:
+    # executors REPLACE-upsert rows into a staging table keyed
+    # (batch_id, key) — idempotent under any re-delivery — and the driver
+    # then applies staging -> target as ONE set-based statement in the same
+    # transaction that records the batch marker.
+
+    def sql_type(self, spark_dtype: str, key: bool = False) -> str:
+        """Portable column type for a Spark dtype string (staging DDL)."""
+        t = spark_dtype.lower()
+        if t.startswith("decimal"):
+            return t.upper()
+        mapping = {
+            "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+            "tinyint": "SMALLINT", "double": "DOUBLE PRECISION",
+            "float": "REAL", "boolean": "SMALLINT", "date": "DATE",
+            "timestamp": "TIMESTAMP", "binary": "BLOB", "string": "TEXT",
+        }
+        if key and t == "string":
+            return "VARCHAR(191)"  # index-safe under utf8mb4
+        return mapping.get(t, "TEXT")
+
+    def create_staging_sql(
+        self, stage: str, cols: list[tuple[str, str]], keys: list[str]
+    ) -> str:
+        defs = ", ".join(
+            f"{self.q(c)} {self.sql_type(t, c in keys)}" for c, t in cols
+        )
+        pk = ", ".join(self.q(k) for k in keys)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.q(stage)} "
+            f"({defs}, PRIMARY KEY ({pk}))"
+        )
+
+    def upsert_sql_multi(
+        self, table: str, columns: list[str], keys: list[str]
+    ) -> str:
+        """Replace-upsert on a COMPOSITE key (the staging write)."""
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join(self.ph for _ in columns)
+        conflict = ", ".join(self.q(k) for k in keys)
+        sets = ", ".join(
+            f"{self.q(c)} = excluded.{self.q(c)}"
+            for c in columns
+            if c not in keys
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON CONFLICT({conflict}) DO UPDATE SET {sets}"
+        )
+
+    def merge_from_staging_sql(
+        self,
+        table: str,
+        stage: str,
+        columns: list[str],
+        key: str,
+        merge: dict[str, str],
+        batch_col: str = "__batch_id",
+    ) -> str:
+        """Apply one staged batch into the target with ONE combining
+        INSERT..SELECT — executed driver-side inside the marker transaction.
+        Precondition: one staged row per key per batch (merge semantics
+        already require pre-aggregated deltas)."""
+        t = self.q(table)
+
+        def combine(c: str) -> str:
+            qc = self.q(c)
+            kind = merge.get(c, "replace")
+            if kind == "replace":
+                return f"{qc} = excluded.{qc}"
+            stored, new = f"{t}.{qc}", f"excluded.{qc}"
+            if kind == "sum":
+                return f"{qc} = {stored} + {new}"
+            if kind == "min":
+                return f"{qc} = {self.least_fn}({stored}, {new})"
+            if kind == "max":
+                return f"{qc} = {self.greatest_fn}({stored}, {new})"
+            raise ValueError(f"unknown merge kind {kind!r} for column {c!r}")
+
+        cols = ", ".join(self.q(c) for c in columns)
+        sets = ", ".join(combine(c) for c in columns if c != key)
+        # the WHERE on the SELECT also satisfies sqlite's upsert-with-SELECT
+        # parsing requirement
+        return (
+            f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {self.q(stage)} "
+            f"WHERE {self.q(batch_col)} = {self.ph} "
+            f"ON CONFLICT({self.q(key)}) DO UPDATE SET {sets}"
+        )
+
+    def purge_staging_sql(self, stage: str, batch_col: str = "__batch_id") -> str:
+        return (
+            f"DELETE FROM {self.q(stage)} WHERE {self.q(batch_col)} <= {self.ph}"
+        )
+
 
 class MySQLDialect(Dialect):
     """MySQL/MariaDB: INSERT ... ON DUPLICATE KEY UPDATE (the set-based form
@@ -179,6 +277,54 @@ class MySQLDialect(Dialect):
         ph = ", ".join("%s" for _ in columns)
         return f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph})"
 
+    def upsert_sql_multi(
+        self, table: str, columns: list[str], keys: list[str]
+    ) -> str:
+        # ODKU fires on whichever unique key conflicts — the staging table's
+        # composite PRIMARY KEY does the routing
+        cols = ", ".join(self.q(c) for c in columns)
+        ph = ", ".join("%s" for _ in columns)
+        sets = ", ".join(
+            f"{self.q(c)} = VALUES({self.q(c)})"
+            for c in columns
+            if c not in keys
+        )
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) VALUES ({ph}) "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
+    def merge_from_staging_sql(
+        self,
+        table: str,
+        stage: str,
+        columns: list[str],
+        key: str,
+        merge: dict[str, str],
+        batch_col: str = "__batch_id",
+    ) -> str:
+        def combine(c: str) -> str:
+            qc = self.q(c)
+            kind = merge.get(c, "replace")
+            if kind == "replace":
+                return f"{qc} = VALUES({qc})"
+            if kind == "sum":
+                return f"{qc} = {qc} + VALUES({qc})"
+            if kind == "min":
+                return f"{qc} = LEAST({qc}, VALUES({qc}))"
+            if kind == "max":
+                return f"{qc} = GREATEST({qc}, VALUES({qc}))"
+            raise ValueError(f"unknown merge kind {kind!r} for column {c!r}")
+
+        cols = ", ".join(self.q(c) for c in columns)
+        sets = ", ".join(combine(c) for c in columns if c != key)
+        return (
+            f"INSERT INTO {self.q(table)} ({cols}) "
+            f"SELECT {cols} FROM {self.q(stage)} "
+            f"WHERE {self.q(batch_col)} = %s "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+
 
 class SQLiteDialect(Dialect):
     """sqlite: INSERT ... ON CONFLICT(key) DO UPDATE (test stand-in)."""
@@ -206,6 +352,11 @@ class PostgresDialect(Dialect):
 
     def __init__(self) -> None:
         super().__init__(name="postgres", quote_char='"', ph="%s")
+
+    def sql_type(self, spark_dtype: str, key: bool = False) -> str:
+        if spark_dtype.lower() == "binary":
+            return "BYTEA"
+        return super().sql_type(spark_dtype, key)
 
     def upsert_sql(self, table: str, columns: list[str], key: str) -> str:
         cols = ", ".join(self.q(c) for c in columns)

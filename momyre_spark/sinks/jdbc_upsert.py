@@ -274,6 +274,40 @@ def merge_upsert_partition(
         conn.close()
 
 
+def _stage_partition(
+    rows: Iterable,
+    *,
+    connection_factory: ConnFactory,
+    dialect_name: str,
+    stage: str,
+    columns: list[str],
+    keys: list[str],
+    batch_size: int = 1000,
+) -> None:
+    """Executor-side body of the staging phase: REPLACE-upsert into the
+    staging table keyed (batch_id, key). Idempotent under any replay or
+    partition layout — re-staging a row overwrites the identical row."""
+    dialect = DIALECTS[dialect_name]
+    sql = dialect.upsert_sql_multi(stage, columns, keys)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(tuple(row[c] for c in columns))
+            if len(buf) >= batch_size:
+                cur.executemany(sql, buf)
+                buf.clear()
+        if buf:
+            cur.executemany(sql, buf)
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
 def merge_upsert_dataframe(
     df: DataFrame,
     *,
@@ -287,7 +321,24 @@ def merge_upsert_dataframe(
     progress_label: str | None = None,
 ) -> None:
     """Distributed combining upsert (sink half of operators/incremental.py):
-    each row folds into the maintained aggregate row for its key."""
+    each row folds into the maintained aggregate row for its key.
+
+    With ``batch_id`` set this uses a STAGED two-phase protocol, because
+    combining merges (sum) are not idempotent and per-partition replay
+    markers are layout-dependent — a replayed batch whose rows land in
+    different partitions (changed num_partitions, shuffle conf, AQE
+    coalescing across a restart) would miss the old markers and
+    double-apply:
+
+    1. executors replace-upsert the deltas into ``{table}__stage`` keyed
+       ``(__batch_id, key)`` — idempotent under any re-delivery/layout;
+    2. the driver, in ONE transaction: checks the per-(table, batch)
+       marker, applies staging -> target as a single set-based combining
+       INSERT..SELECT, records the marker, and purges the staged batch.
+
+    Either the whole batch's merge and its marker commit together, or
+    neither does. Without ``batch_id`` the deltas are applied directly
+    (no replay protection — caller owns delivery semantics)."""
     columns = df.columns
     if key not in columns:
         raise ValueError(f"key column {key!r} not in DataFrame ({columns})")
@@ -296,22 +347,83 @@ def merge_upsert_dataframe(
         raise ValueError(f"merge columns not in DataFrame: {sorted(unknown)}")
     if num_partitions:
         df = df.coalesce(num_partitions)
-    rdd = df.rdd
-    layout = rdd.getNumPartitions()
-    rdd.foreachPartition(
-        lambda rows: merge_upsert_partition(
+
+    if batch_id is None:
+        df.rdd.foreachPartition(
+            lambda rows: merge_upsert_partition(
+                rows,
+                connection_factory=connection_factory,
+                dialect_name=dialect_name,
+                table=table,
+                columns=columns,
+                key=key,
+                merge=merge,
+            )
+        )
+        return
+
+    from pyspark.sql import functions as F
+
+    dialect = DIALECTS[dialect_name]
+    check_ident(table)
+    ph = dialect.ph
+    stage = f"{table}__stage"
+    bkey = _progress_key(progress_label or table)
+
+    # phase 0 (driver): skip an already-applied batch; bootstrap staging DDL
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        ensure_progress_table(cur, dialect)
+        seen = read_progress(cur, dialect, bkey, ph)
+        if seen is not None and seen >= batch_id:
+            conn.commit()
+            return  # replayed batch — already merged
+        stage_cols = [("__batch_id", "bigint")] + df.dtypes
+        cur.execute(
+            dialect.create_staging_sql(stage, stage_cols, ["__batch_id", key])
+        )
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+    # phase 1 (executors): idempotent staging writes
+    staged = df.withColumn("__batch_id", F.lit(batch_id).cast("bigint"))
+    all_cols = ["__batch_id", *columns]
+    staged.select(*all_cols).foreachPartition(
+        lambda rows: _stage_partition(
             rows,
             connection_factory=connection_factory,
             dialect_name=dialect_name,
-            table=table,
-            columns=columns,
-            key=key,
-            merge=merge,
-            batch_id=batch_id,
-            layout=layout,
-            progress_label=progress_label,
+            stage=stage,
+            columns=all_cols,
+            keys=["__batch_id", key],
         )
     )
+
+    # phase 2 (driver, one txn): marker-gated set-based apply + purge
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        seen = read_progress(cur, dialect, bkey, ph)
+        if seen is None or seen < batch_id:
+            cur.execute(
+                dialect.merge_from_staging_sql(
+                    table, stage, columns, key, merge
+                ),
+                (batch_id,),
+            )
+            _write_progress_in_tx(cur, dialect, bkey, batch_id)
+            cur.execute(dialect.purge_staging_sql(stage), (batch_id,))
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
 
 
 def purge_tombstones(

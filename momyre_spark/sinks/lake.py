@@ -71,6 +71,11 @@ def apply_actions(
     in-place lake merge and the versioned-snapshot merge; semantics match
     the JDBC sink (upsert replaces, patch updates present fields, delete
     drops, patch-to-missing is a no-op)."""
+    if "__present" not in actions.columns:
+        # upsert/delete-only callers need no patch field list
+        actions = actions.withColumn(
+            "__present", F.lit(None).cast("array<string>")
+        )
     a, e = actions.alias("a"), existing.alias("e")
     ak, ek = F.col(f"a.{key}"), F.col(f"e.{key}")
     act = F.col("a.__action")

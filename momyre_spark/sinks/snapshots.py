@@ -28,10 +28,23 @@ entries on the driver before any file IO, the lake analog of partition
 pruning (no directory listing of the whole table, which at 100 TB is
 itself a cost).
 
-Commit protocol: write ``v{N}.json``, then move CURRENT via copy+rename —
-atomic on HDFS-like filesystems. Single-writer by assumption (the Spark
-driver of the CDC stream); multi-writer needs a catalog/lock service,
-exactly as with every manifest-based table format.
+Commit protocol: the COMMIT POINT is the manifest write — ``v{N}.json``
+landing makes version N the table state. CURRENT is only a hint (exactly
+Iceberg's version-hint.text): ``current_version`` takes
+``max(CURRENT, max(listed manifests))``, so a crash between manifest write
+and CURRENT update loses nothing, and a missing/stale CURRENT can never
+send a writer back to version 1 to clobber referenced data dirs (``_commit``
+additionally refuses to write a manifest at or below an existing version).
+Single-writer by assumption (the Spark driver of the CDC stream);
+multi-writer needs a catalog/lock service, exactly as with every
+manifest-based table format.
+
+Manifest partition directories are recorded FROM A LISTING of what the
+writer actually produced (Spark uses Hive path escaping — space stays
+literal, ``/:=#`` etc become %XX, null/empty becomes
+``__HIVE_DEFAULT_PARTITION__`` — which urllib-style quoting does not
+match). Merge-side key computation mirrors that escaping via
+``_hive_escape``, pinned against Spark's output by test.
 
 Retention: old versions stay readable until ``snapshot_vacuum`` drops
 their unreferenced data directories.
@@ -40,14 +53,19 @@ their unreferenced data directories.
 from __future__ import annotations
 
 import json
-from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from momyre_spark.sinks.lake import apply_actions
 
 _M = "_manifests"
+
+# Partition values per commit tracked in the single JSON manifest. Past this,
+# driver-side manifests need hierarchical sharding (Iceberg manifest lists);
+# refuse loudly rather than degrade silently. See snapshot_merge_cdc docs.
+MAX_MANIFEST_PARTITIONS = 100_000
 
 
 # ------------------------------------------------------------------ fs ----
@@ -88,22 +106,75 @@ def _read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+# ---------------------------------------------------- hive path escaping --
+# Mirror of Hive/Spark partition-path escaping (ExternalCatalogUtils /
+# Hive FileUtils.escapePathName): control chars and `" # % ' * / : = ? [ ] \
+# ^ { DEL` become uppercase %XX; space, `}`, and non-ASCII stay literal;
+# null and '' both map to __HIVE_DEFAULT_PARTITION__. Pinned against actual
+# Spark writer output in tests/test_snapshots.py.
+_HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_ESC = set('"#%\'*/:=?[]\\^{\x7f') | {chr(i) for i in range(0x20)}
+
+
+def _hive_escape(value: str | None) -> str:
+    if value is None or value == "":
+        return _HIVE_DEFAULT
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESC else ch for ch in value
+    )
+
+
+def _hive_unescape(name: str) -> str | None:
+    if name == _HIVE_DEFAULT:
+        return None
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
 # ------------------------------------------------------------ manifests ---
 def _part_key(row, partition_by: list[str]) -> str:
-    return "/".join(f"{c}={quote(str(row[c]), safe='')}" for c in partition_by)
+    """Manifest key for a row of STRING-CAST partition values (cast with
+    Spark's own `cast(string)` so e.g. booleans render 'true', matching the
+    directory names the writer produced)."""
+    return "/".join(f"{c}={_hive_escape(row[c])}" for c in partition_by)
 
 
-def part_key_values(key: str, partition_by: list[str]) -> dict[str, str]:
-    vals = {}
+def part_key_values(key: str, partition_by: list[str]) -> dict[str, str | None]:
+    vals: dict[str, str | None] = {}
     for piece in key.split("/"):
         c, v = piece.split("=", 1)
-        vals[c] = unquote(v)
+        vals[c] = _hive_unescape(v)
     return {c: vals[c] for c in partition_by}
 
 
 def current_version(spark: SparkSession, root: str) -> int | None:
-    txt = _read_text(spark, f"{root}/{_M}/CURRENT")
-    return int(txt.strip()) if txt else None
+    """The committed version: max of the CURRENT hint and the listed
+    manifests. The manifest write is the commit point; CURRENT lagging or
+    missing (crash in the hint update window) must not roll the table back —
+    a writer that restarted at v1 would overwrite data dirs every existing
+    manifest references."""
+    try:
+        txt = _read_text(spark, f"{root}/{_M}/CURRENT")
+        hint = int(txt.strip()) if txt else None
+    except Exception:
+        hint = None  # torn/corrupt hint (crash mid-write) — manifests rule
+    versions = list_versions(spark, root)
+    top = versions[-1] if versions else None
+    if hint is None:
+        return top
+    if top is None:
+        return hint
+    return max(hint, top)
 
 
 def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
@@ -128,6 +199,21 @@ def list_versions(spark: SparkSession, root: str) -> list[int]:
 
 def _commit(spark: SparkSession, root: str, manifest: dict) -> int:
     v = manifest["version"]
+    if len(manifest["partitions"]) > MAX_MANIFEST_PARTITIONS:
+        raise RuntimeError(
+            f"manifest for version {v} has {len(manifest['partitions'])} "
+            f"partitions (> {MAX_MANIFEST_PARTITIONS}); single-JSON "
+            "manifests need hierarchical sharding at this cardinality — "
+            "repartition the table on a coarser key"
+        )
+    existing = list_versions(spark, root)
+    if existing and v <= existing[-1]:
+        raise RuntimeError(
+            f"commit of version {v} would not advance the table "
+            f"(manifests up to v{existing[-1]} exist) — concurrent writer "
+            "or corrupted CURRENT hint"
+        )
+    # COMMIT POINT: the manifest landing. CURRENT below is only a hint.
     _write_text(spark, f"{root}/{_M}/v{v}.json", json.dumps(manifest, sort_keys=True))
     jvm, fs = _fs(spark, root)
     tmp, cur = f"{root}/{_M}/CURRENT.tmp", f"{root}/{_M}/CURRENT"
@@ -167,17 +253,36 @@ def _write_version_data(
         .partitionBy(*shadows.values())
         .parquet(base)
     )
-    parts = (
-        df.select(*partition_by).distinct().collect()
-    )  # one row per partition — bounded by the batch's partition count
+    # Record the directories the writer ACTUALLY produced (Hive-escaped
+    # names) rather than re-deriving them — the manifest can then never
+    # point at a path that doesn't exist, whatever the partition values.
     dirs = {}
-    for r in parts:
-        key = _part_key(r, partition_by)
-        shadow_dir = "/".join(
-            f"{shadows[c]}={quote(str(r[c]), safe='')}" for c in partition_by
-        )
-        dirs[key] = f"{base}/{shadow_dir}"
+    spark2 = df.sparkSession
+    for rel in _list_part_dirs(spark2, base, len(partition_by)):
+        segs = rel.split("/")
+        key = "/".join(s[len("__p_"):] if s.startswith("__p_") else s for s in segs)
+        dirs[key] = f"{base}/{rel}"
     return dirs
+
+
+def _list_part_dirs(spark: SparkSession, base: str, depth: int) -> list[str]:
+    """Relative paths of the partition leaf dirs under ``base``, one
+    ``name=value`` segment per level. Driver-side listing bounded by the
+    batch's partition count (guarded by MAX_MANIFEST_PARTITIONS at commit)."""
+    jvm, fs = _fs(spark, base)
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            p = _jpath(jvm, f"{base}/{rel}" if rel else base)
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if st.isDirectory() and "=" in name:
+                    nxt.append(f"{rel}/{name}" if rel else name)
+        rels = nxt
+        if len(rels) > MAX_MANIFEST_PARTITIONS:
+            break  # _commit raises with the precise message
+    return rels
 
 
 def snapshot_write(
@@ -197,6 +302,7 @@ def snapshot_write(
         "parent": parent,
         "partition_by": list(partition_by or []),
         "partitions": dirs,
+        "schema": df.schema.json(),
     }
     if batch_id is not None:
         man["batch_id"] = batch_id
@@ -217,6 +323,11 @@ def snapshot_read(
         raise FileNotFoundError(f"no committed version at {root}")
     man = read_manifest(spark, root, v)
     pby = man["partition_by"]
+    schema = (
+        StructType.fromJson(json.loads(man["schema"]))
+        if "schema" in man
+        else None
+    )
     dirs = []
     for key, d in sorted(man["partitions"].items()):
         if partition_filter and key:
@@ -225,12 +336,20 @@ def snapshot_read(
                 continue
         dirs.append(d)
     if not dirs:
-        # empty selection: preserve schema by reading nothing from any dir
+        # Empty selection — or a legitimately empty version (a merge that
+        # deleted every row commits an empty partitions map). The manifest
+        # schema makes it readable as an empty DataFrame.
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         any_dir = next(iter(man["partitions"].values()), None)
         if any_dir is None:
-            raise FileNotFoundError(f"version {v} has no data")
+            raise FileNotFoundError(
+                f"version {v} has no data and no recorded schema "
+                "(pre-schema manifest)"
+            )
         return spark.read.parquet(any_dir).limit(0)
-    out = spark.read.parquet(*dirs)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    out = reader.parquet(*dirs)
     return out.drop(*[c for c in out.columns if c.startswith("__p_")])
 
 
@@ -293,7 +412,7 @@ def snapshot_merge_cdc(
         dirs = _write_version_data(merged, root, v, None, max_records_per_file)
         man = {
             "version": v, "parent": parent, "partition_by": [],
-            "partitions": dirs,
+            "partitions": dirs, "schema": merged.schema.json(),
         }
         if batch_id is not None:
             man["batch_id"] = batch_id
@@ -306,7 +425,17 @@ def snapshot_merge_cdc(
         actions.filter(F.col("__action") != "delete").select(*pby).distinct()
     )
     affected = touched.unionByName(incoming).distinct()
-    affected_keys = {_part_key(r, pby) for r in affected.collect()}
+    # Keys via Spark's own cast(string) + Hive escaping so they string-match
+    # the directory names the writer produced (str(True) != 'true', etc.).
+    affected_str = affected.select(
+        [F.col(c).cast("string").alias(c) for c in pby]
+    )
+    affected_keys = {_part_key(r, pby) for r in affected_str.collect()}
+    if len(affected_keys) > MAX_MANIFEST_PARTITIONS:
+        raise RuntimeError(
+            f"merge touches {len(affected_keys)} partitions "
+            f"(> {MAX_MANIFEST_PARTITIONS}); repartition on a coarser key"
+        )
 
     pruned = existing.join(F.broadcast(affected), pby, "left_semi")
     merged = apply_actions(pruned, actions, fields, key).localCheckpoint(
@@ -325,6 +454,7 @@ def snapshot_merge_cdc(
         "parent": parent,
         "partition_by": pby,
         "partitions": partitions,
+        "schema": merged.schema.json(),
     }
     if batch_id is not None:
         man["batch_id"] = batch_id

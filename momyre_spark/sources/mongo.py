@@ -66,18 +66,38 @@ def change_stream_reader(
     )
 
 
-def _decode_cluster_time(ct) -> F.Column:
+def _decode_cluster_time(ct, dtype=None) -> F.Column:
     """clusterTime -> packed T<<32|I resume order, defensively.
 
     The connector surfaces clusterTime as a BSON timestamp, which lands in
-    Spark either as a castable long/timestamp OR as an extended-JSON string
-    ``{"$timestamp": {"t": ..., "i": ...}}`` (schema-inference dependent).
-    A naive ``cast('long')`` yields NULL on the extended-JSON form and
-    silently breaks merge ordering and ts guards — so parse the struct form
-    first, fall back to the cast, and FAIL-STOP (raise_error) if neither
-    decodes: emitting unordered ops is the one thing a replicator must
-    never do (reference fail-stop stance, mongo.go:183).
+    Spark as a castable long/timestamp, an extended-JSON string
+    ``{"$timestamp": {"t": ..., "i": ...}}``, or — under schema inference
+    over extended-JSON events — an actual STRUCT of that shape (all three
+    are in the golden corpus, tests/fixtures/mongo_change_events.jsonl).
+    A naive ``cast('long')`` yields NULL on the non-long forms and
+    silently breaks merge ordering and ts guards — so decode the typed
+    struct, else parse the string form, else fall back to the cast, and
+    FAIL-STOP (raise_error) if nothing decodes: emitting unordered ops is
+    the one thing a replicator must never do (reference fail-stop stance,
+    mongo.go:183).
     """
+    if (
+        dtype is not None
+        and dtype.typeName() == "struct"
+        and "$timestamp" in dtype.fieldNames()
+    ):
+        tsi = ct["$timestamp"]
+        packed = F.when(
+            tsi.isNotNull(),
+            F.shiftleft(tsi["t"].cast("long"), 32).bitwiseOR(
+                tsi["i"].cast("long")
+            ),
+        )
+        return F.when(
+            packed.isNull(),
+            F.raise_error(F.lit("momyre: undecodable clusterTime struct"))
+            .cast("long"),
+        ).otherwise(packed)
     ct_str = ct.cast("string")
     parsed = F.from_json(ct_str, "struct<`$timestamp`:struct<t:long,i:long>>")
     tsi = parsed["$timestamp"]
@@ -106,14 +126,37 @@ def _field_type(stream: DataFrame, *path: str):
     return dt
 
 
+# BSON scalar wrappers from MongoDB Extended JSON v2: a struct whose single
+# field is one of these IS a scalar (ObjectId -> 24-hex, Long/Decimal ->
+# digit string, Date -> ISO text) — exactly the reference's value
+# conversions (ObjectID->hex mysql.go:400-401; passthrough mysql.go:398-406).
+_BSON_WRAPPERS = {"$oid", "$numberLong", "$numberDecimal", "$numberInt", "$date"}
+
+
+def _unwrap_bson(col, dt):
+    """Peel extended-JSON scalar wrappers ({$oid: x} -> x), possibly nested
+    ({$date: {$numberLong: x}} -> x). Returns (column, datatype)."""
+    from pyspark.sql.types import StructType
+
+    while (
+        isinstance(dt, StructType)
+        and len(dt.fields) == 1
+        and dt.fields[0].name in _BSON_WRAPPERS
+    ):
+        col = col[dt.fields[0].name]
+        dt = dt.fields[0].dataType
+    return col, dt
+
+
 def _flatten_struct_json(col, dtype) -> F.Column:
     """Struct column -> JSON text of the FLATTENED document.
 
     Mirrors the reference's obj2plain (mongo.go:141-155) at plan time:
     nested structs flatten to '_'-joined names, dotted field names (the
     connector's updatedFields uses literal 'cfg.pub' keys) rewrite '.'->'_'
-    (col4sql, mysql.go:54-56), arrays/maps JSON-serialize whole, scalars
-    cast to string. Pure column expressions — no Python in the stream.
+    (col4sql, mysql.go:54-56), extended-JSON scalar wrappers unwrap to
+    scalars, arrays/maps JSON-serialize whole, scalars cast to string.
+    Pure column expressions — no Python in the stream.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -123,10 +166,10 @@ def _flatten_struct_json(col, dtype) -> F.Column:
     def walk(prefix: str, c, dt: StructType) -> None:
         for f in dt.fields:
             name = (prefix + f.name).replace(".", "_")
-            child = c[f.name]
-            if isinstance(f.dataType, StructType):
-                walk(name + "_", child, f.dataType)
-            elif isinstance(f.dataType, (ArrayType, MapType)):
+            child, cdt = _unwrap_bson(c[f.name], f.dataType)
+            if isinstance(cdt, StructType):
+                walk(name + "_", child, cdt)
+            elif isinstance(cdt, (ArrayType, MapType)):
                 names.append(name)
                 values.append(F.to_json(child))
             else:
@@ -170,9 +213,21 @@ def decode_change_stream(stream: DataFrame) -> DataFrame:
     """
     upd_t = _field_type(stream, "updateDescription", "updatedFields")
     if upd_t is not None and upd_t.typeName() == "struct":
-        updated = F.from_json(
-            _flatten_struct_json(F.col("updateDescription.updatedFields"), upd_t),
-            "map<string,string>",
+        # A struct-typed updatedFields is the UNION of fields across all
+        # events (schema inference), so fields this event didn't set are
+        # null — they must be dropped or every patch would null its
+        # siblings. Cost: an explicit {$set: {f: null}} is indistinguishable
+        # from absent in struct form and is lost; removedFields still
+        # carries explicit nulls, and the JSON-string event form (connector
+        # outputExtendedJson) preserves set-to-null exactly.
+        updated = F.map_filter(
+            F.from_json(
+                _flatten_struct_json(
+                    F.col("updateDescription.updatedFields"), upd_t
+                ),
+                "map<string,string>",
+            ),
+            lambda _k, v: v.isNotNull(),
         )
     else:
         updated = F.transform_keys(
@@ -242,12 +297,21 @@ def decode_change_stream(stream: DataFrame) -> DataFrame:
     tok_cols = (
         [F.col("_id._data").cast("string").alias("tok")] if has_token else []
     )
+    # documentKey._id arrives as a plain scalar or, under extended-JSON
+    # schema inference, an {$oid: hex} struct -> unwrap to the 24-char hex
+    # (reference ObjectID->hex, mysql.go:400-401)
+    key_col, _ = _unwrap_bson(
+        F.col("documentKey")["_id"],
+        _field_type(stream, "documentKey", "_id"),
+    )
     return stream.filter(op.isNotNull()).select(
-        _decode_cluster_time(F.col("clusterTime")).alias("ts"),
+        _decode_cluster_time(
+            F.col("clusterTime"), _field_type(stream, "clusterTime")
+        ).alias("ts"),
         F.lit(0).cast("long").alias("seq"),
         *tok_cols,
         F.substring_index(F.col("ns.coll"), ".", -1).alias("ns"),
         op.alias("op"),
-        F.col("documentKey._id").cast("string").alias("_id"),
+        key_col.cast("string").alias("_id"),
         payload.alias("payload"),
     )

@@ -138,9 +138,12 @@ def start_incremental_agg_to_sink(
     aggregation state at all — the running total lives in the SINK, so
     state is zero on the cluster and the stream handles unbounded keys.
     Append-mode per batch; sink write volume is O(distinct keys per batch).
-    Exactly-once: additive merges are NOT idempotent, so the per-(table,
-    partition, batch, layout) progress marker inside the merge transaction
-    is what makes replays safe (merge_upsert_partition skips them).
+    Exactly-once: additive merges are NOT idempotent, so
+    merge_upsert_dataframe runs its staged two-phase protocol — executors
+    replace-upsert deltas into a (batch_id, key)-keyed staging table
+    (idempotent under any replay/partition layout), then the driver applies
+    staging -> target and records the per-(table, batch) marker in one
+    transaction.
 
     The sink table needs columns: ``*keys`` (PK = the concatenated
     ``agg_key``) + one column per ``aggs`` entry.

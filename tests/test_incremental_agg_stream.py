@@ -139,6 +139,65 @@ def test_merge_upsert_replay_is_skipped(spark, tmp_path):
     assert _state(factory)["a"] == (2, 4.0, 2.0, 2.0)
 
 
+def test_merge_upsert_replay_under_different_layout_is_skipped(spark, tmp_path):
+    """The ADVICE r02 scenario: a replayed micro-batch whose rows land in a
+    DIFFERENT partition layout (changed num_partitions across a restart)
+    must not double-apply the non-idempotent sum deltas. The staged
+    protocol's per-(table, batch) marker is layout-independent."""
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    factory = _mk_sink(tmp_path)
+    rows = [(f"u{i}", f"u{i}", 1, float(i), float(i), float(i)) for i in range(8)]
+    schema = (
+        "agg_key string, user string, cnt long, total double, "
+        "lo double, hi double"
+    )
+    merge = {"cnt": "sum", "total": "sum", "lo": "min", "hi": "max"}
+    for nparts in (4, 1, 8):  # same batch, three different layouts
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        merge_upsert_dataframe(
+            df, connection_factory=factory, dialect_name="sqlite",
+            table="aggserve", merge=merge, key="agg_key", batch_id=5,
+        )
+    state = _state(factory)
+    assert state["u3"] == (1, 3.0, 3.0, 3.0)  # applied exactly once
+    assert all(state[f"u{i}"][0] == 1 for i in range(8))
+    # staging rows for the applied batch were purged in the same txn
+    conn = factory()
+    try:
+        n = conn.execute('SELECT count(*) FROM "aggserve__stage"').fetchone()[0]
+    finally:
+        conn.close()
+    assert n == 0
+
+
+def test_staged_merge_dialect_spellings():
+    from momyre_spark.sinks.dialects import DIALECTS
+
+    merge = {"cnt": "sum", "lo": "min"}
+    lite = DIALECTS["sqlite"].merge_from_staging_sql(
+        "t", "t__stage", ["k", "cnt", "lo"], "k", merge
+    )
+    assert 'SELECT "k", "cnt", "lo" FROM "t__stage"' in lite
+    assert 'WHERE "__batch_id" = ?' in lite
+    assert '"cnt" = "t"."cnt" + excluded."cnt"' in lite
+    my = DIALECTS["mysql"].merge_from_staging_sql(
+        "t", "t__stage", ["k", "cnt", "lo"], "k", merge
+    )
+    assert "WHERE `__batch_id` = %s" in my
+    assert "`cnt` = `cnt` + VALUES(`cnt`)" in my
+    multi = DIALECTS["sqlite"].upsert_sql_multi(
+        "t__stage", ["__batch_id", "k", "cnt"], ["__batch_id", "k"]
+    )
+    assert 'ON CONFLICT("__batch_id", "k")' in multi
+    ddl = DIALECTS["mysql"].create_staging_sql(
+        "t__stage",
+        [("__batch_id", "bigint"), ("k", "string"), ("cnt", "bigint")],
+        ["__batch_id", "k"],
+    )
+    assert "`k` VARCHAR(191)" in ddl and "PRIMARY KEY (`__batch_id`, `k`)" in ddl
+
+
 def test_merge_upsert_sql_spellings():
     from momyre_spark.sinks.dialects import DIALECTS
 

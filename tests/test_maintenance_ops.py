@@ -122,6 +122,28 @@ def test_profile_approx_path_has_no_expand(spark):
     assert "Expand" not in approx_plan
 
 
+def test_profile_approx_ndv_within_tolerance(spark):
+    """The honest check for the scale-default path: HLL++ NDV estimates must
+    land within 3x the default relative standard deviation (rsd 0.05 ->
+    ±15%) of the exact distinct counts. The estimate is deterministic per
+    dataset; this also pins the stats_profile_approx headline query's
+    accuracy."""
+    df = spark.range(20_000).select(
+        (F.col("id") % 1337).cast("double").alias("n"),
+        F.concat(F.lit("v"), (F.col("id") % 4211).cast("string")).alias("s"),
+    )
+    exact = {
+        r["col_name"]: r["ndv"]
+        for r in profile_columns(df, ["n", "s"], exact_ndv=True).collect()
+    }
+    approx = {
+        r["col_name"]: r["ndv"]
+        for r in profile_columns(df, ["n", "s"], exact_ndv=False).collect()
+    }
+    for c in ("n", "s"):
+        assert abs(approx[c] - exact[c]) <= 0.15 * exact[c], (c, approx[c], exact[c])
+
+
 # ---------------------------------------------------------------- top-k ---
 def test_grouped_topk_matches_window_formulation(spark):
     from pyspark.sql.window import Window

@@ -4,6 +4,10 @@ exercised on a synthesized frame with the connector's change-stream schema."""
 from __future__ import annotations
 
 import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
 
 from momyre_spark.sources.mongo import decode_change_stream
 
@@ -208,6 +212,75 @@ def test_truncated_arrays_without_lookup_fails_stop(spark):
          (json.dumps({"type": "post"}), [], [("tags", 1)])),
     ], TRUNC_SCHEMA)
     with pytest.raises(Exception, match="truncatedArrays"):
+        decode_change_stream(df).collect()
+
+
+# --- golden corpus --------------------------------------------------------
+# Checked-in change events in MongoDB Extended JSON v2 (the documented
+# change-event wire shape for connector 10.x), loaded through Spark's own
+# JSON schema inference — exactly how extended-JSON events land as structs.
+# Pins: $timestamp struct clusterTime, $oid document keys, $numberLong
+# unwrapping, dotted updatedFields, txn tie-break by resume token, and the
+# two fail-stops.
+
+_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "fixtures", "mongo_change_events.jsonl"
+)
+
+
+def _golden_cases():
+    with open(_GOLDEN) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    return [r for r in rows if "name" in r]
+
+
+def _golden_frame(spark, events):
+    return spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(e) for e in events])
+    )
+
+
+def test_golden_corpus_decodes_to_expected_ops(spark):
+    cases = [c for c in _golden_cases() if "event" in c]
+    df = _golden_frame(spark, [c["event"] for c in cases])
+    decoded = {r["tok"]: r.asDict() for r in decode_change_stream(df).collect()}
+    for c in cases:
+        tok = c["event"]["_id"]["_data"]
+        if c["expect"] is None:  # non-data op, filtered
+            assert tok not in decoded, c["name"]
+            continue
+        got = decoded[tok]
+        exp = c["expect"]
+        assert got["op"] == exp["op"], c["name"]
+        assert got["_id"] == exp["_id"], c["name"]
+        assert got["ns"] == exp["ns"], c["name"]
+        assert got["ts"] == (exp["ts_t"] << 32) | exp["ts_i"], c["name"]
+        assert json.loads(got["payload"]) == exp["payload"], c["name"]
+
+
+def test_golden_txn_resume_token_breaks_clustertime_tie(spark):
+    from momyre_spark.operators.cdc import apply_ops
+
+    cases = [c for c in _golden_cases() if "event" in c]
+    df = _golden_frame(spark, [c["event"] for c in cases])
+    ops = decode_change_stream(df).filter(
+        F.col("_id") == "65f1a2b3c4d5e6f7a8b9c0d2"
+    )
+    final = apply_ops(
+        ops, {"name": "string"}, key="_id", order=("ts", "seq", "tok")
+    )
+    assert {r["_id"]: r["name"] for r in final.collect()} == {
+        "65f1a2b3c4d5e6f7a8b9c0d2": "v3"
+    }
+
+
+@pytest.mark.parametrize(
+    "case", [c for c in _golden_cases() if "error_event" in c],
+    ids=lambda c: c["name"],
+)
+def test_golden_error_events_fail_stop(spark, case):
+    df = _golden_frame(spark, [case["error_event"]])
+    with pytest.raises(Exception, match=case["expect_error"]):
         decode_change_stream(df).collect()
 
 

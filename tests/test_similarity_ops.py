@@ -73,6 +73,19 @@ def test_ivf_cells_cover_all_vectors(spark):
     assert cells.select("cell").distinct().count() <= 4
 
 
+def test_assign_ivf_cells_kmeans_respects_vec_col(spark):
+    """r02 ADVICE regression: assign_ivf_cells with centroids='kmeans' and a
+    non-default vector column must train on THAT column (it used to fall
+    back to 'embedding' and blow up / train on the wrong data)."""
+    emb = _embs(spark, n=40).withColumnRenamed("embedding", "vec")
+    out = assign_ivf_cells(
+        emb, num_cells=3, vec_col="vec", centroids="kmeans"
+    )
+    assert out.count() == 40
+    assert set(out.columns) == {"vec_id", "vec", "cell"}
+    assert out.select("cell").distinct().count() <= 3
+
+
 def test_ivf_topk_is_exact_within_cell(spark):
     emb = _embs(spark)
     queries = emb.filter("vec_id = 0")

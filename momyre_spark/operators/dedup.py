@@ -640,3 +640,66 @@ def segment_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    words_per_segment: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Document-frequency boilerplate removal: segments appearing in at
+    least ``min_docs`` DISTINCT documents are removed from EVERY document.
+
+    The complement of :func:`segment_dedup` (which keeps each duplicate
+    segment's first occurrence): headers, license blocks, and navigation
+    chrome that repeat across a corpus are noise in all copies including
+    the first — the C4/Gopher-style cleanup drops them everywhere. On real
+    corpora the split unit is the line/paragraph (``F.split(text, '\\n')``,
+    identical plan); the one-line fixture corpus splits into fixed
+    ``words_per_segment`` word runs.
+
+    Plan shape at 100 TB: explode is map-only; the document-frequency table
+    is ONE hash aggregation keyed by segment (map-side partial
+    count-distinct on (seg, doc) pairs); membership is an equi-join on the
+    segment key — never a pair enumeration. Segments travel as values, not
+    through the driver.
+
+    Output: ``id_col``, ``text`` (surviving segments, original order),
+    ``n_segments`` (pre-strip), ``n_kept``.
+    """
+    words = F.split(F.col(text_col), sep)
+    nseg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * words_per_segment + 1, words_per_segment), sep
+        ),
+    )
+    parts = docs.select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+    boiler = (
+        parts.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("seg")
+    )
+    kept = parts.join(boiler, "seg", "left_anti")
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = parts.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(survivors, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_segments",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )

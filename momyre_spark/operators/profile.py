@@ -79,3 +79,50 @@ def profile_columns(
         + ") as (col_name, n_rows, n_nulls, ndv, min_num, max_num, min_str, max_str)"
     )
     return wide.selectExpr(stack)
+
+
+def column_histogram(
+    df: DataFrame,
+    specs: dict[str, tuple[float, float, int]],
+    clamp: bool = True,
+) -> DataFrame:
+    """Equi-width histograms with FIXED bounds, one scan for all columns.
+
+    ``specs`` maps column -> (lo, hi, bins). Fixed bounds (not data-driven
+    min/max) keep it a single pass and make bins comparable across
+    partitions, days, and engines — the shape optimizers and drift monitors
+    want. ``bin = floor((x - lo) / width)``; out-of-range values clamp to
+    the edge bins when ``clamp`` (else dropped); nulls are always dropped
+    (profile_columns already counts them).
+
+    Plan: explode of ``len(specs)`` small structs per row (map-only) + ONE
+    hash aggregation on (col_name, bin) — cardinality bins*cols, so the
+    reduce side is trivially small at any scale.
+
+    Output: ``col_name, bin, lo, hi, cnt`` with [lo, hi) the bin's range.
+    """
+    entries = []
+    for c, (lo, hi, bins) in specs.items():
+        width = (float(hi) - float(lo)) / int(bins)
+        b = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(width))
+        if clamp:
+            b = F.least(F.greatest(b, F.lit(0)), F.lit(int(bins) - 1))
+        else:
+            b = F.when((b >= 0) & (b < int(bins)), b)
+        entries.append(
+            F.when(
+                F.col(c).isNotNull() & b.isNotNull(),
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    b.cast("bigint").alias("bin"),
+                    (F.lit(float(lo)) + b * width).alias("lo"),
+                    (F.lit(float(lo)) + (b + 1) * width).alias("hi"),
+                ),
+            )
+        )
+    exploded = df.select(
+        F.explode(F.filter(F.array(*entries), lambda e: e.isNotNull())).alias("e")
+    )
+    return exploded.groupBy("e.col_name", "e.bin", "e.lo", "e.hi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -137,3 +137,43 @@ def pack_sequences(
         .withColumn("overflow", F.col(token_col) > F.lit(max_tokens))
         .drop("__cum")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Data-mixture sampling by TOKEN budget: per stratum (language, source,
+    domain), take documents in hash-of-id order until the stratum's token
+    budget is reached.
+
+    This is how pretraining mixtures are actually specified — "200B tokens
+    of web, 30B of code, 5B of math" — and differs from row-fraction
+    sampling (stratified_sample) because documents have wildly different
+    lengths. A document is kept iff the cumulative token count BEFORE it is
+    still under budget, so each stratum overshoots by at most one document
+    (the standard greedy cut) and the selection is a deterministic function
+    of the ids — reproducible across runs, engines, partitionings.
+
+    One window shuffle on the stratum key; strata are independent, so skew
+    is bounded by the largest stratum (salt upstream if one stratum is the
+    whole corpus).
+    """
+    budget = F.lit(int(default_budget))
+    for k, v in budgets.items():
+        budget = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(budget)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_key_hash(id_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter(F.col("__cum") - F.col(token_col) < budget)
+        .drop("__cum")
+    )

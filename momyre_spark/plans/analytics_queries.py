@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from momyre_spark.functions.numeric import round4_sql, round_half_up
 from momyre_spark.plans import query
 from momyre_spark.sources.parquet import load_table
 
@@ -943,3 +944,102 @@ _Q47_SQL = """
 def q47(spark: SparkSession, sf: str) -> DataFrame:
     load_table(spark, sf, "orders").createOrReplaceTempView("__q47_orders")
     return spark.sql(_Q47_SQL.format(table="__q47_orders"))
+
+
+# --------------------------------------------------------------------------
+# PIVOT: order-priority x order-year totals as a wide table. Spark's
+# .pivot() with an EXPLICIT value list (no extra distinct-scan pass, the
+# form that scales); the oracle is the equivalent conditional aggregation.
+# Exact decimal sums avoid float summation-order drift.
+# --------------------------------------------------------------------------
+_Q48_YEARS = (1995, 1996, 1997)
+
+
+@query(
+    "q48_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(
+               "CAST(CAST(COALESCE(sum(CASE WHEN year(o_orderdate) = " + str(y)
+               + " THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) "
+               "AS DECIMAL(18,2)) AS DOUBLE) AS y" + str(y)
+               for y in _Q48_YEARS
+           )}
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("yr", list(_Q48_YEARS))
+        .agg(F.sum("p"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(str(y)), F.lit(0))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias(f"y{y}")
+            for y in _Q48_YEARS
+        ],
+    ).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# INTERSECT set op (q21 covers EXCEPT): customers ordering in BOTH years.
+# --------------------------------------------------------------------------
+@query(
+    "q49_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")
+
+
+# --------------------------------------------------------------------------
+# Forward fill / LOCF (operators/timeseries.forward_fill): error events
+# report no value; each takes the user's most recent earlier reading.
+# last(... IGNORE NULLS) over a running frame on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "q50_forward_fill",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           {round4_sql("last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS filled
+    FROM base ORDER BY user_id, event_id
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import forward_fill
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    filled = forward_fill(ev, ["v"], key="user_id", order=("ts", "event_id"))
+    return filled.select(
+        "user_id",
+        "event_id",
+        round_half_up(F.col("v"), 4).alias("filled"),
+    ).orderBy("user_id", "event_id")

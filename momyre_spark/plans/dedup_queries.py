@@ -438,3 +438,52 @@ def dedup_segments(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return segment_dedup(docs, words_per_segment=_SEG_W).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Document-frequency boilerplate removal (operators/dedup.strip_boilerplate):
+# segments seen in >= MIN_DOCS distinct documents are stripped from EVERY
+# document — the C4/Gopher-style corpus cleanup, complementary to
+# dedup_segments' first-occurrence semantics.
+# --------------------------------------------------------------------------
+_BP_W = 10
+_BP_MIN_DOCS = 2
+
+@query(
+    "dedup_boilerplate",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               array_to_string(ws[(i*{_BP_W}+1):(i*{_BP_W}+{_BP_W})], ' ') AS seg
+        FROM w, UNNEST(range(CAST(ceil(len(ws) / {_BP_W}.0) AS BIGINT))) AS t(i)
+    ),
+    boiler AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.seg FROM segs s
+        WHERE s.seg NOT IN (SELECT seg FROM boiler)
+    ),
+    survivors AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(s.text, '') AS text, t.n_segments,
+           COALESCE(s.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN survivors s ON t.doc_id = s.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import strip_boilerplate
+
+    docs = load_table(spark, sf, "documents")
+    return strip_boilerplate(
+        docs, min_docs=_BP_MIN_DOCS, words_per_segment=_BP_W
+    ).orderBy("doc_id")

@@ -165,6 +165,40 @@ def stats_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fixed-bound equi-width histograms (operators/profile.column_histogram):
+# one scan, one tiny (cols*bins)-cardinality aggregation. Fixed bounds keep
+# the arithmetic bit-identical across engines: bin = floor((x-lo)/width),
+# clamped to the edge bins.
+_HIST_SPECS = {
+    "l_quantity": (0.0, 50.0, 10),
+    "l_discount": (0.0, 0.1, 5),
+    "l_extendedprice": (0.0, 110000.0, 11),
+}
+
+
+def _hist_oracle() -> str:
+    parts = []
+    for c, (lo, hi, bins) in _HIST_SPECS.items():
+        width = (hi - lo) / bins
+        b = f"least(greatest(floor((CAST({c} AS DOUBLE) - {lo!r}) / {width!r}), 0), {bins - 1})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST({b} AS BIGINT) AS bin, "
+            f"{lo!r} + {b} * {width!r} AS lo, "
+            f"{lo!r} + ({b} + 1) * {width!r} AS hi, "
+            f"count(*) AS cnt FROM lineitem WHERE {c} IS NOT NULL "
+            f"GROUP BY 1, 2, 3, 4"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name, bin"
+
+
+@query("stats_histogram", oracle=_hist_oracle())
+def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import column_histogram
+
+    li = load_table(spark, sf, "lineitem")
+    return column_histogram(li, _HIST_SPECS).orderBy("col_name", "bin")
+
+
 # The 100 TB default: HLL++ NDVs keep the aggregate a plain partial+final
 # hash agg (no Expand duplicating every row once per distinct-agg). No SQL
 # oracle — HLL sketches aren't cross-engine reproducible; the driver records

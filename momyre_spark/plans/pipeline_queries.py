@@ -121,3 +121,53 @@ def pipe_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "bin", "overflow")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture sampling (operators/sampling.token_budget_mixture):
+# per language, take documents in hash order until the stratum's token
+# budget fills — how pretraining mixtures are specified ("N tokens of X"),
+# as opposed to row fractions. Greedy cut: keep iff cumulative BEFORE the
+# doc is under budget.
+# --------------------------------------------------------------------------
+_MIX_BUDGETS = {"en": 3000, "de": 1500}
+_MIX_DEFAULT = 800
+
+_MIX_CASE = (
+    "CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1500 ELSE 800 END"
+)
+
+
+@query(
+    "pipe_token_budget_mixture",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY {_H}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE cum - n_tokens < {_MIX_CASE}
+    ORDER BY doc_id
+    """,
+)
+def pipe_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    return (
+        token_budget_mixture(
+            docs, _MIX_BUDGETS, strata_col="lang", default_budget=_MIX_DEFAULT
+        )
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )

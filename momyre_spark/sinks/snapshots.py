@@ -461,6 +461,75 @@ def snapshot_merge_cdc(
     return _commit(spark, root, man)
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "_id",
+) -> DataFrame:
+    """Row-level changes between two versions (the table_changes / CDF read
+    every table format grows): one row per changed key with
+    ``__change in (insert, update, delete)`` and the TO-version's values
+    (NULLs for deletes).
+
+    Scale shape: only partitions whose data directory DIFFERS between the
+    two manifests are read — untouched partitions were re-referenced by the
+    copy-on-write merge, so their dirs are string-equal and skipped with no
+    IO at all. Within the changed partitions it is one full-outer equi-join
+    on the key plus a row-compare; at 100 TB the cost is proportional to
+    the churned partitions, not the table.
+    """
+    to_v = to_version if to_version is not None else current_version(spark, root)
+    if to_v is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    man_a = read_manifest(spark, root, from_version)
+    man_b = read_manifest(spark, root, to_v)
+    pa, pb = man_a["partitions"], man_b["partitions"]
+    keys_a = {k for k, d in pa.items() if pb.get(k) != d}
+    keys_b = {k for k, d in pb.items() if pa.get(k) != d}
+
+    def _read(man, keys):
+        schema = (
+            StructType.fromJson(json.loads(man["schema"]))
+            if "schema" in man
+            else None
+        )
+        dirs = [man["partitions"][k] for k in sorted(keys)]
+        if not dirs:
+            if schema is None:
+                raise FileNotFoundError(
+                    "empty diff side needs a schema-bearing manifest"
+                )
+            return spark.createDataFrame([], schema)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        out = reader.parquet(*dirs)
+        return out.drop(*[c for c in out.columns if c.startswith("__p_")])
+
+    a = _read(man_a, keys_a).alias("a")
+    b = _read(man_b, keys_b).alias("b")
+    cols = [c for c in b.columns]
+    val_cols = [c for c in cols if c != key]
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    joined = a.join(b, ka == kb, "full_outer")
+    row_a = F.struct(*[F.col(f"a.{c}") for c in val_cols])
+    row_b = F.struct(*[F.col(f"b.{c}") for c in val_cols])
+    change = (
+        F.when(ka.isNull(), F.lit("insert"))
+        .when(kb.isNull(), F.lit("delete"))
+        .when(~row_a.eqNullSafe(row_b), F.lit("update"))
+    )
+    return (
+        joined.withColumn("__change", change)
+        .filter(F.col("__change").isNotNull())
+        .select(
+            F.coalesce(kb, ka).alias(key),
+            F.col("__change"),
+            *[F.col(f"b.{c}").alias(c) for c in val_cols],
+        )
+    )
+
+
 def snapshot_vacuum(
     spark: SparkSession, root: str, keep_last: int = 2
 ) -> list[int]:

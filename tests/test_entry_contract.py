@@ -27,15 +27,27 @@ def test_entry_runs_on_bare_session(spark):
     assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty", "revenue", "c"]
 
 
+# Queries that genuinely cannot declare a value-hash oracle, each with the
+# reason and the pytest that pins its correctness instead. Everything else
+# MUST have one.
+_ROWS_ONLY = {
+    # HyperLogLog++ sketches are not reproducible across engines; accuracy
+    # is pinned within 3*rsd of exact NDVs in
+    # test_maintenance_ops.test_profile_approx_ndv_within_tolerance, and
+    # the exact twin (stats_profile) carries the full oracle.
+    "stats_profile_approx",
+}
+
+
 def test_every_query_key_has_callable_and_oracle_subset(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 45
-    # every registered query declares an oracle (70/70 — the approximate
-    # ops are parameterized to provably equal their exact counterparts on
-    # the fixture; components mirrored via recursive CTE)
-    assert set(qs) == set(oracles)
+    # every registered query declares an oracle except the documented
+    # rows-only set (approximate sketches that no cross-engine SQL can
+    # reproduce — each pinned by a dedicated tolerance test instead)
+    assert set(qs) - set(oracles) == _ROWS_ONLY
 
 
 def test_events_query_on_bare_session(spark):

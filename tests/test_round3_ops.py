@@ -1,0 +1,280 @@
+"""Round-3 surface additions: token-budget mixture sampling, boilerplate
+stripping, fixed-bound histograms, forward fill, snapshot diff, and
+streaming dedup with bounded state."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- token budget mixture --
+def test_token_budget_mixture_greedy_cut(spark):
+    from momyre_spark.operators.sampling import token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "en", 10) for i in range(10)] + [(100 + i, "de", 7) for i in range(10)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    out = token_budget_mixture(
+        docs, {"en": 35, "de": 14}, strata_col="lang"
+    ).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+    # greedy cut: keep while cum-before < budget -> overshoot < one doc
+    assert 35 <= by_lang["en"] < 45
+    assert 14 <= by_lang["de"] < 21
+    # deterministic: same selection on re-run
+    again = token_budget_mixture(docs, {"en": 35, "de": 14}, strata_col="lang")
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_token_budget_mixture_zero_default_drops_stratum(spark):
+    from momyre_spark.operators.sampling import token_budget_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "en", 5), (2, "fr", 5)], "doc_id bigint, lang string, n_tokens bigint"
+    )
+    out = token_budget_mixture(docs, {"en": 100}, strata_col="lang").collect()
+    assert [r["lang"] for r in out] == ["en"]
+
+
+# ------------------------------------------------------- boilerplate -----
+def test_strip_boilerplate_removes_all_occurrences(spark):
+    from momyre_spark.operators.dedup import strip_boilerplate
+
+    # segment = 2 words; 'x x' appears in docs 1,2,3 -> stripped everywhere
+    docs = spark.createDataFrame(
+        [
+            (1, "x x a a"),
+            (2, "x x b b"),
+            (3, "c c x x"),
+            (4, "d d e e"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate(docs, min_docs=2, words_per_segment=2).collect()
+    }
+    assert out[1]["text"] == "a a" and out[1]["n_kept"] == 1
+    assert out[2]["text"] == "b b"
+    assert out[3]["text"] == "c c"
+    assert out[4]["text"] == "d d e e" and out[4]["n_kept"] == 2
+    assert all(r["n_segments"] == 2 for r in out.values())
+
+
+def test_strip_boilerplate_vs_segment_dedup_semantics(spark):
+    """segment_dedup keeps the FIRST occurrence; strip_boilerplate keeps
+    none — the two corpus-cleanup semantics, on the same input."""
+    from momyre_spark.operators.dedup import segment_dedup, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "h h a a"), (2, "h h b b")], "doc_id bigint, text string"
+    )
+    first = {
+        r["doc_id"]: r["text"]
+        for r in segment_dedup(docs, words_per_segment=2).collect()
+    }
+    none = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate(docs, min_docs=2, words_per_segment=2).collect()
+    }
+    assert first[1] == "h h a a" and first[2] == "b b"
+    assert none[1] == "a a" and none[2] == "b b"
+
+
+# -------------------------------------------------------- histogram ------
+def test_column_histogram_bins_and_clamp(spark):
+    from momyre_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(x,) for x in (-5.0, 0.0, 4.9, 5.0, 9.9, 25.0, None)], "v double"
+    )
+    out = {
+        r["bin"]: r
+        for r in column_histogram(df, {"v": (0.0, 10.0, 2)}).collect()
+    }
+    # -5 clamps into bin 0; 25 clamps into bin 1; null dropped
+    assert out[0]["cnt"] == 3 and out[1]["cnt"] == 3
+    assert out[0]["lo"] == 0.0 and out[0]["hi"] == 5.0
+    assert out[1]["lo"] == 5.0 and out[1]["hi"] == 10.0
+
+
+def test_column_histogram_no_clamp_drops_outliers(spark):
+    from momyre_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame([(x,) for x in (-1.0, 1.0, 11.0)], "v double")
+    out = column_histogram(df, {"v": (0.0, 10.0, 2)}, clamp=False).collect()
+    assert sum(r["cnt"] for r in out) == 1
+
+
+def test_column_histogram_single_scan_multi_column(spark):
+    from momyre_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0)], "a double, b double"
+    )
+    out = column_histogram(df, {"a": (0, 4, 2), "b": (0, 40, 2)})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1  # one pass over the input
+    got = {(r["col_name"], r["bin"]): r["cnt"] for r in out.collect()}
+    assert got[("a", 0)] == 1 and got[("a", 1)] == 1
+    assert got[("b", 0)] == 1 and got[("b", 1)] == 1
+
+
+# ------------------------------------------------------ forward fill -----
+def test_forward_fill_locf_and_leading_nulls(spark):
+    from momyre_spark.operators.timeseries import forward_fill
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 1, None),
+            ("u1", 2, 5.0),
+            ("u1", 3, None),
+            ("u1", 4, None),
+            ("u1", 5, 7.0),
+            ("u2", 1, None),
+        ],
+        "k string, ts int, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in forward_fill(df, ["v"], key="k", order=("ts",)).collect()
+    }
+    assert out[("u1", 1)] is None  # leading null stays
+    assert out[("u1", 3)] == 5.0 and out[("u1", 4)] == 5.0
+    assert out[("u1", 5)] == 7.0
+    assert out[("u2", 1)] is None
+
+
+def test_fill_with_max_age_expires_stale_values(spark):
+    from momyre_spark.operators.timeseries import fill_with_max_age
+
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 5, None), ("s", 100, None)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["ts"]: r["v"]
+        for r in fill_with_max_age(df, "v", key="k", max_age=10).collect()
+    }
+    assert out[5] == 1.0       # within freshness bound
+    assert out[100] is None    # carried value expired
+
+
+# ----------------------------------------------------- snapshot diff -----
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import (
+        snapshot_diff,
+        snapshot_merge_cdc,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1, "eu"), ("b", 2, "us"), ("c", 3, "ap")],
+        "_id string, val bigint, region string",
+    )
+    v1 = snapshot_write(spark, base, root, partition_by=["region"])
+    actions = spark.createDataFrame(
+        [
+            ("b", "upsert", 20, "us", None),
+            ("c", "delete", None, None, None),
+            ("d", "upsert", 4, "eu", None),
+        ],
+        "_id string, __action string, val bigint, region string, __present array<string>",
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root, actions, {"val": "bigint", "region": "string"},
+        partition_by=["region"],
+    )
+    diff = {
+        r["_id"]: r.asDict()
+        for r in snapshot_diff(spark, root, v1, v2).collect()
+    }
+    assert diff["b"]["__change"] == "update" and diff["b"]["val"] == 20
+    assert diff["c"]["__change"] == "delete" and diff["c"]["val"] is None
+    assert diff["d"]["__change"] == "insert" and diff["d"]["val"] == 4
+    assert "a" not in diff  # unchanged row in an untouched partition
+
+
+def test_snapshot_diff_skips_shared_partitions(spark, tmp_path):
+    """Copy-on-write re-referencing makes the diff read ONLY churned
+    partitions: shared dirs are string-equal and never scanned."""
+    from momyre_spark.sinks.snapshots import (
+        read_manifest,
+        snapshot_diff,
+        snapshot_merge_cdc,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("a", 1, "eu"), ("b", 2, "us")], "_id string, val bigint, region string"
+    )
+    v1 = snapshot_write(spark, base, root, partition_by=["region"])
+    acts = spark.createDataFrame(
+        [("b", "upsert", 20, "us", None)],
+        "_id string, __action string, val bigint, region string, __present array<string>",
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root, acts, {"val": "bigint", "region": "string"},
+        partition_by=["region"],
+    )
+    m1 = read_manifest(spark, root, v1)
+    m2 = read_manifest(spark, root, v2)
+    assert m1["partitions"]["region=eu"] == m2["partitions"]["region=eu"]
+    plan = (
+        snapshot_diff(spark, root, v1, v2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "region=eu" not in plan  # untouched partition never read
+    [row] = snapshot_diff(spark, root, v1, v2).collect()
+    assert row["_id"] == "b" and row["__change"] == "update"
+
+
+# ---------------------------------------------------- streaming dedup ----
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    from momyre_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": "e1", "ts": "2024-01-01T00:00:01", "v": 1},
+        {"event_id": "e1", "ts": "2024-01-01T00:00:02", "v": 1},  # redelivery
+        {"event_id": "e2", "ts": "2024-01-01T00:00:03", "v": 2},
+    ]
+    with open(src / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp, v long")
+        .json(str(src))
+    )
+    deduped = dedup_stream(stream, ["event_id"], ts_col="ts", horizon="1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in got) == ["e1", "e2"]
+
+
+def test_dedup_stream_rejects_batch_frames(spark):
+    from momyre_spark.streaming.dedup import dedup_stream
+
+    with pytest.raises(ValueError, match="streaming"):
+        dedup_stream(spark.range(3), ["id"])

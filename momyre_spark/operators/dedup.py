@@ -703,3 +703,36 @@ def strip_boilerplate(
         "n_segments",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup: keep only NEW-batch documents whose content
+    is (a) unseen in the existing corpus and (b) the first occurrence
+    within the batch.
+
+    The shape a continuously-updated corpus needs (daily crawl increments):
+    the multi-TB corpus is never rescanned — it is represented by its
+    fingerprint table (16 bytes/doc, itself maintained by appending this
+    function's survivors), and the batch joins against THAT. Anti-join on
+    the fingerprint key + one in-batch first-occurrence aggregation: both
+    shuffle only the increment, so cost is O(|batch|) regardless of corpus
+    size. Same survivor rule as exact_duplicates (min id) so a replayed
+    batch picks the same survivors.
+
+    ``corpus_fps`` needs column ``fp_col`` (from
+    ``functions.text.fingerprint``); dedup state for 10^10 docs is a
+    join-key table, not driver memory.
+    """
+    fp = fingerprint(F.col(text_col)).alias("__fp")
+    batch = new_docs.select(F.col(id_col), fp)
+    unseen = batch.join(
+        corpus_fps.select(F.col(fp_col).alias("__fp")), "__fp", "left_anti"
+    )
+    firsts = unseen.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return new_docs.join(firsts.select(id_col), id_col, "left_semi")

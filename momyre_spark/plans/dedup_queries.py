@@ -487,3 +487,44 @@ def dedup_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     return strip_boilerplate(
         docs, min_docs=_BP_MIN_DOCS, words_per_segment=_BP_W
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Incremental exact dedup (operators/dedup.dedup_incremental): a "new batch"
+# (doc_id >= cutoff) deduped against the existing corpus WITHOUT rescanning
+# it — the corpus participates only as its fingerprint table. Cost is
+# O(|batch|) however large the corpus.
+# --------------------------------------------------------------------------
+_INC_CUTOFF = 400
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, md5(array_to_string({_DUCK_TOKENS}, ' ')) AS fp
+        FROM documents
+    ),
+    corpus AS (SELECT fp FROM fps WHERE doc_id < {_INC_CUTOFF}),
+    batch AS (SELECT * FROM fps WHERE doc_id >= {_INC_CUTOFF}),
+    unseen AS (
+        SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
+    ),
+    firsts AS (SELECT min(doc_id) AS doc_id FROM unseen GROUP BY fp)
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM firsts)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import fingerprint
+    from momyre_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < _INC_CUTOFF)
+    batch = docs.filter(F.col("doc_id") >= _INC_CUTOFF)
+    corpus_fps = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    return (
+        dedup_incremental(batch, corpus_fps)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -89,6 +89,32 @@ def test_strip_boilerplate_vs_segment_dedup_semantics(spark):
     assert none[1] == "a a" and none[2] == "b b"
 
 
+def test_dedup_incremental_against_corpus_fps(spark):
+    from momyre_spark.functions.text import fingerprint
+    from momyre_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "other doc")], "doc_id bigint, text string"
+    )
+    fps = corpus.select(fingerprint(F.col("text")).alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen  BEFORE"),   # normalizes to a corpus duplicate
+            (11, "fresh content"),
+            (12, "fresh content"),  # in-batch duplicate of 11
+            (13, "also new"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        r["doc_id"] for r in dedup_incremental(batch, fps).collect()
+    )
+    assert out == [11, 13]
+    # replay determinism: same survivors on re-run
+    again = sorted(r["doc_id"] for r in dedup_incremental(batch, fps).collect())
+    assert again == out
+
+
 # -------------------------------------------------------- histogram ------
 def test_column_histogram_bins_and_clamp(spark):
     from momyre_spark.operators.profile import column_histogram

@@ -177,3 +177,34 @@ def token_budget_mixture(
         .filter(F.col("__cum") - F.col(token_col) < budget)
         .drop("__cum")
     )
+
+
+def sample_exact_k(
+    df: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY ``k`` rows: the k smallest
+    values of ``md5(salt || id)`` (ties broken by id). Equivalent to a
+    seeded reservoir sample, but with properties a reservoir lacks:
+    reproducible across runs/engines/partitionings, stable under appends
+    (a new row displaces at most one sampled row), and different ``salt``
+    values give independent samples (bootstrap resamples, eval subsets).
+
+    Scale shape: this is a global top-k on the hash, NOT a global sort —
+    Spark plans orderBy+limit as TakeOrderedAndProject (each partition
+    keeps its local k, the driver merges P*k rows). ``df.sample()`` is
+    cheaper (map-only) but only approximate in count and unstable across
+    partitionings; ``RDD.takeSample`` collects to the driver. k must be
+    driver-merge small (guarded at 10M).
+    """
+    if k > 10_000_000:
+        raise ValueError(
+            f"sample_exact_k(k={k}): top-k merges P*k rows on the driver; "
+            "past ~10M use train_val_split fractions instead"
+        )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .drop("__h")
+    )

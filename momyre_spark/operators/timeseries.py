@@ -78,3 +78,105 @@ def fill_with_max_age(
         carried["v"],
     )
     return df.withColumn(col, filled)
+
+
+def resample_locf(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Resample an irregular per-key event stream onto a regular
+    ``step_seconds`` grid, carrying the last observation forward into empty
+    buckets (the downsample-to-dashboard / align-sensors-to-a-grid op).
+
+    Output: one row per (key, grid bucket) from each key's first to last
+    observed bucket — ``(key, bucket_epoch: long, value)`` where
+    ``bucket_epoch`` is the bucket start in epoch seconds (emitted as a
+    LONG: engine-neutral, no timezone semantics; callers wanting a
+    timestamp cast it back). Within a bucket the LAST event wins, ordered
+    by (``ts_col``, *tiebreak*) — the same latest-wins rule the CDC applier
+    uses (reference run.go:301-322 keeps only latest state per key).
+
+    Scale shape: one hash aggregation per (key, bucket) — the
+    data-proportional part, with map-side partial aggregation — then the
+    grid is *generated*, not joined from a calendar table:
+    ``sequence(min_bucket, max_bucket, step)`` per key costs
+    O(buckets-per-key) rows with zero extra shuffle, and the final LOCF
+    window rides the same (key)-partitioning. Nothing scans the raw data
+    twice.
+    """
+    epoch = F.col(ts_col).cast("long")
+    bucket = (F.floor(epoch / F.lit(step_seconds)) * step_seconds).cast("long")
+    order = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    per_bucket = (
+        df.withColumn("bucket_epoch", bucket)
+        .groupBy(key, "bucket_epoch")
+        .agg(F.max_by(F.col(value_col), order).alias("__last"))
+    )
+    bounds = per_bucket.groupBy(key).agg(
+        F.min("bucket_epoch").alias("__lo"), F.max("bucket_epoch").alias("__hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds).cast("long"))
+        ).alias("bucket_epoch"),
+    )
+    joined = grid.join(per_bucket, [key, "bucket_epoch"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "bucket_epoch",
+        F.last(F.col("__last"), ignorenulls=True).over(w).alias(value_col),
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Fill NULL ``value_col`` gaps per key by linear interpolation between
+    the nearest non-null observations on either side (the numeric cousin of
+    LOCF — sensor calibration, gap repair before feature extraction).
+    Leading/trailing gaps (no observation on one side) stay NULL.
+
+    Two windows over the SAME (key, order) partitioning — before/after
+    carries of the (order, value) pair — so the whole op is one shuffle;
+    the blend is a pure arithmetic projection.
+    """
+    ord_c = F.col(order_col).cast("double")
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(ord_c.alias("at"), F.col(value_col).cast("double").alias("v")),
+    )
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = (
+        Window.partitionBy(key)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev = F.last(obs, ignorenulls=True).over(wb)
+    nxt = F.first(obs, ignorenulls=True).over(wa)
+    span = nxt["at"] - prev["at"]
+    frac = F.when(span == 0, F.lit(0.0)).otherwise((ord_c - prev["at"]) / span)
+    blended = prev["v"] + frac * (nxt["v"] - prev["v"])
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(prev.isNotNull() & nxt.isNotNull(), blended)
+    )
+    return df.withColumn(value_col, filled)

@@ -1043,3 +1043,86 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         round_half_up(F.col("v"), 4).alias("filled"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Semi-structured props via Spark 4 VARIANT (functions/semistructured.py):
+# parse the JSON ONCE into VARIANT binary, promote a typed field, aggregate.
+# The pre-variant analog (get_json_object per field) re-parses the full text
+# per extraction — at 100 TB the parse count IS the scan CPU. Oracle uses
+# DuckDB's json_extract on the same path.
+# --------------------------------------------------------------------------
+@query(
+    "q51_variant_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS c,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1 ORDER BY k_bucket
+    """,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.semistructured import promote_json_fields
+
+    ev = load_table(spark, sf, "events").filter(F.col("props").isNotNull())
+    typed = promote_json_fields(ev, "props", {"k": ("$.k", "bigint")})
+    return (
+        typed.groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Regular-grid resample + LOCF (operators/timeseries.resample_locf): each
+# user's irregular events onto a 4-hour grid, last observed value carried into
+# empty buckets. Grid is GENERATED per key (sequence), not joined from a
+# calendar table; bucket emitted as epoch-seconds LONG (engine-neutral).
+# --------------------------------------------------------------------------
+@query(
+    "q52_resample_locf",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 14400) * 14400 AS BIGINT) AS bucket_epoch,
+               value,
+               row_number() OVER (
+                   PARTITION BY user_id, floor(epoch(ts) / 14400)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    lastv AS (SELECT user_id, bucket_epoch, value FROM b WHERE rn = 1),
+    bounds AS (
+        SELECT user_id, min(bucket_epoch) AS lo, max(bucket_epoch) AS hi
+        FROM lastv GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(lo, hi + 1, 14400)) AS bucket_epoch
+        FROM bounds
+    )
+    SELECT g.user_id, g.bucket_epoch,
+           {round4_sql("last_value(l.value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket_epoch)")} AS v
+    FROM grid g LEFT JOIN lastv l
+      ON g.user_id = l.user_id AND g.bucket_epoch = l.bucket_epoch
+    ORDER BY g.user_id, g.bucket_epoch
+    """,
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf, "events")
+    out = resample_locf(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        step_seconds=14400, tiebreak=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "bucket_epoch",
+        round_half_up(F.col("value"), 4).alias("v"),
+    ).orderBy("user_id", "bucket_epoch")

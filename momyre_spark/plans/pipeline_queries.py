@@ -171,3 +171,32 @@ def pipe_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic exact-k sample (operators/sampling.sample_exact_k): the k
+# smallest md5(salt||id) — a seeded reservoir sample that is reproducible
+# across engines and stable under appends. Planned as TakeOrderedAndProject
+# (per-partition top-k, driver merge), never a global sort.
+# --------------------------------------------------------------------------
+_SAMPLE_K = 100
+_SAMPLE_SALT = "eval-v1:"
+
+
+@query(
+    "pipe_sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source FROM documents
+        ORDER BY md5('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_SAMPLE_K}
+    ) ORDER BY doc_id
+    """,
+)
+def pipe_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import sample_exact_k
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return sample_exact_k(docs, _SAMPLE_K, id_col="doc_id", salt=_SAMPLE_SALT).orderBy(
+        "doc_id"
+    )

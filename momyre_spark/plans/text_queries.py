@@ -543,3 +543,44 @@ def text_top_terms_per_doc(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.col("t").alias("term"), "tf")
         .orderBy("doc_id", F.col("tf").desc(), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram statistics (LM data work: contamination screens, boilerplate
+# discovery, vocabulary curves all start from "what are the top n-grams").
+# Frequency-preserving bigrams (functions/text.word_ngrams) exploded and
+# hash-aggregated — partial aggregation map-side, then ONE shuffle on the
+# gram; top-k by (tf, gram) is deterministic through ties.
+# --------------------------------------------------------------------------
+@query(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len({_LTOK})),
+                   i -> {_LTOK}[i] || ' ' || {_LTOK}[i + 1]
+               )) AS gram
+        FROM documents
+    )
+    SELECT gram, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM g GROUP BY gram
+    ORDER BY tf DESC, gram LIMIT 50
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.lower(F.col("text")), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "gram")
+        .limit(50)
+    )

@@ -530,6 +530,93 @@ def snapshot_diff(
     )
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_records_per_file: int = 5_000_000,
+) -> int | None:
+    """Bin-pack small files into a new version (OPTIMIZE for the snapshot
+    store). Streaming CDC merges commit a few rows per micro-batch; after a
+    day a hot partition holds thousands of KB-sized files and every read
+    pays the per-file open/footer cost. Compaction rewrites ONLY partitions
+    whose file count exceeds ``ceil(bytes / target_file_bytes)``,
+    re-references everything else from the parent manifest, and commits the
+    result as a normal version: time travel still reads the pre-compaction
+    layout, readers of the parent version are untouched (copy-on-write),
+    and ``snapshot_vacuum`` reclaims the small files once the parent ages
+    out. Row content is bit-identical — ``snapshot_diff(parent, new)`` is
+    empty.
+
+    Returns the new version, or None if nothing needed compacting.
+
+    Scale shape: the candidate scan is a driver-side listing of manifest
+    dirs (bounded by MAX_MANIFEST_PARTITIONS); the rewrite reads only the
+    affected partitions and ``repartition(partition_by)`` routes each
+    partition's rows to one task — one output file per partition (split by
+    ``max_records_per_file``). A single partition larger than one task
+    should carry a sub-bucket in ``partition_by`` from the start.
+
+    The carried ``batch_id`` keeps the streaming replay-skip contract: a
+    replayed micro-batch arriving after a compaction still sees the highest
+    applied epoch.
+    """
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    man = read_manifest(spark, root, v)
+    pby = man["partition_by"]
+    jvm, fs = _fs(spark, root)
+    affected: dict[str, str] = {}
+    total_affected_bytes = 0
+    for key, d in man["partitions"].items():
+        p = _jpath(jvm, d)
+        files = [
+            st
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+        size = sum(st.getLen() for st in files)
+        ideal = max(1, -(-size // target_file_bytes))
+        if len(files) > ideal:
+            affected[key] = d
+            total_affected_bytes += size
+    if not affected:
+        return None
+
+    new_v = v + 1
+    schema = (
+        StructType.fromJson(json.loads(man["schema"])) if "schema" in man else None
+    )
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*sorted(affected.values()))
+    df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
+    if pby:
+        df = df.repartition(*[F.col(c) for c in pby])
+    else:
+        df = df.coalesce(
+            max(1, -(-total_affected_bytes // target_file_bytes))
+        )
+    new_dirs = _write_version_data(
+        df, root, new_v, pby or None, max_records_per_file
+    )
+    partitions = {
+        k: d for k, d in man["partitions"].items() if k not in affected
+    }
+    partitions.update(new_dirs)
+    new_man = {
+        "version": new_v,
+        "parent": v,
+        "partition_by": pby,
+        "partitions": partitions,
+        "schema": man["schema"] if "schema" in man else df.schema.json(),
+    }
+    if "batch_id" in man:
+        new_man["batch_id"] = man["batch_id"]
+    _commit(spark, root, new_man)
+    return new_v
+
+
 def snapshot_vacuum(
     spark: SparkSession, root: str, keep_last: int = 2
 ) -> list[int]:

@@ -304,3 +304,146 @@ def test_dedup_stream_rejects_batch_frames(spark):
 
     with pytest.raises(ValueError, match="streaming"):
         dedup_stream(spark.range(3), ["id"])
+
+
+# ---------------------------------------------------- resample / interp --
+def _ts_df(spark, rows):
+    df = spark.createDataFrame(rows, "k string, epoch bigint, v double, id bigint")
+    return df.withColumn("ts", F.timestamp_seconds(F.col("epoch"))).drop("epoch")
+
+
+def test_resample_locf_grid_and_carry(spark):
+    from momyre_spark.operators.timeseries import resample_locf
+
+    df = _ts_df(
+        spark,
+        [
+            ("a", 10, 1.0, 1),
+            ("a", 50, 2.0, 2),   # same bucket as t=10 -> later wins
+            ("a", 200, 9.0, 3),  # bucket 180; 60 and 120 are gaps
+            ("b", 65, 5.0, 4),   # single-bucket key -> one grid row
+        ],
+    )
+    out = resample_locf(df, key="k", ts_col="ts", value_col="v",
+                        step_seconds=60, tiebreak=("id",))
+    got = {(r["k"], r["bucket_epoch"]): r["v"] for r in out.collect()}
+    assert got == {
+        ("a", 0): 2.0,     # last event in bucket wins
+        ("a", 60): 2.0,    # carried
+        ("a", 120): 2.0,   # carried
+        ("a", 180): 9.0,
+        ("b", 60): 5.0,
+    }
+
+
+def test_resample_locf_tiebreak_within_bucket(spark):
+    from momyre_spark.operators.timeseries import resample_locf
+
+    df = _ts_df(spark, [("a", 30, 1.0, 1), ("a", 30, 7.0, 2)])
+    out = resample_locf(df, key="k", ts_col="ts", value_col="v",
+                        step_seconds=60, tiebreak=("id",)).collect()
+    assert len(out) == 1 and out[0]["v"] == 7.0  # higher id wins the tie
+
+
+def test_interpolate_linear_matches_numpy(spark):
+    import numpy as np
+
+    from momyre_spark.operators.timeseries import interpolate_linear
+
+    obs = {0: 1.0, 40: 5.0, 100: 2.0}
+    xs = list(range(0, 121, 10))
+    rows = [("a", float(x), obs.get(x), i) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, x double, v double, id bigint")
+    out = interpolate_linear(df, key="k", order_col="x", value_col="v")
+    got = {r["x"]: r["v"] for r in out.collect()}
+    xp = sorted(obs)
+    fp = [obs[x] for x in xp]
+    for x in xs:
+        if x > max(xp):  # trailing gap stays NULL
+            assert got[x] is None
+        else:
+            assert got[x] == pytest.approx(float(np.interp(x, xp, fp)))
+
+
+def test_interpolate_leading_gap_stays_null(spark):
+    from momyre_spark.operators.timeseries import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", 0.0, None), ("a", 1.0, 4.0), ("a", 2.0, None), ("a", 3.0, 8.0)],
+        "k string, x double, v double",
+    )
+    got = {r["x"]: r["v"] for r in
+           interpolate_linear(df, "k", "x", "v").collect()}
+    assert got[0.0] is None and got[2.0] == 6.0 and got[3.0] == 8.0
+
+
+# ------------------------------------------------------- sample_exact_k --
+def test_sample_exact_k_deterministic_and_append_stable(spark):
+    from momyre_spark.operators.sampling import sample_exact_k
+
+    base = spark.range(200).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sample_exact_k(base, 20).collect()}
+    s2 = {r["doc_id"] for r in sample_exact_k(base, 20).collect()}
+    assert len(s1) == 20 and s1 == s2
+    # appending m rows displaces at most m sampled rows
+    grown = spark.range(210).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"] for r in sample_exact_k(grown, 20).collect()}
+    assert len(s1 & s3) >= 10
+    # different salt -> independent draw (almost surely different)
+    s4 = {r["doc_id"] for r in sample_exact_k(base, 20, salt="other").collect()}
+    assert s4 != s1
+
+
+def test_sample_exact_k_plans_as_topk_not_global_sort(spark):
+    from momyre_spark.operators.sampling import sample_exact_k
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = sample_exact_k(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_exact_k_guards_driver_merge(spark):
+    from momyre_spark.operators.sampling import sample_exact_k
+
+    with pytest.raises(ValueError, match="top-k"):
+        sample_exact_k(spark.range(10), 20_000_000, id_col="id")
+
+
+# ----------------------------------------------------- variant promotion --
+def test_promote_json_fields_typed_and_null_safe(spark):
+    from momyre_spark.functions.semistructured import promote_json_fields
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'), (2, '{"tag": "y"}'), (3, '{"k": "oops", "tag": "z"}')],
+        "id bigint, props string",
+    )
+    out = promote_json_fields(
+        df, "props", {"k": ("$.k", "bigint"), "tag": ("$.tag", "string")}
+    )
+    got = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    # missing path and uncastable value both -> NULL under try_variant_get
+    assert got == {1: (7, "x"), 2: (None, "y"), 3: (None, "z")}
+    assert "__variant_props" not in out.columns
+
+
+def test_promote_json_fields_keep_variant_for_adhoc_paths(spark):
+    from momyre_spark.functions.semistructured import promote_json_fields
+
+    df = spark.createDataFrame([(1, '{"a": {"b": 3}}')], "id bigint, props string")
+    out = promote_json_fields(df, "props", {}, keep_variant="pv")
+    deep = out.select(
+        F.try_variant_get(F.col("pv"), "$.a.b", "bigint").alias("b")
+    ).collect()
+    assert deep[0]["b"] == 3
+
+
+def test_variant_query_stays_jvm_side(spark):
+    """q51's VARIANT path must not fall back to Python evaluation."""
+    from momyre_spark.plans import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES["q51_variant_props"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

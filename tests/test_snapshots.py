@@ -393,3 +393,108 @@ def test_engine_snapshot_to_lake_versioned(spark, tmp_path):
         (r["_id"], r["name"])
         for r in snapshot_read(spark, root, version=1).collect()
     ) == [("1", "ann"), ("2", "bob")]
+
+
+# ------------------------------------------------------------ compaction --
+def _parquet_files(man, key):
+    import glob
+
+    return [
+        f
+        for f in glob.glob(os.path.join(man["partitions"][key], "*.parquet"))
+    ]
+
+
+def test_compact_binpacks_small_files_new_version(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_compact
+
+    root = str(tmp_path / "tbl")
+    rows = [(f"k{i}", i, "eu" if i % 2 else "us") for i in range(400)]
+    # many tiny files: 8 write tasks x 25-row splits
+    df = _df(spark, rows).repartition(8)
+    snapshot_write(spark, df, root, partition_by=["region"],
+                   max_records_per_file=25)
+    man1 = read_manifest(spark, root, 1)
+    files_before = {k: len(_parquet_files(man1, k)) for k in man1["partitions"]}
+    assert all(n > 1 for n in files_before.values())
+
+    v = snapshot_compact(spark, root)
+    assert v == 2
+    man2 = read_manifest(spark, root, 2)
+    files_after = {k: len(_parquet_files(man2, k)) for k in man2["partitions"]}
+    assert all(n == 1 for n in files_after.values())
+    # row content bit-identical; pre-compaction layout still time-travels
+    assert _state(snapshot_read(spark, root)) == sorted(rows)
+    assert _state(snapshot_read(spark, root, version=1)) == sorted(rows)
+    # CDF between the versions is empty: compaction moved bytes, not rows
+    from momyre_spark.sinks.snapshots import snapshot_diff
+
+    assert snapshot_diff(spark, root, 1, 2).count() == 0
+    # already compact -> no-op, no version burned
+    assert snapshot_compact(spark, root) is None
+    assert current_version(spark, root) == 2
+
+
+def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_compact
+
+    root = str(tmp_path / "tbl")
+    # eu fragmented (multi-task write), us compact (single row)
+    frag = _df(spark, [(f"e{i}", i, "eu") for i in range(100)]).repartition(6)
+    one = _df(spark, [("u0", 0, "us")]).coalesce(1)
+    snapshot_write(spark, frag.unionByName(one).repartition(6), root,
+                   partition_by=["region"], max_records_per_file=10)
+    man1 = read_manifest(spark, root, 1)
+    if len(_parquet_files(man1, "region=us")) == 1:
+        v = snapshot_compact(spark, root)
+        assert v == 2
+        man2 = read_manifest(spark, root, 2)
+        # untouched partition re-references the parent's directory
+        assert man2["partitions"]["region=us"] == man1["partitions"]["region=us"]
+        assert man2["partitions"]["region=eu"] != man1["partitions"]["region=eu"]
+
+
+def test_compact_carries_batch_id_for_replay_skip(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_compact
+
+    root = str(tmp_path / "tbl")
+    acts = _actions(
+        spark,
+        [(f"k{i}", "upsert", i, "eu", None) for i in range(60)],
+    )
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"],
+                       max_records_per_file=5, batch_id=7)
+    v = snapshot_compact(spark, root)
+    assert v == 2
+    assert read_manifest(spark, root, 2).get("batch_id") == 7
+    # a replay of epoch 7 after compaction is still skipped
+    got = snapshot_merge_cdc(spark, root, acts, FIELDS,
+                             partition_by=["region"], batch_id=7)
+    assert got == 2 and current_version(spark, root) == 2
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_compact
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [(f"k{i}", i, "eu") for i in range(100)]).repartition(8),
+                   root, max_records_per_file=10)
+    v = snapshot_compact(spark, root)
+    assert v == 2
+    man = read_manifest(spark, root, 2)
+    assert len(_parquet_files(man, "")) == 1
+    assert len(_state(snapshot_read(spark, root))) == 100
+
+
+# ------------------------------------------------------ schema evolution --
+def test_schema_evolution_each_version_reads_own_schema(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root)
+    wide = spark.createDataFrame(
+        [("a", 1, "eu", 0.5)], "_id string, val bigint, region string, score double"
+    )
+    snapshot_write(spark, wide, root)
+    assert snapshot_read(spark, root, version=1).columns == ["_id", "val", "region"]
+    v2 = snapshot_read(spark, root, version=2)
+    assert v2.columns == ["_id", "val", "region", "score"]
+    assert v2.collect()[0]["score"] == 0.5

@@ -223,6 +223,85 @@ def _commit(spark: SparkSession, root: str, manifest: dict) -> int:
     return v
 
 
+# -------------------------------------------------------- column stats ----
+def _json_stat(v):
+    """JSON-safe, ORDER-PRESERVING rendering of a stat bound: numbers stay
+    numbers; date/timestamp become ISO strings (lexicographic == temporal);
+    everything else compares as its string form."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def _collect_stats(
+    spark: SparkSession,
+    dirs: dict[str, str],
+    stats_cols: list[str],
+    partition_by: list[str],
+) -> dict[str, dict[str, list]]:
+    """Per-partition [min, max] of ``stats_cols`` over freshly written
+    version dirs — ONE columnar Spark job reading only the stats columns
+    (parquet column pruning), grouped back to manifest keys."""
+    if not dirs or not stats_cols:
+        return {}
+    df = spark.read.parquet(*sorted(dirs.values()))
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    if not partition_by:
+        row = df.agg(*aggs).collect()[0]
+        return {
+            "": {c: [_json_stat(row[f"__lo_{c}"]), _json_stat(row[f"__hi_{c}"])]
+                 for c in stats_cols}
+        }
+    keyed = df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in partition_by]
+    ).agg(*aggs)
+    out: dict[str, dict[str, list]] = {}
+    for row in keyed.collect():
+        key = _part_key(row, partition_by)
+        out[key] = {
+            c: [_json_stat(row[f"__lo_{c}"]), _json_stat(row[f"__hi_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _stats_prune(
+    stats: dict[str, dict[str, list]] | None,
+    key: str,
+    stats_filter: dict[str, tuple] | None,
+) -> bool:
+    """True iff the partition can be SKIPPED: every filter column has
+    recorded bounds and at least one requested [lo, hi] interval misses
+    them. Missing stats/columns/NULL bounds => must read (safe)."""
+    if not stats_filter:
+        return False
+    part = (stats or {}).get(key)
+    if part is None:
+        return False
+    for col, (lo, hi) in stats_filter.items():
+        b = part.get(col)
+        if b is None or b[0] is None or b[1] is None:
+            continue
+        plo, phi = b
+        qlo = _json_stat(lo) if lo is not None else None
+        qhi = _json_stat(hi) if hi is not None else None
+        try:
+            if (qhi is not None and plo > qhi) or (qlo is not None and phi < qlo):
+                return True
+        except TypeError:
+            continue  # incomparable query/stat types — must read (safe)
+    return False
+
+
 # --------------------------------------------------------------- writes ---
 def _write_version_data(
     df: DataFrame,
@@ -230,14 +309,24 @@ def _write_version_data(
     version: int,
     partition_by: list[str] | None,
     max_records_per_file: int,
+    sort_by: list[str] | None = None,
 ) -> dict[str, str]:
     """Write ``df`` under data/v{version}; return partition-key -> dir.
 
     Partition columns STAY in the data files (the physical dirs split on
     shadow ``__p_*`` copies), so a manifest's directories read back whole
-    with no basePath reconstruction."""
+    with no basePath reconstruction.
+
+    ``sort_by`` clusters rows WITHIN each write task (sortWithinPartitions
+    on partition cols + sort cols — no extra shuffle): parquet row-group
+    min/max become tight on those columns, and the manifest column stats
+    (``stats_cols``) become tight per partition."""
     spark = df.sparkSession
     base = f"{root}/data/v{version}"
+    if sort_by:
+        df = df.sortWithinPartitions(
+            *[F.col(c) for c in list(partition_by or []) + list(sort_by)]
+        )
     if not partition_by:
         df.write.mode("overwrite").option(
             "maxRecordsPerFile", str(max_records_per_file)
@@ -292,11 +381,23 @@ def snapshot_write(
     partition_by: list[str] | None = None,
     max_records_per_file: int = 5_000_000,
     batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
-    """Commit ``df`` as a full new version. Returns the version number."""
+    """Commit ``df`` as a full new version. Returns the version number.
+
+    ``stats_cols`` records per-partition [min, max] bounds in the manifest
+    (Iceberg-style column stats): ``snapshot_read(stats_filter=...)`` then
+    skips partitions whose bounds miss the requested range — data skipping
+    on NON-partition columns, decided on the driver before any file IO.
+    Bounds are only selective if the data is clustered on those columns;
+    pass ``sort_by`` (usually the same columns) to cluster at write time.
+    The stats job is one columnar scan of just those columns per commit."""
     parent = current_version(spark, root)
     v = (parent or 0) + 1
-    dirs = _write_version_data(df, root, v, partition_by, max_records_per_file)
+    dirs = _write_version_data(
+        df, root, v, partition_by, max_records_per_file, sort_by=sort_by
+    )
     man = {
         "version": v,
         "parent": parent,
@@ -304,6 +405,12 @@ def snapshot_write(
         "partitions": dirs,
         "schema": df.schema.json(),
     }
+    if stats_cols:
+        man["stats_cols"] = list(stats_cols)
+        man["stats"] = _collect_stats(spark, dirs, list(stats_cols),
+                                      list(partition_by or []))
+    if sort_by:
+        man["sort_by"] = list(sort_by)  # compaction re-applies the clustering
     if batch_id is not None:
         man["batch_id"] = batch_id
     return _commit(spark, root, man)
@@ -314,10 +421,16 @@ def snapshot_read(
     root: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Read a version (default: current). ``partition_filter`` prunes
     manifest entries on the driver — files of other partitions are never
-    listed, let alone read."""
+    listed, let alone read. ``stats_filter`` ({col: (lo, hi)}; None bound =
+    open side) additionally skips partitions whose recorded column bounds
+    miss the range — data skipping on non-partition columns when the table
+    was committed with ``stats_cols``. Pruning is an OPTIMIZATION only:
+    callers must still apply the actual predicate (partitions without
+    stats are conservatively read)."""
     v = version if version is not None else current_version(spark, root)
     if v is None:
         raise FileNotFoundError(f"no committed version at {root}")
@@ -334,6 +447,8 @@ def snapshot_read(
             vals = part_key_values(key, pby)
             if any(str(partition_filter[c]) != vals[c] for c in partition_filter):
                 continue
+        if _stats_prune(man.get("stats"), key, stats_filter):
+            continue
         dirs.append(d)
     if not dirs:
         # Empty selection — or a legitimately empty version (a merge that
@@ -405,15 +520,24 @@ def snapshot_merge_cdc(
     existing = snapshot_read(spark, root, parent)
     v = parent + 1
 
+    stats_cols = man.get("stats_cols")
+    sort_by = man.get("sort_by")
+
     if not pby:
         # no lineage cut needed: the output dir (data/v{N}) never overlaps
         # the input version's files
         merged = apply_actions(existing, actions, fields, key)
-        dirs = _write_version_data(merged, root, v, None, max_records_per_file)
+        dirs = _write_version_data(merged, root, v, None, max_records_per_file,
+                                   sort_by=sort_by)
         man = {
             "version": v, "parent": parent, "partition_by": [],
             "partitions": dirs, "schema": merged.schema.json(),
         }
+        if stats_cols:
+            man["stats_cols"] = stats_cols
+            man["stats"] = _collect_stats(spark, dirs, stats_cols, [])
+        if sort_by:
+            man["sort_by"] = sort_by
         if batch_id is not None:
             man["batch_id"] = batch_id
         return _commit(spark, root, man)
@@ -441,7 +565,8 @@ def snapshot_merge_cdc(
     merged = apply_actions(pruned, actions, fields, key).localCheckpoint(
         eager=True
     )
-    new_dirs = _write_version_data(merged, root, v, pby, max_records_per_file)
+    new_dirs = _write_version_data(merged, root, v, pby, max_records_per_file,
+                                   sort_by=man.get("sort_by"))
 
     partitions = {
         k: d
@@ -449,16 +574,29 @@ def snapshot_merge_cdc(
         if k not in affected_keys  # untouched: re-reference parent data
     }
     partitions.update(new_dirs)  # affected-and-nonempty: new data
-    man = {
+    new_man = {
         "version": v,
         "parent": parent,
         "partition_by": pby,
         "partitions": partitions,
         "schema": merged.schema.json(),
     }
+    if stats_cols:
+        # untouched partitions keep the parent's bounds; rewritten ones are
+        # re-profiled over just the new dirs (cost tracks the batch)
+        carried = {
+            k: s
+            for k, s in (man.get("stats") or {}).items()
+            if k in partitions and k not in new_dirs
+        }
+        carried.update(_collect_stats(spark, new_dirs, stats_cols, pby))
+        new_man["stats_cols"] = stats_cols
+        new_man["stats"] = carried
+    if "sort_by" in man:
+        new_man["sort_by"] = man["sort_by"]
     if batch_id is not None:
-        man["batch_id"] = batch_id
-    return _commit(spark, root, man)
+        new_man["batch_id"] = batch_id
+    return _commit(spark, root, new_man)
 
 
 def snapshot_diff(
@@ -598,7 +736,8 @@ def snapshot_compact(
             max(1, -(-total_affected_bytes // target_file_bytes))
         )
     new_dirs = _write_version_data(
-        df, root, new_v, pby or None, max_records_per_file
+        df, root, new_v, pby or None, max_records_per_file,
+        sort_by=man.get("sort_by"),
     )
     partitions = {
         k: d for k, d in man["partitions"].items() if k not in affected
@@ -611,6 +750,14 @@ def snapshot_compact(
         "partitions": partitions,
         "schema": man["schema"] if "schema" in man else df.schema.json(),
     }
+    if "stats_cols" in man:
+        # row content is unchanged, so every partition's bounds carry over
+        new_man["stats_cols"] = man["stats_cols"]
+        new_man["stats"] = {
+            k: s for k, s in (man.get("stats") or {}).items() if k in partitions
+        }
+    if "sort_by" in man:
+        new_man["sort_by"] = man["sort_by"]
     if "batch_id" in man:
         new_man["batch_id"] = man["batch_id"]
     _commit(spark, root, new_man)

@@ -498,3 +498,65 @@ def test_schema_evolution_each_version_reads_own_schema(spark, tmp_path):
     v2 = snapshot_read(spark, root, version=2)
     assert v2.columns == ["_id", "val", "region", "score"]
     assert v2.collect()[0]["score"] == 0.5
+
+
+# ------------------------------------------------- column-stats skipping --
+def test_stats_skipping_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    rows = (
+        [(f"e{i}", i, "eu") for i in range(100)]
+        + [(f"u{i}", 1000 + i, "us") for i in range(100)]
+        + [(f"a{i}", 2000 + i, "ap") for i in range(100)]
+    )
+    snapshot_write(spark, _df(spark, rows), root, partition_by=["region"],
+                   stats_cols=["val"], sort_by=["val"])
+    man = read_manifest(spark, root, 1)
+    assert man["stats"]["region=eu"]["val"] == [0, 99]
+    assert man["stats"]["region=us"]["val"] == [1000, 1099]
+
+    hit = snapshot_read(spark, root, stats_filter={"val": (1000, 1050)})
+    # only the us partition's files are listed/read
+    assert all("region=us" in f for f in hit.inputFiles())
+    # pruning is an optimization — caller still applies the predicate
+    got = hit.filter((F.col("val") >= 1000) & (F.col("val") <= 1050))
+    assert got.count() == 51
+
+    # open-ended bound: val >= 2000 -> ap only
+    top = snapshot_read(spark, root, stats_filter={"val": (2000, None)})
+    assert all("region=ap" in f for f in top.inputFiles())
+
+    # a range no partition covers -> empty frame, right schema, zero IO
+    none = snapshot_read(spark, root, stats_filter={"val": (5000, 6000)})
+    assert none.count() == 0 and none.columns == ["_id", "val", "region"]
+
+
+def test_stats_survive_merge_and_compaction(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_compact
+
+    root = str(tmp_path / "tbl")
+    rows = [(f"e{i}", i, "eu") for i in range(50)] + [
+        (f"u{i}", 1000 + i, "us") for i in range(50)
+    ]
+    snapshot_write(spark, _df(spark, rows), root, partition_by=["region"],
+                   stats_cols=["val"], max_records_per_file=5)
+    acts = _actions(spark, [("e0", "upsert", 500, "eu", None)])
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"])
+    man2 = read_manifest(spark, root, 2)
+    # untouched partition: bounds carried; touched: re-profiled
+    assert man2["stats"]["region=us"]["val"] == [1000, 1049]
+    assert man2["stats"]["region=eu"]["val"] == [1, 500]
+
+    v3 = snapshot_compact(spark, root)
+    assert v3 == 3
+    man3 = read_manifest(spark, root, 3)
+    assert man3["stats"]["region=eu"]["val"] == [1, 500]
+    hit = snapshot_read(spark, root, stats_filter={"val": (400, 600)})
+    assert all("region=eu" in f for f in hit.inputFiles())
+
+
+def test_stats_filter_without_stats_reads_everything(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root,
+                   partition_by=["region"])
+    out = snapshot_read(spark, root, stats_filter={"val": (100, 200)})
+    assert out.count() == 2  # no stats recorded -> conservative full read

@@ -73,3 +73,43 @@ def test_enrich_stream_is_broadcast_join(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------- latest-state compaction -----
+def _run_latest(spark, src, out, ckpt):
+    from momyre_spark.streaming.stateful import latest_state_stream
+
+    stream = spark.readStream.schema("k string, ts long, v double").parquet(src)
+    compacted = latest_state_stream(stream, "k", "ts", ["v"])
+    q = (
+        compacted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_latest_state_stream_compacts_and_suppresses_late(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # batch 1: three updates for a (collapse to ts=3), one for b
+    spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 3, 3.0), ("a", 2, 2.0), ("b", 5, 5.0)],
+        "k string, ts long, v double",
+    ).write.parquet(src, mode="append")
+    _run_latest(spark, src, out, ckpt)
+    got1 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got1 == [("a", 3, 3.0), ("b", 5, 5.0)]
+
+    # batch 2: late event for a (ts=2 < high-water 3) suppressed entirely;
+    # b advances and re-emits
+    spark.createDataFrame(
+        [("a", 2, 9.9), ("b", 9, 9.0)], "k string, ts long, v double"
+    ).write.parquet(src, mode="append")
+    _run_latest(spark, src, out, ckpt)
+    got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got2 == [("a", 3, 3.0), ("b", 5, 5.0), ("b", 9, 9.0)]

@@ -44,6 +44,11 @@ HEADLINE = [
     "stats_profile_approx",  # the 100 TB default plan (HLL++, no Expand)
     "agg_grouped_topk",
     "emb_random_projection",
+    # round-3 surface: VARIANT single-parse JSON, generated-grid resample,
+    # corpus bigram stats
+    "q51_variant_props",
+    "q52_resample_locf",
+    "text_ngram_counts",
 ]
 
 

@@ -41,7 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore checkpoints, resync from scratch")
     p.add_argument("--inp", default=None, help="MongoDB URL override")
     p.add_argument("--out", default=None, help="MySQL URL override")
-    p.add_argument("--mode", choices=["batch", "stream", "both"], default="both")
+    p.add_argument("--mode", choices=["batch", "stream", "both", "maintain"],
+                   default="both",
+                   help="maintain: compact small files + vacuum expired "
+                        "versions of a --versioned --lake-root store")
     p.add_argument("--checkpoint", default="/tmp/momyre-spark-ckpt",
                    help="Structured Streaming checkpoint dir")
     p.add_argument("--sink-partitions", type=int, default=8,
@@ -60,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --ts-guard-col: soft deletes keep the key + "
                         "mark as flagged rows (closes the delete-then-stale-"
                         "upsert resurrection window)")
+    p.add_argument("--keep-versions", type=int, default=2,
+                   help="maintain mode: versions retained by vacuum")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="maintain mode: compaction target file size")
     return p
 
 
@@ -124,6 +131,30 @@ def main(argv: list[str] | None = None) -> int:
         zerop=args.zerop,
         sink_partitions=args.sink_partitions,
     )
+
+    if args.mode == "maintain":
+        if not args.lake_root:
+            print("maintain mode requires --lake-root", file=sys.stderr)
+            return 2
+        from momyre_spark.sinks.snapshots import snapshot_compact, snapshot_vacuum
+
+        for table in sorted(spec.tables):
+            root = f"{args.lake_root}/{table}"
+            try:
+                v = snapshot_compact(
+                    spark, root,
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                )
+            except FileNotFoundError:
+                print(f"{table}: no versioned store at {root}", file=sys.stderr)
+                continue
+            dropped = snapshot_vacuum(spark, root, keep_last=args.keep_versions)
+            print(
+                f"{table}: compacted->" + (f"v{v}" if v else "no-op")
+                + f", vacuumed {len(dropped)} versions",
+                file=sys.stderr,
+            )
+        return 0
 
     if args.mode in ("batch", "both"):
         if args.lake_root:

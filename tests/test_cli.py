@@ -55,3 +55,44 @@ def test_versioned_flag_parses():
     )
     assert args.versioned is True
     assert build_parser().parse_args(["--config", "x.yml"]).versioned is False
+
+
+def test_maintain_mode_compacts_and_vacuums(spark, tmp_path, monkeypatch):
+    """End-to-end maintain run against a real versioned store (engine
+    boundaries untouched: maintain never dials Mongo/MySQL)."""
+    from momyre_spark import cli
+    from momyre_spark.sinks.snapshots import (
+        list_versions, snapshot_read, snapshot_write,
+    )
+
+    cfg = tmp_path / "momyre.yml"
+    cfg.write_text("tables:\n  users:\n    val: bigint\n")
+    root = str(tmp_path / "lake" / "users")
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "_id string, val bigint"
+    ).repartition(8)
+    snapshot_write(spark, df, root, max_records_per_file=10)
+    snapshot_write(spark, df, root, max_records_per_file=10)  # second version
+
+    monkeypatch.setattr(cli, "get_spark", lambda **kw: spark, raising=False)
+    # cli.main builds its own session via momyre_spark.session.get_spark
+    import momyre_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    rc = cli.main([
+        "--config", str(cfg), "--mode", "maintain",
+        "--lake-root", str(tmp_path / "lake"), "--keep-versions", "1",
+    ])
+    assert rc == 0
+    versions = list_versions(spark, root)
+    assert versions[-1] == 3  # compaction committed a new version
+    assert len(versions) == 1  # vacuum kept only the compacted one
+    assert snapshot_read(spark, root).count() == 100
+
+
+def test_maintain_mode_requires_lake_root(tmp_path):
+    from momyre_spark import cli
+
+    cfg = tmp_path / "momyre.yml"
+    cfg.write_text("tables:\n  users:\n    val: bigint\n")
+    assert cli.main(["--config", str(cfg), "--mode", "maintain"]) == 2

@@ -1126,3 +1126,153 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         "bucket_epoch",
         round_half_up(F.col("value"), 4).alias("v"),
     ).orderBy("user_id", "bucket_epoch")
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: users progressing view -> click -> purchase in temporal
+# order. Staged min-ts chaining (each stage joins the previous stage's
+# first-completion time) — the standard warehouse funnel; each stage is one
+# (user) agg + one equi-join, all broadcastable once stages shrink.
+# --------------------------------------------------------------------------
+@query(
+    "q53_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT '1_view' AS stage, count(*) AS users FROM v
+        UNION ALL SELECT '2_click' AS stage, count(*) AS users FROM c
+        UNION ALL SELECT '3_purchase' AS stage, count(*) AS users FROM p
+    ) ORDER BY stage
+    """,
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    one = (
+        v.agg(F.count(F.lit(1)).alias("users")).select(F.lit("1_view").alias("stage"), "users")
+        .unionAll(c.agg(F.count(F.lit(1)).alias("users")).select(F.lit("2_click").alias("stage"), "users"))
+        .unionAll(p.agg(F.count(F.lit(1)).alias("users")).select(F.lit("3_purchase").alias("stage"), "users"))
+    )
+    return one.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen day, distinct-user counts
+# at each week-of-age. First-touch agg + one join back + one (cohort, age)
+# agg — the whole analysis is two shuffles regardless of scale. Epoch
+# arithmetic keeps week-age engine-neutral (no week-truncation semantics).
+# --------------------------------------------------------------------------
+@query(
+    "q54_retention_cohorts",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+    )
+    SELECT CAST(CAST(date_trunc('day', f.t0) AS DATE) AS VARCHAR) AS cohort,
+           CAST(floor((epoch_us(e.ts) - epoch_us(f.t0)) / (604800.0 * 1e6)) AS BIGINT) AS age_weeks,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort, age_weeks
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    joined = load_table(spark, sf, "events").join(first, "user_id")
+    age = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t0")))
+        / F.lit(604800.0 * 1e6)
+    ).cast("bigint")
+    return (
+        joined.groupBy(
+            F.date_trunc("day", F.col("t0")).cast("date").cast("string").alias("cohort"),
+            age.alias("age_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "age_weeks")
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear gap interpolation (operators/timeseries.interpolate_linear): error
+# events report no value; fill by blending the neighboring observations in
+# event-time. Identical IEEE arithmetic on both engines (same blend
+# expression over the same doubles), so filled values hash-match exactly.
+# --------------------------------------------------------------------------
+@query(
+    "q55_interpolate",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS DOUBLE) AS x,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE CAST(value AS DOUBLE) END AS v
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, x, v,
+               last_value(CASE WHEN v IS NOT NULL
+                               THEN struct_pack(at := x, val := v) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN struct_pack(at := x, val := v) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY x
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        FROM base
+    )
+    SELECT user_id, event_id,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+                            prev.val + (CASE WHEN nxt.at = prev.at THEN 0.0
+                                             ELSE (x - prev.at) / (nxt.at - prev.at) END)
+                                       * (nxt.val - prev.val)
+                  END) * 10000 + 0.5) / 10000.0 AS filled
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import interpolate_linear
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("x"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(ev, key="user_id", order_col="x", value_col="v")
+    return out.select(
+        "user_id",
+        "event_id",
+        round_half_up(F.col("v"), 4).alias("filled"),
+    ).orderBy("user_id", "event_id")

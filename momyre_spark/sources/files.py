@@ -117,3 +117,20 @@ def infer_schema_sample(
         "header", "true"
     ).csv(sample)
     return df.schema
+
+
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    table: TableSpec,
+) -> DataFrame:
+    """ORC scan against a declared TableSpec. Columnar like parquet —
+    predicate pushdown and column pruning apply — so ingest from ORC lakes
+    costs the same scan shape; type drift is reconciled by
+    ``enforce_schema`` (cast / NULL-fill / drop), not inference."""
+    return enforce_schema(spark.read.orc(path), table)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (interop with Hive-era warehouses that read ORC only)."""
+    df.write.mode(mode).orc(path)

@@ -71,3 +71,34 @@ def test_infer_schema_sample_is_bounded(spark, tmp_path):
             f.write('{"a": 1, "b": "x"}\n')
     schema = infer_schema_sample(spark, str(tmp_path), fmt="jsonl")
     assert set(schema.fieldNames()) == {"a", "b"}
+
+
+def test_orc_roundtrip_and_schema_enforcement(spark, tmp_path):
+    from momyre_spark.sources.files import load_orc, write_orc
+
+    p = str(tmp_path / "users_orc")
+    src = spark.createDataFrame(
+        [("1", "ann", 33, 1.5, "zzz"), ("2", "bob", 44, 2.5, "yyy")],
+        "_id string, name string, age int, score double, extra string",
+    )
+    write_orc(src, p)
+    got = load_orc(spark, p, USERS)
+    # undeclared column dropped, declared order enforced
+    assert got.columns == ["_id", "name", "age", "score"]
+    assert _rows(got) == [("1", "ann", 33, 1.5), ("2", "bob", 44, 2.5)]
+
+
+def test_orc_pushdown_reaches_scan(spark, tmp_path):
+    from momyre_spark.sources.files import load_orc, write_orc
+
+    p = str(tmp_path / "users_orc")
+    write_orc(
+        spark.createDataFrame(
+            [(str(i), f"u{i}", i, float(i)) for i in range(100)],
+            "_id string, name string, age int, score double",
+        ),
+        p,
+    )
+    df = load_orc(spark, p, USERS).filter("age > 90").select("_id", "age")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "age" in plan.split("PushedFilters")[1][:80]

@@ -1,0 +1,100 @@
+"""Property-based checks for the time-series operators: resample_locf and
+interpolate_linear must match plain-Python references on arbitrary keyed
+series (hypothesis drives sizes, gaps, duplicates, and value patterns)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+
+def series():
+    event = st.tuples(
+        st.integers(min_value=0, max_value=500),     # ts seconds
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    )
+    return st.lists(event, min_size=1, max_size=40)
+
+
+def _py_resample_locf(rows, step):
+    # rows: [(ts, v)] one key; latest (ts, idx) wins per bucket, LOCF between
+    buckets = {}
+    for idx, (ts, v) in enumerate(rows):
+        b = (ts // step) * step
+        cur = buckets.get(b)
+        if cur is None or (ts, idx) > cur[0]:
+            buckets[b] = ((ts, idx), v)
+    lo, hi = min(buckets), max(buckets)
+    out, last = {}, None
+    for b in range(lo, hi + 1, step):
+        if b in buckets:
+            last = buckets[b][1]
+        out[b] = last
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=series(), step=st.sampled_from([7, 60]))
+def test_resample_locf_matches_python_reference(spark, rows, step):
+    from momyre_spark.operators.timeseries import resample_locf
+
+    df = spark.createDataFrame(
+        [("k", ts, v, i) for i, (ts, v) in enumerate(rows)],
+        "k string, epoch bigint, v double, id bigint",
+    ).withColumn("ts", F.timestamp_seconds(F.col("epoch")))
+    out = resample_locf(df, key="k", ts_col="ts", value_col="v",
+                        step_seconds=step, tiebreak=("id",))
+    got = {r["bucket_epoch"]: r["v"] for r in out.collect()}
+    assert got == _py_resample_locf(rows, step)
+
+
+def _py_interp(xs, vs):
+    obs = [(x, v) for x, v in zip(xs, vs) if v is not None]
+    out = []
+    for x, v in zip(xs, vs):
+        if v is not None:
+            out.append(float(v))
+            continue
+        prev = max(((a, b) for a, b in obs if a <= x), default=None)
+        nxt = min(((a, b) for a, b in obs if a >= x), default=None)
+        if prev is None or nxt is None:
+            out.append(None)
+        elif nxt[0] == prev[0]:
+            out.append(float(prev[1]))
+        else:
+            f = (x - prev[0]) / (nxt[0] - prev[0])
+            out.append(prev[1] + f * (nxt[1] - prev[1]))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(st.floats(min_value=0, max_value=1000, allow_nan=False),
+              st.one_of(st.none(),
+                        st.floats(min_value=-50, max_value=50, allow_nan=False))),
+    min_size=1, max_size=40,
+    unique_by=lambda t: t[0],
+))
+def test_interpolate_linear_matches_python_reference(spark, data):
+    from momyre_spark.operators.timeseries import interpolate_linear
+
+    data = sorted(data)
+    xs = [x for x, _ in data]
+    vs = [v for _, v in data]
+    df = spark.createDataFrame(
+        [("k", x, v) for x, v in data], "k string, x double, v double"
+    )
+    out = interpolate_linear(df, key="k", order_col="x", value_col="v")
+    got = {r["x"]: r["v"] for r in out.collect()}
+    for x, want in zip(xs, _py_interp(xs, vs)):
+        g = got[x]
+        if want is None:
+            assert g is None
+        else:
+            assert g is not None and math.isclose(g, want, rel_tol=1e-9, abs_tol=1e-9)

@@ -100,13 +100,16 @@ def resample_locf(
     by (``ts_col``, *tiebreak*) — the same latest-wins rule the CDC applier
     uses (reference run.go:301-322 keeps only latest state per key).
 
-    Scale shape: one hash aggregation per (key, bucket) — the
-    data-proportional part, with map-side partial aggregation — then the
-    grid is *generated*, not joined from a calendar table:
-    ``sequence(min_bucket, max_bucket, step)`` per key costs
-    O(buckets-per-key) rows with zero extra shuffle, and the final LOCF
-    window rides the same (key)-partitioning. Nothing scans the raw data
-    twice.
+    Scale shape: ONE scan of the raw data feeding one hash aggregation per
+    (key, bucket) — the data-proportional part, with map-side partial
+    aggregation. The grid is then *generated*, not joined from a calendar
+    table, and the carry is fused into the generation: each observed
+    bucket looks at the NEXT observed bucket in its key (``lead`` over the
+    already-aggregated rows) and explodes ``sequence(bucket, next-step,
+    step)`` carrying its own value — LOCF without a join back and without
+    a second consumption of the aggregate (which Spark would plan as a
+    second scan of the source). Post-aggregation rows are
+    buckets-cardinality, so the window exchange is small.
     """
     epoch = F.col(ts_col).cast("long")
     bucket = (F.floor(epoch / F.lit(step_seconds)) * step_seconds).cast("long")
@@ -118,25 +121,17 @@ def resample_locf(
         .groupBy(key, "bucket_epoch")
         .agg(F.max_by(F.col(value_col), order).alias("__last"))
     )
-    bounds = per_bucket.groupBy(key).agg(
-        F.min("bucket_epoch").alias("__lo"), F.max("bucket_epoch").alias("__hi")
+    w = Window.partitionBy(key).orderBy("bucket_epoch")
+    step = F.lit(step_seconds).cast("long")
+    run_end = F.coalesce(
+        F.lead("bucket_epoch").over(w) - step, F.col("bucket_epoch")
     )
-    grid = bounds.select(
+    return per_bucket.withColumn("__end", run_end).select(
         key,
         F.explode(
-            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_seconds).cast("long"))
+            F.sequence(F.col("bucket_epoch"), F.col("__end"), step)
         ).alias("bucket_epoch"),
-    )
-    joined = grid.join(per_bucket, [key, "bucket_epoch"], "left")
-    w = (
-        Window.partitionBy(key)
-        .orderBy("bucket_epoch")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        key,
-        "bucket_epoch",
-        F.last(F.col("__last"), ignorenulls=True).over(w).alias(value_col),
+        F.col("__last").alias(value_col),
     )
 
 

@@ -1276,3 +1276,52 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         round_half_up(F.col("v"), 4).alias("filled"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly signal: each event scored against its key's
+# trailing 10-row window. Moments come from DECIMAL window sums (exact,
+# order-independent) and only the final variance/sqrt runs in double — the
+# one formulation where both engines produce bit-identical scores. One
+# shuffle on the key; the frame is evaluated incrementally.
+# --------------------------------------------------------------------------
+@query(
+    "q56_rolling_zscore",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id, event_id,
+               CAST(value AS DOUBLE) AS v,
+               CAST(count(*) OVER fr AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sx,
+               CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE) AS sxx
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           {round4_sql("CASE WHEN n >= 5 AND n * sxx - sx * sx > 0 THEN (v - sx / n) / sqrt((n * sxx - sx * sx) / (n * n)) END")} AS z
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(fr).cast("bigint")
+    sx = F.sum(dec).over(fr).cast("double")
+    sxx = F.sum(dec * dec).over(fr).cast("double")
+    v = F.col("value").cast("double")
+    var_num = n * sxx - sx * sx
+    z = F.when(
+        (n >= 5) & (var_num > 0),
+        (v - sx / n) / F.sqrt(var_num / (n * n)),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        round_half_up(z, 4).alias("z"),
+    ).orderBy("user_id", "event_id")

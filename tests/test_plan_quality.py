@@ -160,3 +160,28 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
             saved_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+
+
+def test_q52_resample_scans_events_once(spark):
+    """The grid is GENERATED (sequence per key), never joined from a
+    calendar scan — the raw events table must appear exactly once in the
+    plan. A second scan would double the IO of every resample at 100 TB."""
+    plan = plan_of(q(spark, "q52_resample_locf"))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_q51_variant_single_parse(spark):
+    """VARIANT path: one parse_json in the projection (not one per
+    extracted field) and no Python evaluation."""
+    plan = full_plan_of(q(spark, "q51_variant_props"))
+    assert "EvalPython" not in plan
+    assert plan.count("parse_json") <= 2  # logical + physical rendering
+
+
+def test_q56_rolling_zscore_single_window_exchange(spark):
+    """All three moments (n, sx, sxx) ride ONE window over one exchange —
+    Spark must not plan a shuffle per aggregate."""
+    plan = plan_of(q(spark, "q56_rolling_zscore"))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

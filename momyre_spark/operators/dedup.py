@@ -736,3 +736,75 @@ def dedup_incremental(
     )
     firsts = unseen.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return new_docs.join(firsts.select(id_col), id_col, "left_semi")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    anchor_density: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-SPAN detection: the distributed stand-in for suffix-array
+    substring dedup (dedup long repeated substrings across documents, not
+    whole docs or fixed segments). A span is ``span_tokens`` consecutive
+    whitespace tokens; a span appearing in >= 2 distinct documents flags
+    every document containing it.
+
+    Windows are CONTENT-ANCHORED, not stride-sampled: position i starts a
+    window iff ``h(token_i) % anchor_density == 0``. Fixed-stride sampling
+    breaks on alignment — two copies of the same substring at different
+    offsets (mod stride) sample different windows and never collide;
+    content anchors move WITH the text, so both copies window identically
+    wherever they sit (the content-defined-chunking trick). Expected cost:
+    tokens/anchor_density windows per doc; a duplicated run is detected
+    once it covers an anchor + span_tokens tokens (probability
+    1-(1-1/d)^(run-span) over token hashes — near-certain for the long
+    runs substring dedup targets).
+
+    Plan: window expansion is map-only; detection is one hash aggregation
+    keyed by the span hash (map-side partial distinct) + one equi-join
+    back. Never enumerates document pairs. All hashing is the engine-
+    neutral md5-prefix, so the full pipeline is SQL-oracle-checkable.
+
+    Output: ``id_col``, ``n_spans`` (distinct anchored spans in the doc),
+    ``n_shared`` (those also in another doc), ``flagged``.
+    """
+    from momyre_spark.functions.text import tokens
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    toks = tokens(F.lower(F.col(text_col)))
+    npos = F.size(toks) - (span_tokens - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    anchored = F.filter(
+        positions,
+        lambda i: F.pmod(h60(F.element_at(toks, i)), F.lit(anchor_density)) == 0,
+    )
+    spans = F.transform(
+        anchored,
+        lambda i: F.md5(F.array_join(F.slice(toks, i, span_tokens), " ")),
+    )
+    parts = (
+        docs.select(F.col(id_col), F.explode(spans).alias("span_h")).distinct()
+    )
+    counts = parts.groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    scored = parts.join(counts, "span_h").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("__docs") >= 2).cast("int")).alias("n_shared"),
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

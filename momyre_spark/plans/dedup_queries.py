@@ -528,3 +528,59 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicated-span detection (operators/dedup.duplicate_spans): content-
+# anchored sliding windows — the distributed approximation of suffix-array
+# substring dedup. The oracle recomputes the identical anchor predicate and
+# span hashes (md5-prefix), so detection is fully value-checked.
+# --------------------------------------------------------------------------
+_SPAN_N = 8
+_SPAN_D = 4
+
+
+@query(
+    "dedup_span_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w,
+               list_filter(
+                   range(1, len(w) - {_SPAN_N - 1} + 1),
+                   i -> CAST(('0x' || substr(md5(w[i]), 1, 15)) AS BIGINT) % {_SPAN_D} = 0
+               ) AS anchors
+        FROM d
+    ),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   anchors, i -> md5(array_to_string(w[i:i + {_SPAN_N - 1}], ' '))
+               )) AS span_h
+        FROM pos
+    ),
+    counts AS (SELECT span_h, count(*) AS docs FROM spans GROUP BY span_h),
+    scored AS (
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM spans s JOIN counts c ON s.span_h = c.span_h
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_shared, 0) AS n_shared,
+           coalesce(n_shared, 0) > 0 AS flagged
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_span_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return duplicate_spans(
+        docs, span_tokens=_SPAN_N, anchor_density=_SPAN_D
+    ).orderBy("doc_id")

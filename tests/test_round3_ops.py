@@ -447,3 +447,44 @@ def test_variant_query_stays_jvm_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------ duplicate spans --
+def test_duplicate_spans_alignment_independent(spark):
+    """A shared substring must be detected at ANY offset in each document —
+    the content-anchored windows move with the text (fixed-stride sampling
+    would only match offsets equal mod stride)."""
+    import hashlib
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    anchor = next(
+        t for t in (f"tok{i}" for i in range(1000)) if h60(t) % 4 == 0
+    )
+    run = [anchor] + [f"w{i}" for i in range(11)]  # 12-token shared run
+    doc_a = " ".join(run + ["taila", "tailb"])
+    doc_b = " ".join(["p1", "p2", "p3"] + run + ["tailz"])  # offset 3 (!= 0 mod 4)
+    doc_c = " ".join(f"z{i}" for i in range(20))
+
+    from momyre_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["flagged"]
+        for r in duplicate_spans(docs, span_tokens=8, anchor_density=4).collect()
+    }
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_duplicate_spans_short_docs_are_safe(spark):
+    from momyre_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["flagged"])
+           for r in duplicate_spans(docs, span_tokens=8).collect()}
+    assert got == {1: (0, False), 2: (0, False), 3: (0, False)}

@@ -584,3 +584,34 @@ def text_ngram_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("tf"), "gram")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact heavy hitters over the token stream (operators/heavyhitters):
+# Misra-Gries candidates bound the shuffle to O(partitions x 1/support)
+# regardless of vocabulary size; the exact recount makes the output equal
+# the exhaustive groupBy (which is precisely what the oracle runs).
+# --------------------------------------------------------------------------
+_HH_SUPPORT = 0.008
+
+
+@query(
+    "text_heavy_terms",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_LTOK}) AS t FROM documents),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t AS term, count(*) AS cnt
+    FROM tok GROUP BY t
+    HAVING count(*) >= ceil((SELECT n FROM tot) * {_HH_SUPPORT})
+    ORDER BY cnt DESC, term
+    """,
+)
+def text_heavy_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import tokens
+    from momyre_spark.operators.heavyhitters import frequent_items
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return frequent_items(tok, "term", support=_HH_SUPPORT)

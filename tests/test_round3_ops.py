@@ -488,3 +488,40 @@ def test_duplicate_spans_short_docs_are_safe(spark):
     got = {r["doc_id"]: (r["n_spans"], r["flagged"])
            for r in duplicate_spans(docs, span_tokens=8).collect()}
     assert got == {1: (0, False), 2: (0, False), 3: (0, False)}
+
+
+# -------------------------------------------------------- heavy hitters --
+def test_frequent_items_exact_vs_full_groupby(spark):
+    """MG candidates + recount must equal the exhaustive groupBy answer —
+    the summary bounds memory, never the result."""
+    import random
+
+    from momyre_spark.operators.heavyhitters import frequent_items
+
+    rng = random.Random(7)
+    # zipf-ish: few heavy values over a large tail
+    rows = (
+        [("hot1",)] * 300 + [("hot2",)] * 200 + [("warm",)] * 60
+        + [(f"tail{i}",) for i in range(1000)]
+        + [(f"tail{rng.randrange(1000)}",) for _ in range(440)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    got = [(r["item"], r["cnt"]) for r in
+           frequent_items(df, "item", support=0.025).collect()]
+
+    exact = (
+        df.groupBy("item").count()
+        .filter(F.col("count") >= 0.025 * df.count())
+        .orderBy(F.desc("count"), "item")
+        .collect()
+    )
+    assert got == [(r["item"], r["count"]) for r in exact]
+    assert [i for i, _ in got[:2]] == ["hot1", "hot2"]
+
+
+def test_frequent_items_support_validation(spark):
+    from momyre_spark.operators.heavyhitters import frequent_items
+
+    with pytest.raises(ValueError, match="support"):
+        frequent_items(spark.range(5), "id", support=0.0)

@@ -45,10 +45,14 @@ HEADLINE = [
     "agg_grouped_topk",
     "emb_random_projection",
     # round-3 surface: VARIANT single-parse JSON, generated-grid resample,
-    # corpus bigram stats
+    # corpus bigram stats, decimal-moment windows, content-anchored span
+    # dedup, MG heavy hitters
     "q51_variant_props",
     "q52_resample_locf",
     "text_ngram_counts",
+    "q56_rolling_zscore",
+    "dedup_span_overlap",
+    "text_heavy_terms",
 ]
 
 

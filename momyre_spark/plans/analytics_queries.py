@@ -1325,3 +1325,47 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         round_half_up(z, 4).alias("z"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) windows: 1-day windows every 6 hours — each event lands
+# in 4 windows. Spark's window() explodes window membership JVM-side; the
+# oracle derives the same memberships from epoch arithmetic. The batch twin
+# of the streaming rollup's hop mode.
+# --------------------------------------------------------------------------
+@query(
+    "q57_sliding_window",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               CAST(floor(epoch_us(ts) / (21600.0 * 1e6)) AS BIGINT) AS slot
+        FROM events
+    ),
+    m AS (
+        SELECT event_type, value, (slot - k) * 21600 AS win_start
+        FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        WHERE slot - k >= 0
+    )
+    SELECT win_start, event_type, count(*) AS c,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM m GROUP BY 1, 2 ORDER BY win_start, event_type
+    """,
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "c",
+            "total",
+        )
+        .orderBy("win_start", "event_type")
+    )

@@ -45,6 +45,9 @@ def frequent_items(
 
     ``support`` in (0, 1]; ``candidate_factor`` > 1 widens the per-
     partition summary (more memory, fewer spurious candidates to recount).
+    NULL values are excluded (they are not items); N counts all rows.
+    The partition summaries carry their row counts, so N needs no separate
+    pass — exactly two scans total.
     """
     if not (0 < support <= 1):
         raise ValueError(f"support must be in (0, 1], got {support}")
@@ -52,7 +55,9 @@ def frequent_items(
 
     def mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for item, c in pdf[col].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > counters:
@@ -62,15 +67,18 @@ def frequent_items(
                 counts = {
                     k: v - cut for k, v in counts.items() if v - cut > 0
                 }
-        yield pd.DataFrame({col: list(counts.keys())})
+        # candidate rows + ONE total-carrier row per partition (item NULL),
+        # so N needs no separate count() pass over the data
+        yield pd.DataFrame(
+            {col: list(counts.keys()) + [None], "__n": [0] * len(counts) + [n_rows]}
+        )
 
-    candidates = (
-        df.select(col)
-        .mapInPandas(mg_summaries, schema=df.select(col).schema)
-        .distinct()
-    )
+    summary_schema = df.select(col).schema.add("__n", "long")
+    summaries = df.select(col).mapInPandas(mg_summaries, schema=summary_schema)
+    summaries = summaries.localCheckpoint(eager=True)  # one phase-1 pass
+    total = summaries.agg(F.sum("__n")).collect()[0][0] or 0
+    candidates = summaries.filter(F.col(col).isNotNull()).select(col).distinct()
 
-    total = df.count()
     threshold = math.ceil(support * total)
     return (
         df.join(F.broadcast(candidates), col, "left_semi")

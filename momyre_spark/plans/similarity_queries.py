@@ -236,3 +236,27 @@ def emb_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.array_min(ql).alias("qmin"),
         (F.array_max(err) <= F.col("qz.scale") / 2.0 + 1e-12).alias("max_err_ok"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (operators/pq.py): byte-coded corpus, ADC
+# shortlist, exact re-rank. No SQL oracle — Lloyd-trained codebooks are not
+# SQL-reproducible; the driver records a rows-only check and
+# tests/test_similarity_ops.py pins recall>=0.8 vs the exact top-k plus
+# train determinism (seeded, hash-ordered sample).
+# --------------------------------------------------------------------------
+@query("sim_topk_pq")
+def sim_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pq import (
+        pq_encode, pq_topk, train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb, m=8, codes=256, sample=2000)
+    enc = pq_encode(emb, books)
+    queries = emb.orderBy("vec_id").limit(8)
+    return (
+        pq_topk(enc, queries, books, k=10, refine=4, corpus=emb)
+        .select("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    )

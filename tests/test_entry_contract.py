@@ -36,6 +36,11 @@ _ROWS_ONLY = {
     # test_maintenance_ops.test_profile_approx_ndv_within_tolerance, and
     # the exact twin (stats_profile) carries the full oracle.
     "stats_profile_approx",
+    # Lloyd-trained PQ codebooks are not SQL-reproducible; recall >= 0.8
+    # vs the exact top-k and train determinism are pinned in
+    # test_similarity_ops.test_pq_encode_compresses_and_search_recalls,
+    # and the exact twins (sim_topk_bruteforce/numpy) carry full oracles.
+    "sim_topk_pq",
 }
 
 

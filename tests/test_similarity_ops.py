@@ -266,3 +266,50 @@ def test_ivf_multiprobe_recovers_boundary_recall(spark):
     assert r3 >= r1
     assert r3 >= 0.95, (r1, r3)
     assert r1 < 0.9, r1  # the over-partitioned single-probe must actually miss
+
+
+# ------------------------------------------------ product quantization ---
+def test_pq_encode_compresses_and_search_recalls(spark):
+    """PQ pipeline: codes are m small ints (64x smaller than the vector);
+    ADC top-10 must recall most of the exact euclidean top-10. Also pins
+    determinism: training twice gives identical codebooks."""
+    import numpy as np
+
+    from momyre_spark.operators.pq import (
+        pq_encode, pq_topk, train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, codes=256, sample=2000)
+    again = train_pq_codebooks(emb, m=8, codes=256, sample=2000)
+    assert np.array_equal(books, again)
+    assert books.shape == (8, 256, 8)
+
+    enc = pq_encode(emb, books)
+    row = enc.first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 256 for c in row["pq_code"])
+
+    queries = emb.orderBy("vec_id").limit(5)
+    got = pq_topk(enc, queries, books, k=10, refine=4, corpus=emb)
+    approx = {
+        qid: {r["neighbor_id"] for r in rows}
+        for qid, rows in __import__("itertools").groupby(
+            sorted(got.collect(), key=lambda r: r["query_id"]),
+            key=lambda r: r["query_id"],
+        )
+    }
+
+    # exact euclidean top-10 per query, driver-side
+    all_rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    mat = np.array([r["embedding"] for r in all_rows], dtype=np.float64)
+    recalls = []
+    for q in queries.collect():
+        qv = np.array(q["embedding"], dtype=np.float64)
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        mask = ids != q["vec_id"]
+        top = ids[mask][np.argsort(d2[mask], kind="stable")[:10]]
+        recalls.append(len(set(top) & approx[q["vec_id"]]) / 10)
+    # byte codes + 4x shortlist re-rank: high recall at 32x compression
+    assert sum(recalls) / len(recalls) >= 0.8, recalls

@@ -132,6 +132,8 @@ class ReplicationEngine:
         path: str,
         partition_by: list[str] | None = None,
         versioned: bool = False,
+        stats_cols: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> None:
         """Snapshot a table into columnar lake layout instead of (or beside)
         the JDBC sink — the engine extension that makes replicated data
@@ -140,13 +142,18 @@ class ReplicationEngine:
         ``versioned=True`` commits through the snapshot store
         (sinks/snapshots.py): each snapshot becomes a time-travelable
         version, and the follow-up CDC stream (``start_cdc_lake_stream``
-        with ``versioned=True``) appends versions to the same table."""
+        with ``versioned=True``) appends versions to the same table.
+        ``stats_cols``/``sort_by`` (versioned only) record per-partition
+        column bounds in the manifest and cluster rows so
+        ``snapshot_read(stats_filter=...)`` can skip partitions; CDC merges
+        maintain the bounds automatically from then on."""
         tspec = self.spec.tables[table]
         df = enforce_schema(self.source(table), tspec)
         if versioned:
             from momyre_spark.sinks.snapshots import snapshot_write
 
-            snapshot_write(self.spark, df, path, partition_by)
+            snapshot_write(self.spark, df, path, partition_by,
+                           stats_cols=stats_cols, sort_by=sort_by)
             return
         from momyre_spark.sinks.lake import write_partitioned
 

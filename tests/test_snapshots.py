@@ -560,3 +560,31 @@ def test_stats_filter_without_stats_reads_everything(spark, tmp_path):
                    partition_by=["region"])
     out = snapshot_read(spark, root, stats_filter={"val": (100, 200)})
     assert out.count() == 2  # no stats recorded -> conservative full read
+
+
+def test_engine_snapshot_records_stats_for_skipping(spark, tmp_path):
+    from momyre_spark.engine import ReplicationEngine
+    from momyre_spark.spec import parse_spec
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(str(i), i, "eu" if i < 50 else "us") for i in range(100)],
+        "_id string, val bigint, region string",
+    ).write.parquet(src)
+    spec = parse_spec(
+        "tables:\n  users:\n    val: bigint\n    region: varchar(8)\n"
+    )
+    eng = ReplicationEngine(
+        spark, spec,
+        source=lambda t: spark.read.parquet(src),
+        connection_factory=None, dialect_name="sqlite",
+    )
+    root = str(tmp_path / "tbl")
+    eng.snapshot_to_lake(
+        "users", root, partition_by=["region"], versioned=True,
+        stats_cols=["val"], sort_by=["val"],
+    )
+    man = read_manifest(spark, root, 1)
+    assert man["stats"]["region=eu"]["val"] == [0, 49]
+    hit = snapshot_read(spark, root, stats_filter={"val": (60, 70)})
+    assert all("region=us" in f for f in hit.inputFiles())

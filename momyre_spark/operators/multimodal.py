@@ -219,3 +219,120 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------- audio ---
+def synth_wav(seed: int, n_samples: int, rate: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: sample i = (seed*31 + i*7) %
+    65536 - 32768. A REAL RIFF/fmt/data container — the decoder below
+    parses it like any other WAV — with arithmetic simple enough for a SQL
+    oracle to mirror the expected aggregates."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((seed * 31 + i * 7) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM WAV container (RIFF chunk walk — handles extra chunks,
+    validates PCM int16). Returns (rate, channels, samples: int16 ndarray).
+    Pure numpy/struct: no audio library needed for the PCM subset, exactly
+    like the netpbm path for images. Fail-stop on non-PCM."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("momyre: not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("momyre: WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"momyre: unsupported WAV encoding (format={audio_format}, "
+            f"bits={bits}); only PCM int16 is decoded natively"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, channels, samples
+
+
+def extract_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode WAV payloads (real container parse) and emit typed audio
+    metadata + integer loudness aggregates: ``(id, rate, channels,
+    n_samples, duration_ms, sum_abs, peak)``. Integer aggregates keep the
+    output exact for cross-engine verification; float features (RMS, dB)
+    are one `sqrt` away downstream. Arrow-batched mapInPandas, map-only."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, rate int, channels int, n_samples long, "
+        "duration_ms long, sum_abs long, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, channels, samples = decode_wav(bytes(payload))
+                flat = np.abs(samples.astype(np.int64))
+                rows.append((
+                    rid, rate, channels, int(samples.shape[0]),
+                    int(samples.shape[0]) * 1000 // rate,
+                    int(flat.sum()), int(flat.max()) if flat.size else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "rate", "channels", "n_samples",
+                         "duration_ms", "sum_abs", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def with_wav_payload(
+    docs: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Manufacture deterministic WAV payloads from the documents table
+    (the testdata has no media table): n_samples and rate derive from the
+    row, samples from synth_wav's closed form."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [
+                    synth_wav(int(i), 500 + int(c) % 1000,
+                              8000 + (int(i) % 4) * 4000)
+                    for i, c in zip(pdf[id_col], pdf[chars_col])
+                ],
+            })
+
+    return docs.select(id_col, chars_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )

@@ -51,3 +51,39 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return sample_frames(with_binary_payload(docs)).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "mm_audio_meta",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               500 + n_chars % 1000 AS n_samples
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, rate, n_samples,
+               abs((doc_id * 31 + t.i * 7) % 65536 - 32768) AS a
+        FROM p, unnest(range(0, n_samples)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS rate,
+           CAST(1 AS INT) AS channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples * 1000) // rate AS BIGINT) AS duration_ms,
+           CAST(sum(a) AS BIGINT) AS sum_abs,
+           CAST(max(a) AS INT) AS peak
+    FROM s GROUP BY doc_id, rate, n_samples ORDER BY doc_id
+    """,
+)
+def mm_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL RIFF/WAV container parse + int16 PCM decode (numpy, no audio
+    lib — the netpbm move for audio); payloads synthesized deterministically
+    so the oracle can mirror the expected aggregates arithmetically."""
+    from momyre_spark.operators.multimodal import (
+        extract_audio_meta, with_wav_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return extract_audio_meta(with_wav_payload(docs)).orderBy("doc_id")

@@ -142,3 +142,57 @@ def test_resize_images_end_to_end(spark):
     rows_idx = (np.arange(4) * 8) // 4
     cols_idx = (np.arange(4) * 16) // 4
     assert np.array_equal(out, arr[rows_idx][:, cols_idx])
+
+
+# ------------------------------------------------------------- audio -----
+def test_wav_roundtrip_decode():
+    import numpy as np
+
+    from momyre_spark.operators.multimodal import decode_wav, synth_wav
+
+    wav = synth_wav(seed=5, n_samples=300, rate=16000)
+    rate, channels, samples = decode_wav(wav)
+    assert (rate, channels, len(samples)) == (16000, 1, 300)
+    i = np.arange(300)
+    expect = (5 * 31 + i * 7) % 65536 - 32768
+    assert np.array_equal(samples.astype(np.int64), expect)
+
+
+def test_wav_decode_skips_extra_chunks_and_handles_stereo():
+    import struct
+
+    import numpy as np
+
+    from momyre_spark.operators.multimodal import decode_wav
+
+    data = np.array([1, -1, 2, -2], dtype="<i2").tobytes()  # 2 stereo frames
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    wav = b"".join([
+        b"RIFF", struct.pack("<I", 0), b"WAVE",
+        junk,
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+    rate, channels, samples = decode_wav(wav)
+    assert (rate, channels) == (44100, 2)
+    assert samples.shape == (2, 2)
+
+
+def test_wav_decode_fail_stop_on_non_pcm():
+    import struct
+
+    import pytest
+
+    from momyre_spark.operators.multimodal import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float32
+    wav = b"".join([
+        b"RIFF", struct.pack("<I", 0), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", 0), b"",
+    ])
+    with pytest.raises(ValueError, match="only PCM int16"):
+        decode_wav(wav)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")

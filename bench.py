@@ -51,7 +51,7 @@ HEADLINE = [
     "q52_resample_locf",
     "text_ngram_counts",
     "q56_rolling_zscore",
-    "dedup_span_overlap",
+    "dedup_span_overlap_fast",
     "text_heavy_terms",
 ]
 

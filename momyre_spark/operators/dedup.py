@@ -744,6 +744,7 @@ def duplicate_spans(
     anchor_density: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Duplicated-SPAN detection: the distributed stand-in for suffix-array
     substring dedup (dedup long repeated substrings across documents, not
@@ -762,10 +763,15 @@ def duplicate_spans(
     1-(1-1/d)^(run-span) over token hashes — near-certain for the long
     runs substring dedup targets).
 
-    Plan: window expansion is map-only; detection is one hash aggregation
-    keyed by the span hash (map-side partial distinct) + one equi-join
-    back. Never enumerates document pairs. All hashing is the engine-
-    neutral md5-prefix, so the full pipeline is SQL-oracle-checkable.
+    Plan: window expansion + per-doc span dedup are map-only
+    (array_distinct before the explode); ONE repartition on the span hash
+    is the reuse point for both consumers (count + join-back), so the
+    expensive span projection runs once. Never enumerates document pairs.
+    ``hash_fn`` picks the hash for anchors AND spans: 'xxhash64'
+    (default — JVM-native, 8-byte longs on the shuffle) or 'md5'
+    (engine-neutral; what the SQL oracle recomputes — the registered
+    query uses it). The two variants sample different anchor sets, which
+    only shifts the probabilistic detection floor, not correctness.
 
     Output: ``id_col``, ``n_spans`` (distinct anchored spans in the doc),
     ``n_shared`` (those also in another doc), ``flagged``.
@@ -780,17 +786,28 @@ def duplicate_spans(
     positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
         F.array().cast("array<int>")
     )
+    if hash_fn == "xxhash64":
+        anchor_h = lambda c: F.xxhash64(c)  # noqa: E731
+        hasher = F.xxhash64
+    else:
+        anchor_h = h60
+        hasher = F.md5
     anchored = F.filter(
         positions,
-        lambda i: F.pmod(h60(F.element_at(toks, i)), F.lit(anchor_density)) == 0,
+        lambda i: F.pmod(anchor_h(F.element_at(toks, i)), F.lit(anchor_density))
+        == 0,
     )
     spans = F.transform(
         anchored,
-        lambda i: F.md5(F.array_join(F.slice(toks, i, span_tokens), " ")),
+        lambda i: hasher(F.array_join(F.slice(toks, i, span_tokens), " ")),
     )
-    parts = (
-        docs.select(F.col(id_col), F.explode(spans).alias("span_h")).distinct()
-    )
+    # array_distinct BEFORE exploding makes per-doc span dedup map-side; the
+    # repartition on span_h is then the REUSE point — the expensive span
+    # projection runs once, and both consumers (the count and the join)
+    # read the same shuffle output, already co-partitioned on their key.
+    parts = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(spans)).alias("span_h")
+    ).repartition("span_h")
     counts = parts.groupBy("span_h").agg(
         F.count(F.lit(1)).alias("__docs")
     )

@@ -582,5 +582,20 @@ def dedup_span_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return duplicate_spans(
+        docs, span_tokens=_SPAN_N, anchor_density=_SPAN_D, hash_fn="md5"
+    ).orderBy("doc_id")
+
+
+# The production-default variant: xxhash64 anchors/spans (JVM-native hash,
+# 8-byte shuffle keys). No SQL oracle — DuckDB has no xxhash64; the md5
+# twin above carries the full value check of the identical plan shape, so
+# the driver records a rows-only check here (the stats_profile_approx
+# precedent). Benchmarked as the headline span-dedup entry.
+@query("dedup_span_overlap_fast")
+def dedup_span_overlap_fast(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return duplicate_spans(
         docs, span_tokens=_SPAN_N, anchor_density=_SPAN_D
     ).orderBy("doc_id")

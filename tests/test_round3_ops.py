@@ -474,7 +474,7 @@ def test_duplicate_spans_alignment_independent(spark):
     )
     got = {
         r["doc_id"]: r["flagged"]
-        for r in duplicate_spans(docs, span_tokens=8, anchor_density=4).collect()
+        for r in duplicate_spans(docs, span_tokens=8, anchor_density=4, hash_fn="md5").collect()
     }
     assert got == {1: True, 2: True, 3: False}
 
@@ -486,7 +486,7 @@ def test_duplicate_spans_short_docs_are_safe(spark):
         [(1, "a b"), (2, ""), (3, "a b")], "doc_id bigint, text string"
     )
     got = {r["doc_id"]: (r["n_spans"], r["flagged"])
-           for r in duplicate_spans(docs, span_tokens=8).collect()}
+           for r in duplicate_spans(docs, span_tokens=8, hash_fn="md5").collect()}
     assert got == {1: (0, False), 2: (0, False), 3: (0, False)}
 
 

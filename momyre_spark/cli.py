@@ -148,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 print(f"{table}: no versioned store at {root}", file=sys.stderr)
                 continue
-            dropped = snapshot_vacuum(spark, root, keep_last=args.keep_versions)
+            dropped = snapshot_vacuum(spark, root, keep_last=args.keep_versions,
+                                      sweep_orphans=True)
             print(
                 f"{table}: compacted->" + (f"v{v}" if v else "no-op")
                 + f", vacuumed {len(dropped)} versions",

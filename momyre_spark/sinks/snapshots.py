@@ -765,23 +765,60 @@ def snapshot_compact(
 
 
 def snapshot_vacuum(
-    spark: SparkSession, root: str, keep_last: int = 2
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 2,
+    sweep_orphans: bool = False,
 ) -> list[int]:
     """Drop manifests older than the newest ``keep_last`` versions and
     delete data directories no kept version references. Returns the expired
     version numbers. Time travel works within the retention window; vacuum
-    bounds storage growth."""
+    bounds storage growth.
+
+    ``sweep_orphans=True`` additionally deletes ``data/v{N}`` directories
+    with no manifest at any version — the residue of a commit that crashed
+    AFTER writing data but BEFORE its manifest landed (the manifest is the
+    commit point, so such data was never part of the table; a later commit
+    at the same version overwrites it, but a tail crash leaves it forever).
+    Orphans above the current version are indistinguishable from an
+    IN-FLIGHT writer's work-in-progress, so the sweep is opt-in and must
+    only run when no writer is active (the CLI maintain mode's situation,
+    not a live stream's)."""
     versions = list_versions(spark, root)
-    if len(versions) <= keep_last:
-        return []
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
-    referenced: set[str] = set()
-    for v in keep:
-        referenced.update(read_manifest(spark, root, v)["partitions"].values())
     jvm, fs = _fs(spark, root)
-    for v in drop:
-        for d in read_manifest(spark, root, v)["partitions"].values():
-            if d not in referenced:
-                fs.delete(_jpath(jvm, d), True)
-        fs.delete(_jpath(jvm, f"{root}/{_M}/v{v}.json"), False)
+    drop: list[int] = []
+    if len(versions) > keep_last:
+        keep, drop = versions[-keep_last:], versions[:-keep_last]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(
+                read_manifest(spark, root, v)["partitions"].values()
+            )
+        for v in drop:
+            for d in read_manifest(spark, root, v)["partitions"].values():
+                if d not in referenced:
+                    fs.delete(_jpath(jvm, d), True)
+            fs.delete(_jpath(jvm, f"{root}/{_M}/v{v}.json"), False)
+    if sweep_orphans:
+        live = set(list_versions(spark, root))
+        # copy-on-write: live manifests may re-reference dirs under a
+        # version whose own manifest is gone — those data roots must stay
+        still_referenced: set[str] = set()
+        for v in live:
+            for d in read_manifest(spark, root, v)["partitions"].values():
+                rel = d.split("/data/", 1)
+                if len(rel) == 2:
+                    still_referenced.add(rel[1].split("/", 1)[0])
+        data = _jpath(jvm, f"{root}/data")
+        if fs.exists(data):
+            for st in fs.listStatus(data):
+                name = st.getPath().getName()
+                if (
+                    st.isDirectory()
+                    and name.startswith("v")
+                    and name[1:].isdigit()
+                    and int(name[1:]) not in live
+                    and name not in still_referenced
+                ):
+                    fs.delete(st.getPath(), True)
     return drop

@@ -588,3 +588,39 @@ def test_engine_snapshot_records_stats_for_skipping(spark, tmp_path):
     assert man["stats"]["region=eu"]["val"] == [0, 49]
     hit = snapshot_read(spark, root, stats_filter={"val": (60, 70)})
     assert all("region=us" in f for f in hit.inputFiles())
+
+
+# ----------------------------------------------------- crash orphans -----
+def test_crashed_commit_data_is_overwritten_by_next_commit(spark, tmp_path):
+    """Data written by a commit that died before its manifest is invisible
+    (manifest = commit point) and the next commit at the same version
+    number overwrites it."""
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root)
+    # simulate: a v2 commit wrote data, crashed before the manifest landed
+    spark.createDataFrame([("ghost", 9, "zz")], "_id string, val bigint, region string")\
+        .write.parquet(str(tmp_path / "tbl" / "data" / "v2"))
+    assert current_version(spark, root) == 1  # ghost data not committed
+    snapshot_write(spark, _df(spark, [("b", 2, "us")]), root)
+    got = _state(snapshot_read(spark, root))
+    assert got == [("b", 2, "us")]  # ghost rows gone (overwritten)
+
+
+def test_vacuum_orphan_sweep_spares_cow_references(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_vacuum
+
+    root = str(tmp_path / "tbl")
+    rows = [("a", 1, "eu"), ("b", 2, "us")]
+    snapshot_write(spark, _df(spark, rows), root, partition_by=["region"])
+    # merge touches only eu -> v2 re-references data/v1's us dir
+    acts = _actions(spark, [("a", "upsert", 10, "eu", None)])
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"])
+    # tail-crash orphan
+    spark.createDataFrame([("x", 0, "q")], "_id string, val bigint, region string")\
+        .write.parquet(str(tmp_path / "tbl" / "data" / "v9"))
+    dropped = snapshot_vacuum(spark, root, keep_last=1, sweep_orphans=True)
+    assert dropped == [1]
+    import glob
+    assert not glob.glob(str(tmp_path / "tbl" / "data" / "v9"))
+    # the re-referenced us partition (under data/v1) survived the sweep
+    assert _state(snapshot_read(spark, root)) == [("a", 10, "eu"), ("b", 2, "us")]

@@ -1369,3 +1369,66 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional two-nation trade volume by ship year — a
+# 5-way join (fact x fact x dims) with an OR'd nation-pair predicate and a
+# decimal volume aggregate. The two nation joins broadcast (constant-size
+# dim at any SF); the lineitem-orders join is the only SF-proportional
+# shuffle, left to AQE.
+# --------------------------------------------------------------------------
+@query(
+    "q58_tpch_q7_shape",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l.l_shipdate) AS l_year,
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    s = load_table(spark, sf, "supplier")
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

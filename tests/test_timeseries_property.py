@@ -98,3 +98,49 @@ def test_interpolate_linear_matches_python_reference(spark, data):
             assert g is None
         else:
             assert g is not None and math.isclose(g, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --------------------------------------------------- duplicate spans -----
+def _py_duplicate_spans(texts, span=4, density=2):
+    """Plain-Python mirror of operators/dedup.duplicate_spans(hash_fn='md5')."""
+    import hashlib
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    per_doc = {}
+    for doc_id, text in texts:
+        toks = text.lower().split()
+        spans = set()
+        for i in range(len(toks) - span + 1):
+            if h60(toks[i]) % density == 0:
+                spans.add(hashlib.md5(" ".join(toks[i : i + span]).encode()).hexdigest())
+        per_doc[doc_id] = spans
+    counts = {}
+    for s in (x for v in per_doc.values() for x in v):
+        counts[s] = counts.get(s, 0) + 1
+    return {
+        d: (len(v), sum(1 for s in v if counts[s] >= 2))
+        for d, v in per_doc.items()
+    }
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+             min_size=0, max_size=20).map(" ".join),
+    min_size=1, max_size=12,
+))
+def test_duplicate_spans_matches_python_reference(spark, docs):
+    from momyre_spark.operators.dedup import duplicate_spans
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"])
+        for r in duplicate_spans(
+            df, span_tokens=4, anchor_density=2, hash_fn="md5"
+        ).collect()
+    }
+    assert got == _py_duplicate_spans(rows, span=4, density=2)

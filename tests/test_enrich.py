@@ -113,3 +113,68 @@ def test_latest_state_stream_compacts_and_suppresses_late(spark, tmp_path):
     _run_latest(spark, src, out, ckpt)
     got2 = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got2 == [("a", 3, 3.0), ("b", 5, 5.0), ("b", 9, 9.0)]
+
+
+def test_latest_state_stream_into_guarded_sink(spark, tmp_path):
+    """The compacted stream composes with the ts-guarded JDBC sink: raw
+    events with in-batch duplicates and a cross-batch late arrival converge
+    to max-ts state per key, and the sink sees one write per (key, advance)
+    instead of one per op."""
+    import functools
+    import sqlite3
+
+    from momyre_spark.sinks.jdbc_upsert import upsert_dataframe
+    from momyre_spark.streaming.stateful import latest_state_stream
+
+    db = str(tmp_path / "sink.db")
+    factory = functools.partial(sqlite3.connect, db, timeout=60)
+    conn = factory()
+    conn.execute(
+        'CREATE TABLE "latest" ("k" varchar(16) PRIMARY KEY, '
+        '"ts" bigint, "v" double)'
+    )
+    conn.commit()
+    conn.close()
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    writes = []
+
+    def sink(batch_df, epoch_id):
+        rows = batch_df.count()
+        if rows:
+            writes.append(rows)
+            upsert_dataframe(
+                batch_df, connection_factory=factory, dialect_name="sqlite",
+                table="latest", key="k", batch_id=epoch_id,
+                ts_guard_col="ts", num_partitions=1,
+            )
+
+    def run_once():
+        stream = spark.readStream.schema("k string, ts long, v double").parquet(src)
+        q = (
+            latest_state_stream(stream, "k", "ts", ["v"])
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 5, 5.0), ("a", 3, 3.0), ("b", 2, 2.0)],
+        "k string, ts long, v double",
+    ).write.parquet(src, mode="append")
+    run_once()
+    spark.createDataFrame(
+        [("a", 4, 9.9), ("b", 7, 7.0)],  # late for a; advance for b
+        "k string, ts long, v double",
+    ).write.parquet(src, mode="append")
+    run_once()
+
+    conn = factory()
+    got = {r[0]: (r[1], r[2]) for r in conn.execute('SELECT * FROM "latest"')}
+    conn.close()
+    assert got == {"a": (5, 5.0), "b": (7, 7.0)}
+    # 6 raw ops compacted to 3 sink rows (a@5, b@2 then b@7)
+    assert sum(writes) == 3

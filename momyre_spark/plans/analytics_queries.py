@@ -1432,3 +1432,80 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(vol).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape (service levels): fact-fact join + CASE bucket counting —
+# high- vs low-priority line counts per return flag. (The testdata carries
+# no l_shipmode/receiptdate, so the bucket predicate adapts to priorities;
+# the plan shape — big join + conditional agg — is Q12's.)
+# --------------------------------------------------------------------------
+@query(
+    "q59_tpch_q12_shape",
+    oracle="""
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape (promo revenue ratio): fact x dim join + a ratio of two
+# conditional decimal sums. Both sums are exact decimals cast to double
+# before ONE division — identical IEEE inputs, identical quotient.
+# --------------------------------------------------------------------------
+@query(
+    "q60_tpch_q14_shape",
+    oracle=f"""
+    WITH s AS (
+        SELECT
+            CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo,
+            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) = 1996
+    )
+    SELECT {round4_sql("100.0 * promo / total")} AS promo_revenue_pct FROM s
+    """,
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1996)
+    p = load_table(spark, sf, "part")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(12,2)")
+    )
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.sum(promo_vol).cast("double").alias("promo"),
+        F.sum(vol).cast("double").alias("total"),
+    )
+    return agg.select(
+        round_half_up(100.0 * F.col("promo") / F.col("total"), 4).alias(
+            "promo_revenue_pct"
+        )
+    )

@@ -1444,10 +1444,10 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     "q59_tpch_q12_shape",
     oracle="""
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= o.o_orderdate
     GROUP BY 1 ORDER BY 1

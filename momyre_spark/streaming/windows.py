@@ -25,10 +25,19 @@ def windowed_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
     group_cols: tuple[str, ...] = ("event_type",),
+    slide: str | None = None,
 ) -> DataFrame:
+    """``slide`` < ``window`` makes it a HOPPING aggregate (each event in
+    window/slide overlapping windows — the moving-average rollup); state
+    and emissions scale by the same factor."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .groupBy(win.alias("w"), *group_cols)
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
@@ -66,6 +75,7 @@ def start_rollup_to_sink(
     ts_col: str = "ts",
     group_cols: tuple[str, ...] = ("event_type",),
     trigger: dict | None = None,
+    slide: str | None = None,
 ):
     """Continuously-maintained materialized rollup: the watermarked windowed
     aggregate is UPSERTED into a serving table every micro-batch (update
@@ -83,7 +93,7 @@ def start_rollup_to_sink(
 
     agg = windowed_counts(
         events, window=window, watermark=watermark, ts_col=ts_col,
-        group_cols=group_cols,
+        group_cols=group_cols, slide=slide,
     )
     key = F.concat_ws(
         "|", F.col("window_start").cast("string"), *[F.col(c) for c in group_cols]

@@ -88,3 +88,21 @@ def test_rollup_converges_across_batches(spark, tmp_path):
     assert st[("2024-01-01 10", "B")] == (2, 15.0)  # late row merged in
     assert st[("2024-01-01 11", "B")] == (1, 7.0)
     assert st[("2024-01-01 10", "A")] == (2, 3.0)   # untouched windows stable
+
+
+def test_hopping_rollup_each_event_in_multiple_windows(spark):
+    """slide < window: a batch-mode sanity of the hopping aggregate — one
+    event at minute 30 belongs to both the :00 and :30 one-hour windows."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.streaming.windows import windowed_counts
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:30:00", "click", 2.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windowed_counts(
+        ev, window="1 hour", slide="30 minutes", group_cols=("event_type",)
+    )
+    starts = sorted(str(r["window_start"]) for r in out.collect())
+    assert starts == ["2024-01-01 10:00:00", "2024-01-01 10:30:00"]

@@ -81,6 +81,10 @@ def main() -> None:
         fn = plans.QUERIES[name]
 
         def run() -> float:
+            # each run creates FRESH persisted intermediates (operators
+            # persist within a query); clear before timing so repeat N
+            # doesn't measure under N-1 runs' accumulated cache copies
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0

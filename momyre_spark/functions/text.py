@@ -46,14 +46,11 @@ def bpe_ish_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the dedup unit).
-
-    Built as zip-of-shifted-slices rather than index-lookups in a transform
-    lambda: a lambda that indexes back into ``tokens(text)`` forces the
-    tokenizer to re-run per shingle (measured 17x slower on real documents —
-    Catalyst does not hoist expensive subexpressions into HOF loops)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`shingles` over an already-materialized token array column.
+    Pass a real column (withColumn), not an inline expression: ``toks`` is
+    referenced n+2 times here, and each reference to an inline expression
+    re-evaluates it (Catalyst does not CSE across references)."""
     n_out = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, n_out).alias(f"s{i}") for i in range(n)]
@@ -64,12 +61,20 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def hashed_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as 64-bit hashes — no shingle strings
-    are ever materialized: the n-token window is hashed directly from the
-    zip struct (xxhash64 over n string columns). The cheap path for
-    MinHash/LSH at corpus scale; collision probability ~2^-64 per pair."""
-    toks = tokens(text)
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the dedup unit).
+
+    Built as zip-of-shifted-slices rather than index-lookups in a transform
+    lambda: a lambda that indexes back into ``tokens(text)`` forces the
+    tokenizer to re-run per shingle (measured 17x slower on real documents —
+    Catalyst does not hoist expensive subexpressions into HOF loops).
+    Still re-tokenizes once per ``toks`` reference (n+2 times); hot paths
+    should materialize the tokens and use :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def hashed_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """:func:`hashed_shingles` over a materialized token array column."""
     n_out = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     z = F.arrays_zip(
         *[F.slice(toks, i + 1, n_out).alias(f"s{i}") for i in range(n)]
@@ -78,6 +83,14 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<long>")).otherwise(
         F.array_distinct(gram)
     )
+
+
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as 64-bit hashes — no shingle strings
+    are ever materialized: the n-token window is hashed directly from the
+    zip struct (xxhash64 over n string columns). The cheap path for
+    MinHash/LSH at corpus scale; collision probability ~2^-64 per pair."""
+    return hashed_shingles_from_tokens(tokens(text), n)
 
 
 def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:

@@ -56,11 +56,15 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    from momyre_spark.functions.text import shingles_from_tokens, tokens
     from momyre_spark.operators.parallelism import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    return docs.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    # tokens materialized ONCE per row; shingles references the array n+2
+    # times, and each reference to an inline tokens() re-runs the split
+    return docs.withColumn("__toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        shingles_from_tokens(F.col("__toks"), n).alias("__sh"),
     ).filter(F.size("__sh") > 0)
 
 
@@ -231,7 +235,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
-    from momyre_spark.functions.text import hashed_shingles
+    from momyre_spark.functions.text import hashed_shingles_from_tokens, tokens
 
     rows = num_hashes // bands
     # hashed shingles end-to-end: no shingle strings materialize anywhere in
@@ -244,9 +248,10 @@ def minhash_lsh_pairs(
 
     sh = (
         ensure_parallelism(docs)
+        .withColumn("__toks", tokens(F.col(text_col)))  # split once per row
         .select(
             F.col(id_col).alias("__id"),
-            hashed_shingles(F.col(text_col), n).alias("__sh"),
+            hashed_shingles_from_tokens(F.col("__toks"), n).alias("__sh"),
         )
         .filter(F.size("__sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)

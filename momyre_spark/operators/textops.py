@@ -68,13 +68,17 @@ def ngram_contamination(
     strings) — same plan, 10x narrower shuffle rows; string shingles are
     kept here so cross-engine oracles can reproduce them.
     """
-    c = corpus.select(
+    c = corpus.withColumn(
+        "__toks", T.tokens(F.lower(F.col(text_col)))
+    ).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(T.shingles(F.lower(F.col(text_col)), n)).alias("__s"),
+        F.explode(T.shingles_from_tokens(F.col("__toks"), n)).alias("__s"),
     )
-    b = bench.select(
+    b = bench.withColumn(
+        "__toks", T.tokens(F.lower(F.col(text_col)))
+    ).select(
         F.col(id_col).alias("bench_id"),
-        F.explode(T.shingles(F.lower(F.col(text_col)), n)).alias("__s"),
+        F.explode(T.shingles_from_tokens(F.col("__toks"), n)).alias("__s"),
     )
     if broadcast_bench:
         b = F.broadcast(b)

@@ -381,18 +381,43 @@ _SYN_LSH_ORACLE = f"""
 """
 
 
+def _syn_docs(spark: SparkSession) -> DataFrame:
+    """The synthetic 20k corpus, MATERIALIZED to parquet once per process.
+
+    The generator is a heavy nested codegen expression (120 md5s per row);
+    inlining it made the benchmark time the GENERATOR, not the dedup — and
+    worse, only sometimes: Spark's cache manager matches canonicalized
+    plans, so a re-built identical query silently reused the previous
+    run's persisted shingle frame and skipped generation entirely. (That
+    plan-cache aliasing is also why earlier rounds recorded ~2s for this
+    query: repeat runs never re-generated.) Reading the corpus from
+    parquet makes every run measure the same thing a real corpus run
+    measures: scan + dedup. Content is a pure function of (i, j) hashes —
+    regenerating is deterministic."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"momyre_syn_{_N_SYN_DOCS}_{_SYN_WORDS}.parquet"
+    )
+    if not os.path.exists(path):
+        spark.range(_N_SYN_DOCS).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(0, {_SYN_WORDS - 1}), "
+                f"j -> {_SYN_WORD_SPARK}))"
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @query("dedup_minhash_synthetic_20k", oracle=_SYN_LSH_ORACLE)
 def dedup_minhash_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.range(_N_SYN_DOCS).select(
-        F.col("id").alias("doc_id"),
-        F.expr(
-            f"concat_ws(' ', transform(sequence(0, {_SYN_WORDS - 1}), "
-            f"j -> {_SYN_WORD_SPARK}))"
-        ).alias("text"),
+    return minhash_lsh_pairs(_syn_docs(spark), threshold=0.5).orderBy(
+        "a_id", "b_id"
     )
-    return minhash_lsh_pairs(docs, threshold=0.5).orderBy("a_id", "b_id")
 
 
 # --------------------------------------------------------------------------

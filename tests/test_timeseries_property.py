@@ -144,3 +144,32 @@ def test_duplicate_spans_matches_python_reference(spark, docs):
         ).collect()
     }
     assert got == _py_duplicate_spans(rows, span=4, density=2)
+
+
+# ---------------------------------------------------- heavy hitters ------
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=60),
+                    min_size=1, max_size=25),
+    support=st.sampled_from([0.05, 0.1, 0.25]),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_frequent_items_always_equals_exhaustive(spark, counts, support, parts):
+    """The Misra-Gries candidate pass must never lose a true heavy hitter,
+    whatever the frequency profile, support level, or partitioning."""
+    import math
+
+    from momyre_spark.operators.heavyhitters import frequent_items
+
+    rows = [(f"v{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "item string").repartition(parts)
+    got = {(r["item"], r["cnt"]) for r in
+           frequent_items(df, "item", support=support).collect()}
+    total = sum(counts)
+    want = {
+        (f"v{i}", c)
+        for i, c in enumerate(counts)
+        if c >= math.ceil(support * total)
+    }
+    assert got == want

@@ -1,0 +1,58 @@
+"""Regenerate PLANS.md: the physical plans of the headline queries at
+sf0.01, as greppable evidence of the shapes SCALE.md claims (pushdown,
+broadcasts, partial aggregation, no Python eval in pure pipelines).
+
+Run: ``python tools/dump_plans.py``
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHOWCASE = [
+    # query -> the property the plan demonstrates
+    ("q02_inlist_filter", "IN-list reaches the parquet scan (PushedFilters)"),
+    ("q08_join_agg", "dimension join broadcasts; agg is partial+final"),
+    ("q11_tpch_q1_agg", "hash aggregate with map-side partials"),
+    ("q13_topk", "top-k plans as TakeOrderedAndProject, no global sort"),
+    ("cdc_apply_ops", "CDC merge: ONE exchange, no join/window"),
+    ("q51_variant_props", "VARIANT promotion stays in codegen (no EvalPython)"),
+    ("q52_resample_locf", "resample: single scan, generated grid"),
+    ("dedup_span_overlap_fast", "span dedup: map-side expansion, one span-hash exchange"),
+    ("text_decontaminate", "bench side broadcast; corpus never shuffles"),
+    ("agg_grouped_topk", "salted partial top-k, no whole-group Window sort"),
+]
+
+
+def main() -> None:
+    import momyre_spark.plans as plans
+    from momyre_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(app_name="dump-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical plans of showcase queries (auto-generated)\n\n"
+        "Regenerate with `python tools/dump_plans.py`. Each section names\n"
+        "the property the plan is evidence FOR; the same properties are\n"
+        "pinned as assertions in `tests/test_plan_quality.py`.\n"
+    )
+    for name, why in SHOWCASE:
+        df = plans.QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.write(f"\n## {name}\n\n*{why}*\n\n```\n{plan}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write(out.getvalue())
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,7 @@ def load_all() -> None:
         pipeline_queries,
         similarity_queries,
         text_queries,
+        tpch_queries,
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from momyre_spark.functions.numeric import round_half_up
-from momyre_spark.functions.text import fingerprint, shingles
+from momyre_spark.functions.text import content_fingerprint, fingerprint, shingles
 
 
 def exact_duplicates(
@@ -840,4 +840,53 @@ def duplicate_spans(
             F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("flagged"),
         )
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "exact",
+) -> DataFrame:
+    """Content-overlap matrix between sources: for every source pair
+    (a < b), how many distinct exact fingerprints appear in BOTH — the
+    contamination/provenance diagnostic run before mixing crawl snapshots
+    or vendor corpora (a high overlap means one source is substantially a
+    re-crawl of the other and the mixture weights double-count it).
+
+    Shape: distinct (fingerprint, source) -> self-equi-join on fingerprint
+    (a < b kills the diagonal and mirror pairs) -> count per pair. The join
+    is bucketed by fingerprint; per-fingerprint group size is bounded by
+    the NUMBER OF SOURCES (not corpus size), so the pair expansion is at
+    most |sources|^2/2 per fingerprint — never quadratic in rows.
+
+    ``key`` picks the match granularity: ``'exact'`` (whitespace-normalized
+    text) or ``'content'`` (bag-of-words — order-insensitive, catches
+    shuffled re-crawls).
+    """
+    if key == "exact":
+        fp_col = fingerprint(F.col(text_col))
+    elif key == "content":
+        fp_col = content_fingerprint(F.col(text_col))
+    else:
+        raise ValueError(f"momyre: unknown overlap key {key!r}")
+    fps = (
+        df.select(
+            fp_col.alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+    )
+    a = fps.select("fp", F.col("src").alias("source_a"))
+    b = fps.select(F.col("fp").alias("fp_b"), F.col("src").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("fp").alias("shared_fingerprints"))
     )

@@ -1,0 +1,110 @@
+"""Corpus unigram language model: train token log-probabilities in one
+aggregation, score documents by mean log-probability.
+
+The classic cheap quality/outlier signal for corpus curation (CCNet-style
+"perplexity" filtering, with the corpus itself as the LM): documents whose
+tokens are globally rare score low; boilerplate-heavy or dictionary-word
+documents score high. A real KenLM is out of scope for a SQL engine; the
+unigram model is the piece that IS a pure aggregation problem, and the
+filter downstream only needs a monotone score.
+
+Determinism contract (the reason for the DECIMAL dance): ``ln`` of a count
+ratio is irrational, and summing doubles is ordering-sensitive, so a naive
+avg(ln p) would differ between runs and engines in the last bits. Instead
+each DISTINCT token's logprob is rounded ONCE to 6 decimals and fixed as
+DECIMAL(18,6); per-document sums of count*logprob are then exact decimal
+arithmetic — order-independent, engine-identical — and only the final
+per-token mean returns to double (round4). The oracle replays the identical
+pipeline in SQL.
+
+Scale: training is explode + one hash aggregation on token (partial maps
+absorb the zipf head: every mapper pre-counts 'the' locally). Scoring joins
+per-(doc, token) counts against the vocab — zipf-skewed on the probe side
+but combined per doc first, and the vocab frame (distinct tokens, a few
+million rows for a 100 TB web corpus) broadcasts by default; set
+``broadcast_vocab=False`` to shuffle-join a vocabulary too large to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from momyre_spark.functions.text import tokens
+
+
+def _round6(col: Column) -> Column:
+    return (F.floor(col * 1_000_000 + F.lit(0.5)) / F.lit(1_000_000.0)).cast(
+        "decimal(18,6)"
+    )
+
+
+def train_unigram_lm(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Token -> (count, logprob) over the whole corpus.
+
+    ``logprob = round6(ln(count) - ln(total))`` — MLE with no smoothing;
+    tokens below ``min_count`` are dropped (scoring treats them as OOV).
+    """
+    tok = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    total = tok.agg(F.sum("count").alias("__total"))
+    return (
+        tok.join(F.broadcast(total))
+        .select(
+            "token",
+            "count",
+            _round6(F.log("count") - F.log("__total")).alias("logprob"),
+        )
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean token log-probability under the unigram LM.
+
+    Returns ``(id_col, n_tokens, n_oov, mean_logprob)``; ``mean_logprob``
+    averages over in-vocabulary tokens only (NULL when all tokens are OOV)
+    and is round4-double. Lower = rarer-token document.
+    """
+    if lm is None:
+        lm = train_unigram_lm(docs, text_col=text_col)
+    vocab = lm.select("token", "logprob")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    per_term = (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    joined = per_term.join(vocab, "token", "left")
+    in_vocab = F.col("logprob").isNotNull()
+    agg = joined.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(~in_vocab, F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.sum(F.when(in_vocab, F.col("tf")).otherwise(0)).alias("__n_iv"),
+        F.sum(
+            F.when(in_vocab, F.col("logprob") * F.col("tf")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        ).alias("__lp_sum"),
+    )
+    from momyre_spark.functions.numeric import round_half_up
+
+    mean = F.when(
+        F.col("__n_iv") > 0,
+        round_half_up(F.col("__lp_sum").cast("double") / F.col("__n_iv"), 4),
+    )
+    return agg.select(id_col, "n_tokens", "n_oov", mean.alias("mean_logprob"))

@@ -208,3 +208,57 @@ def sample_exact_k(
         .limit(k)
         .drop("__h")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "position",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global shuffle order: every row gets a dense 0-based
+    ``position`` in md5-hash-of-(salt||id) order — the "shuffle the corpus
+    once before training" step, reproducible across runs, engines and
+    partitionings (different ``salt`` = a fresh independent permutation).
+
+    Scale shape: NOT a single global window (Window.orderBy with no
+    partition collapses to one task). The hash is uniform on [0, 2^60), so
+    its high bits are already a range partitioning: rows rank locally
+    within ``hash >> shift`` buckets, and each bucket adds the exact count
+    of all earlier buckets (a ``num_buckets``-row cumulative offset,
+    broadcast back). Two shuffles bounded by bucket size ~N/num_buckets;
+    no stage sees the global order.
+    """
+    shift = 60 - max(1, num_buckets - 1).bit_length()
+    h = F.expr(
+        "CAST(conv(substr(md5(concat("
+        + (f"'{salt}', " if salt else "")
+        + f"CAST(`{id_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    b = df.withColumn("__h", h).withColumn(
+        "__bucket", F.shiftright("__h", shift)
+    )
+    w = Window.partitionBy("__bucket").orderBy("__h", id_col)
+    offsets = (
+        b.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bucket", "__offset")
+    )
+    return (
+        b.withColumn("__rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, (F.col("__offset") + F.col("__rk")).cast("bigint"))
+        .drop("__h", "__bucket", "__rk", "__offset")
+    )

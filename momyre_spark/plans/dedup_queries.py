@@ -624,3 +624,35 @@ def dedup_span_overlap_fast(spark: SparkSession, sf: str) -> DataFrame:
     return duplicate_spans(
         docs, span_tokens=_SPAN_N, anchor_density=_SPAN_D
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap matrix (operators/dedup.cross_source_overlap): how
+# many content (bag-of-words) fingerprints each source pair shares — the
+# double-counting /
+# re-crawl diagnostic run before mixing corpora. Per-fingerprint group size
+# is bounded by |sources|, so the pair expansion never goes quadratic.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT
+            md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' '))
+                AS fp,
+            source AS src
+        FROM documents
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           count(DISTINCT a.fp) AS shared_fingerprints
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import cross_source_overlap
+
+    docs = load_table(spark, sf, "documents")
+    return cross_source_overlap(docs, key="content").orderBy(
+        "source_a", "source_b"
+    )

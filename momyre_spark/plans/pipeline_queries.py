@@ -200,3 +200,64 @@ def pipe_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
     return sample_exact_k(docs, _SAMPLE_K, id_col="doc_id", salt=_SAMPLE_SALT).orderBy(
         "doc_id"
     )
+
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+_SQL_TOK = "string_split_regex(trim(text), '\\s+')"
+
+
+@query(
+    "pipe_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOK} AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(floor((len(toks) - 1) / {_CHUNK_S})
+                                    AS BIGINT) + 1)) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(
+               toks[chunk_id * {_CHUNK_S} + 1 :
+                    chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' ') AS chunk_text,
+           CAST(len(toks[chunk_id * {_CHUNK_S} + 1 :
+                         chunk_id * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+               AS n_chunk_tokens
+    FROM s ORDER BY doc_id, chunk_id
+    """,
+)
+def pipe_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window context chunking (operators/chunking.py): 32-token
+    windows every 24 tokens — overlapping chunks ready for sequence
+    packing. Map-only explode; no shuffle."""
+    from momyre_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "pipe_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {_H}, doc_id) - 1 AS BIGINT)
+               AS position
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pipe_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.global_shuffle):
+    dense position in hash order via range-bucketed two-pass ranking — the
+    oracle's single global window is exactly what the operator avoids."""
+    from momyre_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    return global_shuffle(docs, num_buckets=64).select(
+        "doc_id", "position"
+    ).orderBy("doc_id")

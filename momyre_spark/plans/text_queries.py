@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from momyre_spark.functions.numeric import round_half_up
+from momyre_spark.functions.numeric import round4_sql, round_half_up
 from momyre_spark.functions.text import STOPWORDS
 from momyre_spark.plans import query
 from momyre_spark.sources.parquet import load_table
@@ -615,3 +615,43 @@ def text_heavy_terms(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     return frequent_items(tok, "term", support=_HH_SUPPORT)
+
+
+# --------------------------------------------------------------------------
+# Corpus unigram LM scoring (operators/lm.py): CCNet-style cheap quality /
+# outlier signal — per-doc mean token log-probability under the corpus's
+# own unigram model. Each distinct token's logprob is rounded once to
+# DECIMAL(18,6); per-doc sums are then exact decimal (order-independent,
+# engine-identical), double again only at the final mean (round4). The
+# oracle replays the identical two-aggregation + join pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK}) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    lm AS (
+        SELECT token,
+               CAST(floor((ln(c) - ln((SELECT t FROM tot))) * 1000000 + 0.5)
+                    / 1000000.0 AS DECIMAL(18,6)) AS lp
+        FROM cnt
+    ),
+    pt AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT pt.doc_id,
+           CAST(sum(pt.tf) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_oov,
+           {round4_sql("CAST(sum(lm.lp * pt.tf) AS DOUBLE) / sum(pt.tf)")}
+               AS mean_logprob
+    FROM pt JOIN lm USING (token)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.lm import score_documents
+
+    docs = load_table(spark, sf, "documents")
+    return score_documents(docs).orderBy("doc_id")

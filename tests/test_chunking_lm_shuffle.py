@@ -1,0 +1,153 @@
+"""Tests: document chunking, unigram-LM scoring, global shuffle,
+cross-source overlap (the round-3 training-pipeline additions)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from momyre_spark.operators.chunking import chunk_documents
+from momyre_spark.operators.dedup import cross_source_overlap
+from momyre_spark.operators.lm import score_documents, train_unigram_lm
+from momyre_spark.operators.sampling import global_shuffle
+
+
+# ------------------------------------------------------------- chunking --
+def test_chunk_windows_and_overlap(spark):
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    out = {
+        r["chunk_id"]: (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, window=4, stride=3).collect()
+    }
+    # starts at 0,3,6,9 -> 4 chunks; last has a single token
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] == ("t0 t1 t2 t3", 4)
+    assert out[1] == ("t3 t4 t5 t6", 4)
+    assert out[3] == ("t9", 1)
+
+
+def test_chunk_stride_equals_window_partitions(spark):
+    toks = [f"t{i}" for i in range(9)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    rows = chunk_documents(df, window=3).collect()
+    rebuilt = " ".join(
+        r["chunk_text"] for r in sorted(rows, key=lambda r: r["chunk_id"])
+    )
+    assert rebuilt == " ".join(toks)
+    assert all(r["n_chunk_tokens"] == 3 for r in rows)
+
+
+def test_chunk_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="   "), Row(doc_id=2, text="only two")]
+    )
+    rows = chunk_documents(df, window=5, stride=2).collect()
+    assert len(rows) == 1  # empty doc contributes nothing
+    assert rows[0]["doc_id"] == 2
+    assert rows[0]["chunk_text"] == "only two"
+
+
+# ------------------------------------------------------------ unigram LM --
+def test_unigram_lm_probabilities(spark):
+    # corpus: 'a' x3, 'b' x1 -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([Row(doc_id=1, text="a a a b")])
+    lm = {r["token"]: r for r in train_unigram_lm(df).collect()}
+    assert lm["a"]["count"] == 3 and lm["b"]["count"] == 1
+    assert abs(float(lm["a"]["logprob"]) - math.log(0.75)) < 1e-5
+    assert abs(float(lm["b"]["logprob"]) - math.log(0.25)) < 1e-5
+
+
+def test_score_rare_token_doc_scores_lower(spark):
+    rows = [Row(doc_id=i, text="the common words here") for i in range(10)]
+    rows.append(Row(doc_id=99, text="zyzzyva qwertyuiop"))
+    df = spark.createDataFrame(rows)
+    scores = {
+        r["doc_id"]: r["mean_logprob"] for r in score_documents(df).collect()
+    }
+    assert scores[99] < scores[0]
+
+
+def test_score_oov_with_min_count(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x x x"), Row(doc_id=2, text="x rare")]
+    )
+    lm = train_unigram_lm(df, min_count=2)  # 'rare' dropped
+    out = {r["doc_id"]: r for r in score_documents(df, lm=lm).collect()}
+    assert out[2]["n_oov"] == 1 and out[1]["n_oov"] == 0
+    # doc 2 mean over in-vocab tokens only
+    assert out[2]["mean_logprob"] == out[1]["mean_logprob"]
+
+
+def test_score_all_oov_is_null(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    lm = train_unigram_lm(
+        spark.createDataFrame([Row(doc_id=9, text="z z")]),
+    )
+    (row,) = score_documents(df, lm=lm).collect()
+    assert row["mean_logprob"] is None and row["n_oov"] == 2
+
+
+# --------------------------------------------------------- global shuffle --
+def test_global_shuffle_is_dense_permutation(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    pos = [r["position"] for r in global_shuffle(df, num_buckets=16).collect()]
+    assert sorted(pos) == list(range(500))
+
+
+def test_global_shuffle_partitioning_invariant(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    a = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(df.repartition(1), num_buckets=8).collect()
+    }
+    b = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(df.repartition(13), num_buckets=64).collect()
+    }
+    assert a == b  # order depends only on the hash, not layout or buckets
+
+
+def test_global_shuffle_salt_gives_new_permutation(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    a = {r["doc_id"]: r["position"] for r in global_shuffle(df).collect()}
+    b = {
+        r["doc_id"]: r["position"]
+        for r in global_shuffle(df, salt="s2").collect()
+    }
+    assert a != b
+    assert sorted(b.values()) == list(range(200))
+
+
+def test_global_shuffle_no_single_partition_window(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+    plan = (
+        global_shuffle(df, num_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the big-side window must partition by bucket, never a global sort of
+    # the full frame in one task (the offsets frame is 16 rows, fine)
+    assert "partitionBy=[__bucket" in plan or "__bucket" in plan
+
+
+# ----------------------------------------------------- cross-source overlap --
+def test_cross_source_overlap_counts_shared(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="shared doc one"),
+            Row(doc_id=2, source="s2", text="shared doc one"),
+            Row(doc_id=3, source="s2", text="Shared DOC one"),  # same fp
+            Row(doc_id=4, source="s3", text="unique to s3"),
+            Row(doc_id=5, source="s1", text="another shared"),
+            Row(doc_id=6, source="s3", text="another shared"),
+        ]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["shared_fingerprints"]
+        for r in cross_source_overlap(df).collect()
+    }
+    assert out == {("s1", "s2"): 1, ("s1", "s3"): 1}

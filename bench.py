@@ -53,6 +53,15 @@ HEADLINE = [
     "q56_rolling_zscore",
     "dedup_span_overlap_fast",
     "text_heavy_terms",
+    # round-3 second wave: heaviest TPC-H completion shapes, unigram-LM
+    # scoring (explode + 2 aggs + broadcast-vocab join), map-only chunking,
+    # per-source KL, mergeable HLL sketch state
+    "q63_tpch_q9_shape",
+    "q73_tpch_q21_shape",
+    "text_unigram_logprob",
+    "pipe_chunk_documents",
+    "text_source_divergence",
+    "stats_ndv_sketch",
 ]
 
 

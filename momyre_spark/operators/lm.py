@@ -108,3 +108,60 @@ def score_documents(
         round_half_up(F.col("__lp_sum").cast("double") / F.col("__n_iv"), 4),
     )
     return agg.select(id_col, "n_tokens", "n_oov", mean.alias("mean_logprob"))
+
+
+def source_divergence(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """KL(source || corpus) over unigram distributions — the corpus-mixing
+    diagnostic: a source whose token distribution diverges hard from the
+    blend (boilerplate farms, non-prose dumps, wrong-language pockets)
+    shows up as a high-KL outlier before it ever reaches training.
+
+    Per source s: ``KL_s = sum_t p_s(t) * ln(p_s(t) / p(t))`` with
+    ``p_s = c_st / T_s`` and ``p = c_t / T``. Determinism follows the
+    module's DECIMAL contract: each (source, token) term is rounded once to
+    DECIMAL(18,8), the per-source sum is exact decimal arithmetic, and only
+    the final KL returns to double (round4).
+
+    Shape: one explode + three hash aggregations; the vocab and per-source
+    totals broadcast back onto the (source, token) frame — no join ever
+    shuffles more than the distinct (source, token) pairs.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per_st = tok.groupBy("src", "token").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    per_s = per_st.groupBy(F.col("src").alias("src_t")).agg(
+        F.sum("c_st").alias("t_s")
+    )
+    per_t = per_st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    total = per_t.agg(F.sum("c_t").alias("t_all"))
+    p_s = F.col("c_st") / F.col("t_s")
+    p = F.col("c_t") / F.col("t_all")
+    term6 = (
+        F.floor((p_s * (F.log(p_s) - F.log(p))) * 100_000_000 + F.lit(0.5))
+        / F.lit(100_000_000.0)
+    ).cast("decimal(18,8)")
+    return (
+        per_st.join(F.broadcast(per_s), F.col("src") == F.col("src_t"))
+        .join(F.broadcast(per_t), "token")
+        .join(F.broadcast(total))
+        .groupBy(F.col("src").alias("source"))
+        .agg(
+            F.sum(term6).alias("__kl"),
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            round_half_up(F.col("__kl").cast("double"), 4).alias("kl_divergence"),
+        )
+    )

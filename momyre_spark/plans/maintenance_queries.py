@@ -313,3 +313,20 @@ def emb_random_projection(spark: SparkSession, sf: str) -> DataFrame:
             "proj"
         ),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Mergeable NDV sketch state (operators/sketches.py): per-source distinct
+# doc_id estimates from HLL sketches. No SQL oracle — DataSketches HLL
+# bytes/estimates are engine-specific; the driver records a rows-only
+# check, and tests/test_sketches.py pins tolerance-vs-exact and the merge
+# law (union of per-batch sketches == sketch of the whole).
+# --------------------------------------------------------------------------
+@query("stats_ndv_sketch")
+def stats_ndv_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sketches import estimate_ndv, ndv_sketch_table
+
+    docs = load_table(spark, sf, "documents")
+    return estimate_ndv(ndv_sketch_table(docs, ["source"], "doc_id")).orderBy(
+        "source"
+    )

@@ -655,3 +655,44 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return score_documents(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus blend (operators/lm.py): the
+# corpus-mixing diagnostic. Same DECIMAL determinism contract as
+# text_unigram_logprob — each (source, token) term fixed at DECIMAL(18,8),
+# per-source sums exact, round4 at the end.
+# --------------------------------------------------------------------------
+@query(
+    "text_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source AS src, unnest({_TOK}) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    per_st AS (SELECT src, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+    per_s AS (SELECT src, sum(c_st) AS t_s FROM per_st GROUP BY 1),
+    per_t AS (SELECT token, sum(c_st) AS c_t FROM per_st GROUP BY 1),
+    tot AS (SELECT sum(c_t) AS t_all FROM per_t),
+    terms AS (
+        SELECT per_st.src, per_st.c_st,
+               CAST(floor(
+                   ((per_st.c_st / per_s.t_s)
+                    * (ln(per_st.c_st / per_s.t_s)
+                       - ln(per_t.c_t / (SELECT t_all FROM tot))))
+                   * 100000000 + 0.5) / 100000000.0 AS DECIMAL(18,8)) AS term
+        FROM per_st
+        JOIN per_s USING (src)
+        JOIN per_t USING (token)
+    )
+    SELECT src AS source,
+           CAST(sum(c_st) AS BIGINT) AS n_tokens,
+           {round4_sql("CAST(sum(term) AS DOUBLE)")} AS kl_divergence
+    FROM terms GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.lm import source_divergence
+
+    docs = load_table(spark, sf, "documents")
+    return source_divergence(docs).orderBy("source")

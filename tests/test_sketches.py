@@ -1,0 +1,66 @@
+"""Mergeable HLL distinct-count sketches (operators/sketches.py).
+
+No SQL oracle exists (sketch bytes are engine-specific), so correctness is
+pinned here: estimate-vs-exact tolerance and the merge law.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from momyre_spark.operators.sketches import (
+    estimate_ndv,
+    merge_ndv_sketches,
+    ndv_sketch_table,
+)
+
+
+def _events(spark, n=20_000, groups=4):
+    return spark.createDataFrame(
+        [Row(g=f"g{i % groups}", uid=i % (997 * (1 + i % groups))) for i in range(n)]
+    )
+
+
+def test_estimate_within_tolerance(spark):
+    df = _events(spark)
+    est = {
+        r["g"]: r["ndv_estimate"]
+        for r in estimate_ndv(ndv_sketch_table(df, ["g"], "uid")).collect()
+    }
+    exact = {
+        r["g"]: r["x"]
+        for r in df.groupBy("g").agg(F.countDistinct("uid").alias("x")).collect()
+    }
+    for g in exact:
+        assert abs(est[g] - exact[g]) / exact[g] < 0.05, (g, est[g], exact[g])
+
+
+def test_merge_law_union_of_batches_equals_whole(spark):
+    """Sketch state must be associative: per-batch sketches unioned give
+    the same estimate as one sketch over the whole frame."""
+    df = _events(spark, n=10_000)
+    whole = {
+        r["g"]: r["ndv_estimate"]
+        for r in estimate_ndv(ndv_sketch_table(df, ["g"], "uid")).collect()
+    }
+    b1 = ndv_sketch_table(df.filter(F.col("uid") % 2 == 0), ["g"], "uid")
+    b2 = ndv_sketch_table(df.filter(F.col("uid") % 2 == 1), ["g"], "uid")
+    merged = {
+        r["g"]: r["ndv_estimate"]
+        for r in estimate_ndv(
+            merge_ndv_sketches(b1.unionByName(b2), ["g"])
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_rollup_merge_to_coarser_grouping(spark):
+    """Fine-grained sketches roll up to the global NDV without rescanning."""
+    df = _events(spark, n=8_000)
+    fine = ndv_sketch_table(df, ["g"], "uid")
+    (row,) = estimate_ndv(
+        merge_ndv_sketches(fine.withColumn("all", F.lit(1)), ["all"])
+    ).collect()
+    exact = df.select(F.countDistinct("uid")).first()[0]
+    assert abs(row["ndv_estimate"] - exact) / exact < 0.05

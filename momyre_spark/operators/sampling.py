@@ -262,3 +262,29 @@ def global_shuffle(
         .withColumn(out_col, (F.col("__offset") + F.col("__rk")).cast("bigint"))
         .drop("__h", "__bucket", "__rk", "__offset")
     )
+
+
+def sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic uniform sample of AT MOST ``k`` rows per group (the
+    balanced-subset draw: k docs per source/language for evals, audits,
+    or mixture floors). Same hash order as :func:`sample_exact_k`, but
+    ranked within each group by a window — no driver merge at all, so
+    group count and k are unbounded; groups smaller than k keep all rows.
+
+    One shuffle on ``group_cols``; skew-safe for any k because only the
+    per-group top-k survives the rank filter (Spark pushes the limit into
+    the window sort as a partial top-k per map task).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -261,3 +261,32 @@ def pipe_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return global_shuffle(docs, num_buckets=64).select(
         "doc_id", "position"
     ).orderBy("doc_id")
+
+
+_PG_K = 5
+
+
+@query(
+    "pipe_sample_per_group",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {_PG_K}
+    ORDER BY source, doc_id
+    """,
+)
+def pipe_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced per-source subset (operators/sampling.sample_per_group):
+    at most 5 docs per source, drawn by the deterministic hash order."""
+    from momyre_spark.operators.sampling import sample_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        sample_per_group(docs, _PG_K, ["source"])
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )

@@ -260,3 +260,162 @@ def sim_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .orderBy("query_id", "neighbor_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion (operators/fuse.py) of a lexical
+# BM25 ranking (terms from text_queries._BM25_TERMS) and a semantic
+# embedding-cosine ranking (query = vec 0). Each retriever contributes its
+# top-50 candidates; fused score = 1/(60+r_lex) + 1/(60+r_sem), missing
+# rank -> 0. Ranks are integers and each contribution is one fixed-order
+# IEEE division, so the fusion needs no decimal dance; only ONE final
+# round (6 dp) guards the projection.
+# --------------------------------------------------------------------------
+_RRF_CAND = 50
+_RRF_K0 = 60
+_RRF_TOPN = 20
+
+
+def _rrf_oracle() -> str:
+    from momyre_spark.plans.text_queries import _BM25_TERMS, _LTOK, _bm25_tf_sql
+
+    tf = ", ".join(f"{_bm25_tf_sql(t)} AS tf_{t}" for t in _BM25_TERMS)
+    dfs = ", ".join(
+        f"CAST(count(*) FILTER (WHERE tf_{t} > 0) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    bm25 = " + ".join(
+        f"(n - df_{t} + 0.5) / (df_{t} + 0.5) * (tf_{t} * 2.2)"
+        f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH {_DUCK_NORM_CTE},
+    d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_LTOK}) END AS dl,
+               {tf}
+        FROM documents
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+               {dfs}
+        FROM d
+    ),
+    lex AS (
+        SELECT doc_id, row_number() OVER (
+                   ORDER BY floor(({bm25}) * 10000 + 0.5) / 10000.0 DESC,
+                            doc_id) AS r
+        FROM d, s
+        ORDER BY r LIMIT {_RRF_CAND}
+    ),
+    qv AS (SELECT * FROM e WHERE vec_id = 0),
+    sem AS (
+        SELECT e.vec_id AS doc_id, row_number() OVER (
+                   ORDER BY {_DUCK_COS.format(a="e", b="qv")} DESC, e.vec_id
+               ) AS r
+        FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+        ORDER BY r LIMIT {_RRF_CAND}
+    ),
+    fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               (CASE WHEN lex.r IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K0} + lex.r) END
+                + CASE WHEN sem.r IS NULL THEN 0.0
+                       ELSE 1.0 / ({_RRF_K0} + sem.r) END) AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id,
+           floor(rrf_score * 1000000 + 0.5) / 1000000.0 AS rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+               AS rank
+    FROM fused
+    ORDER BY rank LIMIT {_RRF_TOPN}
+    """
+
+
+@query("sim_hybrid_rrf", oracle=_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.vectors import add_normalized, dot
+    from momyre_spark.operators.fuse import rrf_fuse
+    from momyre_spark.plans.text_queries import text_bm25_topk  # noqa: F401
+    from momyre_spark.plans.text_queries import _BM25_TERMS
+    from momyre_spark.functions.text import tokens as _tokens
+
+    # lexical top-candidates: the BM25 pipeline, ranked
+    docs = load_table(spark, sf, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[_tf(t).cast("bigint").alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).cast("bigint").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        term_score = (
+            (F.col("n") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            * (F.col(f"tf_{t}") * F.lit(2.2))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    lex = (
+        d.crossJoin(F.broadcast(stats))
+        .select("doc_id", round_half_up(score, 4).alias("__s"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("__s"), "doc_id")),
+        )
+        .filter(F.col("rank") <= _RRF_CAND)
+        .select("doc_id", "rank")
+    )
+
+    # semantic top-candidates: cosine vs vec 0 over normalized embeddings
+    emb = add_normalized(load_table(spark, sf, "embeddings"), "embedding", "__nv")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("__nv").alias("__qv"))
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            dot(F.col("__nv"), F.col("__qv")).alias("__cos"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("__cos"), "doc_id")),
+        )
+        .filter(F.col("rank") <= _RRF_CAND)
+        .select("doc_id", "rank")
+    )
+
+    fused = rrf_fuse([lex, sem], k0=_RRF_K0)
+    return (
+        fused.select(
+            "doc_id",
+            round_half_up(F.col("rrf_score"), 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+        .limit(_RRF_TOPN)
+    )

@@ -151,3 +151,51 @@ def test_cross_source_overlap_counts_shared(spark):
         for r in cross_source_overlap(df).collect()
     }
     assert out == {("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+# ------------------------------------------------------------- rank fusion --
+def test_rrf_fuse_orders_by_agreement(spark):
+    from momyre_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc_id=i, rank=r) for r, i in enumerate([1, 2, 3], 1)])
+    b = spark.createDataFrame([Row(doc_id=i, rank=r) for r, i in enumerate([2, 1, 9], 1)])
+    out = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in rrf_fuse([a, b]).collect()}
+    # docs 1 and 2 appear high in both lists; 1 has ranks (1,2), 2 has (2,1)
+    assert out[1][0] == out[2][0]          # symmetric rank pairs tie
+    assert out[1][1] == 1 and out[2][1] == 2  # tie broken by id
+    # item only in one list scores below items in both
+    assert out[9][0] < out[3][0] + 1e-12 or out[9][1] > 2
+
+
+def test_rrf_missing_rank_contributes_zero(spark):
+    from momyre_spark.operators.fuse import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc_id=1, rank=1)])
+    b = spark.createDataFrame([Row(doc_id=2, rank=1)])
+    out = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b]).collect()}
+    assert abs(out[1] - 1 / 61) < 1e-12 and abs(out[2] - 1 / 61) < 1e-12
+
+
+# ------------------------------------------------------ per-group sampling --
+def test_sample_per_group_caps_and_keeps_small_groups(spark):
+    from momyre_spark.operators.sampling import sample_per_group
+
+    rows = [Row(doc_id=i, g="big") for i in range(50)]
+    rows += [Row(doc_id=100 + i, g="small") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = sample_per_group(df, 10, ["g"]).groupBy("g").count().collect()
+    counts = {r["g"]: r["count"] for r in out}
+    assert counts == {"big": 10, "small": 3}
+
+
+def test_sample_per_group_deterministic_and_append_stable(spark):
+    from momyre_spark.operators.sampling import sample_per_group
+
+    base = spark.createDataFrame([Row(doc_id=i, g=i % 2) for i in range(100)])
+    more = spark.createDataFrame([Row(doc_id=i, g=i % 2) for i in range(140)])
+    a = {r["doc_id"] for r in sample_per_group(base, 8, ["g"]).collect()}
+    a2 = {r["doc_id"] for r in sample_per_group(base.repartition(7), 8, ["g"]).collect()}
+    assert a == a2  # layout-independent
+    b = {r["doc_id"] for r in sample_per_group(more, 8, ["g"]).collect()}
+    # appends can only displace, never reshuffle: old sample mostly survives
+    assert len(a & b) >= 10

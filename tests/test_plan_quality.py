@@ -185,3 +185,66 @@ def test_q56_rolling_zscore_single_window_exchange(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_chunking_is_map_only(spark):
+    """Sliding-window chunking must be a narrow explode fused with the
+    scan: no Exchange, no Python eval."""
+    plan = plan_of(q(spark, "pipe_chunk_documents").limit(10))
+    body = plan.split("TakeOrderedAndProject")[-1]
+    assert "Generate" in plan  # posexplode present
+    assert "EvalPython" not in plan
+    # the only exchange allowed is the final orderBy of the query wrapper;
+    # chunking itself (scan -> generate -> project) must not shuffle
+    before_sort = plan.split("Sort")[-1]
+    assert "Exchange" not in before_sort
+
+
+def test_q71_disjunctive_predicate_pushed(spark):
+    """TPC-H Q19 shape: Catalyst must project the OR-of-conjuncts onto
+    EACH join side and push both derived disjunctions into the scans
+    (lineitem prunes on quantity ranges, part on brand/size) — not filter
+    only after the join."""
+    plan = plan_of(q(spark, "q71_tpch_q19_shape"))
+    li_scan = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "lineitem" in ln
+    ]
+    p_scan = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "part.parq" in ln
+    ]
+    assert li_scan and "l_quantity" in li_scan[0] and " OR " in li_scan[0]
+    assert p_scan and "p_brand" in p_scan[0]
+
+
+def test_global_shuffle_windows_by_bucket(spark):
+    """The big-side window must partition by the hash bucket — a global
+    single-partition window over the corpus would serialize at scale."""
+    from momyre_spark.operators.sampling import global_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = plan_of(global_shuffle(df, num_buckets=16))
+    import re
+
+    # every Window node over the full frame partitions by __bucket; the
+    # only unpartitioned window is over the 16-row offsets frame
+    wins = re.findall(r"Window \[[^\]]*row_number[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("__bucket" in w for w in wins), plan[:2000]
+
+
+def test_unigram_scoring_broadcasts_vocab(spark):
+    """score_documents must broadcast the vocab frame onto per-doc term
+    counts (the probe side shuffles only for its own aggregations)."""
+    plan = plan_of(q(spark, "text_unigram_logprob"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_source_divergence_broadcasts_stats(spark):
+    """All three stats frames (per-source totals, vocab counts, grand
+    total) broadcast back; only the (source, token) aggs shuffle."""
+    plan = plan_of(q(spark, "text_source_divergence"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1  # the 1-row grand-total cross join is dimension-sized

@@ -25,6 +25,10 @@ SHOWCASE = [
     ("dedup_span_overlap_fast", "span dedup: map-side expansion, one span-hash exchange"),
     ("text_decontaminate", "bench side broadcast; corpus never shuffles"),
     ("agg_grouped_topk", "salted partial top-k, no whole-group Window sort"),
+    ("q71_tpch_q19_shape", "OR-of-conjuncts projected per side, pushed into both scans"),
+    ("pipe_chunk_documents", "chunking is map-only: scan -> generate -> project"),
+    ("text_unigram_logprob", "vocab broadcasts onto per-doc term counts"),
+    ("pipe_global_shuffle", "rank windows partition by hash bucket, not globally"),
 ]
 
 

@@ -288,3 +288,43 @@ def sample_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of exactly ``k``
+    rows: inclusion probability proportional to ``weight_col`` (the
+    Efraimidis–Spirakis exponential race, with the hash as the uniform
+    draw). Upweight curated sources, downweight crawl dumps — and get the
+    same sample on every run, engine, and partitioning.
+
+    Key per row: ``-ln(u) / w`` with ``u = (md5hash + 1) / 2^60`` in (0,1];
+    the k smallest keys win. Like :func:`sample_exact_k` this plans as a
+    global top-k (TakeOrderedAndProject, per-partition k then a P*k driver
+    merge), never a global sort; the same 10M guard applies. Rows with
+    non-positive weight are excluded (their key would be infinite).
+    """
+    if k > 10_000_000:
+        raise ValueError(
+            f"weighted_sample_k(k={k}): top-k merges P*k rows on the driver; "
+            "past ~10M split the draw per shard instead"
+        )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat("
+        + (f"'{salt}', " if salt else "")
+        + f"CAST(`{id_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(k)
+        .drop("__k")
+    )

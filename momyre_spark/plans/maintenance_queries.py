@@ -330,3 +330,32 @@ def stats_ndv_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return estimate_ndv(ndv_sketch_table(docs, ["source"], "doc_id")).orderBy(
         "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py): moments on the cluster (one scan,
+# O(d^2) to the driver), eigh on the driver, map-only literal-matrix
+# projection back on the cluster. No SQL oracle (eigen-decomposition);
+# rows-only driver check + tests/test_pca.py property suite (orthonormal
+# components, numpy parity, partitioning invariance, whitening variance,
+# JL-beating reconstruction).
+# --------------------------------------------------------------------------
+@query("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pca import apply_pca, train_pca
+
+    emb = load_table(spark, sf, "embeddings")
+    model = train_pca(emb, k=8)
+    proj = apply_pca(emb, model)
+    return proj.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("pca"),
+                lambda x: (F.floor(x * 10000 + F.lit(0.5)) / 10000.0).cast(
+                    "string"
+                ),
+            ),
+        ).alias("pca"),
+    ).orderBy("vec_id")

@@ -290,3 +290,31 @@ def pipe_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("source", "doc_id")
     )
+
+
+_WS_K = 100
+
+
+@query(
+    "pipe_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               -ln(({_H} + 1) / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars > 0
+    )
+    ORDER BY key, doc_id LIMIT {_WS_K}
+    """,
+)
+def pipe_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted deterministic sample (Efraimidis–Spirakis race with
+    hash uniforms): longer documents proportionally likelier — the draw a
+    token-budget-aware subset uses. Exactly k rows, reproducible anywhere.
+    """
+    from momyre_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf, "documents")
+    out = weighted_sample_k(docs, _WS_K, weight_col="n_chars")
+    return out.select("doc_id", "n_chars")

@@ -199,3 +199,37 @@ def test_sample_per_group_deterministic_and_append_stable(spark):
     b = {r["doc_id"] for r in sample_per_group(more, 8, ["g"]).collect()}
     # appends can only displace, never reshuffle: old sample mostly survives
     assert len(a & b) >= 10
+
+
+# ---------------------------------------------------- weighted sampling --
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from momyre_spark.operators.sampling import weighted_sample_k
+
+    # two strata: weight 100 vs weight 1, equal counts
+    rows = [Row(doc_id=i, w=100 if i < 500 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows)
+    out = weighted_sample_k(df, 100, weight_col="w")
+    heavy = sum(1 for r in out.collect() if r["w"] == 100)
+    assert heavy > 80  # ~99% expected; 80 is a 5-sigma-safe floor
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    from momyre_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame([Row(doc_id=i, w=1 + i % 7) for i in range(500)])
+    a = sorted(r["doc_id"] for r in weighted_sample_k(df, 50, "w").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_k(df.repartition(9), 50, "w").collect()
+    )
+    assert len(a) == 50 and a == b
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from momyre_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0), Row(doc_id=2, w=-3), Row(doc_id=3, w=5)]
+    )
+    out = [r["doc_id"] for r in weighted_sample_k(df, 10, "w").collect()]
+    assert out == [3]

@@ -318,3 +318,90 @@ def pipe_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     out = weighted_sample_k(docs, _WS_K, weight_col="n_chars")
     return out.select("doc_id", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# End-to-end pretraining prep (the composition the engine exists for):
+# quality gate -> exact dedup (min-id survivor) -> sliding-window chunking
+# -> hash-shard assignment of chunks. Every stage reuses a tested operator
+# (curate gate / dedup_exact / chunk_documents / assign_shards) and every
+# stage is SQL-expressible, so the COMPOSED pipeline carries a full
+# value-hash oracle — integration correctness, not just per-op.
+# Stage order is the scale order: map-only gates first, the one dedup
+# shuffle before the explode multiplies rows, sharding map-only at the end.
+# --------------------------------------------------------------------------
+_PREP_W = 64
+_PREP_S = 64
+_PREP_SHARDS = 8
+
+
+@query(
+    "pipe_pretrain_prep",
+    oracle=f"""
+    WITH m AS (
+        SELECT *,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+               len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> list_contains(['the','a','of','and','to','in','is'], t))) AS hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '\\s', '', 'g')) AS total
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM m
+        WHERE n >= 10
+          AND floor((0.3 * (CASE WHEN n = 0 THEN 0.0 ELSE hits / CAST(n AS DOUBLE) END)
+                   + 0.5 * (CASE WHEN total = 0 THEN 0.0 ELSE alpha / CAST(total AS DOUBLE) END)
+                   + 0.2 * (least(CAST(n AS DOUBLE), 200.0) / 200.0)) * 10000 + 0.5) / 10000.0 >= 0.3
+    ),
+    exact AS (
+        SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated
+            GROUP BY md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))
+        )
+    ),
+    t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM exact WHERE trim(text) <> ''
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(floor((len(toks) - 1) / {_PREP_S})
+                                    AS BIGINT) + 1)) AS chunk_id
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(chunk_id AS VARCHAR)), 1, 15))::BIGINT
+                % {_PREP_SHARDS} AS BIGINT) AS shard,
+           CAST(len(toks[chunk_id * {_PREP_S} + 1 :
+                         chunk_id * {_PREP_S} + {_PREP_W}]) AS BIGINT)
+               AS n_chunk_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def pipe_pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import quality_score, token_count
+    from momyre_spark.operators.chunking import chunk_documents
+    from momyre_spark.operators.dedup import dedup_exact
+    from momyre_spark.operators.sampling import assign_shards
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    gated = docs.filter((token_count(t) >= 10) & (quality_score(t) >= 0.3))
+    deduped = dedup_exact(gated)
+    chunks = chunk_documents(deduped, window=_PREP_W, stride=_PREP_S)
+    keyed = chunks.withColumn(
+        "__ck",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("chunk_id").cast("string"),
+        ),
+    )
+    return (
+        assign_shards(keyed, _PREP_SHARDS, id_col="__ck")
+        .select("doc_id", "chunk_id", "shard", "n_chunk_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -320,21 +320,104 @@ def _centroid_frame(
     )
 
 
+# past this many centroids the per-centroid fold expressions stop being
+# codegen-friendly; switch to the Arrow/numpy matmul path
+_EXPR_CELL_LIMIT = 64
+
+
 def _nearest_cells(
     nemb: DataFrame, cents: DataFrame, id_col: str, n_best: int
 ) -> DataFrame:
     """The ``n_best`` nearest cells per vector (with ``__rn`` probe rank and
-    ``__cs`` centroid cosine). Broadcast centroids + per-id window — the
-    vector side is never shuffled beyond its own ids."""
-    from momyre_spark.functions.vectors import dot
+    ``__cs`` centroid cosine) — MAP-ONLY.
 
-    scored = nemb.crossJoin(F.broadcast(cents)).withColumn(
-        "__cs", dot(F.col("__nv"), F.col("cent_vec"))
+    The centroid frame is collected to the driver (bounded by num_cells —
+    the same KB-scale state PQ codebooks are) and pushed back down as
+    literals, so assignment never materializes the N x C cross product in
+    a shuffle: the earlier crossJoin + Window.partitionBy(id) formulation
+    shuffled N*C rows — 100 TB x thousands of cells is petabytes through
+    the exchange. Two physical strategies, one contract:
+
+    - C <= _EXPR_CELL_LIMIT: per-centroid codegen folds + array_sort +
+      posexplode (pure JVM expressions; sequential-fold dot, so results
+      stay bit-identical with the oracle recipe);
+    - larger C: Arrow-batched numpy matmul per partition (argsort top
+      n_best), the same shape brute_force_topk_numpy uses.
+
+    Ties on the cosine break toward the lower cent_id (both paths).
+    """
+    cent_rows = sorted(
+        ((int(r["cent_id"]), list(r["cent_vec"])) for r in cents.collect()),
+        key=lambda t: t[0],
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cent_id"))
-    return scored.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= n_best
+    if not cent_rows:
+        raise ValueError("momyre: no centroids resolved")
+    passthrough = nemb.columns
+
+    if len(cent_rows) <= _EXPR_CELL_LIMIT:
+        structs = []
+        for cid, vec in cent_rows:
+            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
+            s = F.aggregate(
+                F.zip_with(F.col("__nv"), lit_vec, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(s.alias("s"), F.lit(cid).cast("long").alias("c")))
+        cmp = lambda a, b: (  # noqa: E731
+            F.when(a["s"] > b["s"], F.lit(-1))
+            .when(a["s"] < b["s"], F.lit(1))
+            .otherwise((a["c"] - b["c"]).cast("int"))
+        )
+        best = F.slice(F.array_sort(F.array(*structs), cmp), 1, n_best)
+        return (
+            nemb.select(*passthrough, F.posexplode(best).alias("__p", "__b"))
+            .select(
+                *passthrough,
+                F.col("__b.c").alias("cent_id"),
+                F.col("__b.s").alias("__cs"),
+                (F.col("__p") + 1).cast("int").alias("__rn"),
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)  # C x d
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    out_schema = StructType(
+        nemb.schema.fields
+        + [
+            StructField("cent_id", LongType()),
+            StructField("__cs", DoubleType()),
+            StructField("__rn", IntegerType()),
+        ]
+    )
+    nb = n_best
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["__nv"]), dtype=np.float64)  # B x d
+            scores = m @ cmat.T  # B x C
+            # argsort by (-score, cent_id): lexsort on (cids, -scores)
+            order = np.lexsort((np.broadcast_to(cids, scores.shape), -scores), axis=1)
+            top = order[:, :nb]  # B x nb
+            reps = pdf.loc[pdf.index.repeat(nb)].reset_index(drop=True)
+            reps["cent_id"] = cids[top].ravel()
+            reps["__cs"] = np.take_along_axis(scores, top, axis=1).ravel()
+            reps["__rn"] = np.tile(np.arange(1, nb + 1), len(pdf)).astype("int32")
+            yield reps
+
+    return nemb.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(

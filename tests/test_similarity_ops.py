@@ -313,3 +313,42 @@ def test_pq_encode_compresses_and_search_recalls(spark):
         recalls.append(len(set(top) & approx[q["vec_id"]]) / 10)
     # byte codes + 4x shortlist re-rank: high recall at 32x compression
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_cell_assignment_is_map_only(spark):
+    """Nearest-cell assignment must never shuffle the corpus: the old
+    crossJoin + Window formulation moved N*C rows through an exchange."""
+    from momyre_spark.operators.similarity import assign_ivf_cells
+
+    emb = _embs(spark)
+    plan = (
+        assign_ivf_cells(emb, num_cells=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_cells_numpy_path_matches_expression_path(spark):
+    """Above _EXPR_CELL_LIMIT the Arrow/numpy matmul strategy kicks in; it
+    must pick the same cells as the codegen-fold strategy."""
+    import momyre_spark.operators.similarity as sim
+
+    emb = _embs(spark)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_ivf_cells(emb, num_cells=8).collect()
+    }
+    old = sim._EXPR_CELL_LIMIT
+    sim._EXPR_CELL_LIMIT = 0  # force the numpy strategy
+    try:
+        b = {
+            r["vec_id"]: r["cell"]
+            for r in sim.assign_ivf_cells(emb, num_cells=8).collect()
+        }
+    finally:
+        sim._EXPR_CELL_LIMIT = old
+    assert a == b

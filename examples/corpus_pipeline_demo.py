@@ -1,0 +1,103 @@
+"""End-to-end tour of the training-data pipeline operators.
+
+Run: ``python examples/corpus_pipeline_demo.py`` (local Spark, reads the
+sf0.001 test corpus). Walks the path a pretraining corpus takes:
+
+  quality gate -> exact + near dedup -> quality scoring (unigram LM)
+  -> per-source diagnostics (KL, overlap) -> chunk -> weighted sample
+  -> shard + pack -> deterministic shuffle
+
+Every step prints the numbers a 100 TB operator would watch: survivor
+counts per stage, score distributions, shard balance — and every step is
+a deterministic pure function of the data (hash-keyed, no RNG), so the
+same corpus produces the same artifacts on any cluster layout.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from momyre_spark.operators.chunking import chunk_documents  # noqa: E402
+from momyre_spark.operators.curate import curate_corpus  # noqa: E402
+from momyre_spark.operators.dedup import cross_source_overlap  # noqa: E402
+from momyre_spark.operators.lm import (  # noqa: E402
+    score_documents,
+    source_divergence,
+)
+from momyre_spark.operators.sampling import (  # noqa: E402
+    assign_shards,
+    global_shuffle,
+    pack_sequences,
+    weighted_sample_k,
+)
+from momyre_spark.session import get_spark  # noqa: E402
+from momyre_spark.sources.parquet import load_table  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(app_name="corpus-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF, "documents")
+    print(f"input: {docs.count()} documents from {SF}")
+
+    # 1. curate: gate -> exact dedup -> LSH near-dup components
+    curated, report = curate_corpus(docs, min_tokens=10, min_quality=0.3)
+    print("\ncuration funnel:")
+    for r in report.collect():
+        print(f"  {r['stage']:<20} {r['docs']}")
+
+    # 2. quality scoring: corpus unigram LM, low scorers are outliers
+    scored = score_documents(curated)
+    lo = scored.orderBy("mean_logprob").limit(3).collect()
+    print("\nlowest unigram-LM scores (rarest-token docs):")
+    for r in lo:
+        print(f"  doc {r['doc_id']}: mean_logprob={r['mean_logprob']}")
+
+    # 3. per-source diagnostics
+    kl = source_divergence(docs).orderBy(F.desc("kl_divergence")).limit(3)
+    print("\nmost-divergent sources (KL vs corpus blend):")
+    for r in kl.collect():
+        print(f"  {r['source']}: KL={r['kl_divergence']} ({r['n_tokens']} tokens)")
+    overlap = cross_source_overlap(docs, key="content")
+    print(f"cross-source content-overlap pairs: {overlap.count()}")
+
+    # 4. chunk to context windows
+    chunks = chunk_documents(curated, window=64, stride=64)
+    print(f"\nchunks (64-token windows): {chunks.count()}")
+
+    # 5. length-weighted deterministic sample (token-budget-aware draw)
+    sample = weighted_sample_k(curated, 50, weight_col="n_chars")
+    print(f"weighted sample: {sample.count()} docs "
+          f"(mean n_chars {sample.agg(F.avg('n_chars')).first()[0]:.0f} vs "
+          f"corpus {curated.agg(F.avg('n_chars')).first()[0]:.0f})")
+
+    # 6. shard + pack + shuffle: the trainer-facing layout
+    chunks = chunks.withColumn("n_tokens", F.col("n_chunk_tokens"))
+    sharded = assign_shards(
+        chunks.withColumn(
+            "key", F.concat("doc_id", F.lit(":"), "chunk_id")
+        ),
+        num_shards=4,
+        id_col="key",
+    )
+    packed = pack_sequences(sharded, max_tokens=256, id_col="key", shard_col="shard")
+    balance = sharded.groupBy("shard").count().orderBy("shard").collect()
+    print(f"shard balance: {[r['count'] for r in balance]}")
+    print(f"packed bins: {packed.select('shard', 'bin').distinct().count()}")
+    order = global_shuffle(curated, num_buckets=16)
+    print(f"global shuffle positions assigned: {order.count()} "
+          "(dense, layout-independent)")
+
+    print("\nDONE — every artifact above is reproducible bit-for-bit on any "
+          "partitioning: the pipeline is a pure function of the corpus.")
+
+
+if __name__ == "__main__":
+    main()

@@ -283,41 +283,51 @@ def assign_ivf_cells(
     from momyre_spark.functions.vectors import add_normalized
 
     nemb = add_normalized(emb, vec_col, "__nv")
-    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids, vec_col)
+    cents = _centroid_rows(emb, num_cells, id_col, centroids, vec_col)
     out_cols = [id_col, vec_col, F.col("cent_id").alias("cell")]
     if keep_score:
         out_cols.append(F.col("__cs").alias("cell_cos"))
     return _nearest_cells(nemb, cents, id_col, n_best=1).select(*out_cols)
 
 
-def _centroid_frame(
+def _unit(c: list[float]) -> list[float]:
+    """Driver-side unit normalization, ordered EXACTLY like the engines'
+    sequential folds (Python left-fold sum == Spark aggregate() == DuckDB
+    list_reduce over doubles), so centroid cosines stay bit-identical with
+    the oracle recipe."""
+    import math
+
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    n = math.sqrt(s) or 1.0
+    return [float(x) / n for x in c]
+
+
+def _centroid_rows(
     emb: DataFrame,
-    nemb: DataFrame,
     num_cells: int,
     id_col: str,
     centroids: list[list[float]] | str,
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Resolve the centroid spec to a (cent_id, cent_vec) frame — built ONCE
-    so corpus assignment and query probing share identical cells."""
+) -> list[tuple[int, list[float]]]:
+    """Resolve the centroid spec to driver-side (cent_id, unit_vec) rows —
+    KB-scale state (bounded by num_cells) resolved ONCE so corpus
+    assignment and query probing share identical cells, then pushed back
+    down as literals. Unit-normalizing makes cosine argmax the
+    spherical-k-means rule (a k-means mean of unit vectors is not unit).
+
+    'first_c' collects the num_cells lowest-id RAW vectors (a column-pruned
+    TakeOrdered — never a corpus-wide normalize job) and normalizes on the
+    driver with the fold-identical recipe."""
     if centroids == "kmeans":
         centroids = train_kmeans_centroids(emb, num_cells, vec_col)
     if centroids == "first_c":
-        return nemb.orderBy(id_col).limit(num_cells).select(
-            F.col(id_col).alias("cent_id"), F.col("__nv").alias("cent_vec")
+        rows = (
+            emb.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
         )
-    # unit-normalize the centroids so cosine argmax assignment is the
-    # spherical-k-means rule (a k-means mean of unit vectors is not unit)
-    import math
-
-    def _unit(c: list[float]) -> list[float]:
-        n = math.sqrt(sum(x * x for x in c)) or 1.0
-        return [float(x) / n for x in c]
-
-    return nemb.sparkSession.createDataFrame(
-        [(i, _unit(c)) for i, c in enumerate(centroids)],
-        "cent_id long, cent_vec array<double>",
-    )
+        return [(int(r[id_col]), _unit(list(r[vec_col]))) for r in rows]
+    return [(i, _unit(c)) for i, c in enumerate(centroids)]
 
 
 # past this many centroids the per-centroid fold expressions stop being
@@ -326,14 +336,14 @@ _EXPR_CELL_LIMIT = 64
 
 
 def _nearest_cells(
-    nemb: DataFrame, cents: DataFrame, id_col: str, n_best: int
+    nemb: DataFrame, cents: list[tuple[int, list[float]]], id_col: str, n_best: int
 ) -> DataFrame:
     """The ``n_best`` nearest cells per vector (with ``__rn`` probe rank and
     ``__cs`` centroid cosine) — MAP-ONLY.
 
-    The centroid frame is collected to the driver (bounded by num_cells —
-    the same KB-scale state PQ codebooks are) and pushed back down as
-    literals, so assignment never materializes the N x C cross product in
+    Centroids arrive as driver-side rows (bounded by num_cells — the same
+    KB-scale state PQ codebooks are; see _centroid_rows) and are pushed
+    back down as literals, so assignment never materializes the N x C cross product in
     a shuffle: the earlier crossJoin + Window.partitionBy(id) formulation
     shuffled N*C rows — 100 TB x thousands of cells is petabytes through
     the exchange. Two physical strategies, one contract:
@@ -346,10 +356,7 @@ def _nearest_cells(
 
     Ties on the cosine break toward the lower cent_id (both paths).
     """
-    cent_rows = sorted(
-        ((int(r["cent_id"]), list(r["cent_vec"])) for r in cents.collect()),
-        key=lambda t: t[0],
-    )
+    cent_rows = sorted(cents, key=lambda t: t[0])
     if not cent_rows:
         raise ValueError("momyre: no centroids resolved")
     passthrough = nemb.columns
@@ -444,7 +451,7 @@ def ivf_topk(
     from momyre_spark.functions.vectors import add_normalized, dot
 
     nemb = add_normalized(emb, vec_col, "__nv")
-    cents = _centroid_frame(emb, nemb, num_cells, id_col, centroids, vec_col)
+    cents = _centroid_rows(emb, num_cells, id_col, centroids, vec_col)
     corpus = _nearest_cells(nemb, cents, id_col, n_best=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__nv").alias("__cv"),

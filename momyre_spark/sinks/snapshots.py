@@ -822,3 +822,39 @@ def snapshot_vacuum(
                 ):
                     fs.delete(st.getPath(), True)
     return drop
+
+
+def snapshot_rollback(
+    spark: SparkSession, root: str, to_version: int
+) -> int:
+    """Roll the table back to ``to_version`` — AS A NEW VERSION.
+
+    Copy-on-write makes rollback free: the new manifest simply re-references
+    the target version's partition directories (and carries its schema and
+    stats); no data moves, history stays intact, and time travel still
+    reaches the rolled-back-over versions. This is Iceberg/Delta RESTORE
+    semantics — the audit trail records that a rollback happened, unlike
+    rewriting CURRENT in place (which would orphan newer versions' data
+    against the vacuum contract).
+
+    The restored version must still be within the vacuum retention horizon;
+    reading it (snapshot_read) validates the directories exist.
+    """
+    man = read_manifest(spark, root, to_version)
+    parent = current_version(spark, root)
+    if parent is None:
+        raise RuntimeError("momyre: cannot roll back an empty table")
+    if to_version == parent:
+        return parent  # already current — no empty commit
+    new = {
+        "version": parent + 1,
+        "parent": parent,
+        "restored_from": to_version,
+        "partition_by": man.get("partition_by", []),
+        "partitions": dict(man["partitions"]),
+        "schema": man["schema"],
+    }
+    for carry in ("stats_cols", "stats", "sort_by"):
+        if carry in man:
+            new[carry] = man[carry]
+    return _commit(spark, root, new)

@@ -624,3 +624,47 @@ def test_vacuum_orphan_sweep_spares_cow_references(spark, tmp_path):
     assert not glob.glob(str(tmp_path / "tbl" / "data" / "v9"))
     # the re-referenced us partition (under data/v1) survived the sweep
     assert _state(snapshot_read(spark, root)) == [("a", 10, "eu"), ("b", 2, "us")]
+
+
+def test_rollback_restores_as_new_version(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_rollback
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]),
+                   root, partition_by=["region"])
+    snapshot_write(spark, _df(spark, [("a", 10, "eu")]),
+                   root, partition_by=["region"])
+    v3 = snapshot_rollback(spark, root, to_version=1)
+    assert v3 == 3 and current_version(spark, root) == 3
+    # current state equals v1's, history intact, audit field present
+    assert _state(snapshot_read(spark, root)) == _state(
+        snapshot_read(spark, root, version=1)
+    )
+    assert _state(snapshot_read(spark, root, version=2)) == [("a", 10, "eu")]
+    assert read_manifest(spark, root, 3)["restored_from"] == 1
+
+
+def test_rollback_to_current_is_noop(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_rollback
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root,
+                   partition_by=["region"])
+    assert snapshot_rollback(spark, root, to_version=1) == 1
+    assert list_versions(spark, root) == [1]
+
+
+def test_rollback_then_merge_continues_history(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_rollback
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]),
+                   root, partition_by=["region"])
+    snapshot_write(spark, _df(spark, [("c", 9, "eu")]), root,
+                   partition_by=["region"])
+    snapshot_rollback(spark, root, to_version=1)
+    acts = _actions(spark, [("b", "upsert", 20, "us", ["val", "region"])])
+    snapshot_merge_cdc(spark, root, acts, FIELDS, partition_by=["region"])
+    assert _state(snapshot_read(spark, root)) == [
+        ("a", 1, "eu"), ("b", 20, "us")
+    ]

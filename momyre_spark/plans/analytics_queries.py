@@ -1509,3 +1509,40 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
             "promo_revenue_pct"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window distribution functions: percent_rank / cume_dist / nth_value —
+# the last window family not yet pinned (q16 running frames, q25 lag/lead,
+# q26 rank/ntile, q46 RANGE frames). Ratios are exact integer-count
+# divisions (identical IEEE), so no rounding dance is needed beyond the
+# final guard.
+# --------------------------------------------------------------------------
+@query(
+    "q75_window_distribution",
+    oracle=f"""
+    SELECT c_custkey, c_nationkey,
+           {round4_sql("percent_rank() OVER w")} AS pr,
+           {round4_sql("cume_dist() OVER w")} AS cd,
+           nth_value(c_custkey, 2) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        round_half_up(F.percent_rank().over(w), 4).alias("pr"),
+        round_half_up(F.cume_dist().over(w), 4).alias("cd"),
+        F.nth_value("c_custkey", 2).over(wrows).alias("second_richest"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,101 @@
+"""Streaming corpus ingestion e2e (streaming/ingest.py): raw document
+batches -> gate -> corpus-wide incremental dedup -> versioned snapshot."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from momyre_spark.sinks.snapshots import (
+    current_version,
+    read_manifest,
+    snapshot_read,
+)
+from momyre_spark.streaming.ingest import start_corpus_ingest
+
+FIELDS = {"text": "string", "src": "string"}
+SCHEMA = "doc_id long, text string, src string"
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _ingest(spark, src_dir, root, ck):
+    stream = spark.readStream.schema(SCHEMA).json(src_dir)
+    q = start_corpus_ingest(
+        stream,
+        root,
+        ck,
+        FIELDS,
+        min_tokens=2,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+
+def test_ingest_gates_dedups_and_versions(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"doc_id": 1, "text": "alpha beta gamma", "src": "a"},
+            {"doc_id": 2, "text": "alpha beta gamma", "src": "b"},  # in-batch dup
+            {"doc_id": 3, "text": "tiny", "src": "a"},  # gated: 1 token
+            {"doc_id": 4, "text": "delta epsilon", "src": "b"},
+        ],
+    )
+    _ingest(spark, src, root, ck)
+    state = {r["_id"]: r["text"] for r in snapshot_read(spark, root).collect()}
+    # min-id survivor of the dup pair; the 1-token doc gated out
+    assert state == {"1": "alpha beta gamma", "4": "delta epsilon"}
+
+    # batch 2: a cross-batch duplicate of doc 1 plus one genuinely new doc
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"doc_id": 9, "text": "alpha beta gamma", "src": "c"},  # corpus dup
+            {"doc_id": 10, "text": "zeta eta theta", "src": "c"},
+        ],
+    )
+    _ingest(spark, src, root, ck)
+    state = {r["_id"]: r["text"] for r in snapshot_read(spark, root).collect()}
+    assert "9" not in state  # deduped against the EXISTING corpus
+    assert state["10"] == "zeta eta theta"
+    assert len(state) == 3
+
+    # versioned history: batch-1 state still readable via time travel
+    v = current_version(spark, root)
+    assert v >= 2
+    old = {
+        r["_id"] for r in snapshot_read(spark, root, version=v - 1).collect()
+    }
+    assert old == {"1", "4"}
+
+
+def test_ingest_epoch_replay_is_noop(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    root = str(tmp_path / "corpus")
+
+    _write_batch(
+        src, "b1.json", [{"doc_id": 1, "text": "alpha beta", "src": "a"}]
+    )
+    _ingest(spark, src, root, str(tmp_path / "ck1"))
+    v1 = current_version(spark, root)
+
+    # a fresh checkpoint replays epoch 0 over the same input: the snapshot
+    # must skip it (batch_id marker) and the fps dir rewrite is idempotent
+    _ingest(spark, src, root, str(tmp_path / "ck2"))
+    assert current_version(spark, root) == v1
+    assert read_manifest(spark, root, v1)["batch_id"] == 0
+    state = [r["_id"] for r in snapshot_read(spark, root).collect()]
+    assert state == ["1"]

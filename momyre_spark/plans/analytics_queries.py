@@ -1546,3 +1546,38 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         round_half_up(F.cume_dist().over(w), 4).alias("cd"),
         F.nth_value("c_custkey", 2).over(wrows).alias("second_richest"),
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Behavioral path analysis: per-user event-type bigrams (which action
+# follows which) — the sequence-mining primitive under funnels (q53) and
+# sessionization (q44). Order within a user is (ts, event_id) — total, so
+# both engines walk identical sequences. One window shuffle on user_id,
+# then a plain hash agg on the bigram.
+# --------------------------------------------------------------------------
+@query(
+    "q76_event_bigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY transitions DESC, event_type, next_type
+    """,
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy(F.desc("transitions"), "event_type", "next_type")
+    )

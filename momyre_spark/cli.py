@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ignore checkpoints, resync from scratch")
     p.add_argument("--inp", default=None, help="MongoDB URL override")
     p.add_argument("--out", default=None, help="MySQL URL override")
-    p.add_argument("--mode", choices=["batch", "stream", "both", "maintain"],
+    p.add_argument("--mode",
+                   choices=["batch", "stream", "both", "maintain", "prep"],
                    default="both",
                    help="maintain: compact small files + vacuum expired "
                         "versions of a --versioned --lake-root store")
@@ -67,6 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="maintain mode: versions retained by vacuum")
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="maintain mode: compaction target file size")
+    p.add_argument("--prep-input", default=None,
+                   help="prep mode: parquet directory of raw documents")
+    p.add_argument("--prep-output", default=None,
+                   help="prep mode: output directory (partitioned by shard)")
+    p.add_argument("--chunk-window", type=int, default=2048,
+                   help="prep mode: tokens per training chunk")
+    p.add_argument("--chunk-stride", type=int, default=None,
+                   help="prep mode: chunk stride (default = window)")
+    p.add_argument("--num-shards", type=int, default=64,
+                   help="prep mode: output shard count")
+    p.add_argument("--min-tokens", type=int, default=10,
+                   help="prep mode: quality gate token floor")
+    p.add_argument("--min-quality", type=float, default=0.3,
+                   help="prep mode: quality gate score floor")
     return p
 
 
@@ -105,8 +120,61 @@ def mysql_connection_factory(url: str) -> Callable[[], object]:
     return connect
 
 
+def run_prep(spark, args) -> int:
+    """Training-data prep over a parquet corpus: gate -> exact dedup ->
+    chunk -> shard, written partitioned by shard (engine extension — the
+    batch CLI face of plans.pipeline_queries.pipe_pretrain_prep)."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.functions.text import quality_score, token_count
+    from momyre_spark.operators.chunking import chunk_documents
+    from momyre_spark.operators.dedup import dedup_exact
+    from momyre_spark.operators.sampling import assign_shards
+
+    docs = spark.read.parquet(args.prep_input)
+    t = F.col("text")
+    gated = docs.filter(
+        (token_count(t) >= args.min_tokens)
+        & (quality_score(t) >= args.min_quality)
+    )
+    chunks = chunk_documents(
+        dedup_exact(gated),
+        window=args.chunk_window,
+        stride=args.chunk_stride or args.chunk_window,
+    )
+    sharded = assign_shards(
+        chunks.withColumn(
+            "__ck",
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_id").cast("string"),
+            ),
+        ),
+        args.num_shards,
+        id_col="__ck",
+    ).drop("__ck")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        args.prep_output
+    )
+    n = spark.read.parquet(args.prep_output).count()
+    print(f"prep: wrote {n} chunks to {args.prep_output} "
+          f"({args.num_shards} shards)", file=sys.stderr)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.mode == "prep":
+        if not (args.prep_input and args.prep_output):
+            print("prep mode requires --prep-input and --prep-output",
+                  file=sys.stderr)
+            return 2
+        from momyre_spark.session import get_spark
+
+        return run_prep(get_spark(app_name="momyre-spark-prep"), args)
+
     spec = load_config(args.config)
 
     from momyre_spark.engine import ReplicationEngine

@@ -96,3 +96,28 @@ def test_maintain_mode_requires_lake_root(tmp_path):
     cfg = tmp_path / "momyre.yml"
     cfg.write_text("tables:\n  users:\n    val: bigint\n")
     assert cli.main(["--config", str(cfg), "--mode", "maintain"]) == 2
+
+
+def test_prep_mode_writes_sharded_chunks(spark, tmp_path):
+    from momyre_spark.cli import main
+
+    out = str(tmp_path / "prep")
+    rc = main([
+        "--mode", "prep",
+        "--prep-input", "/root/testdata/sf0.001/documents.parquet",
+        "--prep-output", out,
+        "--chunk-window", "64",
+        "--num-shards", "4",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) >= {"doc_id", "chunk_id", "chunk_text",
+                                "n_chunk_tokens", "shard"}
+    assert got.count() > 0
+    assert got.select("shard").distinct().count() == 4
+
+
+def test_prep_mode_requires_paths(tmp_path):
+    from momyre_spark.cli import main
+
+    assert main(["--mode", "prep"]) == 2

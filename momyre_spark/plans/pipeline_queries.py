@@ -405,3 +405,45 @@ def pipe_pretrain_prep(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "chunk_id", "shard", "n_chunk_tokens")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Scale evidence for the two-pass global shuffle: 1M synthetic ids get a
+# dense position in hash order; the oracle computes the same permutation
+# with one global window. Output is a 1-row checksum (count, sum, and a
+# position-weighted fingerprint) so the driver compares three numbers, not
+# a million rows. A wrong offset in ANY bucket shifts the fingerprint.
+# --------------------------------------------------------------------------
+_GS_N = 1_000_000
+
+
+@query(
+    "pipe_global_shuffle_synthetic_1m",
+    oracle=f"""
+    WITH ids AS (SELECT i AS doc_id FROM range({_GS_N}) t(i)),
+    pos AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT), doc_id) - 1 AS BIGINT)
+                   AS position
+        FROM ids
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(position) AS BIGINT) AS pos_sum,
+           CAST(sum(position * (doc_id % 97)) AS BIGINT) AS fingerprint
+    FROM pos
+    """,
+)
+def pipe_global_shuffle_synthetic_1m(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import global_shuffle
+
+    ids = spark.range(_GS_N).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(ids, num_buckets=1024)
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("position").cast("bigint").alias("pos_sum"),
+        F.sum(F.col("position") * (F.col("doc_id") % 97))
+        .cast("bigint")
+        .alias("fingerprint"),
+    )

@@ -248,3 +248,23 @@ def test_source_divergence_broadcasts_stats(spark):
     assert "BroadcastNestedLoopJoin" not in plan or plan.count(
         "BroadcastNestedLoopJoin"
     ) <= 1  # the 1-row grand-total cross join is dimension-sized
+
+
+def test_no_query_plans_rowwise_python_or_cartesian(spark):
+    """Repo-wide plan gate: NO registered query may plan a row-at-a-time
+    Python eval (BatchEvalPython) or an unbroadcast CartesianProduct.
+    Arrow-batched nodes (mapInPandas / pandas_udf) are allowed — they are
+    the sanctioned Python path. The one whitelisted BatchEvalPython is
+    q36's deliberate Python-UDTF showcase."""
+    allowed_batch_eval = {"q36_udtf_tokenize"}
+    offenders = {}
+    for name, fn in plans.QUERIES.items():
+        plan = plan_of(fn(spark, SF_CORRECT))
+        bad = []
+        if "BatchEvalPython" in plan and name not in allowed_batch_eval:
+            bad.append("BatchEvalPython")
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 from momyre_spark.functions.numeric import round_half_up
 from momyre_spark.functions.text import content_fingerprint, fingerprint, shingles
 
+# Full bucket-local pair expansion is quadratic in bucket size; above this
+# membership the LSH candidate generator emits star edges instead (see
+# minhash_lsh_pairs). 1000 keeps the worst row under ~500k structs.
+MAX_FULL_BUCKET = 1_000
+
 
 def exact_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -276,7 +281,16 @@ def minhash_lsh_pairs(
         .filter(F.size("ids") > 1)
         .withColumn("ids", F.array_sort("ids"))
     )
-    pair_arr = F.flatten(
+    # Degenerate-bucket guard: a crawl with a K-sized exact/near-duplicate
+    # cluster puts all K members in ONE bucket, and full pair expansion is
+    # K^2/2 structs materialized in a single row — executor death around
+    # K~10^5. Above MAX_FULL_BUCKET the expansion degrades to STAR edges
+    # (every member paired with the bucket's min id): K-1 candidates, and
+    # transitive grouping (duplicate_components) still connects the whole
+    # cluster through the hub. The pair LIST is exhaustive only below the
+    # cap — which is the only regime where an exhaustive list is usable
+    # anyway.
+    full_arr = F.flatten(
         F.transform(
             "ids",
             lambda x: F.transform(
@@ -285,6 +299,13 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    star_arr = F.transform(
+        F.slice("ids", 2, F.size("ids") - 1),
+        lambda y: F.struct(F.col("ids")[0].alias("a_id"), y.alias("b_id")),
+    )
+    pair_arr = F.when(
+        F.size("ids") <= MAX_FULL_BUCKET, full_arr
+    ).otherwise(star_arr)
     cand = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.a_id", "p.b_id")

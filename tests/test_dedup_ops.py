@@ -200,3 +200,30 @@ def test_segment_dedup_within_doc_repeat(spark):
     row = segment_dedup(docs, 10).collect()[0]
     assert row["n_segments"] == 2 and row["n_kept"] == 1
     assert row["text"] == seg
+
+
+def test_lsh_degenerate_duplicate_cluster_stays_linear(spark):
+    """2,000 identical documents must NOT expand to ~2M candidate pairs
+    (the K^2 bucket explosion): above MAX_FULL_BUCKET the generator emits
+    star edges, and transitive grouping still collapses the whole cluster
+    to one component."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import (
+        duplicate_components,
+        minhash_lsh_pairs,
+    )
+
+    text = "the same boilerplate page body repeated across a crawl snapshot"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=text) for i in range(2000)]
+    )
+    pairs = minhash_lsh_pairs(df, threshold=0.5)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 50_000  # star edges per band, not ~2M
+    comps = duplicate_components(pairs)
+    assert (
+        comps.selectExpr("min(component)").first()[0]
+        == comps.selectExpr("max(component)").first()[0]
+    )  # every doc in ONE component
+    assert comps.count() == 2000

@@ -18,6 +18,15 @@ designed so the expensive pairwise work never goes quadratic in the corpus:
 
 No Python UDFs anywhere — shingling, hashing, banding and verification are
 all built-in higher-order functions, so the whole plan stays in codegen.
+
+Ordering contract for the near-dup family: run EXACT dedup first (the
+curate_corpus stage order). Every candidate generator joins documents that
+share a key (shingle prefix, LSH bucket, simhash block, SRP bucket), so a
+K-sized cluster of EXACT duplicates produces ~K^2 candidate work in any of
+them — work that one cheap fingerprint groupBy removes up front.
+minhash_lsh_pairs additionally self-defends (star edges above
+MAX_FULL_BUCKET) because its bucket expansion materializes pairs inside a
+single row, where degeneracy is an OOM rather than just wasted time.
 """
 
 from __future__ import annotations

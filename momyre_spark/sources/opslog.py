@@ -47,6 +47,9 @@ from pyspark.sql import DataFrame
 DECODED_SCHEMA = (
     "ts long, seq long, ns string, op string, `_id` string, payload string"
 )
+# quarantine-mode schema: decoded rows carry error=NULL; undecodable rows
+# carry op='__reject', the raw entry text in payload, and the reason
+DECODED_SCHEMA_Q = DECODED_SCHEMA + ", error string"
 
 
 def pack_ts(t: int, i: int) -> int:
@@ -158,20 +161,39 @@ def decode_entry(entry: dict) -> list[dict]:
 
 
 def decode_oplog(
-    raw: DataFrame, tables: list[str] | None = None, entry_col: str = "entry"
+    raw: DataFrame,
+    tables: list[str] | None = None,
+    entry_col: str = "entry",
+    on_error: str = "fail",
 ) -> DataFrame:
     """DataFrame of raw oplog JSON entries -> normalized ops frame.
 
     ``raw[entry_col]``: JSON text of one oplog entry per row. Namespace
     filtering (P4) happens post-decode here; with a real connector the
-    ns IN-list is pushed into the source query (mongo.go:463-479)."""
+    ns IN-list is pushed into the source query (mongo.go:463-479).
+
+    ``on_error``:
+    - ``'fail'`` (default): unknown shapes raise, failing the batch — the
+      reference's log.Fatalln semantics (mongo.go:183), correct for
+      replication where a skipped op is silent divergence.
+    - ``'quarantine'``: undecodable entries become ``op='__reject'`` rows
+      (raw text in ``payload``, reason in ``error``; decoded rows carry
+      ``error=NULL``) and the schema gains the ``error`` column — the
+      dead-letter shape for bulk backfills, where one poison record must
+      not kill a day-long job. Split with :func:`split_rejects`; the
+      engine's apply path never consumes ``__reject`` rows silently (the
+      op-type dispatch has no route for them).
+    """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"momyre: unknown on_error mode {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for text in pdf[entry_col]:
-                for norm in decode_entry(json.loads(text)):
-                    rows.append(
+                try:
+                    decoded = [
                         (
                             norm["ts"],
                             norm["seq"],
@@ -180,14 +202,45 @@ def decode_oplog(
                             norm["_id"],
                             json.dumps(norm["payload"]),
                         )
-                    )
-            yield pd.DataFrame(
-                rows, columns=["ts", "seq", "ns", "op", "_id", "payload"]
-            ).astype({"ts": "int64", "seq": "int64"})
+                        for norm in decode_entry(json.loads(text))
+                    ]
+                except Exception as exc:
+                    if not quarantine:
+                        raise
+                    rows.append((0, 0, "", "__reject", None, text, str(exc)))
+                    continue
+                if quarantine:
+                    rows.extend(r + (None,) for r in decoded)
+                else:
+                    rows.extend(decoded)
+            cols = ["ts", "seq", "ns", "op", "_id", "payload"]
+            if quarantine:
+                cols.append("error")
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"ts": "int64", "seq": "int64"}
+            )
 
-    out = raw.mapInPandas(run, schema=DECODED_SCHEMA)
+    out = raw.mapInPandas(
+        run, schema=DECODED_SCHEMA_Q if quarantine else DECODED_SCHEMA
+    )
     if tables is not None:
         from pyspark.sql import functions as F
 
-        out = out.filter(F.col("ns").isin(tables))
+        cond = F.col("ns").isin(tables)
+        if quarantine:
+            cond = cond | (F.col("op") == "__reject")
+        out = out.filter(cond)
     return out
+
+
+def split_rejects(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a quarantine-mode decode into (ops, rejects). The ops side
+    drops the all-NULL ``error`` column so it is plug-compatible with the
+    fail-mode schema; the rejects side keeps (payload=raw entry, error)
+    for the dead-letter sink."""
+    from pyspark.sql import functions as F
+
+    is_reject = F.col("op") == "__reject"
+    ops = decoded.filter(~is_reject).drop("error")
+    rejects = decoded.filter(is_reject).select("payload", "error")
+    return ops, rejects

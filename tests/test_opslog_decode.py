@@ -153,3 +153,59 @@ def test_txn_same_key_applies_in_array_order(spark):
     ops = decode_oplog(raw, tables=["users"])
     final = apply_ops(ops, {"v": "string"}, key="_id", order=("ts", "seq"))
     assert {r["_id"]: r["v"] for r in final.collect()} == {"k": "third"}
+
+
+def test_quarantine_mode_routes_poison_to_dlq(spark):
+    """One undecodable entry in a batch must not kill the job in
+    quarantine mode — good ops decode, the poison row lands in the
+    dead-letter split with its raw text and reason."""
+    import json
+
+    from momyre_spark.sources.opslog import decode_oplog, split_rejects
+
+    good = json.dumps(
+        {"ts": {"T": 10, "I": 1}, "ns": "db.users", "op": "i",
+         "o": {"_id": "a1", "x": 1}}
+    )
+    poison = json.dumps(
+        {"ts": {"T": 11, "I": 1}, "ns": "db.users", "op": "zz", "o": {}}
+    )
+    raw = spark.createDataFrame([(good,), (poison,)], "entry string")
+    ops, rejects = split_rejects(
+        decode_oplog(raw, tables=["users"], on_error="quarantine")
+    )
+    assert [r["op"] for r in ops.collect()] == ["insert"]
+    (rej,) = rejects.collect()
+    assert "unknown oplog op" in rej["error"] and '"zz"' in rej["payload"]
+
+
+def test_quarantine_mode_clean_batch_matches_fail_mode(spark):
+    import json
+
+    from momyre_spark.sources.opslog import decode_oplog, split_rejects
+
+    entries = [
+        json.dumps({"ts": {"T": 9, "I": i}, "ns": "db.users", "op": "i",
+                    "o": {"_id": f"k{i}", "x": i}})
+        for i in range(5)
+    ]
+    raw = spark.createDataFrame([(e,) for e in entries], "entry string")
+    strict = decode_oplog(raw, tables=["users"]).collect()
+    ops, rejects = split_rejects(
+        decode_oplog(raw, tables=["users"], on_error="quarantine")
+    )
+    assert rejects.count() == 0
+    assert sorted(map(tuple, ops.collect())) == sorted(map(tuple, strict))
+
+
+def test_fail_mode_still_raises_on_poison(spark):
+    import json
+
+    import pytest as _pytest
+
+    from momyre_spark.sources.opslog import decode_oplog
+
+    poison = json.dumps({"ts": {"T": 1, "I": 1}, "ns": "db.t", "op": "zz"})
+    raw = spark.createDataFrame([(poison,)], "entry string")
+    with _pytest.raises(Exception):
+        decode_oplog(raw).collect()

@@ -40,12 +40,23 @@ def _round6(col: Column) -> Column:
 
 
 def train_unigram_lm(
-    docs: DataFrame, text_col: str = "text", min_count: int = 1
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    smoothing_k: float = 0.0,
 ) -> DataFrame:
     """Token -> (count, logprob) over the whole corpus.
 
-    ``logprob = round6(ln(count) - ln(total))`` — MLE with no smoothing;
-    tokens below ``min_count`` are dropped (scoring treats them as OOV).
+    ``smoothing_k=0`` (default): MLE, ``logprob = round6(ln c - ln total)``;
+    tokens below ``min_count`` are dropped (scoring treats them as OOV and
+    excludes them from the mean).
+
+    ``smoothing_k>0``: add-k smoothing over the kept vocabulary V,
+    ``logprob = round6(ln(c+k) - ln(total + k*(V+1)))`` — the +1 reserves
+    one pseudo-type for OOV, whose logprob ``ln k - ln(total+k*(V+1))`` is
+    what :func:`score_documents` charges unseen tokens when the LM was
+    trained on a different corpus. Scoring new data with a trained LM
+    needs this; scoring a corpus against itself does not.
     """
     tok = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -53,14 +64,20 @@ def train_unigram_lm(
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    total = tok.agg(F.sum("count").alias("__total"))
-    return (
-        tok.join(F.broadcast(total))
-        .select(
-            "token",
-            "count",
-            _round6(F.log("count") - F.log("__total")).alias("logprob"),
-        )
+    total = tok.agg(
+        F.sum("count").alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    if smoothing_k > 0:
+        k = F.lit(float(smoothing_k))
+        denom = F.log(F.col("__total") + k * (F.col("__vocab") + 1))
+        lp = _round6(F.log(F.col("count") + k) - denom)
+        oov = _round6(F.log(k) - denom)
+    else:
+        lp = _round6(F.log("count") - F.log("__total"))
+        oov = F.lit(None).cast("decimal(18,6)")
+    return tok.join(F.broadcast(total)).select(
+        "token", "count", lp.alias("logprob"), oov.alias("oov_logprob")
     )
 
 
@@ -79,6 +96,10 @@ def score_documents(
     """
     if lm is None:
         lm = train_unigram_lm(docs, text_col=text_col)
+    oov_lp = None
+    if "oov_logprob" in lm.columns:
+        first = lm.select("oov_logprob").first()
+        oov_lp = first["oov_logprob"] if first is not None else None
     vocab = lm.select("token", "logprob")
     if broadcast_vocab:
         vocab = F.broadcast(vocab)
@@ -103,10 +124,23 @@ def score_documents(
     )
     from momyre_spark.functions.numeric import round_half_up
 
-    mean = F.when(
-        F.col("__n_iv") > 0,
-        round_half_up(F.col("__lp_sum").cast("double") / F.col("__n_iv"), 4),
-    )
+    if oov_lp is not None:
+        # smoothed LM: OOV tokens are charged the reserved pseudo-type mass
+        # and INCLUDED in the mean (the trained-LM-on-new-data contract)
+        total_lp = (
+            F.col("__lp_sum")
+            + F.col("n_oov") * F.lit(oov_lp).cast("decimal(18,6)")
+        )
+        mean = round_half_up(
+            total_lp.cast("double") / F.col("n_tokens"), 4
+        )
+    else:
+        mean = F.when(
+            F.col("__n_iv") > 0,
+            round_half_up(
+                F.col("__lp_sum").cast("double") / F.col("__n_iv"), 4
+            ),
+        )
     return agg.select(id_col, "n_tokens", "n_oov", mean.alias("mean_logprob"))
 
 

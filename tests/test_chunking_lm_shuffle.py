@@ -233,3 +233,33 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
     )
     out = [r["doc_id"] for r in weighted_sample_k(df, 10, "w").collect()]
     assert out == [3]
+
+
+# ------------------------------------------------------------ smoothing --
+def test_smoothed_lm_charges_oov(spark):
+    from momyre_spark.operators.lm import score_documents, train_unigram_lm
+
+    train = spark.createDataFrame([Row(doc_id=1, text="a a a b")])
+    lm = train_unigram_lm(train, smoothing_k=1.0)
+    # V=2, total=4, denom = ln(4 + 3) ; p(a)=(3+1)/7, p(b)=(1+1)/7, oov=1/7
+    got = {r["token"]: float(r["logprob"]) for r in lm.collect()}
+    assert abs(got["a"] - math.log(4 / 7)) < 1e-5
+    assert abs(got["b"] - math.log(2 / 7)) < 1e-5
+    new = spark.createDataFrame([Row(doc_id=9, text="a zzz")])
+    (row,) = score_documents(new, lm=lm).collect()
+    assert row["n_oov"] == 1
+    want = (math.log(4 / 7) + math.log(1 / 7)) / 2
+    assert abs(row["mean_logprob"] - want) < 1e-3
+
+
+def test_score_shuffle_join_path_matches_broadcast(spark):
+    from momyre_spark.operators.lm import score_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"common words t{i % 4}") for i in range(40)]
+    )
+    a = {r["doc_id"]: r["mean_logprob"]
+         for r in score_documents(df, broadcast_vocab=True).collect()}
+    b = {r["doc_id"]: r["mean_logprob"]
+         for r in score_documents(df, broadcast_vocab=False).collect()}
+    assert a == b

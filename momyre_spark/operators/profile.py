@@ -126,3 +126,64 @@ def column_histogram(
     return exploded.groupBy("e.col_name", "e.bin", "e.lo", "e.hi").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def drift_report(
+    spark,
+    root: str,
+    cols: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+    exact_ndv: bool = False,
+) -> DataFrame:
+    """Column-stat drift between two snapshot versions — the day-over-day
+    data-quality monitor: run it after each ingest commit and alert when a
+    column's null rate jumps or its range/NDV shifts (schema rot, upstream
+    encoding changes, a crawler gone wrong).
+
+    Reads both versions from the snapshot store (time travel — the old
+    version costs no extra storage under copy-on-write), profiles each in
+    one scan, and joins the long-form stats per column. Output row per
+    column: rows/nulls/ndv for both sides plus deltas, with the null RATE
+    delta the headline alert signal (count deltas are meaningless when the
+    corpus grew).
+    """
+    from momyre_spark.sinks.snapshots import current_version, snapshot_read
+
+    if to_version is None:
+        to_version = current_version(spark, root)
+    a = profile_columns(
+        snapshot_read(spark, root, version=from_version), cols, exact_ndv
+    ).select(
+        F.col("col_name"),
+        F.col("n_rows").alias("rows_from"),
+        F.col("n_nulls").alias("nulls_from"),
+        F.col("ndv").alias("ndv_from"),
+        F.col("min_num").alias("min_from"),
+        F.col("max_num").alias("max_from"),
+    )
+    b = profile_columns(
+        snapshot_read(spark, root, version=to_version), cols, exact_ndv
+    ).select(
+        F.col("col_name"),
+        F.col("n_rows").alias("rows_to"),
+        F.col("n_nulls").alias("nulls_to"),
+        F.col("ndv").alias("ndv_to"),
+        F.col("min_num").alias("min_to"),
+        F.col("max_num").alias("max_to"),
+    )
+    nr_from = F.col("nulls_from") / F.greatest(F.col("rows_from"), F.lit(1))
+    nr_to = F.col("nulls_to") / F.greatest(F.col("rows_to"), F.lit(1))
+    return (
+        a.join(b, "col_name", "full_outer")
+        .withColumn(
+            "null_rate_delta", round_half_up(nr_to - nr_from, 4)
+        )
+        .withColumn("ndv_delta", F.col("ndv_to") - F.col("ndv_from"))
+        .withColumn(
+            "range_widened",
+            (F.col("min_to") < F.col("min_from"))
+            | (F.col("max_to") > F.col("max_from")),
+        )
+        .orderBy("col_name")
+    )

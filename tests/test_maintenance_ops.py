@@ -175,3 +175,32 @@ def test_grouped_topk_ascending(spark):
     df = spark.createDataFrame([("a", 3), ("a", 1), ("a", 2)], "g string, v int")
     got = [r["v"] for r in grouped_topk(df, ["g"], "v", 2, descending=False).orderBy("rank").collect()]
     assert got == [1, 2]
+
+
+def test_drift_report_between_snapshot_versions(spark, tmp_path):
+    from momyre_spark.operators.profile import drift_report
+    from momyre_spark.sinks.snapshots import snapshot_write
+
+    root = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(i, float(i % 10), f"s{i % 3}") for i in range(100)],
+        "id long, val double, cat string",
+    )
+    snapshot_write(spark, v1, root)
+    v2 = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else float(i % 10), f"s{i % 5}")
+         for i in range(200)],
+        "id long, val double, cat string",
+    )
+    snapshot_write(spark, v2, root)
+
+    rep = {
+        r["col_name"]: r
+        for r in drift_report(
+            spark, root, ["val", "cat"], from_version=1, exact_ndv=True
+        ).collect()
+    }
+    assert rep["val"]["rows_from"] == 100 and rep["val"]["rows_to"] == 200
+    assert rep["val"]["null_rate_delta"] == 0.25  # 0 -> 50/200
+    assert rep["cat"]["ndv_delta"] == 2  # 3 -> 5 categories
+    assert rep["val"]["range_widened"] is False

@@ -858,3 +858,26 @@ def snapshot_rollback(
         if carry in man:
             new[carry] = man[carry]
     return _commit(spark, root, new)
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    root: str,
+    view_name: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> None:
+    """Expose a snapshot version to ``spark.sql`` as a temp view — the
+    SQL face of time travel:
+
+        register_snapshot_view(spark, root, "docs_v3", version=3)
+        spark.sql("SELECT source, count(*) FROM docs_v3 GROUP BY 1")
+
+    The view is bound to the version's manifest at registration time, so
+    concurrent ingestion never shifts the data under a running SQL session
+    (reader isolation carries over to the SQL surface).
+    """
+    df = snapshot_read(
+        spark, root, version=version, partition_filter=partition_filter
+    )
+    df.createOrReplaceTempView(view_name)

@@ -668,3 +668,20 @@ def test_rollback_then_merge_continues_history(spark, tmp_path):
     assert _state(snapshot_read(spark, root)) == [
         ("a", 1, "eu"), ("b", 20, "us")
     ]
+
+
+def test_sql_view_over_versions_is_isolated(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import register_snapshot_view
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]),
+                   root, partition_by=["region"])
+    register_snapshot_view(spark, root, "t_v1", version=1)
+    snapshot_write(spark, _df(spark, [("a", 99, "eu")]),
+                   root, partition_by=["region"])
+    register_snapshot_view(spark, root, "t_cur")
+    # v1 view still sees the old state after the new commit
+    assert spark.sql("SELECT sum(val) FROM t_v1").first()[0] == 3
+    assert spark.sql("SELECT sum(val) FROM t_cur").first()[0] == 99
+    spark.catalog.dropTempView("t_v1")
+    spark.catalog.dropTempView("t_cur")

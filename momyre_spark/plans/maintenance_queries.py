@@ -359,3 +359,33 @@ def emb_pca_project(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("pca"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Sketch mergeability on the time axis (operators/sketches.py): hourly HLL
+# sketches of active users merged into daily distinct counts WITHOUT
+# rescanning events — the maintained-rollup shape (each ingest hour adds a
+# sketch row; any coarser rollup is a union of sketch state). Rows-only
+# (sketch bytes engine-specific); tests/test_sketches.py pins the merge
+# law, and the hourly->daily rollup here is the same union path.
+# --------------------------------------------------------------------------
+@query("stats_window_ndv_sketch")
+def stats_window_ndv_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sketches import (
+        estimate_ndv,
+        merge_ndv_sketches,
+        ndv_sketch_table,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("hour", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+    )
+    hourly = ndv_sketch_table(ev, ["day", "hour"], "user_id")
+    daily = merge_ndv_sketches(hourly.drop("hour"), ["day"])
+    return (
+        estimate_ndv(daily)
+        .select(F.col("day").cast("string").alias("day"), "ndv_estimate")
+        .orderBy("day")
+    )

@@ -47,6 +47,7 @@ _ROWS_ONLY = {
     # DataSketches HLL bytes/estimates are engine-specific; tolerance vs
     # exact and the merge law are pinned in test_sketches.py.
     "stats_ndv_sketch",
+    "stats_window_ndv_sketch",
     # Eigen-decomposition is not SQL; orthonormality, numpy parity,
     # partitioning invariance and whitening are pinned in test_pca.py.
     "emb_pca_project",

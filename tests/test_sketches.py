@@ -64,3 +64,36 @@ def test_rollup_merge_to_coarser_grouping(spark):
     ).collect()
     exact = df.select(F.countDistinct("uid")).first()[0]
     assert abs(row["ndv_estimate"] - exact) / exact < 0.05
+
+
+def test_hourly_to_daily_rollup_matches_direct_daily(spark):
+    """Merging hourly sketches must equal sketching the day directly —
+    the maintained-rollup contract on the time axis."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(
+            ts=dt.datetime(2024, 1, 1 + (i % 3), (i * 7) % 24, 0, 0),
+            user_id=i % 311,
+        )
+        for i in range(5000)
+    ]
+    ev = spark.createDataFrame(rows).select(
+        F.date_trunc("hour", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+    )
+    hourly = ndv_sketch_table(ev, ["day", "hour"], "user_id")
+    rolled = {
+        str(r["day"]): r["ndv_estimate"]
+        for r in estimate_ndv(
+            merge_ndv_sketches(hourly.drop("hour"), ["day"])
+        ).collect()
+    }
+    direct = {
+        str(r["day"]): r["ndv_estimate"]
+        for r in estimate_ndv(ndv_sketch_table(ev, ["day"], "user_id")).collect()
+    }
+    assert rolled == direct

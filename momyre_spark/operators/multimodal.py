@@ -336,3 +336,123 @@ def with_wav_payload(
     return docs.select(id_col, chars_col).mapInPandas(
         run, schema=f"{id_col} long, payload binary"
     )
+
+
+def synth_avi(seed: int, n_frames: int, width: int, height: int,
+              fps: int = 24) -> bytes:
+    """Deterministic minimal AVI container: RIFF('AVI ') with a LIST(hdrl)
+    holding a real 'avih' main header (microseconds/frame, total frames,
+    dimensions) and a stub 'movi' list. A REAL RIFF form — the probe below
+    walks it exactly like a player's demuxer walks the header."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        0, 0, 0,
+        n_frames,
+        0, 1, 0,
+        width, height,
+        0, 0, 0, 0,
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def probe_avi(payload: bytes):
+    """Parse an AVI container's main header (RIFF chunk walk into
+    LIST(hdrl) -> 'avih'). Returns (width, height, fps_x1000, n_frames,
+    duration_ms). Pure struct — the same honest-subset contract as the
+    WAV/netpbm decoders; fail-stop on non-AVI."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("momyre: not a RIFF/AVI payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            inner = body[4:]
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                icid = inner[ipos : ipos + 4]
+                isize = struct.unpack("<I", inner[ipos + 4 : ipos + 8])[0]
+                if icid == b"avih":
+                    h = struct.unpack(
+                        "<14I", inner[ipos + 8 : ipos + 8 + 56]
+                    )
+                    usec_pf, n_frames = h[0], h[4]
+                    width, height = h[8], h[9]
+                    if usec_pf == 0:
+                        raise ValueError("momyre: AVI header has zero frame period")
+                    fps_x1000 = round(1_000_000_000 / usec_pf)
+                    duration_ms = n_frames * usec_pf // 1000
+                    return width, height, fps_x1000, n_frames, duration_ms
+                ipos += 8 + isize + (isize % 2)
+        pos += 8 + size + (size % 2)
+    raise ValueError("momyre: AVI missing avih header")
+
+
+def extract_video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Probe AVI payloads (real container-header parse) into typed video
+    metadata: ``(id, width, height, fps_x1000, n_frames, duration_ms)``.
+    Header-only — no codec work, so a 100 TB video corpus probes at
+    IO-of-headers cost. Arrow-batched mapInPandas, map-only; fail-stop on
+    non-AVI payloads (decode of actual frames needs codec libs, honestly
+    absent here — frame SAMPLING over synthetic frames is sample_frames)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, width int, height int, fps_x1000 long, "
+        "n_frames long, duration_ms long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, fps, nf, dur = probe_avi(bytes(payload))
+                rows.append((int(rid), w, h, fps, nf, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "fps_x1000",
+                         "n_frames", "duration_ms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def with_avi_payload(
+    docs: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Manufacture deterministic AVI payloads from the documents table:
+    frame count / dimensions / fps derive from the row, the container from
+    synth_avi's closed form."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "payload": [
+                    synth_avi(
+                        int(i),
+                        n_frames=24 + int(c) % 480,
+                        width=320 + (int(i) % 4) * 160,
+                        height=180 + (int(i) % 4) * 90,
+                        fps=24 + (int(i) % 2) * 6,
+                    )
+                    for i, c in zip(pdf[id_col], pdf[chars_col])
+                ],
+            })
+
+    return docs.select(id_col, chars_col).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )

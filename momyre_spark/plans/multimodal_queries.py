@@ -87,3 +87,37 @@ def mm_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return extract_audio_meta(with_wav_payload(docs)).orderBy("doc_id")
+
+
+@query(
+    "mm_video_meta",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               24 + n_chars % 480 AS n_frames,
+               320 + (doc_id % 4) * 160 AS width,
+               180 + (doc_id % 4) * 90 AS height,
+               24 + (doc_id % 2) * 6 AS fps
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(round(1000000000.0 / (1000000 // fps)) AS BIGINT) AS fps_x1000,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST((n_frames * (1000000 // fps)) // 1000 AS BIGINT) AS duration_ms
+    FROM p ORDER BY doc_id
+    """,
+)
+def mm_video_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL AVI container-header parse (RIFF walk into LIST(hdrl)/avih —
+    the WAV move for video): typed dimensions/fps/duration at
+    header-IO cost, no codec. Payloads synthesized deterministically so
+    the oracle mirrors the header arithmetic (integer usec-per-frame
+    rounding included)."""
+    from momyre_spark.operators.multimodal import (
+        extract_video_meta, with_avi_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return extract_video_meta(with_avi_payload(docs)).orderBy("doc_id")

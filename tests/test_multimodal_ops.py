@@ -196,3 +196,22 @@ def test_wav_decode_fail_stop_on_non_pcm():
         decode_wav(wav)
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS....")
+
+
+def test_avi_probe_roundtrip_and_fail_stop():
+    import pytest as _pytest
+
+    from momyre_spark.operators.multimodal import probe_avi, synth_avi
+
+    w, h, fps, nf, dur = probe_avi(synth_avi(7, n_frames=120, width=1280,
+                                             height=720, fps=30))
+    assert (w, h, nf) == (1280, 720, 120)
+    assert fps == round(1_000_000_000 / (1_000_000 // 30))
+    assert dur == 120 * (1_000_000 // 30) // 1000
+    with _pytest.raises(ValueError, match="not a RIFF/AVI"):
+        probe_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="missing avih"):
+        import struct
+
+        body = b"AVI " + b"LIST" + struct.pack("<I", 4) + b"movi"
+        probe_avi(b"RIFF" + struct.pack("<I", len(body)) + body)

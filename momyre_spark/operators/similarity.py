@@ -327,6 +327,10 @@ def _centroid_rows(
             emb.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
         )
         return [(int(r[id_col]), _unit(list(r[vec_col]))) for r in rows]
+    # explicit centroids: either bare vectors (ids = position) or
+    # id-carrying (cent_id, vector) tuples (e.g. a cached first_c resolve)
+    if centroids and isinstance(centroids[0], tuple):
+        return [(int(i), _unit(list(v))) for i, v in centroids]
     return [(i, _unit(c)) for i, c in enumerate(centroids)]
 
 

@@ -1581,3 +1581,49 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("transitions"))
         .orderBy(F.desc("transitions"), "event_type", "next_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Growth analytics: month-over-month revenue with pct change — lag over an
+# AGGREGATED frame (the two-level window-after-groupBy shape). Months are
+# epoch-truncated bigints (engine-neutral); revenue is the exact decimal
+# sum; the pct ratio divides two identical doubles, then one round4.
+# --------------------------------------------------------------------------
+@query(
+    "q77_mom_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+                   AS month_epoch,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month_epoch, revenue,
+           {round4_sql("CASE WHEN lag(revenue) OVER (ORDER BY month_epoch) IS NULL THEN NULL ELSE 100.0 * (revenue - lag(revenue) OVER (ORDER BY month_epoch)) / lag(revenue) OVER (ORDER BY month_epoch) END")}
+               AS mom_pct
+    FROM m ORDER BY month_epoch
+    """,
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate")
+        .cast("timestamp")
+        .cast("long")
+        .alias("month_epoch")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month_epoch")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_epoch",
+        "revenue",
+        F.when(
+            prev.isNotNull(),
+            round_half_up(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4),
+        ).alias("mom_pct"),
+    ).orderBy("month_epoch")

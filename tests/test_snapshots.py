@@ -685,3 +685,27 @@ def test_sql_view_over_versions_is_isolated(spark, tmp_path):
     assert spark.sql("SELECT sum(val) FROM t_cur").first()[0] == 99
     spark.catalog.dropTempView("t_v1")
     spark.catalog.dropTempView("t_cur")
+
+
+def test_concurrent_writer_commit_rejected(spark, tmp_path):
+    """Optimistic concurrency: a writer holding a stale current_version
+    must fail its commit (not clobber) once another writer has advanced
+    the table."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from momyre_spark.sinks.snapshots import _commit, read_manifest
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root,
+                   partition_by=["region"])
+    # writer B advances to v2 while writer A still thinks parent is v1
+    snapshot_write(spark, _df(spark, [("b", 2, "eu")]), root,
+                   partition_by=["region"])
+    stale = dict(read_manifest(spark, root, 2))
+    stale["version"] = 2  # A's attempt: same version number as B's commit
+    with _pytest.raises(RuntimeError, match="concurrent writer|not advance"):
+        _commit(spark, root, stale)
+    # table state unharmed
+    assert current_version(spark, root) == 2

@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prep mode: quality gate token floor")
     p.add_argument("--min-quality", type=float, default=0.3,
                    help="prep mode: quality gate score floor")
+    p.add_argument("--prep-format", choices=["parquet", "tar"],
+                   default="parquet",
+                   help="prep mode: parquet dataset or WebDataset-style "
+                        "tar shards")
     return p
 
 
@@ -154,6 +158,24 @@ def run_prep(spark, args) -> int:
         args.num_shards,
         id_col="__ck",
     ).drop("__ck")
+    if args.prep_format == "tar":
+        from momyre_spark.sinks.export import write_tar_shards
+
+        keyed2 = sharded.withColumn(
+            "__k",
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.col("chunk_id").cast("string"),
+            ),
+        )
+        write_tar_shards(
+            keyed2, args.prep_output,
+            key_col="__k", payload_col="chunk_text",
+        )
+        print(f"prep: wrote {args.num_shards} tar shards to "
+              f"{args.prep_output}", file=sys.stderr)
+        return 0
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         args.prep_output
     )

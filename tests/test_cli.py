@@ -121,3 +121,22 @@ def test_prep_mode_requires_paths(tmp_path):
     from momyre_spark.cli import main
 
     assert main(["--mode", "prep"]) == 2
+
+
+def test_prep_mode_tar_format(spark, tmp_path):
+    from momyre_spark.cli import main
+    from momyre_spark.sinks.export import read_tar_shards
+
+    out = str(tmp_path / "tars")
+    rc = main([
+        "--mode", "prep",
+        "--prep-input", "/root/testdata/sf0.001/documents.parquet",
+        "--prep-output", out,
+        "--chunk-window", "64",
+        "--num-shards", "4",
+        "--prep-format", "tar",
+    ])
+    assert rc == 0
+    back = read_tar_shards(spark, f"{out}/shard-*.tar")
+    assert back.count() > 0
+    assert back.select("shard").distinct().count() == 4

@@ -99,3 +99,44 @@ def test_ingest_epoch_replay_is_noop(spark, tmp_path):
     assert read_manifest(spark, root, v1)["batch_id"] == 0
     state = [r["_id"] for r in snapshot_read(spark, root).collect()]
     assert state == ["1"]
+
+
+def test_ingest_compact_vacuum_ingest_lifecycle(spark, tmp_path):
+    """The maintenance loop composes with live ingestion: several ingest
+    versions -> OPTIMIZE compaction -> vacuum past the horizon -> more
+    ingestion. State stays correct, epoch replay markers survive the
+    compaction commit, and dedup still sees the whole corpus."""
+    from momyre_spark.sinks.snapshots import (
+        list_versions,
+        snapshot_compact,
+        snapshot_vacuum,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    _write_batch(src, "b1.json",
+                 [{"doc_id": 1, "text": "alpha beta gamma", "src": "a"}])
+    _ingest(spark, src, root, ck)
+    _write_batch(src, "b2.json",
+                 [{"doc_id": 2, "text": "delta epsilon zeta", "src": "a"}])
+    _ingest(spark, src, root, ck)
+    _write_batch(src, "b2b.json",
+                 [{"doc_id": 3, "text": "kappa lambda mu", "src": "a"}])
+    _ingest(spark, src, root, ck)
+
+    v = snapshot_compact(spark, root, target_file_bytes=1 << 30)  # may no-op
+    dropped = snapshot_vacuum(spark, root, keep_last=2, sweep_orphans=True)
+    assert dropped  # old ingest versions expired
+
+    # ingestion continues after maintenance; corpus-wide dedup still holds
+    _write_batch(src, "b3.json", [
+        {"doc_id": 9, "text": "alpha beta gamma", "src": "b"},   # corpus dup
+        {"doc_id": 10, "text": "eta theta iota", "src": "b"},
+    ])
+    _ingest(spark, src, root, ck)
+    state = {r["_id"]: r["text"] for r in snapshot_read(spark, root).collect()}
+    assert set(state) == {"1", "2", "3", "10"}
+    assert list_versions(spark, root)[-1] > (v or 0)

@@ -1,14 +1,15 @@
-"""TPC-H shape completion: the 14 query shapes (Q2, Q4, Q9-Q11, Q13,
+"""TPC-H shape completion: the 16 query shapes (Q2, Q4, Q6, Q8-Q11, Q13,
 Q15-Q22) not already covered by core/analytics queries (Q1 -> q11, Q3 ->
 q32, Q5 -> q33, Q7 -> q58, Q12 -> q59, Q14 -> q60). With this module the
-engine pins every TPC-H access pattern: correlated min (Q2), EXISTS with a
-date offset (Q4), multi-way profit rollup (Q9), top-k revenue report (Q10),
-global-threshold scalar subquery (Q11), outer-join count distribution
-(Q13), argmax-by-aggregate (Q15), NOT IN + count-distinct (Q16),
-per-group-average correlated filter (Q17), HAVING-IN join-back (Q18),
-disjunctive multi-column OR predicates (Q19), nested IN chain (Q20),
-waiting-supplier multi-EXISTS (Q21), and anti-join + scalar-average
-threshold (Q22).
+engine pins every TPC-H access pattern — all 22: correlated min (Q2),
+EXISTS with a date offset (Q4), pure scan-filter-aggregate (Q6), market
+share conditional-sum ratio (Q8), multi-way profit rollup (Q9), top-k
+revenue report (Q10), global-threshold scalar subquery (Q11), outer-join
+count distribution (Q13), argmax-by-aggregate (Q15), NOT IN +
+count-distinct (Q16), per-group-average correlated filter (Q17),
+HAVING-IN join-back (Q18), disjunctive multi-column OR predicates (Q19),
+nested IN chain (Q20), waiting-supplier multi-EXISTS (Q21), and anti-join
++ scalar-average threshold (Q22).
 
 Schema adaptations (testdata has no partsupp / shipmode / receiptdate /
 phone): the distinct (l_partkey, l_suppkey) projection of lineitem stands
@@ -691,4 +692,117 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape: forecasting revenue change — the pure scan-filter-aggregate
+# (no join at all); every predicate sargable and pushed. The simplest TPC-H
+# query and the purest pushdown/codegen test.
+# --------------------------------------------------------------------------
+@query(
+    "q78_tpch_q6_shape",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 shape: national market share — one nation's volume fraction within a
+# region's market per year. Conditional-sum ratio over a 6-way join; both
+# sums exact decimal cast to double before ONE division per year.
+# --------------------------------------------------------------------------
+@query(
+    "q79_tpch_q8_shape",
+    oracle=f"""
+    WITH all_nations AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST({_VOL} AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           {round4_sql(
+               "CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume "
+               "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+               " / CAST(sum(volume) AS DOUBLE)")} AS mkt_share
+    FROM all_nations GROUP BY 1 ORDER BY 1
+    """,
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    vol = _vol().cast("decimal(18,4)")
+    nation_vol = F.when(
+        F.col("supp_nation") == "NATION_7", F.col("volume")
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    an = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        an.groupBy("o_year")
+        .agg(
+            F.sum(nation_vol).cast("double").alias("__nat"),
+            F.sum("volume").cast("double").alias("__all"),
+        )
+        .select(
+            "o_year",
+            round_half_up(F.col("__nat") / F.col("__all"), 4).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
     )

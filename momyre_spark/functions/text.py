@@ -221,3 +221,32 @@ def content_fingerprint(text: Column) -> Column:
     """Order-insensitive (bag-of-words) fingerprint: md5 over the sorted
     distinct token set."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(text))))))
+
+
+# HTML strip patterns: deliberately simple enough to mean the same thing in
+# Java regex (Spark) and RE2 (DuckDB) — no backrefs, no lookarounds.
+# two explicit patterns, not one with a backref — RE2 (DuckDB) has no \1
+HTML_SCRIPT = r"(?s)<script[^>]*>.*?</script\s*>"
+HTML_STYLE = r"(?s)<style[^>]*>.*?</style\s*>"
+HTML_TAG = r"<[^>]+>"
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Crawl-page -> text: drop script/style blocks wholesale, strip the
+    remaining tags, decode the six common entities, collapse whitespace.
+    Pure regexp_replace chain (codegen); order is load-bearing (script
+    bodies must go BEFORE generic tag stripping; `&amp;` decodes LAST so
+    double-encoded `&amp;lt;` does not re-decode) and mirrored in the
+    oracle.
+    """
+    out = F.regexp_replace(text, HTML_SCRIPT, " ")
+    out = F.regexp_replace(out, HTML_STYLE, " ")
+    out = F.regexp_replace(out, HTML_TAG, " ")
+    for ent, rep in [e for e in HTML_ENTITIES if e[0] != "&amp;"]:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, "&amp;", "&")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

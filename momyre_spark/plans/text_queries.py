@@ -696,3 +696,67 @@ def text_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return source_divergence(docs).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# HTML stripping (functions/text.strip_html): crawl-page -> training text.
+# The documents table has no markup, so the query wraps each doc in a
+# deterministic HTML shell (tags + entities + a script block derived from
+# the row) and strips it back — the oracle mirrors both the wrapping and
+# the identical backref-free regex chain, so the output must equal the
+# original text whitespace-collapsed.
+# --------------------------------------------------------------------------
+@query(
+    "text_html_strip",
+    oracle="""
+    WITH wrapped AS (
+        SELECT doc_id,
+               '<html><head><script type="text/javascript">var x_' ||
+               CAST(doc_id AS VARCHAR) ||
+               ' = 1;</script></head><body><h1>T&amp;C ' ||
+               CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+               '</p>&nbsp;<div class="f">&lt;end&gt;</div></body></html>'
+                   AS page
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           regexp_replace(
+                                               regexp_replace(page,
+                                                   '(?s)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+                                               '(?s)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+                                           '<[^>]+>', ' ', 'g'),
+                                       '&nbsp;', ' ', 'g'),
+                                   '&lt;', '<', 'g'),
+                               '&gt;', '>', 'g'),
+                           '&quot;', '"', 'g'),
+                       '&#39;', CHR(39), 'g'),
+                   '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+    FROM wrapped
+    ORDER BY doc_id
+    """,
+)
+def text_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import strip_html
+
+    docs = load_table(spark, sf, "documents")
+    page = F.concat(
+        F.lit('<html><head><script type="text/javascript">var x_'),
+        F.col("doc_id").cast("string"),
+        F.lit(" = 1;</script></head><body><h1>T&amp;C "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p>&nbsp;<div class="f">&lt;end&gt;</div></body></html>'),
+    )
+    return docs.select("doc_id", strip_html(page).alias("clean")).orderBy(
+        "doc_id"
+    )

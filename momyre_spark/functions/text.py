@@ -250,3 +250,55 @@ def strip_html(text: Column) -> Column:
         out = F.regexp_replace(out, ent, rep)
     out = F.regexp_replace(out, "&amp;", "&")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --------------------------------------------------------------- URLs -----
+# Query params dropped during URL canonicalization: click-tracking noise
+# that makes one page crawl as many URLs. The same regex runs in the DuckDB
+# oracle (Java regex / RE2 compatible subset).
+URL_TRACKING_PARAM = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-dedup URL canonicalization, entirely in codegen'd expressions:
+
+    - scheme + host lowercased; default ports (http:80 / https:443) dropped
+    - fragment dropped
+    - tracking params (``URL_TRACKING_PARAM``) removed, the rest SORTED so
+      param order doesn't split one page into many keys
+    - trailing slash stripped (except the root path); empty path -> ``/``
+
+    Built on regexp_extract/split/filter/array_sort — not ``parse_url`` —
+    so the byte-for-byte identical transform runs under DuckDB for the
+    oracle (java.net.URI's host/port splitting can't be mirrored exactly).
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & auth.endswith(":80"),
+        F.substring_index(auth, ":", 1),
+    ).when(
+        (scheme == "https") & auth.endswith(":443"),
+        F.substring_index(auth, ":", 1),
+    ).otherwise(auth)
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda x: (x != "") & ~x.rlike(URL_TRACKING_PARAM),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

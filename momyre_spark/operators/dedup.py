@@ -434,6 +434,69 @@ def simhash_pairs(
     )
 
 
+def hamming_neardup_pairs(
+    fps: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    hash_col: str = "fp",
+    bits: int = 64,
+) -> DataFrame:
+    """Generic hamming-distance pair join over any integer fingerprint
+    column (SimHash, image dHash, audio chromaprint, ...).
+
+    Pigeonhole blocking generalized to arbitrary radius: split the ``bits``
+    fingerprint into ``max_hamming + 1`` contiguous blocks — two
+    fingerprints within ``max_hamming`` must agree on at least one whole
+    block, so ``(block_index, block_value)`` is a complete equi-join key and
+    the join is never all-pairs. Exact (lossless): candidates are verified
+    with the true ``bit_count(xor)`` distance.
+
+    Works on SIGNED longs: ``shiftrightunsigned`` treats the value as the
+    raw 64-bit pattern, so full-width hashes (top bit set -> negative long)
+    block and compare correctly.
+    """
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= bits:
+        raise ValueError(f"max_hamming must be in [0, {bits - 1}]")
+    # nearly-equal contiguous blocks covering [0, bits)
+    bounds = [(i * bits) // n_blocks for i in range(n_blocks + 1)]
+
+    def _mask(width: int) -> int:
+        m = (1 << width) - 1
+        return m - (1 << 64) if m >= 1 << 63 else m  # signed-64 pattern
+
+    chunk = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), bounds[i]).bitwiseAND(
+                F.lit(_mask(bounds[i + 1] - bounds[i])).cast("long")
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocked = fps.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__fp"),
+        F.posexplode(chunk).alias("block", "bv"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    ham = F.bit_count(F.col("l.__fp").bitwiseXOR(F.col("r.__fp")))
+    return (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("l.__id").alias("a_id"),
+            F.col("r.__id").alias("b_id"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     a_col: str = "a_id",

@@ -221,6 +221,194 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+# ------------------------------------------------------- perceptual hash ---
+DHASH_SCHEMA = "doc_id long, dhash long, width int, height int"
+
+
+def synth_image(
+    seed: int, width: int, height: int, noise_px: int = 0, channels: int = 1
+) -> bytes:
+    """Deterministic smooth netpbm image: a sum of four triangle-kernel
+    'blobs' whose centers/amplitudes derive from md5(seed). The content is a
+    function of NORMALIZED coordinates, so the same seed rendered at any
+    resolution depicts the same picture — which is exactly what a
+    perceptual hash must be invariant to. ``noise_px`` inverts that many
+    md5-chosen pixels (a near-duplicate, not a re-render)."""
+    import numpy as np
+
+    nblobs = 6
+    digest = hashlib.md5(b"img:%d" % seed).digest()
+    while len(digest) < nblobs * 3:
+        digest += hashlib.md5(digest).digest()
+    xs = (np.arange(width, dtype=np.int64) * 256) // width
+    ys = (np.arange(height, dtype=np.int64) * 256) // height
+    # six signed blobs around mid-gray: enough entropy that unrelated seeds
+    # land far apart in dhash space (4 unsigned blobs measured a 2% false
+    # near-dup rate at 500 images; this form measures ~0.3% at radius 6)
+    g = np.full((height, width), 128, dtype=np.int64)
+    for k in range(nblobs):
+        cx, cy, a = digest[k * 3], digest[k * 3 + 1], digest[k * 3 + 2]
+        amp = (64 + a % 192) * (1 if a % 2 else -1)
+        tx = np.maximum(0, 255 - np.abs(xs - cx) * 2)
+        ty = np.maximum(0, 255 - np.abs(ys - cy) * 2)
+        g += amp * ty[:, None] * tx[None, :] // (255 * 255)
+    g = np.clip(g, 0, 255).astype(np.uint8)
+    if noise_px:
+        nd = hashlib.md5(b"noise:%d:%d" % (seed, noise_px)).digest()
+        while len(nd) < noise_px * 4:
+            nd += hashlib.md5(nd).digest()
+        for p in range(noise_px):
+            x = int.from_bytes(nd[p * 4 : p * 4 + 2], "big") % width
+            y = int.from_bytes(nd[p * 4 + 2 : p * 4 + 4], "big") % height
+            g[y, x] = 255 - g[y, x]
+    if channels == 3:
+        g = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        g = g[:, :, None]
+    return encode_netpbm(g)
+
+
+def dhash64(arr) -> int:
+    """Difference hash of a decoded uint8 image array[h, w, c]: grayscale ->
+    9x8 box-mean downsample (integral image, integer arithmetic) ->
+    bit(r, c) = mean[r, c+1] > mean[r, c] -> 64-bit fingerprint (returned as
+    the SIGNED 64-bit pattern so it round-trips a Spark long).
+
+    Box means over an exact integral image (not nearest-neighbor taps) are
+    what buys resolution invariance: every source pixel votes, so the same
+    picture at 64x48 and 640x480 lands on the same 72 means."""
+    import numpy as np
+
+    h, w, c = arr.shape
+    if w < 9 or h < 8:
+        raise ValueError(f"momyre: image {w}x{h} too small for dhash (need >= 9x8)")
+    gray = arr.astype(np.int64).sum(axis=2) // c
+    cs = np.zeros((h + 1, w + 1), dtype=np.int64)
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    bx = (np.arange(10) * w) // 9
+    by = (np.arange(9) * h) // 8
+    s = cs[by][:, bx]
+    box = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    cnt = (by[1:] - by[:-1])[:, None] * (bx[1:] - bx[:-1])[None, :]
+    means = box // cnt
+    bits = (means[:, 1:] > means[:, :-1]).astype(np.uint64)  # (8, 8)
+    shifts = (np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+              + np.arange(8, dtype=np.uint64)[None, :])
+    packed = np.bitwise_or.reduce((bits << shifts).ravel())
+    return int(packed.astype(np.int64))
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """Perceptual fingerprint per image payload: netpbm decode -> dhash64.
+    Map-only Arrow-batched mapInPandas — the bytes never leave the executor;
+    only (id, 64-bit hash, dims) flow downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, hts = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[data_col]):
+                w, h, _, arr = decode_netpbm(bytes(payload))
+                ids.append(int(did))
+                hs.append(dhash64(arr))
+                ws.append(w)
+                hts.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hts, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Near-duplicate image pairs by dhash hamming distance.
+
+    Decode+hash is map-only; candidate generation is the generic pigeonhole
+    block join (``dedup.hamming_neardup_pairs``): ``max_hamming + 1``
+    contiguous bit-blocks, join on (block, value) — never all-pairs, exact
+    after the bit_count verify. The 100 TB shape: payload bytes reduce to 8
+    bytes/image before the only shuffle."""
+    from momyre_spark.operators.dedup import hamming_neardup_pairs
+
+    fps = image_dhash(df, id_col=id_col, data_col=data_col)
+    return hamming_neardup_pairs(
+        fps, max_hamming=max_hamming, id_col="doc_id", hash_col="dhash"
+    )
+
+
+def with_image_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Manufacture deterministic netpbm payloads from the documents table.
+
+    The image CONTENT seed is md5(text) — text-duplicate documents render
+    the identical picture, like a crawl re-hosting the same asset. Every
+    50th doc additionally renders its predecessor's content at a DIFFERENT
+    resolution with a few flipped pixels: a planted scale-variant
+    near-duplicate that exact digests cannot catch but dhash must."""
+    import pandas as pd
+
+    # Resolve the predecessor's text with a JOIN (not a per-batch lookup:
+    # neighbor rows are not co-located in general, and a batch-local lookup
+    # would make the planted set depend on partitioning).
+    pred = docs.select(
+        (F.col(id_col) + 1).alias("__pid"), F.col(text_col).alias("__pred")
+    )
+    src = (
+        docs.select(id_col, text_col)
+        .join(pred, F.col(id_col) == F.col("__pid"), "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                (F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull(),
+                F.col("__pred"),
+            )
+            .otherwise(F.col(text_col))
+            .alias("__src"),
+            ((F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull()).alias(
+                "__planted"
+            ),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, text, planted in zip(
+                pdf[id_col], pdf["__src"], pdf["__planted"]
+            ):
+                did = int(did)
+                seed = int.from_bytes(
+                    hashlib.md5(text.encode("utf-8")).digest()[:6], "big"
+                )
+                w = 96 + (did % 3) * 32
+                h = 64 + (did % 2) * 32
+                out.append(
+                    (did, synth_image(seed, w, h,
+                                      noise_px=8 if planted else 0,
+                                      channels=3 if did % 2 else 1))
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series([o[0] for o in out], dtype="int64"),
+                    "data": pd.Series([o[1] for o in out], dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=f"{id_col} long, data binary")
+
+
 # ---------------------------------------------------------------- audio ---
 def synth_wav(seed: int, n_samples: int, rate: int) -> bytes:
     """Deterministic mono 16-bit PCM WAV: sample i = (seed*31 + i*7) %

@@ -656,3 +656,110 @@ def dedup_cross_source(spark: SparkSession, sf: str) -> DataFrame:
     return cross_source_overlap(docs, key="content").orderBy(
         "source_a", "source_b"
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (functions/text.canonicalize_url): one crawl
+# page hides behind scheme/host case, default ports, fragments, tracking
+# params, param order, and trailing slashes. Canonicalize (map-only,
+# codegen'd regex/array expressions), then one groupBy on the canonical
+# key. URLs are synthesized deterministically from the documents table with
+# all six noise axes; the oracle performs the byte-identical transform in
+# DuckDB (same regexes, same sort, same reassembly).
+# --------------------------------------------------------------------------
+_URL_SYNTH_ORACLE = """
+    SELECT doc_id,
+           'HTTP' || CASE WHEN doc_id % 4 = 0 THEN 'S' ELSE '' END || '://'
+           || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+           || '.Example.COM'
+           || CASE WHEN doc_id % 5 = 0
+                   THEN CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END
+                   ELSE '' END
+           || '/News/' || CAST((doc_id // 20) % 7 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+           || '?utm_source=feed&b=2'
+           || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=XYZ9' ELSE '' END
+           || '#sec' AS url
+    FROM documents
+"""
+
+_URL_CANON_ORACLE = f"""
+    WITH u AS ({_URL_SYNTH_ORACLE}),
+    c AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+                   AS scheme,
+               lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS auth,
+               regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+               regexp_extract(url, '\\?([^#]*)', 1) AS qs
+        FROM u
+    ),
+    n AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN regexp_replace(auth, ':80$', '')
+                    WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN regexp_replace(auth, ':443$', '')
+                    ELSE auth END AS host,
+               CASE WHEN rawpath = '' THEN '/'
+                    WHEN rawpath <> '/' AND rawpath LIKE '%/'
+                    THEN substring(rawpath, 1, length(rawpath) - 1)
+                    ELSE rawpath END AS path,
+               array_to_string(list_sort(list_filter(
+                   string_split(qs, '&'),
+                   x -> x <> '' AND NOT regexp_matches(
+                       x, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)=')
+               )), '&') AS q
+        FROM c
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path
+               || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+        FROM n
+    )
+    SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM canon GROUP BY canonical_url HAVING count(*) > 1
+    ORDER BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import canonicalize_url
+
+    docs = load_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.COM"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(
+                F.lit(":80")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("/News/"),
+        (F.expr("doc_id DIV 20") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=2"),
+        F.lit("&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("&fbclid=XYZ9")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#sec"),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canonical_url")
+    )

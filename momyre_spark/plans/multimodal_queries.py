@@ -89,6 +89,27 @@ def mm_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     return extract_audio_meta(with_wav_payload(docs)).orderBy("doc_id")
 
 
+# Rows-only: the image-dhash pipeline (netpbm decode -> integral-image box
+# means -> difference bits) is not SQL-expressible. Correctness is pinned by
+# tests/test_multimodal_ops.py: dhash invariance under re-rendering at other
+# resolutions, noise tolerance, planted-pair recovery at exactly the
+# expected ids, inter-image distance floor, and a no-CartesianProduct plan
+# assert on the pigeonhole block join.
+@query("mm_image_dhash_pairs")
+def mm_image_dhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-dup image pairs: with_image_payload plants a
+    scale-variant noisy copy of every 50th document's picture; dhash +
+    pigeonhole hamming join recovers them without any all-pairs compare."""
+    from momyre_spark.operators.multimodal import (
+        image_neardup_pairs, with_image_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return image_neardup_pairs(
+        with_image_payload(docs), max_hamming=6
+    ).orderBy("a_id", "b_id")
+
+
 @query(
     "mm_video_meta",
     oracle="""

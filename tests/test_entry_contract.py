@@ -51,6 +51,10 @@ _ROWS_ONLY = {
     # Eigen-decomposition is not SQL; orthonormality, numpy parity,
     # partitioning invariance and whitening are pinned in test_pca.py.
     "emb_pca_project",
+    # netpbm decode -> integral-image box means -> difference bits is not
+    # SQL; invariance/noise/planted-pair/plan properties are pinned in
+    # test_multimodal_ops.py.
+    "mm_image_dhash_pairs",
 }
 
 

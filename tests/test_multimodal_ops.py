@@ -215,3 +215,118 @@ def test_avi_probe_roundtrip_and_fail_stop():
 
         body = b"AVI " + b"LIST" + struct.pack("<I", 4) + b"movi"
         probe_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------- perceptual hashing ---
+def _dh(seed, w, h, noise=0, ch=1):
+    from momyre_spark.operators.multimodal import (
+        decode_netpbm, dhash64, synth_image,
+    )
+
+    return dhash64(decode_netpbm(synth_image(seed, w, h, noise_px=noise,
+                                             channels=ch))[3])
+
+
+def _ham(a, b):
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_dhash_resolution_invariant():
+    """The same picture rendered at 96x64, 160x120 and 320x240 (RGB) must
+    hash within a few bits — integral-image box means make every source
+    pixel vote regardless of resolution."""
+    for seed in range(12):
+        a = _dh(seed, 96, 64)
+        b = _dh(seed, 160, 120)
+        c = _dh(seed, 320, 240, ch=3)
+        assert _ham(a, b) <= 4, (seed, _ham(a, b))
+        assert _ham(a, c) <= 4, (seed, _ham(a, c))
+
+
+def test_dhash_noise_tolerant_but_separating():
+    import itertools
+
+    for seed in range(12):
+        assert _ham(_dh(seed, 128, 96), _dh(seed, 128, 96, noise=8)) <= 6
+    hs = [_dh(s, 96, 64) for s in range(30)]
+    seps = sorted(_ham(a, b) for a, b in itertools.combinations(hs, 2))
+    # unrelated images are far apart on median; a rare tail collision is
+    # exactly why the operator verifies with the true distance
+    assert seps[len(seps) // 2] >= 14, seps[:5]
+
+
+def test_dhash_rejects_too_small():
+    import numpy as np
+    import pytest as _pytest
+
+    from momyre_spark.operators.multimodal import dhash64
+
+    with _pytest.raises(ValueError, match="too small"):
+        dhash64(np.zeros((4, 4, 1), dtype=np.uint8))
+
+
+def test_image_dhash_dataframe(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.multimodal import image_dhash, synth_image
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, data=bytearray(synth_image(i, 96, 64))) for i in range(4)]
+    )
+    out = image_dhash(df)
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "dhash": "bigint", "width": "int", "height": "int",
+    }
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["dhash"] == _dh(2, 96, 64)
+    assert (rows[2]["width"], rows[2]["height"]) == (96, 64)
+
+
+def test_image_neardup_pairs_planted_and_plan(spark):
+    """A scale-variant noisy copy must pair with its source; unrelated
+    images must not; and the candidate join must be a hash join on the
+    pigeonhole blocks, never a cartesian product."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.multimodal import image_neardup_pairs, synth_image
+
+    rows = [Row(doc_id=s, data=bytearray(synth_image(s, 96, 64)))
+            for s in range(10)]
+    # planted: seed 3 re-rendered at another resolution with noise, id 100
+    rows.append(Row(doc_id=100,
+                    data=bytearray(synth_image(3, 160, 120, noise_px=8))))
+    df = spark.createDataFrame(rows)
+    pairs = image_neardup_pairs(df, max_hamming=6)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (3, 100) in got
+    # no unrelated seed pairs with the planted copy
+    assert not any(b == 100 and a != 3 for a, b in got)
+
+
+def test_hamming_neardup_pairs_signed_longs(spark):
+    """Full-width fingerprints (top bit set -> negative long) must block and
+    verify correctly, at every radius."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import hamming_neardup_pairs
+
+    base = -(2**63) + 0b1011  # top bit set
+    rows = [
+        Row(doc_id=1, fp=base),
+        Row(doc_id=2, fp=base ^ (1 << 62)),       # hamming 1
+        Row(doc_id=3, fp=base ^ 0b111),           # hamming 3
+        Row(doc_id=4, fp=(base ^ -1) & -1),       # hamming 61 (complement)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in hamming_neardup_pairs(df, max_hamming=3, id_col="doc_id",
+                                       hash_col="fp").collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 3}
+    got0 = hamming_neardup_pairs(df, max_hamming=0, id_col="doc_id",
+                                 hash_col="fp").collect()
+    assert got0 == []

@@ -525,3 +525,34 @@ def test_frequent_items_support_validation(spark):
 
     with pytest.raises(ValueError, match="support"):
         frequent_items(spark.range(5), "id", support=0.0)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.functions.text import canonicalize_url
+
+    cases = [
+        # default ports stripped per scheme; host+scheme lowercased
+        ("HTTP://WWW.Ex.COM:80/a", "http://www.ex.com/a"),
+        ("https://Ex.com:443/a", "https://ex.com/a"),
+        # non-default port kept
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        # fragment dropped; empty path becomes /
+        ("https://ex.com#frag", "https://ex.com/"),
+        # trailing slash stripped except root
+        ("https://ex.com/a/b/", "https://ex.com/a/b"),
+        ("https://ex.com/", "https://ex.com/"),
+        # tracking params dropped, remainder sorted; empty query vanishes
+        ("https://ex.com/p?utm_source=x&b=2&a=1&gclid=g", "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?utm_campaign=c&fbclid=f", "https://ex.com/p"),
+        # path case is PRESERVED (case-sensitive on most servers)
+        ("https://ex.com/CaseSensitive", "https://ex.com/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([Row(i=i, url=u) for i, (u, _) in enumerate(cases)])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url(df.url).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

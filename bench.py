@@ -62,6 +62,10 @@ HEADLINE = [
     "pipe_chunk_documents",
     "text_source_divergence",
     "stats_ndv_sketch",
+    # round-3 third wave: perceptual-hash image dedup (mapInPandas decode +
+    # pigeonhole hamming join), codegen URL canonicalization dedup
+    "mm_image_dhash_pairs",
+    "dedup_url_canonical",
 ]
 
 

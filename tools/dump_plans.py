@@ -29,6 +29,8 @@ SHOWCASE = [
     ("pipe_chunk_documents", "chunking is map-only: scan -> generate -> project"),
     ("text_unigram_logprob", "vocab broadcasts onto per-doc term counts"),
     ("pipe_global_shuffle", "rank windows partition by hash bucket, not globally"),
+    ("mm_image_dhash_pairs", "hamming candidates via hash join on pigeonhole blocks (no cartesian)"),
+    ("dedup_url_canonical", "URL canonicalization fused into the scan; one groupBy exchange"),
 ]
 
 

@@ -1,0 +1,114 @@
+"""Conversation (SFT/chat) data preparation: explode JSON transcripts into
+typed turn rows and aggregate per-conversation statistics.
+
+Instruction-tuning corpora arrive as one JSON transcript per row
+(``[{"role": "user", "content": ...}, {"role": "assistant", ...}, ...]``).
+The Spark-first shape: ``from_json`` parses each transcript ONCE into an
+``array<struct<role,content>>`` (binary rows, not text), ``posexplode``
+fans out to one row per turn, and everything downstream (token counts,
+role filters, pair assembly) is plain codegen'd expressions. No Python in
+the pipeline; cost is one parse + one generate per document — the explode
+is map-only, so a 100 TB transcript corpus never shuffles until an
+aggregate asks it to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TURN_SCHEMA = "array<struct<role:string,content:string>>"
+
+
+def chat_turns(
+    df: DataFrame, json_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per conversation turn: ``(id, turn_idx, role, content)``.
+
+    Malformed JSON parses to NULL and yields zero turns (from_json's
+    PERMISSIVE contract) — a gate can count them via ``chat_stats``'s
+    ``n_turns = 0``. Map-only."""
+    parsed = F.from_json(F.col(json_col), TURN_SCHEMA)
+    return df.select(
+        F.col(id_col), F.posexplode(parsed).alias("turn_idx", "__t")
+    ).select(
+        id_col,
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("__t.role").alias("role"),
+        F.col("__t.content").alias("content"),
+    )
+
+
+def chat_stats(
+    df: DataFrame, json_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-conversation gate features, computed WITHOUT an explode+shuffle:
+    higher-order functions aggregate the parsed array in place (map-only),
+    emitting ``(id, n_turns, n_user, n_assistant, alternates,
+    assistant_tokens)``.
+
+    ``alternates`` is the SFT sanity gate: roles strictly alternate and the
+    first speaker is the user. ``assistant_tokens`` counts whitespace
+    tokens over assistant turns only — the tokens a trainer would actually
+    compute loss on."""
+    parsed = F.from_json(F.col(json_col), TURN_SCHEMA)
+    n_turns = F.size(parsed)
+    n_user = F.size(F.filter(parsed, lambda t: t["role"] == "user"))
+    n_assistant = F.size(F.filter(parsed, lambda t: t["role"] == "assistant"))
+    alternates = F.coalesce(
+        F.forall(
+            F.zip_with(
+                parsed,
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda t, i: t["role"]
+                == F.when(i % 2 == 0, F.lit("user")).otherwise(
+                    F.lit("assistant")
+                ),
+            ),
+            lambda ok: ok,
+        )
+        & (n_turns > 0),
+        F.lit(False),
+    )
+    assistant_tokens = F.aggregate(
+        F.filter(parsed, lambda t: t["role"] == "assistant"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.when(
+            F.trim(t["content"]) == "", F.lit(0)
+        ).otherwise(F.size(F.split(F.trim(t["content"]), r"\s+"))).cast(
+            "bigint"
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n_turns, F.lit(0)).cast("int").alias("n_turns"),
+        F.coalesce(n_user, F.lit(0)).cast("int").alias("n_user"),
+        F.coalesce(n_assistant, F.lit(0)).cast("int").alias("n_assistant"),
+        alternates.alias("alternates"),
+        F.coalesce(assistant_tokens, F.lit(0)).alias("assistant_tokens"),
+    )
+
+
+def chat_pairs(
+    turns: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assemble (prompt, response) training pairs from turn rows: each
+    assistant turn pairs with the user turn immediately before it. One
+    window shuffle on the conversation id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    prev_content = F.lag("content").over(w)
+    return (
+        turns.withColumn("__pr", prev_role)
+        .withColumn("__pc", prev_content)
+        .filter((F.col("role") == "assistant") & (F.col("__pr") == "user"))
+        .select(
+            id_col,
+            F.col("turn_idx").alias("response_idx"),
+            F.col("__pc").alias("prompt"),
+            F.col("content").alias("response"),
+        )
+    )

@@ -447,3 +447,112 @@ def pipe_global_shuffle_synthetic_1m(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chat / SFT transcript preparation (operators/chat.py). The testdata has no
+# conversation table, so a transcript is synthesized per document (120-char
+# chunks, roles alternating user-first) with Spark's own to_json, then
+# parsed back through the REAL pipeline (from_json ONCE -> posexplode ->
+# expression token counts). The oracle computes the same rows directly from
+# substrings — JSON escaping round-trips inside each engine, so the
+# compared output is engine-neutral.
+# --------------------------------------------------------------------------
+_CHAT_SYNTH = """
+    CASE WHEN length(text) = 0 THEN array()
+         ELSE transform(
+            sequence(0, CAST((length(text) + 119) / 120 AS INT) - 1),
+            i -> named_struct(
+                'role',
+                CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+                'content', substring(text, i * 120 + 1, 120)))
+    END
+"""
+
+_CHAT_TURNS_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               unnest(range(0, (length(text) + 119) // 120)) AS i,
+               text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, CAST(i AS INT) AS turn_idx,
+               CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               substring(text, CAST(i * 120 + 1 AS INT), 120) AS content
+        FROM c
+    )
+    SELECT doc_id, turn_idx, role,
+           CAST(CASE WHEN trim(content) = '' THEN 0
+                ELSE len(string_split_regex(trim(content), '\\s+')) END
+                AS BIGINT) AS n_tokens
+    FROM t ORDER BY doc_id, turn_idx
+"""
+
+
+@query("chat_turn_tokens", oracle=_CHAT_TURNS_ORACLE)
+def chat_turn_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.chat import chat_turns
+
+    docs = load_table(spark, sf, "documents")
+    convo = docs.select(
+        "doc_id", F.to_json(F.expr(_CHAT_SYNTH)).alias("convo")
+    )
+    turns = chat_turns(convo, "convo")
+    n_tokens = (
+        F.when(F.trim("content") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("content"), r"\s+")))
+        .cast("bigint")
+    )
+    return turns.select(
+        "doc_id", "turn_idx", "role", n_tokens.alias("n_tokens")
+    ).orderBy("doc_id", "turn_idx")
+
+
+_CHAT_STATS_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               unnest(range(0, (length(text) + 119) // 120)) AS i,
+               text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, i,
+               substring(text, CAST(i * 120 + 1 AS INT), 120) AS content
+        FROM c
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_turns,
+               sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS n_user,
+               sum(CASE WHEN i % 2 = 1 THEN 1 ELSE 0 END) AS n_assistant,
+               sum(CASE WHEN i % 2 = 1 THEN
+                     CASE WHEN trim(content) = '' THEN 0
+                          ELSE len(string_split_regex(trim(content), '\\s+'))
+                     END ELSE 0 END) AS assistant_tokens
+        FROM t GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_turns, 0) AS INT) AS n_turns,
+           CAST(coalesce(a.n_user, 0) AS INT) AS n_user,
+           CAST(coalesce(a.n_assistant, 0) AS INT) AS n_assistant,
+           coalesce(a.n_turns, 0) > 0 AS alternates,
+           CAST(coalesce(a.assistant_tokens, 0) AS BIGINT) AS assistant_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query("chat_stats_gate", oracle=_CHAT_STATS_ORACLE)
+def chat_stats_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation gate features WITHOUT an explode (HOFs over the
+    parsed array, map-only). The synthetic transcripts always alternate
+    user-first, so `alternates` here reduces to n_turns > 0; the
+    non-alternating/malformed branches are pinned by test_chat_ops.py."""
+    from momyre_spark.operators.chat import chat_stats
+
+    docs = load_table(spark, sf, "documents")
+    convo = docs.select(
+        "doc_id", F.to_json(F.expr(_CHAT_SYNTH)).alias("convo")
+    )
+    return chat_stats(convo, "convo").orderBy("doc_id")

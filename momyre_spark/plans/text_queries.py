@@ -760,3 +760,27 @@ def text_html_strip(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", strip_html(page).alias("clean")).orderBy(
         "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Learned-BPE token accounting (operators/bpe.py): word-type frequencies on
+# the cluster (one shuffle, truncated), classical merge training on the
+# driver, broadcast-merges apply as map-only Arrow batches. Rows-only: the
+# iterative merge loop is not SQL-expressible; training order, unseen-word
+# generalization, losslessness, partitioning determinism and the
+# merge-prefix property are pinned in tests/test_bpe.py.
+# --------------------------------------------------------------------------
+@query("text_bpe_token_counts")
+def text_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf, "documents")
+    # the fixture corpus has ~31 word types; a 60-merge budget leaves the
+    # rarer/longer types split into subwords (a 200-merge budget would
+    # fully merge every type and the counts would collapse to n_pretokens)
+    merges = train_bpe(docs, num_merges=60, max_word_types=20_000)
+    return (
+        bpe_encode(docs, merges)
+        .select("doc_id", "n_pretokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )

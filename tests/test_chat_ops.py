@@ -1,0 +1,88 @@
+"""Chat/SFT transcript operators: parse, gate features, pair assembly."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from momyre_spark.operators.chat import chat_pairs, chat_stats, chat_turns
+
+
+def _convos(spark):
+    rows = [
+        # well-formed, alternating, user-first
+        Row(doc_id=1, convo=json.dumps([
+            {"role": "user", "content": "hello there"},
+            {"role": "assistant", "content": "hi how can I help"},
+            {"role": "user", "content": "what is spark"},
+            {"role": "assistant", "content": "a distributed engine"},
+        ])),
+        # assistant-first: must fail the alternates gate
+        Row(doc_id=2, convo=json.dumps([
+            {"role": "assistant", "content": "unprompted"},
+            {"role": "user", "content": "ok"},
+        ])),
+        # double user turn: must fail the alternates gate
+        Row(doc_id=3, convo=json.dumps([
+            {"role": "user", "content": "a"},
+            {"role": "user", "content": "b"},
+            {"role": "assistant", "content": "c"},
+        ])),
+        # malformed JSON: zero turns, gate false
+        Row(doc_id=4, convo="{not json"),
+        # quotes/backslashes survive the JSON roundtrip
+        Row(doc_id=5, convo=json.dumps([
+            {"role": "user", "content": 'say "hi\\there"'},
+            {"role": "assistant", "content": '"hi\\there"'},
+        ])),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_chat_turns_explode_and_escaping(spark):
+    turns = chat_turns(_convos(spark), "convo")
+    got = {(r["doc_id"], r["turn_idx"]): (r["role"], r["content"])
+           for r in turns.collect()}
+    assert got[(1, 0)] == ("user", "hello there")
+    assert got[(1, 3)] == ("assistant", "a distributed engine")
+    # malformed doc contributes no rows
+    assert not any(d == 4 for d, _ in got)
+    # escaping round-trips
+    assert got[(5, 1)] == ("assistant", '"hi\\there"')
+
+
+def test_chat_stats_gates(spark):
+    stats = {r["doc_id"]: r for r in chat_stats(_convos(spark), "convo").collect()}
+    assert (stats[1]["n_turns"], stats[1]["n_user"], stats[1]["n_assistant"]) == (4, 2, 2)
+    assert stats[1]["alternates"] is True
+    # loss tokens: assistant turns only ("hi how can I help" = 5,
+    # "a distributed engine" = 3)
+    assert stats[1]["assistant_tokens"] == 8
+    assert stats[2]["alternates"] is False  # assistant-first
+    assert stats[3]["alternates"] is False  # double user
+    assert stats[4]["n_turns"] == 0 and stats[4]["alternates"] is False
+    assert stats[4]["assistant_tokens"] == 0
+
+
+def test_chat_pairs_assembly(spark):
+    pairs = chat_pairs(chat_turns(_convos(spark), "convo"))
+    got = {(r["doc_id"], r["response_idx"]): (r["prompt"], r["response"])
+           for r in pairs.collect()}
+    assert got[(1, 1)] == ("hello there", "hi how can I help")
+    assert got[(1, 3)] == ("what is spark", "a distributed engine")
+    # doc 2's assistant turn has no preceding user turn -> no pair
+    assert not any(d == 2 for d, _ in got)
+    # doc 3: assistant at idx 2 pairs with the user turn directly before
+    assert got[(3, 2)] == ("b", "c")
+
+
+def test_chat_stats_no_explode_plan(spark):
+    """Gate features must stay map-only: no Generate (explode) and no
+    exchange in the plan."""
+    plan = (
+        chat_stats(_convos(spark), "convo")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate" not in plan
+    assert "Exchange" not in plan

@@ -784,3 +784,40 @@ def text_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_pretokens", "n_bpe_tokens")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (operators/classifier.py): distill the
+# heuristic gate into a calibrated logistic model — weak labels from
+# quality_score >= 0.574 (the fixture median), pyspark.ml L-BFGS fit, then
+# a map-only literal-sigmoid scoring pass fused into the scan. Rows-only:
+# L-BFGS is not SQL-expressible; separation/parity/plan properties are
+# pinned in tests/test_classifier.py.
+# --------------------------------------------------------------------------
+@query("text_quality_model_scores")
+def text_quality_model_scores(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import quality_score
+    from momyre_spark.operators.classifier import (
+        featurize_documents,
+        score_documents_model,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    labeled = docs.select(
+        "doc_id",
+        (quality_score(F.col("text")) >= 0.574).cast("double").alias("label"),
+    )
+    feats = featurize_documents(docs).join(labeled, "doc_id")
+    model = train_quality_model(feats)
+    scored = score_documents_model(docs, model)
+    return (
+        scored.join(labeled, "doc_id")
+        .select(
+            "doc_id",
+            F.col("label").cast("int").alias("weak_label"),
+            round_half_up(F.col("quality_prob"), 3).alias("quality_prob"),
+            (F.col("quality_prob") >= 0.5).cast("int").alias("model_label"),
+        )
+        .orderBy("doc_id")
+    )

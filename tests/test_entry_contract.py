@@ -59,6 +59,10 @@ _ROWS_ONLY = {
     # generalization, losslessness and determinism are pinned in
     # test_bpe.py.
     "text_bpe_token_counts",
+    # L-BFGS logistic training is not SQL; planted-label separation,
+    # manual-sigmoid parity and the map-only scoring plan are pinned in
+    # test_classifier.py.
+    "text_quality_model_scores",
 }
 
 

@@ -323,6 +323,10 @@ def image_dhash(
                 }
             )
 
+    # Pure fused map: no repartition here — inserting one would shuffle the
+    # image BYTES between the payload stage and this one. Callers own the
+    # input layout (with_image_payload repartitions its small rows BEFORE
+    # rendering; a real corpus scan arrives in ~128 MB splits).
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
@@ -406,7 +410,13 @@ def with_image_payload(
                 }
             )
 
-    return src.mapInPandas(run, schema=f"{id_col} long, data binary")
+    # image rendering is the heavy stage; the tiny join output upstream is
+    # AQE-coalesced to one partition, which would serialize it
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    return ensure_parallelism(src).mapInPandas(
+        run, schema=f"{id_col} long, data binary"
+    )
 
 
 # ---------------------------------------------------------------- audio ---

@@ -70,3 +70,27 @@ def project(vec: Column, matrix: list[list[float]]) -> Column:
             F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
         )
     return F.array(*outs)
+
+
+def binary_sign_bits(vec: Column) -> Column:
+    """1-bit (sign) quantization as a '0'/'1' character string, one char per
+    dimension — 32x smaller than float32, and hamming distance over the
+    codes approximates angular distance (the classic binary-embedding
+    trade). The string form is engine-neutral (a DuckDB oracle reproduces
+    it with the same CASE-per-dimension transform); pack with
+    ``binary_sign_code`` for the 8-byte compute form."""
+    return F.array_join(
+        F.transform(vec, lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def binary_sign_code(vec: Column, bits: int = 63) -> Column:
+    """Sign mask of the first ``bits`` dimensions packed into ONE long
+    (63 bits keeps the value non-negative in a signed long). Built from
+    the bit string via ``conv(_, 2, 10)`` — bit 0 of the code is the LAST
+    of the ``bits`` dimensions (conv reads left-to-right as
+    most-significant-first). XOR + bit_count over these codes is the whole
+    distance computation: 63 dims per cycle instead of per element."""
+    s = F.substring(binary_sign_bits(vec), 1, bits)
+    return F.conv(s, 2, 10).cast("long")

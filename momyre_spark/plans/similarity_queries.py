@@ -446,3 +446,94 @@ def sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rank")
         .limit(_RRF_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit) embedding quantization + hamming-distance search
+# (functions/embeddings.binary_sign_bits/binary_sign_code): float32 vectors
+# compress 32x into sign masks; similarity becomes bit_count(xor) — one
+# cycle per 63 dims instead of one multiply-add per dimension. The oracle
+# reproduces both the quantization (CASE per dimension) and the distance
+# (sign-mismatch count) exactly.
+# --------------------------------------------------------------------------
+_DUCK_BITS = (
+    "list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+
+@query(
+    "emb_binary_quantize",
+    oracle=f"""
+    SELECT vec_id, {_DUCK_BITS} AS sign_bits
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def emb_binary_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.embeddings import binary_sign_bits
+
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id", binary_sign_bits(F.col("embedding")).alias("sign_bits")
+    ).orderBy("vec_id")
+
+
+_DUCK_HAMMING_TOPK = f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e0 WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, e0.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(1, 64),
+                   i -> CASE WHEN (e0.v[i] > 0) <> (q.v[i] > 0)
+                        THEN 1 ELSE 0 END),
+                   (acc, x) -> acc + x) AS hamming
+        FROM e0 CROSS JOIN q WHERE e0.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, CAST(hamming AS BIGINT) AS hamming
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("sim_topk_binary_hamming", oracle=_DUCK_HAMMING_TOPK)
+def sim_topk_binary_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-domain brute-force top-k: codes broadcast-join against the
+    (tiny) query-code side, distance is bit_count(xor), per-query top-k is
+    one window over the scored frame. The scan reads 8 bytes per vector
+    instead of 256."""
+    from momyre_spark.functions.embeddings import binary_sign_code
+
+    emb = load_table(spark, sf, "embeddings")
+    codes = emb.select(
+        "vec_id", binary_sign_code(F.col("embedding")).alias("code")
+    )
+    qcodes = (
+        codes.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+        .orderBy("query_id", "rank")
+    )

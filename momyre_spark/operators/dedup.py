@@ -440,6 +440,7 @@ def hamming_neardup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "fp",
     bits: int = 64,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Generic hamming-distance pair join over any integer fingerprint
     column (SimHash, image dHash, audio chromaprint, ...).
@@ -448,8 +449,22 @@ def hamming_neardup_pairs(
     fingerprint into ``max_hamming + 1`` contiguous blocks — two
     fingerprints within ``max_hamming`` must agree on at least one whole
     block, so ``(block_index, block_value)`` is a complete equi-join key and
-    the join is never all-pairs. Exact (lossless): candidates are verified
-    with the true ``bit_count(xor)`` distance.
+    the join is never all-pairs. Candidates are verified with the true
+    ``bit_count(xor)`` distance.
+
+    ``collapse_identical`` (default) is the degenerate-duplicate guard —
+    the exact-dup-cluster move every candidate generator here makes (see
+    module docstring): a crawl's K blank thumbnails share ONE fingerprint,
+    and K identical values in a block bucket cost K^2/2 candidate rows.
+    Identical fingerprints collapse to their min-id representative BEFORE
+    the block join (one groupBy on the 8-byte hash); the output then
+    contains STAR edges ``(rep, member, 0)`` inside each identical group
+    and representative-level pairs across groups. Nothing is lost:
+    in-group members are bit-identical, so every member-member distance
+    equals the rep-rep distance, and ``duplicate_components`` reconstructs
+    exactly the same clusters. With ``collapse_identical=False`` the full
+    quadratic pair list is emitted (only usable where an exhaustive list
+    is small anyway).
 
     Works on SIGNED longs: ``shiftrightunsigned`` treats the value as the
     raw 64-bit pattern, so full-width hashes (top bit set -> negative long)
@@ -465,22 +480,35 @@ def hamming_neardup_pairs(
         m = (1 << width) - 1
         return m - (1 << 64) if m >= 1 << 63 else m  # signed-64 pattern
 
+    base = fps.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp"))
+    star = None
+    if collapse_identical:
+        reps = base.groupBy("__fp").agg(F.min("__id").alias("__id"))
+        star = (
+            base.join(reps.withColumnRenamed("__id", "__rep"), "__fp")
+            .filter(F.col("__id") != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("a_id"),
+                F.col("__id").alias("b_id"),
+                F.lit(0).cast("bigint").alias("hamming"),
+            )
+        )
+        base = reps.select("__id", "__fp")
+
     chunk = F.array(
         *[
-            F.shiftrightunsigned(F.col(hash_col), bounds[i]).bitwiseAND(
+            F.shiftrightunsigned(F.col("__fp"), bounds[i]).bitwiseAND(
                 F.lit(_mask(bounds[i + 1] - bounds[i])).cast("long")
             )
             for i in range(n_blocks)
         ]
     )
-    blocked = fps.select(
-        F.col(id_col).alias("__id"),
-        F.col(hash_col).alias("__fp"),
-        F.posexplode(chunk).alias("block", "bv"),
+    blocked = base.select(
+        "__id", "__fp", F.posexplode(chunk).alias("block", "bv")
     )
     l, r = blocked.alias("l"), blocked.alias("r")
     ham = F.bit_count(F.col("l.__fp").bitwiseXOR(F.col("r.__fp")))
-    return (
+    pairs = (
         l.join(
             r,
             (F.col("l.block") == F.col("r.block"))
@@ -495,6 +523,7 @@ def hamming_neardup_pairs(
         )
         .distinct()
     )
+    return pairs.unionByName(star) if star is not None else pairs
 
 
 def duplicate_components(

@@ -330,3 +330,38 @@ def test_hamming_neardup_pairs_signed_longs(spark):
     got0 = hamming_neardup_pairs(df, max_hamming=0, id_col="doc_id",
                                  hash_col="fp").collect()
     assert got0 == []
+
+
+def test_hamming_collapse_identical_guard(spark):
+    """K identical fingerprints must cost K-1 star edges, not K^2/2 pairs —
+    and duplicate_components must reconstruct the same cluster either way."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import (
+        duplicate_components,
+        hamming_neardup_pairs,
+    )
+
+    rows = [Row(doc_id=i, fp=1 << 20) for i in (1, 2, 3, 4, 5)]
+    rows.append(Row(doc_id=10, fp=(1 << 20) | 1))   # hamming 1 from the group
+    rows.append(Row(doc_id=99, fp=-(2**60)))        # far away
+    df = spark.createDataFrame(rows)
+
+    collapsed = hamming_neardup_pairs(df, 2, id_col="doc_id", hash_col="fp")
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in collapsed.collect()}
+    # star edges from the min-id rep + ONE rep-level cross pair
+    assert got == {(1, 2): 0, (1, 3): 0, (1, 4): 0, (1, 5): 0, (1, 10): 1}
+
+    full = hamming_neardup_pairs(df, 2, id_col="doc_id", hash_col="fp",
+                                 collapse_identical=False)
+    gf = {(r["a_id"], r["b_id"]) for r in full.collect()}
+    assert len(gf) == 10 + 5  # C(5,2) zero-pairs + every member to 10
+
+    # identical components either way: {1,2,3,4,5,10}, 99 isolated
+    comp_a = {r["id"]: r["component"]
+              for r in duplicate_components(collapsed).collect()}
+    comp_b = {r["id"]: r["component"]
+              for r in duplicate_components(full).collect()}
+    assert comp_a == comp_b
+    assert len({comp_a[i] for i in (1, 2, 3, 4, 5, 10)}) == 1
+    assert 99 not in comp_a

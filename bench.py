@@ -66,6 +66,11 @@ HEADLINE = [
     # pigeonhole hamming join), codegen URL canonicalization dedup
     "mm_image_dhash_pairs",
     "dedup_url_canonical",
+    # round-3 fourth wave: SFT gate features (HOFs, no explode), learned
+    # BPE (train + broadcast-merges apply), compressed-domain hamming ANN
+    "chat_stats_gate",
+    "text_bpe_token_counts",
+    "sim_topk_binary_hamming",
 ]
 
 

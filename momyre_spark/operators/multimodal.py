@@ -654,3 +654,165 @@ def with_avi_payload(
     return docs.select(id_col, chars_col).mapInPandas(
         run, schema=f"{id_col} long, payload binary"
     )
+
+
+# ------------------------------------------------- audio fingerprinting ---
+def synth_wav_am(seed: int, n_samples: int, rate: int) -> bytes:
+    """Deterministic amplitude-modulated PCM WAV: a pseudo-noise carrier
+    shaped by a seed-derived envelope of six triangle bumps placed on
+    NORMALIZED time — the same seed rendered at any clip length or sample
+    rate carries the same loudness contour, which is exactly what an
+    envelope fingerprint must be invariant to. (``synth_wav``'s flat
+    sawtooth has a constant envelope and cannot exercise fingerprints.)"""
+    import struct
+
+    import numpy as np
+
+    digest = hashlib.md5(b"am:%d" % seed).digest()
+    while len(digest) < 12:
+        digest += hashlib.md5(digest).digest()
+    pos = (np.arange(n_samples, dtype=np.int64) * 256) // n_samples
+    env = np.zeros(n_samples, dtype=np.int64)
+    for k in range(6):
+        c, a = digest[k * 2], 64 + digest[k * 2 + 1] % 192
+        env += a * np.maximum(0, 255 - np.abs(pos - c) * 2) // 255
+    # constant-|amplitude| square carrier: window mean |sample| is then the
+    # envelope EXACTLY (a noise carrier's per-window |mean| varies with the
+    # window grid and would swamp the envelope deltas)
+    carrier = np.where(np.arange(n_samples) % 2 == 0, 128, -128)
+    samples = ((carrier * np.minimum(env, 255)) // 4).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(data)), data,
+    ])
+
+
+def audio_envelope_hash(samples, windows: int = 64) -> int:
+    """Robust audio fingerprint from PCM samples: mean |amplitude| over
+    ``windows`` equal time slices (integral-sum box means — every sample
+    votes, so the same recording at any sample rate lands on the same
+    envelope), then bit i = envelope[i+1] > envelope[i] — the dhash move on
+    the time axis. Returns the signed-64 pattern of the 63 delta bits."""
+    import numpy as np
+
+    flat = np.abs(samples.reshape(samples.shape[0], -1).astype(np.int64)).sum(
+        axis=1
+    )
+    n = flat.shape[0]
+    if n < windows:
+        raise ValueError(
+            f"momyre: {n} samples too short for a {windows}-window envelope"
+        )
+    cs = np.zeros(n + 1, dtype=np.int64)
+    cs[1:] = flat.cumsum()
+    b = (np.arange(windows + 1) * n) // windows
+    sums = cs[b[1:]] - cs[b[:-1]]
+    cnt = b[1:] - b[:-1]
+    env = sums // cnt
+    bits = (env[1:] > env[:-1]).astype(np.uint64)  # 63 bits
+    shifts = np.arange(63, dtype=np.uint64)
+    return int(np.bitwise_or.reduce((bits << shifts)).astype(np.int64))
+
+
+def audio_fingerprints(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, afp, rate, n_samples) per WAV payload — decode + envelope hash,
+    map-only Arrow batches; bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, _, samples = decode_wav(bytes(payload))
+                rows.append(
+                    (int(rid), audio_envelope_hash(samples), rate,
+                     int(samples.shape[0]))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "afp", "rate", "n_samples"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, afp long, rate int, n_samples long"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate audio pairs by envelope-hash hamming distance — the
+    same pigeonhole block join as images (dedup.hamming_neardup_pairs),
+    with the identical-fingerprint collapse guarding re-encoded copies."""
+    from momyre_spark.operators.dedup import hamming_neardup_pairs
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    fps = audio_fingerprints(
+        ensure_parallelism(df), payload_col=payload_col, id_col=id_col
+    )
+    return hamming_neardup_pairs(
+        fps, max_hamming=max_hamming, id_col=id_col, hash_col="afp"
+    )
+
+
+def with_am_wav_payload(
+    docs: DataFrame, id_col: str = "doc_id", chars_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic AM-WAV payloads from the documents table for the audio
+    dedup path: the recording's CONTENT seed is md5(text) (text-duplicate
+    docs carry the same recording), length/rate derive from the row, and
+    every 50th doc re-encodes its predecessor's recording at a different
+    length and rate — a planted transcode that byte digests cannot catch
+    but the envelope fingerprint must."""
+    import pandas as pd
+
+    pred = docs.select(
+        (F.col(id_col) + 1).alias("__pid"), F.col(text_col).alias("__pred")
+    )
+    src = (
+        docs.select(id_col, text_col, chars_col)
+        .join(pred, F.col(id_col) == F.col("__pid"), "left")
+        .select(
+            F.col(id_col),
+            F.col(chars_col),
+            F.when(
+                (F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull(),
+                F.col("__pred"),
+            )
+            .otherwise(F.col(text_col))
+            .alias("__src"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, nchars, text in zip(pdf[id_col], pdf[chars_col], pdf["__src"]):
+                did = int(did)
+                seed = int.from_bytes(
+                    hashlib.md5(text.encode("utf-8")).digest()[:6], "big"
+                )
+                out.append((did, synth_wav_am(
+                    seed,
+                    1200 + int(nchars) % 1800 + (did % 7) * 211,
+                    8000 + (did % 4) * 4000,
+                )))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series([o[0] for o in out], dtype="int64"),
+                    "payload": pd.Series([o[1] for o in out], dtype="object"),
+                }
+            )
+
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    return ensure_parallelism(src).mapInPandas(
+        run, schema=f"{id_col} long, payload binary"
+    )

@@ -142,3 +142,23 @@ def mm_video_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return extract_video_meta(with_avi_payload(docs)).orderBy("doc_id")
+
+
+# Rows-only: WAV decode -> integral envelope -> delta bits is not SQL.
+# Correctness pinned by tests/test_multimodal_ops.py: duration/rate
+# invariance (exact), edit tolerance, separation, fail-stop, planted
+# transcode recovery, no-cartesian plan.
+@query("mm_audio_dedup")
+def mm_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup pairs over deterministic AM-WAV payloads: every 50th
+    document carries a TRANSCODE of its predecessor's recording (different
+    length and sample rate); the envelope fingerprint collides exactly, so
+    the collapse guard emits it as a (rep, member, 0) star edge."""
+    from momyre_spark.operators.multimodal import (
+        audio_neardup_pairs, with_am_wav_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return audio_neardup_pairs(
+        with_am_wav_payload(docs), max_hamming=3
+    ).orderBy("a_id", "b_id")

@@ -63,6 +63,10 @@ _ROWS_ONLY = {
     # manual-sigmoid parity and the map-only scoring plan are pinned in
     # test_classifier.py.
     "text_quality_model_scores",
+    # WAV decode -> integral envelope -> delta bits is not SQL;
+    # invariance/edit-tolerance/transcode-recovery are pinned in
+    # test_multimodal_ops.py.
+    "mm_audio_dedup",
 }
 
 

@@ -365,3 +365,73 @@ def test_hamming_collapse_identical_guard(spark):
     assert comp_a == comp_b
     assert len({comp_a[i] for i in (1, 2, 3, 4, 5, 10)}) == 1
     assert 99 not in comp_a
+
+
+# ---------------------------------------------------- audio fingerprints ---
+def _afp(seed, n, rate=8000):
+    from momyre_spark.operators.multimodal import (
+        audio_envelope_hash, decode_wav, synth_wav_am,
+    )
+
+    return audio_envelope_hash(decode_wav(synth_wav_am(seed, n, rate))[2])
+
+
+def test_audio_envelope_hash_duration_and_rate_invariant():
+    """The same recording rendered at any clip length / sample rate must
+    hash IDENTICALLY: the envelope lives on normalized time and every
+    sample votes into its window."""
+    for seed in range(10):
+        assert _ham(_afp(seed, 2000), _afp(seed, 5000, rate=16000)) == 0
+        assert _ham(_afp(seed, 2000), _afp(seed, 3333, rate=44100)) == 0
+
+
+def test_audio_envelope_hash_separates_and_tolerates_edits():
+    import itertools
+    import statistics
+
+    import numpy as np
+
+    from momyre_spark.operators.multimodal import (
+        audio_envelope_hash, decode_wav, synth_wav_am,
+    )
+
+    hs = [_afp(s, 1500) for s in range(40)]
+    seps = [_ham(a, b) for a, b in itertools.combinations(hs, 2)]
+    assert statistics.median(seps) >= 8
+    # a light edit (boost a short slice by 30%) moves the hash only a little
+    for seed in range(8):
+        _, _, samples = decode_wav(synth_wav_am(seed, 2000, 8000))
+        edited = samples.astype(np.int64).copy()
+        edited[100:200] = edited[100:200] * 13 // 10
+        d = _ham(audio_envelope_hash(samples), audio_envelope_hash(edited.astype(np.int16)))
+        assert d <= 6, (seed, d)
+
+
+def test_audio_envelope_hash_too_short_fail_stop():
+    import numpy as np
+    import pytest as _pytest
+
+    from momyre_spark.operators.multimodal import audio_envelope_hash
+
+    with _pytest.raises(ValueError, match="too short"):
+        audio_envelope_hash(np.zeros(10, dtype=np.int16))
+
+
+def test_audio_neardup_pairs_reencoded_copy(spark):
+    """A re-encoded copy (same recording, different length and rate) must
+    pair with its source at hamming 0; the candidate join stays a hash
+    join on pigeonhole blocks."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.multimodal import audio_neardup_pairs, synth_wav_am
+
+    rows = [Row(doc_id=s, payload=bytearray(synth_wav_am(s, 1500, 8000)))
+            for s in range(10)]
+    rows.append(Row(doc_id=100,
+                    payload=bytearray(synth_wav_am(3, 4000, 16000))))
+    df = spark.createDataFrame(rows)
+    pairs = audio_neardup_pairs(df, max_hamming=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((3, 100)) == 0

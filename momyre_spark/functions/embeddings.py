@@ -91,6 +91,11 @@ def binary_sign_code(vec: Column, bits: int = 63) -> Column:
     the bit string via ``conv(_, 2, 10)`` — bit 0 of the code is the LAST
     of the ``bits`` dimensions (conv reads left-to-right as
     most-significant-first). XOR + bit_count over these codes is the whole
-    distance computation: 63 dims per cycle instead of per element."""
+    distance computation: 63 dims per cycle instead of per element.
+
+    ``bits`` is capped at 63: a 64-bit pack whose top bit is set exceeds
+    Long.MAX on the conv->cast path and would silently become NULL."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     s = F.substring(binary_sign_bits(vec), 1, bits)
     return F.conv(s, 2, 10).cast("long")

@@ -267,12 +267,17 @@ def canonicalize_url(url: Column) -> Column:
     - tracking params (``URL_TRACKING_PARAM``) removed, the rest SORTED so
       param order doesn't split one page into many keys
     - trailing slash stripped (except the root path); empty path -> ``/``
+    - non-absolute inputs (no ``scheme://``) pass through UNCHANGED: a
+      relative or malformed URL must not collapse into a shared degenerate
+      key that dedup would treat as one page
 
     Built on regexp_extract/split/filter/array_sort — not ``parse_url`` —
     so the byte-for-byte identical transform runs under DuckDB for the
     oracle (java.net.URI's host/port splitting can't be mirrored exactly).
     """
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    scheme = F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
     auth = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
     host = F.when(
         (scheme == "http") & auth.endswith(":80"),
@@ -287,7 +292,9 @@ def canonicalize_url(url: Column) -> Column:
         (path != "/") & path.endswith("/"),
         F.substring(path, F.lit(1), F.length(path) - 1),
     ).otherwise(path)
-    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = between the FIRST '?' and any '#': anchored so a '?' that
+    # only occurs inside the fragment is dropped with it
+    qs = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     params = F.array_sort(
         F.filter(
             F.split(qs, "&"),
@@ -295,10 +302,11 @@ def canonicalize_url(url: Column) -> Column:
         )
     )
     q = F.array_join(params, "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", url).otherwise(canonical)

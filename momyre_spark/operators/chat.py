@@ -70,12 +70,14 @@ def chat_stats(
         & (n_turns > 0),
         F.lit(False),
     )
+    # per-turn NULL guard: one assistant turn with missing content must
+    # count as 0 tokens, not poison the whole sum to NULL (acc + NULL)
     assistant_tokens = F.aggregate(
         F.filter(parsed, lambda t: t["role"] == "assistant"),
         F.lit(0).cast("bigint"),
         lambda acc, t: acc
         + F.when(
-            F.trim(t["content"]) == "", F.lit(0)
+            t["content"].isNull() | (F.trim(t["content"]) == ""), F.lit(0)
         ).otherwise(F.size(F.split(F.trim(t["content"]), r"\s+"))).cast(
             "bigint"
         ),

@@ -398,39 +398,22 @@ def simhash_pairs(
     text_col: str = "text",
     token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked by 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance.
 
-    Pigeonhole: distance <= 3 over 4 chunks -> at least one chunk identical,
-    so the join key is (chunk_index, chunk_value) — never all-pairs.
-    """
+    Candidate generation delegates to the generic pigeonhole block join
+    (``hamming_neardup_pairs``), which sizes ``max_hamming + 1`` blocks —
+    at the historical default radius 3 that reproduces the classic 4x16-bit
+    chunking exactly, and larger radii stay CORRECT (the old fixed-4-chunk
+    form silently lost its pigeonhole guarantee above 3).
+    ``collapse_identical=False`` keeps the exhaustive pair-list contract
+    (the oracle queries value-check full pair sets)."""
     fps = simhash_fingerprints(docs, id_col, text_col, token_hash=token_hash)
-    chunk = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
-            for k in range(4)
-        ]
-    )
-    blocked = fps.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash"),
-        F.posexplode(chunk).alias("chunk", "cv"),
-    )
-    l, r = blocked.alias("l"), blocked.alias("r")
-    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-    return (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.cv") == F.col("r.cv"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .filter(ham <= max_hamming)
-        .select(
-            F.col("l.__id").alias("a_id"),
-            F.col("r.__id").alias("b_id"),
-            ham.cast("bigint").alias("hamming"),
-        )
-        .distinct()
+    return hamming_neardup_pairs(
+        fps,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        hash_col="simhash",
+        collapse_identical=False,
     )
 
 

@@ -316,7 +316,7 @@ def image_dhash(
                 hts.append(h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "dhash": pd.Series(hs, dtype="int64"),
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hts, dtype="int32"),
@@ -327,7 +327,9 @@ def image_dhash(
     # image BYTES between the payload stage and this one. Callers own the
     # input layout (with_image_payload repartitions its small rows BEFORE
     # rendering; a real corpus scan arrives in ~128 MB splits).
-    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, dhash long, width int, height int"
+    )
 
 
 def image_neardup_pairs(
@@ -347,75 +349,99 @@ def image_neardup_pairs(
 
     fps = image_dhash(df, id_col=id_col, data_col=data_col)
     return hamming_neardup_pairs(
-        fps, max_hamming=max_hamming, id_col="doc_id", hash_col="dhash"
+        fps, max_hamming=max_hamming, id_col=id_col, hash_col="dhash"
     )
 
 
-def with_image_payload(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def _with_planted_payload(
+    docs: DataFrame,
+    render,  # (doc_id:int, seed:int, extras:dict, planted:bool) -> bytes
+    payload_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Manufacture deterministic netpbm payloads from the documents table.
+    """Shared fixture-payload scaffold for the media dedup paths: the
+    payload CONTENT seed is md5(text) — text-duplicate documents carry the
+    identical asset, like a crawl re-hosting one file — and every 50th doc
+    renders its PREDECESSOR's content instead (a planted near-duplicate
+    for ``render`` to vary by resolution/length/noise).
 
-    The image CONTENT seed is md5(text) — text-duplicate documents render
-    the identical picture, like a crawl re-hosting the same asset. Every
-    50th doc additionally renders its predecessor's content at a DIFFERENT
-    resolution with a few flipped pixels: a planted scale-variant
-    near-duplicate that exact digests cannot catch but dhash must."""
+    The predecessor's text is resolved with a JOIN (not a per-batch
+    lookup: neighbor rows are not co-located in general, and a batch-local
+    lookup would make the planted set depend on partitioning). Rendering
+    is the heavy stage, so the small pre-render rows are repartitioned —
+    the tiny join output is otherwise AQE-coalesced to one task."""
     import pandas as pd
 
-    # Resolve the predecessor's text with a JOIN (not a per-batch lookup:
-    # neighbor rows are not co-located in general, and a batch-local lookup
-    # would make the planted set depend on partitioning).
     pred = docs.select(
         (F.col(id_col) + 1).alias("__pid"), F.col(text_col).alias("__pred")
     )
+    planted_cond = (F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull()
     src = (
-        docs.select(id_col, text_col)
+        docs.select(id_col, text_col, *extra_cols)
         .join(pred, F.col(id_col) == F.col("__pid"), "left")
         .select(
             F.col(id_col),
-            F.when(
-                (F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull(),
-                F.col("__pred"),
-            )
-            .otherwise(F.col(text_col))
-            .alias("__src"),
-            ((F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull()).alias(
-                "__planted"
-            ),
+            *extra_cols,
+            F.coalesce(
+                F.when(planted_cond, F.col("__pred")).otherwise(
+                    F.col(text_col)
+                ),
+                F.lit(""),
+            ).alias("__src"),
+            planted_cond.alias("__planted"),
         )
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for did, text, planted in zip(
-                pdf[id_col], pdf["__src"], pdf["__planted"]
-            ):
-                did = int(did)
+            for _, row in pdf.iterrows():
+                did = int(row[id_col])
                 seed = int.from_bytes(
-                    hashlib.md5(text.encode("utf-8")).digest()[:6], "big"
+                    hashlib.md5(row["__src"].encode("utf-8")).digest()[:6],
+                    "big",
                 )
-                w = 96 + (did % 3) * 32
-                h = 64 + (did % 2) * 32
+                extras = {c: row[c] for c in extra_cols}
                 out.append(
-                    (did, synth_image(seed, w, h,
-                                      noise_px=8 if planted else 0,
-                                      channels=3 if did % 2 else 1))
+                    (did, render(did, seed, extras, bool(row["__planted"])))
                 )
             yield pd.DataFrame(
                 {
                     id_col: pd.Series([o[0] for o in out], dtype="int64"),
-                    "data": pd.Series([o[1] for o in out], dtype="object"),
+                    payload_name: pd.Series(
+                        [o[1] for o in out], dtype="object"
+                    ),
                 }
             )
 
-    # image rendering is the heavy stage; the tiny join output upstream is
-    # AQE-coalesced to one partition, which would serialize it
     from momyre_spark.operators.parallelism import ensure_parallelism
 
     return ensure_parallelism(src).mapInPandas(
-        run, schema=f"{id_col} long, data binary"
+        run, schema=f"{id_col} long, {payload_name} binary"
+    )
+
+
+def with_image_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic netpbm payloads from the documents table; the planted
+    copy renders at a DIFFERENT resolution with a few flipped pixels — a
+    scale-variant near-duplicate exact digests cannot catch but dhash
+    must."""
+
+    def render(did: int, seed: int, extras: dict, planted: bool) -> bytes:
+        return synth_image(
+            seed,
+            96 + (did % 3) * 32,
+            64 + (did % 2) * 32,
+            noise_px=8 if planted else 0,
+            channels=3 if did % 2 else 1,
+        )
+
+    return _with_planted_payload(
+        docs, render, "data", id_col=id_col, text_col=text_col
     )
 
 
@@ -771,48 +797,14 @@ def with_am_wav_payload(
     every 50th doc re-encodes its predecessor's recording at a different
     length and rate — a planted transcode that byte digests cannot catch
     but the envelope fingerprint must."""
-    import pandas as pd
-
-    pred = docs.select(
-        (F.col(id_col) + 1).alias("__pid"), F.col(text_col).alias("__pred")
-    )
-    src = (
-        docs.select(id_col, text_col, chars_col)
-        .join(pred, F.col(id_col) == F.col("__pid"), "left")
-        .select(
-            F.col(id_col),
-            F.col(chars_col),
-            F.when(
-                (F.col(id_col) % 50 == 1) & F.col("__pred").isNotNull(),
-                F.col("__pred"),
-            )
-            .otherwise(F.col(text_col))
-            .alias("__src"),
+    def render(did: int, seed: int, extras: dict, planted: bool) -> bytes:
+        return synth_wav_am(
+            seed,
+            1200 + int(extras[chars_col]) % 1800 + (did % 7) * 211,
+            8000 + (did % 4) * 4000,
         )
-    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for did, nchars, text in zip(pdf[id_col], pdf[chars_col], pdf["__src"]):
-                did = int(did)
-                seed = int.from_bytes(
-                    hashlib.md5(text.encode("utf-8")).digest()[:6], "big"
-                )
-                out.append((did, synth_wav_am(
-                    seed,
-                    1200 + int(nchars) % 1800 + (did % 7) * 211,
-                    8000 + (did % 4) * 4000,
-                )))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series([o[0] for o in out], dtype="int64"),
-                    "payload": pd.Series([o[1] for o in out], dtype="object"),
-                }
-            )
-
-    from momyre_spark.operators.parallelism import ensure_parallelism
-
-    return ensure_parallelism(src).mapInPandas(
-        run, schema=f"{id_col} long, payload binary"
+    return _with_planted_payload(
+        docs, render, "payload", id_col=id_col, text_col=text_col,
+        extra_cols=(chars_col,),
     )

@@ -688,11 +688,11 @@ _URL_CANON_ORACLE = f"""
     WITH u AS ({_URL_SYNTH_ORACLE}),
     c AS (
         SELECT doc_id,
-               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                    AS scheme,
                lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS auth,
                regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS rawpath,
-               regexp_extract(url, '\\?([^#]*)', 1) AS qs
+               regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS qs
         FROM u
     ),
     n AS (

@@ -36,6 +36,13 @@ def _convos(spark):
             {"role": "user", "content": 'say "hi\\there"'},
             {"role": "assistant", "content": '"hi\\there"'},
         ])),
+        # an assistant turn with MISSING content must not poison the sum
+        Row(doc_id=6, convo=json.dumps([
+            {"role": "user", "content": "hi"},
+            {"role": "assistant"},
+            {"role": "user", "content": "q"},
+            {"role": "assistant", "content": "hello world"},
+        ])),
     ]
     return spark.createDataFrame(rows)
 
@@ -63,6 +70,9 @@ def test_chat_stats_gates(spark):
     assert stats[3]["alternates"] is False  # double user
     assert stats[4]["n_turns"] == 0 and stats[4]["alternates"] is False
     assert stats[4]["assistant_tokens"] == 0
+    # null-content turn counts 0; the other assistant turn still counts
+    assert stats[6]["assistant_tokens"] == 2
+    assert stats[6]["alternates"] is True
 
 
 def test_chat_pairs_assembly(spark):

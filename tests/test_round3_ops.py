@@ -548,6 +548,11 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://ex.com/p?utm_campaign=c&fbclid=f", "https://ex.com/p"),
         # path case is PRESERVED (case-sensitive on most servers)
         ("https://ex.com/CaseSensitive", "https://ex.com/CaseSensitive"),
+        # a '?' that first appears INSIDE the fragment is not a query
+        ("https://ex.com/a#frag?b=2", "https://ex.com/a"),
+        # non-absolute URLs pass through unchanged (no shared ':///' key)
+        ("ex.com/page?a=1", "ex.com/page?a=1"),
+        ("//cdn.ex.com/x.js", "//cdn.ex.com/x.js"),
     ]
     df = spark.createDataFrame([Row(i=i, url=u) for i, (u, _) in enumerate(cases)])
     got = {

@@ -82,9 +82,9 @@ def test_stream_counts_accumulate_across_batches(spark, tmp_path):
         assert item in got, (item, sorted(got))
         lo, hi = got[item]
         assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
-    # x accumulated ACROSS batches: its lower bound exceeds either batch's
-    # count alone minus the summary error
-    assert got["x"][1] >= 55
+    # x accumulated ACROSS batches: its LOWER bound exceeds what either
+    # batch alone could produce (30 and 25), so lost state cannot pass
+    assert got["x"][0] > 30
 
     # bounded state: no bucket ever tracks more than `counters` items
     per_bucket = collections.Counter()

@@ -473,3 +473,36 @@ def ivf_topk(
         .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query, the top-k most-similar corpus items whose ``label_col`` DIFFERS
+    from the query's — the near-miss examples a trainer wants as negatives
+    (random negatives are trivially separable; the hard ones carry the
+    gradient).
+
+    Same physical shape as brute_force_topk (queries broadcast, one window
+    top-k) plus the label inequality pushed into the candidate filter, so
+    same-label items never reach the ranking window."""
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    cl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
+    )
+    scored = (
+        _pairs_with_cosine(corpus, queries, id_col, vec_col)
+        .join(F.broadcast(ql), "query_id")
+        .join(cl, "neighbor_id")
+        .filter(F.col("__cl") != F.col("__ql"))
+        .drop("__ql", "__cl")
+    )
+    return _topk(scored, k)

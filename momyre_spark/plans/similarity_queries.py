@@ -537,3 +537,40 @@ def sim_topk_binary_hamming(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", "hamming")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.hard_negatives): per query,
+# the top-k most-similar DIFFERENT-label items — contrastive-training
+# negatives. Same float recipe as the exact top-k oracle with the label
+# inequality in the candidate filter.
+# --------------------------------------------------------------------------
+_DUCK_HARD_NEG = f"""
+    WITH {_DUCK_NORM_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT e.*, lab.label FROM e JOIN lab USING (vec_id)
+          WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT e.*, lab.label FROM e JOIN lab USING (vec_id)),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="c", b="q")} AS cos
+        FROM c CROSS JOIN q
+        WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) t
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+@query("sim_hard_negatives", oracle=_DUCK_HARD_NEG)
+def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf, "embeddings")
+    return hard_negatives(emb, _queries_df(spark, sf), k=TOP_K).orderBy(
+        "query_id", "rank"
+    )

@@ -352,3 +352,31 @@ def test_nearest_cells_numpy_path_matches_expression_path(spark):
     finally:
         sim._EXPR_CELL_LIMIT = old
     assert a == b
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Every mined negative must carry a label different from its query's,
+    and the nearest different-label item must rank first."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = rng.normal(size=8)
+    for i in range(40):
+        # two label clusters around +base / -base with noise
+        lab = i % 2
+        v = (base if lab == 0 else -base) + rng.normal(scale=0.3, size=8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=lab))
+    # a planted near-miss: almost identical to query 0 but labeled 1
+    q0 = np.array(rows[0].embedding)
+    rows.append(Row(vec_id=100,
+                    embedding=[float(x) for x in q0 + 0.01], label=1))
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter("vec_id = 0")
+    got = hard_negatives(emb, queries, k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    assert all(labels[r["neighbor_id"]] != labels[0] for r in got)
+    assert got[0]["neighbor_id"] == 100  # the near-miss ranks first

@@ -68,6 +68,36 @@ def main() -> None:
     overlap = cross_source_overlap(docs, key="content")
     print(f"cross-source content-overlap pairs: {overlap.count()}")
 
+    # 3b. model-based quality: distill the heuristic gate into a logistic
+    # model, score everything with a literal-sigmoid map pass
+    from momyre_spark.functions.text import quality_score
+    from momyre_spark.operators.classifier import (
+        featurize_documents,
+        score_documents_model,
+        train_quality_model,
+    )
+
+    labeled = docs.select(
+        "doc_id", (quality_score(F.col("text")) >= 0.574).cast("double").alias("label")
+    )
+    model = train_quality_model(
+        featurize_documents(docs).join(labeled, "doc_id")
+    )
+    probs = score_documents_model(docs, model)
+    agree = probs.join(labeled, "doc_id").filter(
+        ((F.col("quality_prob") >= 0.5).cast("int")) == F.col("label").cast("int")
+    ).count()
+    print(f"\ntrained quality model: {agree}/{docs.count()} teacher agreement")
+
+    # 3c. learned-BPE token accounting (type-frequency train, map apply)
+    from momyre_spark.operators.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(docs, num_merges=60)
+    tok = bpe_encode(docs, merges).agg(
+        F.sum("n_pretokens").alias("pre"), F.sum("n_bpe_tokens").alias("bpe")
+    ).first()
+    print(f"BPE(60 merges): {tok['pre']} pretokens -> {tok['bpe']} subwords")
+
     # 4. chunk to context windows
     chunks = chunk_documents(curated, window=64, stride=64)
     print(f"\nchunks (64-token windows): {chunks.count()}")

@@ -176,10 +176,15 @@ def run_prep(spark, args) -> int:
         print(f"prep: wrote {args.num_shards} tar shards to "
               f"{args.prep_output}", file=sys.stderr)
         return 0
-    sharded.write.mode("overwrite").partitionBy("shard").parquet(
-        args.prep_output
-    )
-    n = spark.read.parquet(args.prep_output).count()
+    # observe the row count ON the write itself — re-reading the dataset
+    # just to count would double the job's read IO for a log line
+    from pyspark.sql import Observation
+
+    obs = Observation("prep_write")
+    sharded.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(args.prep_output)
+    n = obs.get["n"]
     print(f"prep: wrote {n} chunks to {args.prep_output} "
           f"({args.num_shards} shards)", file=sys.stderr)
     return 0

@@ -159,8 +159,10 @@ def drift_report(
         F.col("n_rows").alias("rows_from"),
         F.col("n_nulls").alias("nulls_from"),
         F.col("ndv").alias("ndv_from"),
-        F.col("min_num").alias("min_from"),
-        F.col("max_num").alias("max_from"),
+        F.col("min_num").alias("min_num_from"),
+        F.col("max_num").alias("max_num_from"),
+        F.col("min_str").alias("min_str_from"),
+        F.col("max_str").alias("max_str_from"),
     )
     b = profile_columns(
         snapshot_read(spark, root, version=to_version), cols, exact_ndv
@@ -169,8 +171,10 @@ def drift_report(
         F.col("n_rows").alias("rows_to"),
         F.col("n_nulls").alias("nulls_to"),
         F.col("ndv").alias("ndv_to"),
-        F.col("min_num").alias("min_to"),
-        F.col("max_num").alias("max_to"),
+        F.col("min_num").alias("min_num_to"),
+        F.col("max_num").alias("max_num_to"),
+        F.col("min_str").alias("min_str_to"),
+        F.col("max_str").alias("max_str_to"),
     )
     nr_from = F.col("nulls_from") / F.greatest(F.col("rows_from"), F.lit(1))
     nr_to = F.col("nulls_to") / F.greatest(F.col("rows_to"), F.lit(1))
@@ -180,10 +184,41 @@ def drift_report(
             "null_rate_delta", round_half_up(nr_to - nr_from, 4)
         )
         .withColumn("ndv_delta", F.col("ndv_to") - F.col("ndv_from"))
+        # range drift per TYPE family: numeric bounds compare numerically,
+        # string bounds lexicographically — a string column (min_num NULL
+        # on both sides) previously never alerted at all
         .withColumn(
             "range_widened",
-            (F.col("min_to") < F.col("min_from"))
-            | (F.col("max_to") > F.col("max_from")),
+            F.coalesce(
+                (F.col("min_num_to") < F.col("min_num_from"))
+                | (F.col("max_num_to") > F.col("max_num_from")),
+                F.lit(False),
+            )
+            | F.coalesce(
+                (F.col("min_str_to") < F.col("min_str_from"))
+                | (F.col("max_str_to") > F.col("max_str_from")),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "min_from",
+            F.coalesce(F.col("min_num_from").cast("string"), F.col("min_str_from")),
+        )
+        .withColumn(
+            "max_from",
+            F.coalesce(F.col("max_num_from").cast("string"), F.col("max_str_from")),
+        )
+        .withColumn(
+            "min_to",
+            F.coalesce(F.col("min_num_to").cast("string"), F.col("min_str_to")),
+        )
+        .withColumn(
+            "max_to",
+            F.coalesce(F.col("max_num_to").cast("string"), F.col("max_str_to")),
+        )
+        .drop(
+            "min_num_from", "max_num_from", "min_str_from", "max_str_from",
+            "min_num_to", "max_num_to", "min_str_to", "max_str_to",
         )
         .orderBy("col_name")
     )

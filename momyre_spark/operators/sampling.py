@@ -39,6 +39,17 @@ def _key_hash(name: str) -> Column:
     )
 
 
+def _salted_hash60(id_col: str, salt: str):
+    """60-bit uniform hash of (salt || id), built from Column expressions —
+    NOT an interpolated SQL string, so a salt containing quotes/backslashes
+    is data, not syntax. Value-identical to the previous expr form
+    (conv(substr(md5(concat(...)), 1, 15), 16, 10))."""
+    parts = ([F.lit(salt)] if salt else []) + [F.col(id_col).cast("string")]
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def assign_shards(
     df: DataFrame, num_shards: int, id_col: str = "doc_id", out_col: str = "shard"
 ) -> DataFrame:
@@ -231,11 +242,7 @@ def global_shuffle(
     no stage sees the global order.
     """
     shift = 60 - max(1, num_buckets - 1).bit_length()
-    h = F.expr(
-        "CAST(conv(substr(md5(concat("
-        + (f"'{salt}', " if salt else "")
-        + f"CAST(`{id_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    h = _salted_hash60(id_col, salt)
     b = df.withColumn("__h", h).withColumn(
         "__bucket", F.shiftright("__h", shift)
     )
@@ -314,11 +321,7 @@ def weighted_sample_k(
             f"weighted_sample_k(k={k}): top-k merges P*k rows on the driver; "
             "past ~10M split the draw per shard instead"
         )
-    h = F.expr(
-        "CAST(conv(substr(md5(concat("
-        + (f"'{salt}', " if salt else "")
-        + f"CAST(`{id_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    h = _salted_hash60(id_col, salt)
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (

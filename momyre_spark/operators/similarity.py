@@ -411,7 +411,10 @@ def _nearest_cells(
             StructField("__rn", IntegerType()),
         ]
     )
-    nb = n_best
+    # n_best above the centroid count must degrade to "all cells" exactly
+    # like the expression path (F.slice of a shorter array) — unclamped it
+    # crashes the repeat/ravel arithmetic below with a length mismatch
+    nb = min(n_best, len(cent_rows))
 
     def assign(batches):
         for pdf in batches:

@@ -61,6 +61,10 @@ def write_tar_shards(
     ).repartition(max(n_shards, 1), "__shard")
 
     def write_partition(rows) -> None:
+        # executors write to THEIR local view of out_dir: in cluster mode
+        # this must be a shared filesystem mount; create the dir on the
+        # executor too (the driver-side makedirs does not exist there)
+        os.makedirs(out_dir, exist_ok=True)
         by_shard: dict = {}
         for r in rows:
             by_shard.setdefault(r["__shard"], []).append(

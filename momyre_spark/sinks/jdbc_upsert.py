@@ -367,8 +367,39 @@ def merge_upsert_dataframe(
     dialect = DIALECTS[dialect_name]
     check_ident(table)
     ph = dialect.ph
-    stage = f"{table}__stage"
+    # The staging table is scoped to the WRITER (progress_label), not just
+    # the target table: two streams merging into one table would otherwise
+    # share a stage, replace-upsert over each other's (batch_id, key) rows,
+    # and purge each other's staged batches before phase 2 applied them.
+    # Labels are free-form strings, so non-default labels get a hex suffix
+    # rather than appearing in the identifier.
+    if progress_label and progress_label != table:
+        import hashlib as _hashlib
+
+        suffix = _hashlib.md5(progress_label.encode("utf-8")).hexdigest()[:8]
+        stage = f"{table}__stage_{suffix}"
+    else:
+        stage = f"{table}__stage"
+    check_ident(stage)
     bkey = _progress_key(progress_label or table)
+
+    # Combining merges are ASSOCIATIVE per column (sum/min/max), so deltas
+    # are pre-folded to ONE row per key before staging: the staging table's
+    # replace-upsert on (batch_id, key) would otherwise keep only the last
+    # duplicate and silently drop the rest of the key's deltas.
+    folds = {"sum": F.sum, "min": F.min, "max": F.max}
+    unknown_fold = [f for f in merge.values() if f not in folds]
+    if unknown_fold:
+        raise ValueError(
+            f"merge functions must be associative for staging: {unknown_fold}"
+        )
+    passthrough = [c for c in columns if c != key and c not in merge]
+    df = df.groupBy(key).agg(
+        *[folds[f](c).alias(c) for c, f in merge.items()],
+        # non-merged columns replace on conflict; within one batch any
+        # per-key value is equally current — take a deterministic one
+        *[F.max(c).alias(c) for c in passthrough],
+    ).select(*columns)
 
     # phase 0 (driver): skip an already-applied batch; bootstrap staging DDL
     conn = connection_factory()

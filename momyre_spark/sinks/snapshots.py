@@ -852,8 +852,9 @@ def snapshot_rollback(
         "restored_from": to_version,
         "partition_by": man.get("partition_by", []),
         "partitions": dict(man["partitions"]),
-        "schema": man["schema"],
     }
+    if "schema" in man:  # pre-schema manifests restore without one
+        new["schema"] = man["schema"]
     for carry in ("stats_cols", "stats", "sort_by"):
         if carry in man:
             new[carry] = man[carry]

@@ -26,6 +26,7 @@ fps directory is (re)written — both sides converge.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -63,7 +64,13 @@ def start_corpus_ingest(
         )
         try:
             fps = spark.read.parquet(fps_dir).filter(F.col("epoch") < epoch)
-        except Exception:  # first epoch: no fingerprint table yet
+        except AnalysisException as e:
+            # ONLY a missing fingerprint table means "first epoch". Any
+            # other read failure must fail the batch: silently substituting
+            # an empty corpus would pass every batch document as unseen and
+            # permanently commit duplicates.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             fps = spark.createDataFrame([], "fp string, epoch long")
         survivors = dedup_incremental(
             gated, fps, id_col=id_col, text_col=text_col

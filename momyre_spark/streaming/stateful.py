@@ -71,6 +71,13 @@ def latest_state_stream(
     )
     ttl_ms = int(ttl_minutes) * 60 * 1000 if ttl_minutes is not None else None
 
+    def _tiebreak(cand: tuple) -> tuple:
+        # deterministic order for EQUAL-ts rows: lexicographic over the
+        # stringified payload, so the winner does not depend on partition
+        # layout. (The CDC path's ts is pack_ts — unique — so this only
+        # matters for generic ts columns with coarse granularity.)
+        return tuple(str(v) for v in cand[1:])
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -82,11 +89,15 @@ def latest_state_stream(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            row = pdf.loc[pdf[ts_col].idxmax()]
-            cand = (row[ts_col], *[row[c] for c in value_cols])
-            if best is None or cand[0] > best[0]:
-                best = cand
-                advanced = True
+            for _, row in pdf[pdf[ts_col] == pdf[ts_col].max()].iterrows():
+                cand = (row[ts_col], *[row[c] for c in value_cols])
+                if (
+                    best is None
+                    or cand[0] > best[0]
+                    or (cand[0] == best[0] and _tiebreak(cand) > _tiebreak(best))
+                ):
+                    best = cand
+                    advanced = True
         if advanced:
             state.update(tuple(best))
             if ttl_ms is not None:

@@ -178,3 +178,18 @@ def test_latest_state_stream_into_guarded_sink(spark, tmp_path):
     assert got == {"a": (5, 5.0), "b": (7, 7.0)}
     # 6 raw ops compacted to 3 sink rows (a@5, b@2 then b@7)
     assert sum(writes) == 3
+
+
+def test_latest_state_stream_equal_ts_deterministic(spark, tmp_path):
+    """Equal-ts rows must resolve to ONE deterministic winner (lexicographic
+    over the stringified payload), independent of partition layout."""
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = [("a", 7, 1.0), ("a", 7, 9.0), ("a", 7, 3.0)]
+    spark.createDataFrame(rows, "k string, ts long, v double").repartition(
+        3
+    ).write.parquet(src, mode="append")
+    _run_latest(spark, src, out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == [("a", 7, 9.0)]  # '9.0' is the lexicographic max payload

@@ -212,3 +212,67 @@ def test_merge_upsert_sql_spellings():
     assert '"lo" = LEAST("t"."lo", excluded."lo")' in pg
     with pytest.raises(ValueError, match="unknown merge kind"):
         DIALECTS["sqlite"].merge_upsert_sql("t", ["k", "x"], "k", {"x": "avg"})
+
+
+def test_merge_upsert_folds_duplicate_key_deltas(spark, tmp_path):
+    """Two delta rows for ONE key in a batch must both land (pre-folded by
+    the merge functions) — the staging replace-upsert on (batch, key) would
+    otherwise keep only one of them."""
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    factory = _mk_sink(tmp_path)
+    df = spark.createDataFrame(
+        [("a", "a", 1, 2.0, 2.0, 2.0), ("a", "a", 1, 5.0, 5.0, 5.0)],
+        "agg_key string, user string, cnt long, total double, lo double, hi double",
+    )
+    merge = {"cnt": "sum", "total": "sum", "lo": "min", "hi": "max"}
+    merge_upsert_dataframe(
+        df, connection_factory=factory, dialect_name="sqlite",
+        table="aggserve", merge=merge, key="agg_key", batch_id=1,
+    )
+    assert _state(factory) == {"a": (2, 7.0, 2.0, 5.0)}
+
+
+def test_merge_upsert_two_writers_isolated_staging(spark, tmp_path):
+    """Two writers (distinct progress_labels) into ONE table must not share
+    a staging table: overlapping epochs would replace-upsert over each
+    other and purge each other's staged batches."""
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    factory = _mk_sink(tmp_path)
+    merge = {"cnt": "sum", "total": "sum", "lo": "min", "hi": "max"}
+
+    def delta(k, v):
+        return spark.createDataFrame(
+            [(k, k, 1, v, v, v)],
+            "agg_key string, user string, cnt long, total double, "
+            "lo double, hi double",
+        )
+
+    # writer B applies its batch 9 BETWEEN writer A's phases — with a
+    # shared stage, B's purge (<= 9) would delete A's staged batch-7 rows.
+    # With per-label staging both writers' deltas land.
+    merge_upsert_dataframe(
+        delta("a", 2.0), connection_factory=factory, dialect_name="sqlite",
+        table="aggserve", merge=merge, key="agg_key", batch_id=7,
+        progress_label="writerA",
+    )
+    merge_upsert_dataframe(
+        delta("a", 10.0), connection_factory=factory, dialect_name="sqlite",
+        table="aggserve", merge=merge, key="agg_key", batch_id=9,
+        progress_label="writerB",
+    )
+    # same-label replay of each is still skipped
+    merge_upsert_dataframe(
+        delta("a", 99.0), connection_factory=factory, dialect_name="sqlite",
+        table="aggserve", merge=merge, key="agg_key", batch_id=7,
+        progress_label="writerA",
+    )
+    assert _state(factory) == {"a": (2, 12.0, 2.0, 10.0)}
+    # distinct staging tables exist (hex-suffixed per label)
+    conn = factory()
+    names = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'").fetchall()}
+    conn.close()
+    stages = {n for n in names if "__stage" in n}
+    assert len(stages) == 2, stages

@@ -204,3 +204,7 @@ def test_drift_report_between_snapshot_versions(spark, tmp_path):
     assert rep["val"]["null_rate_delta"] == 0.25  # 0 -> 50/200
     assert rep["cat"]["ndv_delta"] == 2  # 3 -> 5 categories
     assert rep["val"]["range_widened"] is False
+    # STRING-column range drift must alert too: 'cat' gained 's3'/'s4',
+    # widening the lexicographic [min_str, max_str] bound ('s2' -> 's4')
+    assert rep["cat"]["range_widened"] is True
+    assert (rep["cat"]["min_to"], rep["cat"]["max_to"]) == ("s0", "s4")

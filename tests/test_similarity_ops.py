@@ -380,3 +380,23 @@ def test_hard_negatives_excludes_same_label(spark):
     labels = {r["vec_id"]: r["label"] for r in emb.collect()}
     assert all(labels[r["neighbor_id"]] != labels[0] for r in got)
     assert got[0]["neighbor_id"] == 100  # the near-miss ranks first
+
+
+def test_ivf_numpy_path_clamps_nprobe_to_cell_count(spark):
+    """nprobe above the centroid count must degrade to 'probe all cells'
+    on the numpy path (>64 cells) exactly like the expression path does."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)])
+         for i in range(100)]
+    )
+    queries = emb.filter("vec_id < 2")
+    got = ivf_topk(emb, queries, k=5, num_cells=70, nprobe=100,
+                   centroids="first_c")
+    rows = got.collect()
+    assert len(rows) == 10  # 2 queries x top-5, no length-mismatch crash

@@ -709,3 +709,33 @@ def test_concurrent_writer_commit_rejected(spark, tmp_path):
         _commit(spark, root, stale)
     # table state unharmed
     assert current_version(spark, root) == 2
+
+
+def test_rollback_to_pre_schema_manifest(spark, tmp_path):
+    """Manifests written before per-version schemas lack the 'schema' key;
+    rollback must restore them instead of raising KeyError."""
+    import json
+
+    from momyre_spark.sinks.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, spark.range(5).withColumnRenamed("id", "x"), root)
+    snapshot_write(spark, spark.range(9).withColumnRenamed("id", "x"), root)
+    # simulate a legacy v1 manifest (no schema key)
+    mpath = f"{root}/_manifests/v1.json"
+    man = json.load(open(mpath))
+    man.pop("schema")
+    json.dump(man, open(mpath, "w"))
+    import os
+    crc = f"{root}/_manifests/.v1.json.crc"  # hadoop LocalFS checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    v = snapshot_rollback(spark, root, 1)
+    assert v == 3 and current_version(spark, root) == 3
+    assert snapshot_read(spark, root).count() == 5

@@ -995,3 +995,156 @@ def cross_source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.countDistinct("fp").alias("shared_fingerprints"))
     )
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Banded LSH keys from signature rows: ``(id, band, bh)`` — one row per
+    band. The persisted form of LSH state: an incremental corpus keeps this
+    table (appending each epoch's survivors) so a new batch probes the
+    whole corpus with ONE equi-join, never recomputing corpus signatures."""
+    rows = num_hashes // bands
+    band_items = ", ".join(
+        "xxhash64("
+        + ", ".join([f"`{sig_col}`[{b * rows + r}]" for r in range(rows)] + [str(b)])
+        + ")"
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        f"`{id_col}`", f"array({band_items}) AS __bands"
+    ).select(id_col, F.posexplode("__bands").alias("band", "bh"))
+
+
+def estimated_jaccard(sig_a, sig_b, num_hashes: int):
+    """Column: fraction of equal MinHash components — the unbiased Jaccard
+    estimate (std ~ sqrt(J(1-J)/K))."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+
+
+def dedup_incremental_fuzzy(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup: the fuzzy twin of ``dedup_incremental``.
+
+    The corpus is represented by two append-only state tables — its banded
+    LSH keys (``minhash_band_keys`` rows) and its signatures — so each new
+    batch costs O(|batch| + candidates) however large the corpus grows:
+
+    1. batch signatures + band keys (the batch's own LSH pipeline);
+    2. corpus probe: batch bands equi-join the corpus band table; candidate
+       pairs verify by ESTIMATED Jaccard over the stored signatures (state
+       holds 8K bytes/doc of signature, never the text — choose
+       ``threshold`` with the estimator's ~1/sqrt(K) band in mind);
+    3. batch-internal near-dups: the same bucket-join among batch rows,
+       min-id survivor per connected component (replay-deterministic);
+    4. survivors return WITH their band/signature rows — append those to
+       the state tables to complete the epoch.
+
+    Returns ``(survivor_docs, survivor_bands, survivor_sigs)``.
+    """
+    sigs = minhash_signatures(
+        new_docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=False)
+    batch_bands = minhash_band_keys(
+        sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+
+    # --- corpus probe -----------------------------------------------------
+    cand = (
+        batch_bands.alias("nb")
+        .join(
+            corpus_bands.select(
+                F.col(id_col).alias("__cid"), "band", "bh"
+            ).alias("cb"),
+            ["band", "bh"],
+        )
+        .select(F.col(id_col), F.col("__cid"))
+        .distinct()
+    )
+    matched = (
+        cand.join(sigs.select(id_col, F.col("signature").alias("__ns")), id_col)
+        .join(
+            corpus_sigs.select(
+                F.col(id_col).alias("__cid"),
+                F.col("signature").alias("__cs"),
+            ),
+            "__cid",
+        )
+        .filter(
+            estimated_jaccard(F.col("__ns"), F.col("__cs"), num_hashes)
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    fresh = new_docs.join(matched, id_col, "left_anti")
+    fresh_sigs = sigs.join(matched, id_col, "left_anti")
+
+    # --- batch-internal near-dups ----------------------------------------
+    fresh_bands = minhash_band_keys(
+        fresh_sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+    l, r = fresh_bands.alias("l"), fresh_bands.alias("r")
+    in_cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a_id"),
+            F.col(f"r.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    pairs = (
+        in_cand.join(
+            fresh_sigs.select(
+                F.col(id_col).alias("a_id"), F.col("signature").alias("__sa")
+            ),
+            "a_id",
+        )
+        .join(
+            fresh_sigs.select(
+                F.col(id_col).alias("b_id"), F.col("signature").alias("__sb")
+            ),
+            "b_id",
+        )
+        .filter(
+            estimated_jaccard(F.col("__sa"), F.col("__sb"), num_hashes)
+            >= threshold
+        )
+        .select("a_id", "b_id")
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = fresh.join(losers, id_col, "left_anti")
+    surv_sigs = fresh_sigs.join(losers, id_col, "left_anti")
+    surv_bands = minhash_band_keys(
+        surv_sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
+    )
+    return survivors, surv_bands, surv_sigs

@@ -561,3 +561,47 @@ def test_canonicalize_url_edge_cases(spark):
     }
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_dedup_incremental_fuzzy_epochs(spark):
+    """The fuzzy twin of dedup_incremental: near-duplicates of the EXISTING
+    corpus are dropped via the banded state tables (never rescanning corpus
+    text), in-batch near-dup clusters keep their min id, and survivors'
+    state rows append for the next epoch."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import dedup_incremental_fuzzy
+
+    def doc(i, base, edit=None):
+        words = [f"w{base}x{j}" for j in range(60)]
+        if edit is not None:
+            words[edit] = "EDITED"
+        return Row(doc_id=i, text=" ".join(words))
+
+    # epoch 1: 1 and 2 are near-dups (one-token edit); 3 distinct
+    e1 = spark.createDataFrame([doc(1, "a"), doc(2, "a", edit=5), doc(3, "b")])
+    empty_bands = spark.createDataFrame([], "doc_id long, band int, bh long")
+    empty_sigs = spark.createDataFrame([], "doc_id long, signature array<bigint>")
+    s1, b1, g1 = dedup_incremental_fuzzy(e1, empty_bands, empty_sigs,
+                                         threshold=0.8)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+    bands_state = b1.localCheckpoint(eager=True)
+    sigs_state = g1.localCheckpoint(eager=True)
+
+    # epoch 2: 20 near-dups corpus doc 1; 21 fresh; 22/23 an in-batch pair
+    e2 = spark.createDataFrame(
+        [doc(20, "a", edit=9), doc(21, "c"), doc(22, "d"), doc(23, "d", edit=7)]
+    )
+    s2, b2, g2 = dedup_incremental_fuzzy(e2, bands_state, sigs_state,
+                                         threshold=0.8)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [21, 22]
+    # survivors' state rows cover exactly the survivors
+    assert sorted({r["doc_id"] for r in b2.collect()}) == [21, 22]
+    assert sorted(r["doc_id"] for r in g2.collect()) == [21, 22]
+
+    # epoch 3 against the grown state: a near-dup of epoch-2's survivor 22
+    bands3 = bands_state.unionByName(b2).localCheckpoint(eager=True)
+    sigs3 = sigs_state.unionByName(g2).localCheckpoint(eager=True)
+    e3 = spark.createDataFrame([doc(30, "d", edit=11), doc(31, "e")])
+    s3, _, _ = dedup_incremental_fuzzy(e3, bands3, sigs3, threshold=0.8)
+    assert sorted(r["doc_id"] for r in s3.collect()) == [31]

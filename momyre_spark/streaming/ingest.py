@@ -45,16 +45,37 @@ def start_corpus_ingest(
     min_quality: float = 0.0,
     partition_by: list[str] | None = None,
     trigger: dict | None = None,
+    fuzzy_threshold: float | None = None,
 ) -> StreamingQuery:
     """Run the gate -> incremental-dedup -> snapshot-commit loop over a
     streaming frame of documents. ``fields`` is the snapshot column->type
     spec (must include ``text_col``; ``id_col`` is the merge key).
+
+    ``fuzzy_threshold`` additionally drops NEAR-duplicates of the corpus:
+    the LSH state (banded MinHash keys + signatures,
+    ``operators/dedup.dedup_incremental_fuzzy``) is maintained next to the
+    fingerprint table with the same epoch-directory idempotence — a replay
+    rewrites its own epoch's state and probes only earlier epochs.
     Returns the started StreamingQuery."""
-    from momyre_spark.operators.dedup import dedup_incremental
+    from momyre_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_fuzzy,
+    )
     from momyre_spark.sinks.snapshots import snapshot_merge_cdc
 
     fps_dir = f"{root}/_fps"
+    bands_dir = f"{root}/_lsh_bands"
+    sigs_dir = f"{root}/_lsh_sigs"
     cols = list(fields)
+
+    def _read_state(spark, path, schema, epoch):
+        try:
+            return spark.read.parquet(path).filter(F.col("epoch") < epoch)
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            return spark.createDataFrame([], schema + ", epoch long")
 
     def apply(batch_df: DataFrame, epoch: int) -> None:
         spark = batch_df.sparkSession
@@ -75,6 +96,23 @@ def start_corpus_ingest(
         survivors = dedup_incremental(
             gated, fps, id_col=id_col, text_col=text_col
         )
+        surv_bands = surv_sigs = None
+        if fuzzy_threshold is not None:
+            bands = _read_state(
+                spark, bands_dir, f"{id_col} long, band int, bh long", epoch
+            )
+            sigs = _read_state(
+                spark, sigs_dir, f"{id_col} long, signature array<bigint>",
+                epoch,
+            )
+            survivors, surv_bands, surv_sigs = dedup_incremental_fuzzy(
+                survivors,
+                bands.drop("epoch"),
+                sigs.drop("epoch"),
+                threshold=fuzzy_threshold,
+                id_col=id_col,
+                text_col=text_col,
+            )
         acts = survivors.select(
             F.col(id_col).cast("string").alias("_id"),
             F.lit("upsert").alias("__action"),
@@ -95,6 +133,13 @@ def start_corpus_ingest(
             .write.mode("overwrite")
             .parquet(f"{fps_dir}/epoch={epoch}")
         )
+        if fuzzy_threshold is not None:
+            surv_bands.write.mode("overwrite").parquet(
+                f"{bands_dir}/epoch={epoch}"
+            )
+            surv_sigs.write.mode("overwrite").parquet(
+                f"{sigs_dir}/epoch={epoch}"
+            )
 
     writer = docs_stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint

@@ -140,3 +140,43 @@ def test_ingest_compact_vacuum_ingest_lifecycle(spark, tmp_path):
     state = {r["_id"]: r["text"] for r in snapshot_read(spark, root).collect()}
     assert set(state) == {"1", "2", "3", "10"}
     assert list_versions(spark, root)[-1] > (v or 0)
+
+
+def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
+    """With fuzzy_threshold set, a batch-2 document that NEAR-duplicates a
+    batch-1 document (one-token edit — different fingerprint, so exact
+    dedup passes it) is dropped via the persisted LSH state."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    root = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "EDITED")
+    other = " ".join(f"zzz{i}" for i in range(40))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = start_corpus_ingest(
+            stream, root, ck, FIELDS, min_tokens=2,
+            trigger={"availableNow": True}, fuzzy_threshold=0.8,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, "b1.json", [
+        {"doc_id": 1, "text": base, "src": "a"},
+    ])
+    run()
+    _write_batch(src, "b2.json", [
+        {"doc_id": 10, "text": near, "src": "b"},   # near-dup of doc 1
+        {"doc_id": 11, "text": other, "src": "b"},  # genuinely new
+    ])
+    run()
+
+    got = sorted(
+        r["_id"] for r in snapshot_read(spark, root).select("_id").collect()
+    )
+    assert got == ["1", "11"], got
+    # LSH state grew by the survivor only
+    sigs = spark.read.parquet(f"{root}/_lsh_sigs")
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 11]

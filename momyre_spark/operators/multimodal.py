@@ -698,10 +698,14 @@ def synth_wav_am(seed: int, n_samples: int, rate: int) -> bytes:
     while len(digest) < 12:
         digest += hashlib.md5(digest).digest()
     pos = (np.arange(n_samples, dtype=np.int64) * 256) // n_samples
-    env = np.zeros(n_samples, dtype=np.int64)
+    # SIGNED bumps around a mid-level base: all-positive bumps saturate the
+    # clip at 255 into wide plateaus whose delta bits are all zero — the
+    # envelope hash then collapses to ~100 distinct values per 500 clips
+    env = np.full(n_samples, 128, dtype=np.int64)
     for k in range(6):
-        c, a = digest[k * 2], 64 + digest[k * 2 + 1] % 192
-        env += a * np.maximum(0, 255 - np.abs(pos - c) * 2) // 255
+        c, a = digest[k * 2], digest[k * 2 + 1]
+        amp = (32 + a % 96) * (1 if a % 2 else -1)
+        env += amp * np.maximum(0, 255 - np.abs(pos - c) * 2) // 255
     # constant-|amplitude| square carrier: window mean |sample| is then the
     # envelope EXACTLY (a noise carrier's per-window |mean| varies with the
     # window grid and would swamp the envelope deltas)

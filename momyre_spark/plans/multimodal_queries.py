@@ -162,3 +162,55 @@ def mm_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return audio_neardup_pairs(
         with_am_wav_payload(docs), max_hamming=3
     ).orderBy("a_id", "b_id")
+
+
+# Rows-only (image/audio decode not SQL): pinned by the per-modality tests
+# plus determinism through the entry surface. The composition itself is
+# pure DataFrame algebra: three pair sets union into one edge list, one
+# min-label propagation.
+@query("dedup_multimodal_groups")
+def dedup_multimodal_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal duplicate groups: two documents belong together if ANY
+    modality says so — exact/near text (SimHash), perceptual image hash, or
+    audio envelope fingerprint. The union of three bucketed pair joins
+    feeds one connected-components pass; output is (doc_id, component,
+    n_members) per grouped document.
+
+    The shape a multimodal corpus needs: each modality's candidate
+    generation stays its own bounded bucket join (never all-pairs), and
+    evidence fuses at the EDGE level, so adding a modality is a unionByName
+    — not a new pipeline."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.dedup import (
+        duplicate_components,
+        simhash_pairs,
+    )
+    from momyre_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        image_neardup_pairs,
+        with_am_wav_payload,
+        with_image_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    # Radii are deliberately TIGHTER than the single-modality queries:
+    # components take the transitive closure of the UNION, so each
+    # modality's false-positive tail multiplies — loose radii chain the
+    # corpus into one giant component (observed: radius 6/3 -> a 477-doc
+    # blob at 500 docs; radius 2/1 -> true duplicate groups).
+    text_pairs = simhash_pairs(docs, max_hamming=2).select("a_id", "b_id")
+    img_pairs = image_neardup_pairs(
+        with_image_payload(docs), max_hamming=2
+    ).select("a_id", "b_id")
+    audio_pairs = audio_neardup_pairs(
+        with_am_wav_payload(docs), max_hamming=1
+    ).select("a_id", "b_id")
+    edges = text_pairs.unionByName(img_pairs).unionByName(audio_pairs)
+    comp = duplicate_components(edges)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("id").alias("doc_id"), "component", "n_members")
+        .orderBy("doc_id")
+    )

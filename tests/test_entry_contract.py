@@ -67,6 +67,9 @@ _ROWS_ONLY = {
     # invariance/edit-tolerance/transcode-recovery are pinned in
     # test_multimodal_ops.py.
     "mm_audio_dedup",
+    # the cross-modal composition unions the image/audio pipelines above
+    # (decode not SQL); per-modality tests + entry-surface determinism.
+    "dedup_multimodal_groups",
 }
 
 

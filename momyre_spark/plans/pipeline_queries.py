@@ -556,3 +556,36 @@ def chat_stats_gate(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.to_json(F.expr(_CHAT_SYNTH)).alias("convo")
     )
     return chat_stats(convo, "convo").orderBy("doc_id")
+
+
+_CHAT_PAIRS_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               unnest(range(0, (length(text) + 119) // 120)) AS i,
+               text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS response_idx,
+           substring(text, CAST((i - 1) * 120 + 1 AS INT), 120) AS prompt,
+           substring(text, CAST(i * 120 + 1 AS INT), 120) AS response
+    FROM c WHERE i % 2 = 1
+    ORDER BY doc_id, response_idx
+"""
+
+
+@query("chat_training_pairs", oracle=_CHAT_PAIRS_ORACLE)
+def chat_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(prompt, response) training pairs assembled from the parsed
+    transcripts (operators/chat.chat_pairs: lag window per conversation).
+    The synthetic transcripts alternate user-first, so the oracle is the
+    even/odd chunk pairing computed directly from substrings."""
+    from momyre_spark.operators.chat import chat_pairs, chat_turns
+
+    docs = load_table(spark, sf, "documents")
+    convo = docs.select(
+        "doc_id", F.to_json(F.expr(_CHAT_SYNTH)).alias("convo")
+    )
+    return chat_pairs(chat_turns(convo, "convo")).orderBy(
+        "doc_id", "response_idx"
+    )

@@ -574,3 +574,122 @@ def sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return hard_negatives(emb, _queries_df(spark, sf), k=TOP_K).orderBy(
         "query_id", "rank"
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-space label separation: per label, mean intra-label vs mean
+# inter-label cosine and their margin — the retrieval-eval diagnostic for
+# "do my embeddings cluster by label?". Exhaustive pairs are fine at
+# fixture size; at corpus scale this runs over a per-label sample (the
+# metric is a mean — sampling error ~1/sqrt(n)). Cosines are rounded to
+# DECIMAL(18,6) BEFORE summing so the aggregate is exact integer
+# arithmetic — identical in any partitioning and in DuckDB (a raw double
+# sum would hash-mismatch on fold order).
+# --------------------------------------------------------------------------
+_DUCK_LABEL_MARGIN = f"""
+    WITH {_DUCK_NORM_CTE},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    el AS (SELECT e.vec_id, e.v, lab.label FROM e JOIN lab USING (vec_id)),
+    pairs AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(floor({_DUCK_COS.format(a="a", b="b")} * 1000000 + 0.5)
+                    / 1000000.0 AS DECIMAL(18,6)) AS cosd
+        FROM el a JOIN el b ON a.vec_id < b.vec_id
+    ),
+    per AS (
+        SELECT l.label,
+               sum(CASE WHEN p.la = p.lb AND p.la = l.label
+                   THEN p.cosd ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_intra,
+               sum(CASE WHEN p.la = p.lb AND p.la = l.label
+                   THEN 1 ELSE 0 END) AS n_intra,
+               sum(CASE WHEN p.la <> p.lb AND (p.la = l.label OR p.lb = l.label)
+                   THEN p.cosd ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_inter,
+               sum(CASE WHEN p.la <> p.lb AND (p.la = l.label OR p.lb = l.label)
+                   THEN 1 ELSE 0 END) AS n_inter
+        FROM (SELECT DISTINCT label FROM embeddings) l CROSS JOIN pairs p
+        GROUP BY l.label
+    )
+    SELECT label,
+           CAST(n_intra AS BIGINT) AS n_intra,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           floor(CAST(s_intra AS DOUBLE) / n_intra * 10000 + 0.5) / 10000.0
+               AS mean_intra,
+           floor(CAST(s_inter AS DOUBLE) / n_inter * 10000 + 0.5) / 10000.0
+               AS mean_inter,
+           floor((CAST(s_intra AS DOUBLE) / n_intra
+                  - CAST(s_inter AS DOUBLE) / n_inter) * 10000 + 0.5) / 10000.0
+               AS margin
+    FROM per ORDER BY label
+"""
+
+
+@query("emb_label_margin", oracle=_DUCK_LABEL_MARGIN)
+def emb_label_margin(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    emb = load_table(spark, sf, "embeddings")
+    el = add_normalized(emb, "embedding", "__nv").select(
+        "vec_id", "label", "__nv"
+    )
+    a = el.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+        F.col("__nv").alias("va"),
+    )
+    b = el.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+        F.col("__nv").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "la", "lb",
+            round_half_up(dot(F.col("va"), F.col("vb")), 6)
+            .cast("decimal(18,6)")
+            .alias("cosd"),
+        )
+    )
+    labels = emb.select("label").distinct()
+    zero = F.lit(0).cast("decimal(18,6)")
+    per = (
+        labels.crossJoin(pairs)
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label")),
+                    F.col("cosd"),
+                ).otherwise(zero)
+            ).alias("s_intra"),
+            F.sum(
+                F.when(
+                    (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_intra"),
+            F.sum(
+                F.when(
+                    (F.col("la") != F.col("lb"))
+                    & ((F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))),
+                    F.col("cosd"),
+                ).otherwise(zero)
+            ).alias("s_inter"),
+            F.sum(
+                F.when(
+                    (F.col("la") != F.col("lb"))
+                    & ((F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_inter"),
+        )
+    )
+    mi = F.col("s_intra").cast("double") / F.col("n_intra")
+    me = F.col("s_inter").cast("double") / F.col("n_inter")
+    return per.select(
+        "label",
+        F.col("n_intra").cast("bigint").alias("n_intra"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        round_half_up(mi, 4).alias("mean_intra"),
+        round_half_up(me, 4).alias("mean_inter"),
+        round_half_up(mi - me, 4).alias("margin"),
+    ).orderBy("label")

@@ -331,3 +331,43 @@ def weighted_sample_k(
         .limit(k)
         .drop("__k")
     )
+
+
+def length_batches(
+    df: DataFrame,
+    batch_size: int,
+    length_col: str = "n_chars",
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed training batches: within each shard, rows sort by
+    (length DESC, id) and chunk into consecutive ``batch_size`` groups, so
+    every batch holds similar-length rows and padding-to-max waste stays
+    low. One window per SHARD (bounded partitions — never a global sort),
+    then one aggregation; all arithmetic is integer, so the report is
+    bit-identical on any engine.
+
+    Output: one row per (shard, batch_id) with ``n_rows``, ``max_len``,
+    ``sum_len`` and ``padding`` (= n_rows * max_len - sum_len, the tokens a
+    pad-to-max collator would waste)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col(length_col).desc(), F.col(id_col)
+    )
+    batched = df.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+    )
+    return (
+        batched.groupBy(shard_col, "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(length_col).cast("bigint").alias("max_len"),
+            F.sum(length_col).cast("bigint").alias("sum_len"),
+        )
+        .withColumn(
+            "padding",
+            F.col("n_rows") * F.col("max_len") - F.col("sum_len"),
+        )
+    )

@@ -589,3 +589,43 @@ def chat_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return chat_pairs(chat_turns(convo, "convo")).orderBy(
         "doc_id", "response_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching report (operators/sampling.length_batches):
+# within each hash shard, docs sort by length and chunk into fixed-size
+# batches — the collator-padding minimization every trainer wants. The
+# whole report is integer arithmetic (count/max/sum/padding), so the
+# oracle is a direct window-mirror.
+# --------------------------------------------------------------------------
+_LB_SIZE = 16
+
+
+@query(
+    "pipe_length_batches",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_chars, {_H} % {_N_SHARDS} AS shard FROM documents
+    ),
+    b AS (
+        SELECT shard, n_chars,
+               (row_number() OVER (
+                   PARTITION BY shard ORDER BY n_chars DESC, doc_id
+               ) - 1) // {_LB_SIZE} AS batch_id
+        FROM s
+    )
+    SELECT shard, CAST(batch_id AS BIGINT) AS batch_id,
+           count(*) AS n_rows,
+           CAST(max(n_chars) AS BIGINT) AS max_len,
+           CAST(sum(n_chars) AS BIGINT) AS sum_len,
+           count(*) * CAST(max(n_chars) AS BIGINT)
+               - CAST(sum(n_chars) AS BIGINT) AS padding
+    FROM b GROUP BY shard, batch_id ORDER BY shard, batch_id
+    """,
+)
+def pipe_length_batches(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import assign_shards, length_batches
+
+    docs = load_table(spark, sf, "documents")
+    sharded = assign_shards(docs, _N_SHARDS)
+    return length_batches(sharded, _LB_SIZE).orderBy("shard", "batch_id")

@@ -225,6 +225,22 @@ def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
     return ex.groupBy("__id").agg(*aggs).join(sh, "__id")
 
 
+def _band_items_sql(term_for, num_hashes: int, bands: int) -> str:
+    """Comma-joined xxhash64 band expressions over per-component SQL terms.
+
+    ONE builder for both banding call sites (batch LSH pairs over __h{i}
+    columns; persisted band keys over signature[i] subscripts) so the band
+    hash can never silently diverge between the pair path and incremental
+    LSH state."""
+    rows = num_hashes // bands
+    return ", ".join(
+        "xxhash64("
+        + ", ".join([term_for(b * rows + r) for r in range(rows)] + [str(b)])
+        + ")"
+        for b in range(bands)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -251,7 +267,6 @@ def minhash_lsh_pairs(
 
     from momyre_spark.functions.text import hashed_shingles_from_tokens, tokens
 
-    rows = num_hashes // bands
     # hashed shingles end-to-end: no shingle strings materialize anywhere in
     # the LSH path (exact-verify intersects the hash sets; a 64-bit collision
     # altering a jaccard is ~2^-64 per pair). The shingle frame feeds three
@@ -271,12 +286,7 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     wide = _minhash_wide(sh, num_hashes)
-    band_items = ", ".join(
-        "xxhash64("
-        + ", ".join([f"__h{b * rows + r}" for r in range(rows)] + [str(b)])
-        + ")"
-        for b in range(bands)
-    )
+    band_items = _band_items_sql(lambda i: f"__h{i}", num_hashes, bands)
     banded = wide.selectExpr("__id", f"array({band_items}) AS __bands").select(
         "__id", F.posexplode("__bands").alias("band", "bh")
     )
@@ -1008,12 +1018,8 @@ def minhash_band_keys(
     band. The persisted form of LSH state: an incremental corpus keeps this
     table (appending each epoch's survivors) so a new batch probes the
     whole corpus with ONE equi-join, never recomputing corpus signatures."""
-    rows = num_hashes // bands
-    band_items = ", ".join(
-        "xxhash64("
-        + ", ".join([f"`{sig_col}`[{b * rows + r}]" for r in range(rows)] + [str(b)])
-        + ")"
-        for b in range(bands)
+    band_items = _band_items_sql(
+        lambda i: f"`{sig_col}`[{i}]", num_hashes, bands
     )
     return sigs.selectExpr(
         f"`{id_col}`", f"array({band_items}) AS __bands"
@@ -1063,9 +1069,14 @@ def dedup_incremental_fuzzy(
 
     Returns ``(survivor_docs, survivor_bands, survivor_sigs)``.
     """
+    from pyspark import StorageLevel
+
+    # persist, NOT localCheckpoint: inside a long-running foreachBatch an
+    # executor loss makes truncated-lineage blocks unrecomputable and kills
+    # the micro-batch; a persisted frame just recomputes
     sigs = minhash_signatures(
         new_docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     batch_bands = minhash_band_keys(
         sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
     )

@@ -706,9 +706,13 @@ def synth_wav_am(seed: int, n_samples: int, rate: int) -> bytes:
         c, a = digest[k * 2], digest[k * 2 + 1]
         amp = (32 + a % 96) * (1 if a % 2 else -1)
         env += amp * np.maximum(0, 255 - np.abs(pos - c) * 2) // 255
-    # constant-|amplitude| square carrier: window mean |sample| is then the
-    # envelope EXACTLY (a noise carrier's per-window |mean| varies with the
-    # window grid and would swamp the envelope deltas)
+    # constant-|amplitude| square carrier: window mean |sample| tracks
+    # |env| (clipped above at 255) — a noise carrier's per-window |mean|
+    # varies with the window grid and would swamp the envelope deltas.
+    # Overlapping same-sign bumps can still saturate locally; the signed
+    # amplitudes make that rare (measured 58/60 distinct hashes, median
+    # separation 31 bits) and the ±1-bit invariance tolerance covers the
+    # residual window-grid rounding
     carrier = np.where(np.arange(n_samples) % 2 == 0, 128, -128)
     samples = ((carrier * np.minimum(env, 255)) // 4).astype("<i2")
     data = samples.tobytes()

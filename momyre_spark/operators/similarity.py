@@ -493,19 +493,27 @@ def hard_negatives(
     gradient).
 
     Same physical shape as brute_force_topk (queries broadcast, one window
-    top-k) plus the label inequality pushed into the candidate filter, so
-    same-label items never reach the ranking window."""
-    ql = queries.select(
-        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    top-k): labels ride ALONG the normalized projections — a post-hoc join
+    to attach the neighbor's label would shuffle the full |corpus| x |q|
+    scored set just to read one small column."""
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    q = add_normalized(queries, vec_col, "__nv").select(
+        F.col(id_col).alias("query_id"),
+        F.col("__nv").alias("__qv"),
+        F.col(label_col).alias("__ql"),
     )
-    cl = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
+    c = add_normalized(corpus, vec_col, "__nv").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__nv").alias("__cv"),
+        F.col(label_col).alias("__cl"),
     )
     scored = (
-        _pairs_with_cosine(corpus, queries, id_col, vec_col)
-        .join(F.broadcast(ql), "query_id")
-        .join(cl, "neighbor_id")
-        .filter(F.col("__cl") != F.col("__ql"))
-        .drop("__ql", "__cl")
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("__cl") != F.col("__ql"))
+        )
+        .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)

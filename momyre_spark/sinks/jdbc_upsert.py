@@ -388,18 +388,43 @@ def merge_upsert_dataframe(
     # replace-upsert on (batch_id, key) would otherwise keep only the last
     # duplicate and silently drop the rest of the key's deltas.
     folds = {"sum": F.sum, "min": F.min, "max": F.max}
-    unknown_fold = [f for f in merge.values() if f not in folds]
+    unknown_fold = sorted(
+        {f for f in merge.values() if f not in folds and f != "replace"}
+    )
     if unknown_fold:
         raise ValueError(
             f"merge functions must be associative for staging: {unknown_fold}"
         )
-    passthrough = [c for c in columns if c != key and c not in merge]
-    df = df.groupBy(key).agg(
-        *[folds[f](c).alias(c) for c, f in merge.items()],
-        # non-merged columns replace on conflict; within one batch any
-        # per-key value is equally current — take a deterministic one
-        *[F.max(c).alias(c) for c in passthrough],
-    ).select(*columns)
+    agg_cols = [c for c, f in merge.items() if f in folds]
+    # 'replace' merge columns and non-merged columns both carry replace
+    # semantics on conflict. They are folded as ONE WHOLE ROW (max_by over
+    # the ordered struct of the fold columns) — per-column max would
+    # synthesize a row mixing values from different deltas (and fails on
+    # unorderable types like maps). Ties on the fold key pick either of the
+    # (then equal-weight) rows.
+    row_cols = [c for c in columns if c != key and c not in agg_cols]
+    aggs = [folds[merge[c]](c).alias(c) for c in agg_cols]
+    if row_cols:
+        if agg_cols:
+            ord_key = F.struct(*[F.col(c) for c in agg_cols])
+        else:
+            ord_key = F.lit(1)
+        aggs.append(
+            F.max_by(F.struct(*[F.col(c) for c in row_cols]), ord_key).alias(
+                "__row"
+            )
+        )
+        df = df.groupBy(key).agg(*aggs).select(
+            key,
+            *agg_cols,
+            *[F.col(f"__row.{c}").alias(c) for c in row_cols],
+        ).select(*columns)
+    else:
+        df = df.groupBy(key).agg(*aggs).select(*columns)
+    if num_partitions:
+        # the fold reshuffled to spark.sql.shuffle.partitions; re-apply the
+        # caller's sink-connection cap before executors open connections
+        df = df.coalesce(num_partitions)
 
     # phase 0 (driver): skip an already-applied batch; bootstrap staging DDL
     conn = connection_factory()

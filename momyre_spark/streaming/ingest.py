@@ -83,16 +83,10 @@ def start_corpus_ingest(
         gated = batch_df.filter(
             (token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)
         )
-        try:
-            fps = spark.read.parquet(fps_dir).filter(F.col("epoch") < epoch)
-        except AnalysisException as e:
-            # ONLY a missing fingerprint table means "first epoch". Any
-            # other read failure must fail the batch: silently substituting
-            # an empty corpus would pass every batch document as unseen and
-            # permanently commit duplicates.
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            fps = spark.createDataFrame([], "fp string, epoch long")
+        # ONLY a missing state table means "first epoch" (_read_state) —
+        # any other read failure fails the batch rather than silently
+        # deduping against an empty corpus and committing duplicates.
+        fps = _read_state(spark, fps_dir, "fp string", epoch)
         survivors = dedup_incremental(
             gated, fps, id_col=id_col, text_col=text_col
         )

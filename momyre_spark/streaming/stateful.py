@@ -89,15 +89,28 @@ def latest_state_stream(
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            for _, row in pdf[pdf[ts_col] == pdf[ts_col].max()].iterrows():
-                cand = (row[ts_col], *[row[c] for c in value_cols])
-                if (
-                    best is None
-                    or cand[0] > best[0]
-                    or (cand[0] == best[0] and _tiebreak(cand) > _tiebreak(best))
-                ):
-                    best = cand
-                    advanced = True
+            # candidate = the max-(ts, stringified payload) row, picked
+            # VECTORIZED: among the rows tied at max ts, a stable sort on
+            # the stringified value columns makes the last row the
+            # lexicographic max — same order _tiebreak compares in, without
+            # a per-row Python loop (a hot key with coarse ts can tie its
+            # whole chunk)
+            sub = pdf[pdf[ts_col] == pdf[ts_col].max()]
+            if len(sub) > 1:
+                sub = sub.loc[
+                    sub[value_cols].astype(str)
+                    .sort_values(by=list(value_cols), kind="stable")
+                    .index
+                ]
+            row = sub.iloc[-1]
+            cand = (row[ts_col], *[row[c] for c in value_cols])
+            if (
+                best is None
+                or cand[0] > best[0]
+                or (cand[0] == best[0] and _tiebreak(cand) > _tiebreak(best))
+            ):
+                best = cand
+                advanced = True
         if advanced:
             state.update(tuple(best))
             if ttl_ms is not None:

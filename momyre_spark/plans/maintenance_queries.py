@@ -389,3 +389,97 @@ def stats_window_ndv_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("day").cast("string").alias("day"), "ndv_estimate")
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation matrix in ONE scan (ANALYZE depth): moments are
+# DECIMAL-exact (inputs rounded to DECIMAL(18,4), products/sums exact
+# integer arithmetic), and the final Pearson formula runs the identical
+# double-op sequence on both engines — fold-order float drift never enters
+# an aggregate. 4 columns -> 6 pairs from one scan's moment set.
+# --------------------------------------------------------------------------
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    cols = _CORR_COLS
+    return [(cols[i], cols[j]) for i in range(len(cols))
+            for j in range(i + 1, len(cols))]
+
+
+def _corr_oracle() -> str:
+    moments = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        d = f"CAST(floor({c} * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))"
+        moments.append(f"sum(CAST({d} AS DECIMAL(38,8))) AS s_{c}")
+        moments.append(f"sum(CAST({d} AS DECIMAL(38,8)) * {d}) AS q_{c}")
+    for a, b in _corr_pairs():
+        da = f"CAST(floor({a} * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))"
+        db = f"CAST(floor({b} * 10000 + 0.5) / 10000.0 AS DECIMAL(18,4))"
+        moments.append(f"sum(CAST({da} AS DECIMAL(38,8)) * {db}) AS x_{a}_{b}")
+    selects = []
+    for a, b in _corr_pairs():
+        corr = (
+            f"(n * CAST(x_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt(n * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" / sqrt(n * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
+            f"floor(({corr}) * 10000 + 0.5) / 10000.0 AS corr FROM m"
+        )
+    return (
+        "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY col_a, col_b"
+    )
+
+
+@query("stats_corr_matrix", oracle=_corr_oracle())
+def stats_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    li = load_table(spark, sf, "lineitem")
+    dec = {
+        c: round_half_up(F.col(c), 4).cast("decimal(18,4)")
+        for c in _CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(dec[c].cast("decimal(38,8)")).alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(dec[c].cast("decimal(38,8)") * dec[c]).alias(f"q_{c}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.sum(dec[a].cast("decimal(38,8)") * dec[b]).alias(f"x_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+
+    outs = []
+    for a, b in _corr_pairs():
+        n = F.col("n")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        qa, qb = F.col(f"q_{a}").cast("double"), F.col(f"q_{b}").cast("double")
+        xab = F.col(f"x_{a}_{b}").cast("double")
+        corr = (
+            (n * xab - sa * sb)
+            / F.sqrt(n * qa - sa * sa)
+            / F.sqrt(n * qb - sb * sb)
+        )
+        outs.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                n.cast("bigint").alias("n"),
+                round_half_up(corr, 4).alias("corr"),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), outs).orderBy(
+        "col_a", "col_b"
+    )

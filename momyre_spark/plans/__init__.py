@@ -99,6 +99,25 @@ DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "curate_corpus",
     "dedup_minhash_synthetic_20k",
+    # --- round-3 additions: cheap fully-oracled first, then rows-only,
+    # then the expensive compositions — so a budget- or time-capped driver
+    # run verifies the most value-hash rows before anything heavy ---
+    "dedup_url_canonical",
+    "chat_turn_tokens",
+    "chat_stats_gate",
+    "chat_training_pairs",
+    "emb_binary_quantize",
+    "sim_topk_binary_hamming",
+    "sim_hard_negatives",
+    "emb_label_margin",
+    "pipe_length_batches",
+    "stats_corr_matrix",
+    "stats_histogram",
+    "text_bpe_token_counts",
+    "text_quality_model_scores",
+    "mm_audio_dedup",
+    "mm_image_dhash_pairs",
+    "dedup_multimodal_groups",
 ]
 
 

@@ -276,3 +276,38 @@ def test_merge_upsert_two_writers_isolated_staging(spark, tmp_path):
     conn.close()
     stages = {n for n in names if "__stage" in n}
     assert len(stages) == 2, stages
+
+
+def test_merge_upsert_replace_kind_keeps_whole_row(spark, tmp_path):
+    """The staged path must accept the documented 'replace' merge kind and
+    fold duplicate-key deltas by picking ONE whole source row (never a
+    per-column mix of different rows)."""
+    import functools
+    import sqlite3
+
+    from momyre_spark.sinks.jdbc_upsert import merge_upsert_dataframe
+
+    path = str(tmp_path / "rk.db")
+    factory = functools.partial(sqlite3.connect, path, timeout=60)
+    conn = factory()
+    conn.execute(
+        'CREATE TABLE "t" ("k" varchar(16) PRIMARY KEY, "cnt" bigint, '
+        '"status" varchar(16), "src" varchar(8))'
+    )
+    conn.commit()
+    conn.close()
+    df = spark.createDataFrame(
+        [("a", 1, "active", "x"), ("a", 1, "done", "y")],
+        "k string, cnt long, status string, src string",
+    )
+    merge_upsert_dataframe(
+        df, connection_factory=factory, dialect_name="sqlite", table="t",
+        merge={"cnt": "sum", "status": "replace"}, key="k", batch_id=1,
+        num_partitions=1,
+    )
+    conn = factory()
+    cnt, status, src = conn.execute(
+        'SELECT "cnt","status","src" FROM "t"').fetchone()
+    conn.close()
+    assert cnt == 2                                      # summed delta
+    assert (status, src) in {("active", "x"), ("done", "y")}  # one real row

@@ -371,3 +371,61 @@ def length_batches(
             F.col("n_rows") * F.col("max_len") - F.col("sum_len"),
         )
     )
+
+
+def dense_positions(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    out_col: str = "position",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Dense 0-based global rank by ``(order_col, id_col)`` WITHOUT a
+    single-partition window — the value-ordered sibling of global_shuffle
+    (curriculum ordering, score-sorted exports, leaderboards).
+
+    Two-pass range rank: bucket boundaries come from approximate quantiles
+    of ``order_col`` (deterministic for a given dataset); a row's bucket is
+    the count of boundaries strictly below its value, so EQUAL values can
+    never straddle a boundary and the within-bucket window ordered by
+    ``(order_col, id_col)`` composes with the exact cumulative bucket
+    offsets into the true global rank. Bucket skew follows value skew —
+    a single massive equal-value group degrades that bucket to its own
+    window (the honest bound for any rank of that group).
+    """
+    bounds = sorted(
+        set(
+            df.approxQuantile(
+                order_col,
+                [i / num_buckets for i in range(1, num_buckets)],
+                0.001,
+            )
+        )
+    )
+    bucket = F.lit(0)
+    for x in bounds:
+        bucket = bucket + F.when(F.col(order_col) > x, 1).otherwise(0)
+    b = df.withColumn("__bucket", bucket)
+    w = Window.partitionBy("__bucket").orderBy(order_col, id_col)
+    offsets = (
+        b.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__bucket", "__offset")
+    )
+    return (
+        b.withColumn("__rk", F.row_number().over(w) - 1)
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, (F.col("__offset") + F.col("__rk")).cast("bigint"))
+        .drop("__bucket", "__rk", "__offset")
+    )

@@ -111,6 +111,7 @@ DRIVER_PRIORITY = [
     "sim_hard_negatives",
     "emb_label_margin",
     "pipe_length_batches",
+    "pipe_curriculum_order",
     "stats_corr_matrix",
     "stats_histogram",
     "text_bpe_token_counts",

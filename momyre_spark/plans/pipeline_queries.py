@@ -629,3 +629,28 @@ def pipe_length_batches(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     sharded = assign_shards(docs, _N_SHARDS)
     return length_batches(sharded, _LB_SIZE).orderBy("shard", "batch_id")
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (operators/sampling.dense_positions): dense global
+# rank by (quality proxy, id) via the two-pass range rank — no
+# single-partition window anywhere. Oracle is the direct global
+# row_number.
+# --------------------------------------------------------------------------
+@query(
+    "pipe_curriculum_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS position
+    FROM documents ORDER BY doc_id
+    """,
+)
+def pipe_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import dense_positions
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        dense_positions(docs, "n_chars", num_buckets=16)
+        .select("doc_id", "position")
+        .orderBy("doc_id")
+    )

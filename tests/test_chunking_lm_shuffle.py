@@ -263,3 +263,32 @@ def test_score_shuffle_join_path_matches_broadcast(spark):
     b = {r["doc_id"]: r["mean_logprob"]
          for r in score_documents(df, broadcast_vocab=False).collect()}
     assert a == b
+
+
+def test_dense_positions_matches_global_window_and_is_layout_invariant(spark):
+    """Two-pass range rank == the exact global row_number, including a
+    massive equal-value group (ties can never straddle a bucket boundary),
+    at any input partitioning."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.sampling import dense_positions
+
+    rows = [Row(doc_id=i, score=(i * 37) % 19) for i in range(400)]
+    rows += [Row(doc_id=1000 + i, score=7) for i in range(200)]  # huge tie
+    df = spark.createDataFrame(rows)
+    want = {
+        r["doc_id"]: r["pos"]
+        for r in df.withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy("score", "doc_id")) - 1,
+        ).collect()
+    }
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r["position"]
+            for r in dense_positions(
+                df.repartition(parts), "score", num_buckets=8
+            ).collect()
+        }
+        assert got == want

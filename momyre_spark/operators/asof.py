@@ -31,14 +31,25 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join: for every left row, the right row with the greatest
     ``right_ts <= left_ts`` within the same ``on`` key (NULLs when none).
 
     ``right_cols``: right payload columns to carry (default: all but key/ts).
+    ``tolerance``: maximum staleness of the match, in the ts column's units
+    (seconds for timestamps): a matched right row older than
+    ``left_ts - tolerance`` is treated as NO match — the standard as-of
+    freshness bound (pandas merge_asof's ``tolerance``).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    # the tolerance check needs the matched right ts even when the caller
+    # didn't ask for it — carry it inside the struct, expose only right_cols
+    carry_cols = (
+        right_cols if (tolerance is None or right_ts in right_cols)
+        else right_cols + [right_ts]
+    )
 
     # The whole right payload is carried as ONE struct with a single
     # last(ignorenulls=True): the matched left row gets every column from the
@@ -47,7 +58,7 @@ def asof_join(
     # right row, fabricating a row that never existed.)
     right_dtypes = dict(right.dtypes)
     r_struct_type = (
-        "struct<" + ",".join(f"`{c}`:{right_dtypes[c]}" for c in right_cols) + ">"
+        "struct<" + ",".join(f"`{c}`:{right_dtypes[c]}" for c in carry_cols) + ">"
     )
     lhs = left.select(
         F.col(on).alias("__k"),
@@ -63,7 +74,7 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"`{c}`:{t}" for c, t in left.dtypes) + ">"
         ).alias("__left"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(*[F.col(c) for c in carry_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -72,9 +83,18 @@ def asof_join(
     )
     carried = lhs.unionByName(rhs).select(
         "__side",
+        "__t",
         "__left",
         F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
+    if tolerance is not None:
+        fresh = (
+            F.col("__t").cast("double")
+            - F.col(f"__r.{right_ts}").cast("double")
+        ) <= F.lit(float(tolerance))
+        carried = carried.withColumn(
+            "__r", F.when(F.col("__r").isNotNull() & fresh, F.col("__r"))
+        )
     return carried.filter(F.col("__side") == 1).select(
         "__left.*",
         *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols],

@@ -113,6 +113,7 @@ DRIVER_PRIORITY = [
     "pipe_length_batches",
     "pipe_curriculum_order",
     "stats_corr_matrix",
+    "asof_join_tolerance",
     "stats_histogram",
     "text_bpe_token_counts",
     "text_quality_model_scores",

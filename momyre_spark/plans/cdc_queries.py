@@ -264,3 +264,47 @@ def cdc_apply_synthetic_1m(spark: SparkSession, sf: str) -> DataFrame:
         apply_ops(ops, {"a": "bigint", "b": "bigint"}, key="_id", order=("ts",))
         .orderBy("_id")
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join with a freshness bound: a click older than 1 hour before the
+# purchase is NO match (pandas merge_asof's `tolerance`). Oracle: native
+# ASOF LEFT JOIN with the staleness CASE applied on top.
+# --------------------------------------------------------------------------
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '1 hour'
+                THEN CAST(c.ts AS VARCHAR) END AS click_ts,
+           CASE WHEN c.ts IS NOT NULL AND p.ts - c.ts <= INTERVAL '1 hour'
+                THEN c.value END AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(purchases, clicks, on="user_id",
+                  right_cols=["ts", "value"], suffix="_click",
+                  tolerance=3600.0)
+        .select(
+            "event_id",
+            F.col("ts_click").cast("string").alias("click_ts"),
+            F.col("value_click").alias("click_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -84,3 +84,30 @@ def test_asof_null_right_payload_not_backfilled(spark):
     ).collect()[0]
     assert row["b_r"] == "new-b"
     assert row["a_r"] is None  # NOT "old-a"
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance: a match older than the bound becomes NO match; the
+    matched right ts need not be in right_cols for the check to work."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([
+        Row(k="a", ts=100.0, lid=1),   # click at 95 -> fresh (lag 5)
+        Row(k="a", ts=200.0, lid=2),   # latest click 95 -> stale (lag 105)
+        Row(k="b", ts=50.0, lid=3),    # no click at all
+    ])
+    right = spark.createDataFrame([
+        Row(k="a", ts=95.0, payload="x"),
+    ])
+    out = {r["lid"]: r["payload_right"]
+           for r in asof_join(left, right, on="k",
+                              right_cols=["payload"],
+                              tolerance=10.0).collect()}
+    assert out == {1: "x", 2: None, 3: None}
+    # without tolerance the stale match is kept
+    out2 = {r["lid"]: r["payload_right"]
+            for r in asof_join(left, right, on="k",
+                               right_cols=["payload"]).collect()}
+    assert out2 == {1: "x", 2: "x", 3: None}

@@ -46,6 +46,8 @@ def start_corpus_ingest(
     partition_by: list[str] | None = None,
     trigger: dict | None = None,
     fuzzy_threshold: float | None = None,
+    fuzzy_num_hashes: int = 128,
+    fuzzy_bands: int = 32,
 ) -> StreamingQuery:
     """Run the gate -> incremental-dedup -> snapshot-commit loop over a
     streaming frame of documents. ``fields`` is the snapshot column->type
@@ -104,6 +106,8 @@ def start_corpus_ingest(
                 bands.drop("epoch"),
                 sigs.drop("epoch"),
                 threshold=fuzzy_threshold,
+                num_hashes=fuzzy_num_hashes,
+                bands=fuzzy_bands,
                 id_col=id_col,
                 text_col=text_col,
             )

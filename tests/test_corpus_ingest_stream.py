@@ -160,8 +160,11 @@ def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
         q = start_corpus_ingest(
             stream, root, ck, FIELDS, min_tokens=2,
             trigger={"availableNow": True}, fuzzy_threshold=0.8,
+            fuzzy_num_hashes=32, fuzzy_bands=8,
         )
-        q.awaitTermination(120)
+        # fail LOUDLY on a slow host instead of asserting half-finished
+        # state (the full-suite flake mode of a bare awaitTermination)
+        assert q.awaitTermination(300), "ingest epoch timed out"
 
     _write_batch(src, "b1.json", [
         {"doc_id": 1, "text": base, "src": "a"},

@@ -123,16 +123,20 @@ DRIVER_PRIORITY = [
 ]
 
 
-def _driver_verified() -> dict[str, int]:
-    """Query name -> LATEST round with a fully-green row in
-    CORRECTNESS_r*.json.
+def _driver_recorded() -> dict[str, int]:
+    """Query name -> LATEST round with a driver row in CORRECTNESS_r*.json.
 
     The external driver records a bounded number of correctness rows per
     round, taken in ``ordered_queries()`` order. Reading the recorded
     results back lets the ordering adapt each round: anything not yet
-    verified goes first; once coverage is full, the stalest green rows
-    (verified longest ago, most code churn since) rotate to the front so
-    every query's driver signal keeps refreshing."""
+    recorded goes first; once coverage is full, the stalest rows (recorded
+    longest ago, most code churn since) rotate to the front so every
+    query's driver signal keeps refreshing.
+
+    Both fully-green value-hash rows AND rows-only recordings
+    (``err == "no_oracle"`` with a row count) count as "recorded" — a
+    rows-only query whose weaker check ran in round N must not keep
+    competing with never-checked oracled queries for the per-round budget."""
     import glob
     import json
     import os
@@ -151,28 +155,58 @@ def _driver_verified() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
                 and row.get("schema_match")
                 and not row.get("err")
-            ):
+            )
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
+# Within a staleness tier these refresh first: q01-q16 are the reference's
+# own declared correctness queries (SURVEY §2.10 — the contract surface) and
+# the cdc_apply family is the core replication path; pipe_pretrain_prep is
+# the flagship composed LLM-prep pipeline. Only a tiebreaker — it never
+# displaces a less-recently-recorded query.
+CONTRACT_FIRST = [
+    *[f"q{i:02d}" for i in range(1, 17)],
+    "cdc_apply_ops",
+    "cdc_apply_synthetic_1m",
+    "cdc_flatten_project",
+    "pipe_pretrain_prep",
+]
+
+
 def ordered_queries() -> dict[str, QueryFn]:
-    """Registry ordered for the driver: never-verified queries first, then
-    verified ones OLDEST round first (stalest driver signal refreshes
+    """Registry ordered for the driver: never-recorded queries first, then
+    recorded ones OLDEST round first (stalest driver signal refreshes
     before recently-confirmed rows are re-checked).
 
-    Within equal staleness the static ``DRIVER_PRIORITY`` list acts as a
-    cheap-first hint, followed by registration order."""
-    verified = _driver_verified()
-    hint = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    Within every staleness tier, queries WITH a value-hash oracle come
+    before rows-only queries — a rows-only row can never produce a hash
+    signal, so it must not consume budget while an oracled query waits.
+    Ties beyond that follow ``CONTRACT_FIRST`` then ``DRIVER_PRIORITY``
+    (cheap-first hints), then registration order."""
+    recorded = _driver_recorded()
+    # CONTRACT_FIRST q-entries are name prefixes (q01 -> q01_snapshot_project)
+    hint: list[str] = []
+    for c in CONTRACT_FIRST:
+        hint.extend(
+            n for n in QUERIES
+            if (n == c or n.startswith(c + "_")) and n not in hint
+        )
+    hint += [n for n in DRIVER_PRIORITY if n in QUERIES and n not in hint]
     hint += [n for n in QUERIES if n not in hint]
     rank = {n: i for i, n in enumerate(hint)}
     ordered = sorted(
-        hint, key=lambda n: (verified.get(n, 0), rank[n])
+        hint, key=lambda n: (recorded.get(n, 0), n not in ORACLES, rank[n])
     )
     return {name: QUERIES[name] for name in ordered}

@@ -90,6 +90,31 @@ def test_events_query_on_bare_session(spark):
     assert len(out) == 1 and out[0]["ts"].startswith("2024-01-")
 
 
+def test_driver_ordering_spends_budget_on_oracled_stale_first():
+    """The driver records ~50 correctness rows per round in queries() order.
+    The ordering must spend that budget: (a) never-recorded oracled queries
+    first, (b) rows-only queries last within every staleness tier (they can
+    never produce a hash signal), (c) stalest-recorded tiers before fresher
+    ones."""
+    import momyre_spark.plans as plans
+
+    recorded = plans._driver_recorded()
+    ordered = list(plans.ordered_queries())
+    keys = [
+        (recorded.get(n, 0), n not in plans.ORACLES) for n in ordered
+    ]
+    assert keys == sorted(keys), "ordering must be (staleness, rows-only-last)"
+    # rows-only recordings count as recorded: every _ROWS_ONLY query with a
+    # driver row must NOT sit in tier 0 ahead of stale oracled queries
+    for name in _ROWS_ONLY & set(recorded):
+        assert recorded[name] > 0
+    # contract surface (q01..q16) leads its staleness tier
+    tier = recorded.get("q01_snapshot_project", 0)
+    tier_members = [n for n in ordered if recorded.get(n, 0) == tier
+                    and n in plans.ORACLES]
+    assert tier_members[0] == "q01_snapshot_project"
+
+
 def test_smoke_all_queries_tiny_sf(spark):
     """Every registered query must execute end-to-end at sf0.001."""
     bare = _bare_session(spark)

@@ -540,6 +540,11 @@ def duplicate_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # every propagation round + convergence check re-reads the edge
+        # list; uncached, each round would recompute the (often expensive)
+        # candidate-pair DAG that produced it. Cut it once: the edge list
+        # is pairs-sized, tiny next to the corpus.
+        .localCheckpoint(eager=False)
     )
     labels = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
@@ -1050,6 +1055,7 @@ def dedup_incremental_fuzzy(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persisted: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: the fuzzy twin of ``dedup_incremental``.
 
@@ -1067,7 +1073,12 @@ def dedup_incremental_fuzzy(
     4. survivors return WITH their band/signature rows — append those to
        the state tables to complete the epoch.
 
-    Returns ``(survivor_docs, survivor_bands, survivor_sigs)``.
+    Returns ``(survivor_docs, survivor_bands, survivor_sigs)``. The batch
+    signatures are cached (MEMORY_AND_DISK) for the duration of the epoch;
+    callers running inside a long-lived loop (``streaming/ingest.py``) pass
+    ``persisted`` (a list the cached frame is appended to) and unpersist it
+    once the survivors and state tables are materialized — otherwise one
+    cached frame per epoch accumulates until GC.
     """
     from pyspark import StorageLevel
 
@@ -1077,6 +1088,8 @@ def dedup_incremental_fuzzy(
     sigs = minhash_signatures(
         new_docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(sigs)
     batch_bands = minhash_band_keys(
         sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
@@ -1110,7 +1123,14 @@ def dedup_incremental_fuzzy(
         .distinct()
     )
     fresh = new_docs.join(matched, id_col, "left_anti")
-    fresh_sigs = sigs.join(matched, id_col, "left_anti")
+    # fresh_sigs feeds FOUR consumers (band keys, both sides of the pair
+    # verify join, the survivor sigs) — uncached, every downstream action
+    # would recompute the whole corpus-probe DAG per consumer
+    fresh_sigs = sigs.join(matched, id_col, "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if persisted is not None:
+        persisted.append(fresh_sigs)
 
     # --- batch-internal near-dups ----------------------------------------
     fresh_bands = minhash_band_keys(

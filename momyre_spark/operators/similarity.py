@@ -517,3 +517,86 @@ def hard_negatives(
         .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)
+
+
+def label_margin_report(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    max_exact_rows: int = 10_000,
+    sample_per_label: int = 500,
+) -> DataFrame:
+    """Per-label embedding-separation report: mean intra-label vs
+    inter-label cosine and their margin — the "are my labels separable in
+    embedding space" diagnostic run before training a classifier on them.
+
+    The pair score is an all-pairs self-join — O(N²) with no LSH shortcut
+    (EVERY pair contributes to the means, not just near ones). Above
+    ``max_exact_rows`` the report therefore switches to a deterministic
+    per-label sample (``sampling.sample_per_group`` hash order, exactly
+    ``sample_per_label`` rows per label): the pair count is then bounded by
+    (labels·sample_per_label)²/2 whatever the corpus size, and the sampled
+    means are unbiased estimates of the exact ones. Same guard pattern as
+    ``brute_force_topk_numpy``'s MAX_QUERIES cap — never silently quadratic.
+
+    Decimal-fixed pair sums keep the aggregation bit-identical under any
+    partitioning (the oracled-floating-aggregate pattern).
+    """
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.vectors import add_normalized, dot
+    from momyre_spark.operators.sampling import sample_per_group
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__vec"),
+    )
+    if base.count() > max_exact_rows:
+        base = sample_per_group(
+            base, sample_per_label, ["label"], id_col="vec_id",
+            salt="label_margin",
+        )
+    el = add_normalized(base, "__vec", "__nv").select(
+        "vec_id", "label", "__nv"
+    )
+    a = el.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+        F.col("__nv").alias("va"),
+    )
+    b = el.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+        F.col("__nv").alias("vb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "la", "lb",
+        round_half_up(dot(F.col("va"), F.col("vb")), 6)
+        .cast("decimal(18,6)")
+        .alias("cosd"),
+    )
+    labels = base.select("label").distinct()
+    zero = F.lit(0).cast("decimal(18,6)")
+    intra = (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label"))
+    inter = (F.col("la") != F.col("lb")) & (
+        (F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))
+    )
+    per = (
+        labels.crossJoin(pairs)
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(intra, F.col("cosd")).otherwise(zero)).alias("s_intra"),
+            F.sum(F.when(intra, F.lit(1)).otherwise(F.lit(0))).alias("n_intra"),
+            F.sum(F.when(inter, F.col("cosd")).otherwise(zero)).alias("s_inter"),
+            F.sum(F.when(inter, F.lit(1)).otherwise(F.lit(0))).alias("n_inter"),
+        )
+    )
+    mi = F.col("s_intra").cast("double") / F.col("n_intra")
+    me = F.col("s_inter").cast("double") / F.col("n_inter")
+    return per.select(
+        "label",
+        F.col("n_intra").cast("bigint").alias("n_intra"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        round_half_up(mi, 4).alias("mean_intra"),
+        round_half_up(me, 4).alias("mean_inter"),
+        round_half_up(mi - me, 4).alias("margin"),
+    ).orderBy("label")

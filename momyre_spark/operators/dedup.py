@@ -524,6 +524,7 @@ def duplicate_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 20,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate *groups* from a pair list: connected components by
     iterative min-label propagation.
@@ -536,16 +537,21 @@ def duplicate_components(
 
     Returns (id, component) for every node that appears in a pair.
     """
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         # every propagation round + convergence check re-reads the edge
         # list; uncached, each round would recompute the (often expensive)
-        # candidate-pair DAG that produced it. Cut it once: the edge list
-        # is pairs-sized, tiny next to the corpus.
-        .localCheckpoint(eager=False)
+        # candidate-pair DAG that produced it. Cache it once: the edge list
+        # is pairs-sized, tiny next to the corpus. Long-running loops
+        # (streaming ingest) pass ``persisted`` and unpersist per epoch.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persisted is not None:
+        persisted.append(edges)
     labels = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).select(F.col("src").alias("id"), "label")
@@ -1169,7 +1175,7 @@ def dedup_incremental_fuzzy(
         )
         .select("a_id", "b_id")
     )
-    comp = duplicate_components(pairs)
+    comp = duplicate_components(pairs, persisted=persisted)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

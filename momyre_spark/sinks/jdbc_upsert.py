@@ -373,6 +373,13 @@ def merge_upsert_dataframe(
     # and purge each other's staged batches before phase 2 applied them.
     # Labels are free-form strings, so non-default labels get a hex suffix
     # rather than appearing in the identifier.
+    # UPGRADE NOTE: deployments that ran a pre-suffix build with a
+    # non-default progress_label staged into the SHARED `table__stage`;
+    # phase 2 now reads `table__stage_<hex>`, so an in-flight batch staged
+    # by the old build (crash between phase 1 and phase 2) would be
+    # orphaned. Drain in-flight batches (let phase 2 complete) before
+    # upgrading a live sink, or replay the last micro-batch after upgrade
+    # (staging replace-upsert on (batch_id, key) makes the replay safe).
     if progress_label and progress_label != table:
         import hashlib as _hashlib
 

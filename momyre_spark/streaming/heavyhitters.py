@@ -89,6 +89,8 @@ def heavy_hitters_stream(
     """
     if counters < 1:
         raise ValueError("counters must be >= 1")
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
 
     routed = stream_df.select(
         F.col(item_col).cast("string").alias("item")

@@ -171,6 +171,34 @@ def test_merge_upsert_replay_under_different_layout_is_skipped(spark, tmp_path):
     assert n == 0
 
 
+def test_stream_replay_under_changed_session_layout_applies_once(spark, tmp_path):
+    """End-to-end staged-merge exactly-once across a RESTART that changes the
+    physical layout: the same input replayed from a fresh checkpoint under
+    different shuffle-partition and AQE settings (so the batch's rows land in
+    different partitions/tasks) must not re-fold any delta; a genuinely new
+    batch afterwards still applies."""
+    factory = _mk_sink(tmp_path)
+    src = tmp_path / "src"
+
+    _write(src / "b1.json", [("a", 1.0), ("a", 5.0), ("b", 10.0)])
+    _run(spark, src, tmp_path / "ck1", factory)
+    want = _state(factory)
+    assert want == {"a": (2, 6.0, 1.0, 5.0), "b": (1, 10.0, 10.0, 10.0)}
+
+    # replay: fresh checkpoint re-reads everything as batch 0, but in a
+    # session with a different layout (7 shuffle partitions, AQE off)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    _run(s2, src, tmp_path / "ck2", factory)
+    assert _state(factory) == want  # batch 0 skipped, layout-independent
+
+    # the original stream continues: a NEW batch still folds in
+    _write(src / "b2.json", [("a", 0.5)])
+    _run(spark, src, tmp_path / "ck1", factory)
+    assert _state(factory)["a"] == (3, 6.5, 0.5, 5.0)
+
+
 def test_staged_merge_dialect_spellings():
     from momyre_spark.sinks.dialects import DIALECTS
 

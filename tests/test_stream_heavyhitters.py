@@ -126,3 +126,17 @@ def test_superset_guarantee_vs_exact(spark, tmp_path):
             assert item in got, item
             lo, hi = got[item]
             assert lo <= c <= hi
+
+
+def test_invalid_params_raise_at_construction(spark):
+    import pytest
+
+    from momyre_spark.streaming.heavyhitters import heavy_hitters_stream
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as item"
+    )
+    with pytest.raises(ValueError, match="counters"):
+        heavy_hitters_stream(stream, "item", counters=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        heavy_hitters_stream(stream, "item", num_buckets=0)

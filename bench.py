@@ -71,6 +71,9 @@ HEADLINE = [
     "chat_stats_gate",
     "text_bpe_token_counts",
     "sim_topk_binary_hamming",
+    # round-4: pigeonhole hamming family at 20k synthetic fingerprints
+    # (collapse guard + block join — the image/audio dedup candidate path)
+    "dedup_hamming_synthetic_20k",
 ]
 
 
@@ -94,6 +97,19 @@ def main() -> None:
     # sampling (up to six) until the min is corroborated. (r02 recorded
     # cdc_apply_synthetic_1m at +37% purely from one such burst: re-measured
     # mins land on the r01 number, 1.36s.)
+    # The multiway-join TPC-H shapes JIT-warm SLOWLY: successive runs keep
+    # improving for ~5 executions (whole-stage codegen across 4-6 join
+    # stages), so the default 1-warmup/3-run minimum records a half-warm
+    # number that reads as drift. r03 recorded q32/q33 at +17/+28% vs r02
+    # with provably untouched plans; re-measuring with a deeper sample
+    # lands both back on the r01 steady state (q32 1.11s, q33 1.20s).
+    SLOW_WARM = {
+        "q32_tpch_q3_shape",
+        "q33_tpch_q5_shape",
+        "q63_tpch_q9_shape",
+        "q73_tpch_q21_shape",
+    }
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = plans.QUERIES[name]
@@ -111,9 +127,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        run()
-        times = [run(), run(), run()]
-        while len(times) < 6:
+        for _ in range(2 if name in SLOW_WARM else 1):
+            run()
+        times = [run() for _ in range(5 if name in SLOW_WARM else 3)]
+        while len(times) < 8:
             s = sorted(times)
             if s[1] <= s[0] * 1.15:
                 break

@@ -421,6 +421,103 @@ def dedup_minhash_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Synthetic hamming-fingerprint corpus at scale: the pigeonhole block join
+# (hamming_neardup_pairs — the candidate generator under image dhash, audio
+# envelope hash and SimHash dedup) exercised on 20k fingerprints with three
+# planted structures: (a) background fps = md5-prefix 60-bit values (pairwise
+# distance ~30 bits, far above the radius), (b) 200 planted near-dups at
+# exactly 1..3 flipped bits of their predecessor, (c) ONE degenerate group of
+# 100 bit-identical fps — the blank-thumbnail case whose K^2/2 bucket blowup
+# the collapse-to-representative guard exists for. The md5-prefix generator
+# is engine-neutral (the _syn_docs trick), so the full pipeline — collapse,
+# block join, exact bit_count(xor) verify, star edges — gets a value-hash
+# DuckDB oracle over the same generated corpus.
+# --------------------------------------------------------------------------
+_N_HAM = 20_000
+_HAM_RADIUS = 3
+# fp_base(7) = int(md5('7')[:15 hex], 16) — the degenerate group's shared
+# fingerprint, precomputed since it is a constant in both engines
+_HAM_FP7 = 644382284193898855
+
+
+def _ham_fp_spark(ix: str) -> str:
+    return f"CAST(conv(substr(md5(CAST({ix} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+
+
+# 1..3 mask bits at positions p, (p+31)%60, (p+47)%60 (p = 7i mod 60):
+# offsets are distinct mod 60, so the planted pair's hamming distance is
+# EXACTLY 1 + (i mod 3) — always within the radius
+_HAM_MASK_SPARK = (
+    "(shiftleft(CAST(1 AS BIGINT), CAST(pmod(id * 7, 60) AS INT))"
+    " + CASE WHEN pmod(id, 3) >= 1 THEN shiftleft(CAST(1 AS BIGINT),"
+    " CAST(pmod(pmod(id * 7, 60) + 31, 60) AS INT)) ELSE CAST(0 AS BIGINT) END"
+    " + CASE WHEN pmod(id, 3) = 2 THEN shiftleft(CAST(1 AS BIGINT),"
+    " CAST(pmod(pmod(id * 7, 60) + 47, 60) AS INT)) ELSE CAST(0 AS BIGINT) END)"
+)
+
+
+def _ham_fps(spark: SparkSession) -> DataFrame:
+    """The synthetic 20k fingerprint table, materialized once per process
+    (same rationale as _syn_docs: measure scan + dedup, not generation)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"momyre_synham_{_N_HAM}.parquet")
+    if not os.path.exists(path):
+        fp_expr = (
+            f"CASE WHEN pmod(id, 200) = 7 THEN CAST({_HAM_FP7} AS BIGINT)"
+            f" WHEN pmod(id, 100) = 1 THEN"
+            f" ({_ham_fp_spark('id - 1')} ^ {_HAM_MASK_SPARK})"
+            f" ELSE {_ham_fp_spark('id')} END"
+        )
+        spark.range(_N_HAM).selectExpr(
+            "id AS doc_id", f"{fp_expr} AS fp"
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+_SYN_HAM_ORACLE = f"""
+    WITH idx AS (SELECT CAST(i AS BIGINT) AS i FROM range({_N_HAM}) t(i)),
+    fps AS (
+        SELECT i AS doc_id,
+            CASE WHEN i % 200 = 7 THEN {_HAM_FP7}
+                 WHEN i % 100 = 1 THEN xor(
+                     ('0x' || substr(md5(CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT,
+                     (1::BIGINT << CAST((i * 7) % 60 AS INT))
+                     + CASE WHEN i % 3 >= 1 THEN
+                         (1::BIGINT << CAST(((i * 7) % 60 + 31) % 60 AS INT))
+                       ELSE 0 END
+                     + CASE WHEN i % 3 = 2 THEN
+                         (1::BIGINT << CAST(((i * 7) % 60 + 47) % 60 AS INT))
+                       ELSE 0 END)
+                 ELSE ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+            END AS fp
+        FROM idx),
+    reps AS (SELECT fp, min(doc_id) AS rep FROM fps GROUP BY fp),
+    star AS (
+        SELECT r.rep AS a_id, f.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming
+        FROM fps f JOIN reps r USING (fp) WHERE f.doc_id <> r.rep),
+    rpairs AS (
+        SELECT a.rep AS a_id, b.rep AS b_id,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM reps a JOIN reps b ON a.rep < b.rep
+        WHERE bit_count(xor(a.fp, b.fp)) <= {_HAM_RADIUS})
+    SELECT a_id, b_id, hamming
+    FROM (SELECT * FROM star UNION ALL SELECT * FROM rpairs)
+    ORDER BY a_id, b_id
+"""
+
+
+@query("dedup_hamming_synthetic_20k", oracle=_SYN_HAM_ORACLE)
+def dedup_hamming_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        _ham_fps(spark), max_hamming=_HAM_RADIUS, hash_col="fp"
+    ).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
 # Sub-document (segment/paragraph-level) exact dedup: distinct segments
 # survive only at their global first occurrence; documents reassemble from
 # survivors (operators/dedup.segment_dedup). On real corpora the unit is

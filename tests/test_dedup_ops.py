@@ -10,6 +10,7 @@ from momyre_spark.operators.dedup import (
     dedup_exact,
     duplicate_components,
     exact_duplicates,
+    hamming_neardup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -227,3 +228,77 @@ def test_lsh_degenerate_duplicate_cluster_stays_linear(spark):
         == comps.selectExpr("max(component)").first()[0]
     )  # every doc in ONE component
     assert comps.count() == 2000
+
+
+def test_hamming_synthetic_20k_scale_evidence(spark):
+    """Scale evidence for the pigeonhole hamming family (the candidate
+    generator under image-dhash / audio-envelope / SimHash dedup), mirroring
+    dedup_minhash_synthetic_20k: on the 20k synthetic fingerprint corpus the
+    block join must stay NEAR-LINEAR (bucket pair-count a small multiple of
+    N, never quadratic) and the degenerate-fp collapse guard must absorb the
+    planted 100-identical-fp group (K^2/2 = 4950 bucket pairs without it)
+    into 99 star edges."""
+    from momyre_spark.plans.dedup_queries import (
+        _HAM_RADIUS,
+        _N_HAM,
+        _ham_fps,
+    )
+
+    fps = _ham_fps(spark)
+    assert fps.count() == _N_HAM
+
+    # ---- output shape: exactly the planted structures, nothing quadratic
+    pairs = hamming_neardup_pairs(fps, max_hamming=_HAM_RADIUS, hash_col="fp")
+    rows = pairs.collect()
+    star = [r for r in rows if r["hamming"] == 0]
+    near = [r for r in rows if r["hamming"] > 0]
+    assert len(star) == 99 and all(r["a_id"] == 7 for r in star)
+    assert len(near) == 200
+    for r in near:  # planted at EXACTLY 1 + (i % 3) flipped bits
+        assert r["b_id"] - r["a_id"] == 1 and r["b_id"] % 100 == 1
+        assert r["hamming"] == 1 + r["b_id"] % 3
+    # no cartesian anywhere in the physical plan
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # ---- candidate volume: post-collapse bucket sizes give sum C(n,2)
+    # bounded by a small multiple of N — the near-linear claim
+    n_blocks = _HAM_RADIUS + 1
+    bounds = [(i * 64) // n_blocks for i in range(n_blocks + 1)]
+    reps = fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    blocked = reps.select(
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("fp"), bounds[i]).bitwiseAND(
+                    F.lit((1 << (bounds[i + 1] - bounds[i])) - 1).cast("long")
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("block", "bv")
+    )
+    cand = (
+        blocked.groupBy("block", "bv")
+        .count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert cand < 5 * _N_HAM, cand  # near-linear, nowhere near N^2/2
+    # the collapse guard is what keeps it there: the identical group alone
+    # would contribute C(100,2) = 4950 candidates in EVERY block
+    uncollapsed = fps.select(
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("fp"), bounds[i]).bitwiseAND(
+                    F.lit((1 << (bounds[i + 1] - bounds[i])) - 1).cast("long")
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("block", "bv")
+    )
+    unc = (
+        uncollapsed.groupBy("block", "bv")
+        .count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert unc - cand >= 4950 * n_blocks * 0.99  # the blowup the guard kills

@@ -78,3 +78,27 @@ def test_raw_oplog_stream_to_sink(spark, tmp_path):
         "a": ("root", "k2"),   # insert + $set (nested flatten) + v2 diff
         "c": ("tx", None),     # from the unwrapped transaction
     }  # b deleted; db.ignored filtered; noop dropped
+
+
+# ---------------------------------------------------------------------------
+# Live-connector smoke (stretch): runs ONLY when a sandbox provides both the
+# MongoDB Spark connector jar and a reachable server via MOMYRE_MONGO_URI.
+# Everywhere else it skips loudly with the reason; the decode contract is
+# pinned environment-independently by the golden change-event corpus
+# (tests/fixtures/mongo_change_events.jsonl, test_mongo_decode.py).
+# ---------------------------------------------------------------------------
+def test_live_mongo_connector_smoke(spark):
+    import os
+
+    import pytest
+
+    uri = os.environ.get("MOMYRE_MONGO_URI")
+    if not uri:
+        pytest.skip(
+            "MOMYRE_MONGO_URI not set (MongoDB Spark connector jar absent "
+            "in this sandbox); decode contract carried by the golden corpus"
+        )
+    from momyre_spark.sources.mongo import read_snapshot
+
+    df = read_snapshot(spark, uri, "momyre_smoke", "probe")
+    assert df.count() >= 0  # connectivity + schema inference round-trip

@@ -764,6 +764,152 @@ def snapshot_compact(
     return new_v
 
 
+def snapshot_zorder(
+    spark: SparkSession,
+    root: str,
+    zorder_by: list[str],
+    bits: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """Re-cluster the current version on a Z-ORDER curve over ``zorder_by``
+    (multi-column data skipping — the OPTIMIZE ZORDER of lakehouse tables).
+
+    A single ``sort_by`` makes file/row-group min-max stats tight on ONE
+    column; a multi-column predicate still scans everything clustered only
+    by the leading column. Z-ordering interleaves the bits of each row's
+    per-column QUANTILE-BUCKET ranks (equi-depth, so skew cannot collapse
+    the curve the way raw-value interleaving would) and range-partitions +
+    sorts on that single z-value: every output file then covers a small
+    hyper-rectangle of the zorder space, so parquet footer min/max prune
+    files for predicates on ANY subset of the columns.
+
+    Mechanics: one ``approxQuantile`` pass collects ``2^bits - 1`` bucket
+    boundaries per column to the driver (256-bucket default ≈ 2 KB/column —
+    never the data); bucketing + bit-interleaving are pure codegen
+    expressions; then ONE range shuffle sized by the version's bytes. Commit
+    is copy-on-write like compaction: row content is bit-identical
+    (``snapshot_diff(parent, new)`` is empty), time travel still reads the
+    parent layout, partition-level manifest stats carry over unchanged.
+    ``zorder_by`` must be numeric/date/timestamp (rank-able); NULLs sort to
+    bucket 0. Recorded as ``zorder_by`` in the manifest; note a later
+    ``snapshot_compact`` re-sorts affected partitions by the ORIGINAL
+    ``sort_by`` — re-run zorder after heavy compaction if both are used.
+    """
+    if not zorder_by:
+        raise ValueError("momyre: zorder_by must name at least one column")
+    if not 1 <= bits <= 16:
+        raise ValueError("momyre: bits must be in [1, 16]")
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {root}")
+    man = read_manifest(spark, root, v)
+    pby = man["partition_by"]
+    schema = (
+        StructType.fromJson(json.loads(man["schema"])) if "schema" in man else None
+    )
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    dirs = sorted(man["partitions"].values())
+    if not dirs:
+        raise ValueError(f"momyre: version {v} at {root} has no data to cluster")
+    df = reader.parquet(*dirs)
+    df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
+    missing = [c for c in zorder_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"momyre: zorder_by columns not in table: {missing}")
+    for c in zorder_by:
+        t = df.schema[c].dataType.typeName()
+        if t not in {
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+            "date", "timestamp", "timestamp_ntz",
+        }:
+            raise ValueError(
+                f"momyre: zorder column {c!r} has un-rankable type {t}; "
+                "hash string keys to a numeric column first"
+            )
+
+    # equi-depth bucket boundaries, one approxQuantile job for all columns
+    n_buckets = 1 << bits
+    zcast = {c: f"__zd_{i}" for i, c in enumerate(zorder_by)}
+    casted = df.select(
+        *[F.col(c).cast("timestamp").cast("double").alias(a)
+          if df.schema[c].dataType.typeName().startswith("timestamp")
+          or df.schema[c].dataType.typeName() == "date"
+          else F.col(c).cast("double").alias(a)
+          for c, a in zcast.items()]
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = casted.approxQuantile(
+        list(zcast.values()), probs, 1.0 / (4 * n_buckets)
+    )
+
+    # Per column: bucket rank = #boundaries <= value (aggregate over a small
+    # literal array; NULL -> bucket 0), then the INTERLEAVE spread — bit b of
+    # column c lands at z-position b*k + c — applied in the aggregate's
+    # finish lambda, so each bucket count is evaluated exactly once per row
+    # (referencing the bound lambda variable, never re-running the scan of
+    # the boundary array per bit).
+    k = len(zorder_by)
+    contribs = []
+    for i, c in enumerate(zcast):
+        arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds[i])
+        src = (
+            f"CAST(CAST(`{c}` AS TIMESTAMP) AS DOUBLE)"
+            if df.schema[c].dataType.typeName().startswith("timestamp")
+            or df.schema[c].dataType.typeName() == "date"
+            else f"CAST(`{c}` AS DOUBLE)"
+        )
+        spread = " + ".join(
+            f"shiftleft(CAST(shiftright(acc, {b}) & 1 AS BIGINT), {b * k + i})"
+            for b in range(bits)
+        )
+        contribs.append(
+            f"aggregate(array({arr}), 0, (acc, b) -> acc + "
+            f"IF(coalesce({src}, CAST('-Infinity' AS DOUBLE)) >= b, 1, 0), "
+            f"acc -> {spread})"
+        )
+    zexpr = " + ".join(contribs)
+
+    jvm, fs = _fs(spark, root)
+    total = 0
+    for d in dirs:
+        for st in fs.listStatus(_jpath(jvm, d)):
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+    n_ranges = max(1, -(-total // target_file_bytes))
+
+    parts = [F.col(c) for c in (pby or [])] + [F.col("__z")]
+    zdf = (
+        df.withColumn("__z", F.expr(zexpr))
+        .repartitionByRange(n_ranges, *parts)
+        .sortWithinPartitions(*parts)
+        .drop("__z")
+    )
+    new_v = v + 1
+    new_dirs = _write_version_data(
+        zdf, root, new_v, pby or None, max_records_per_file, sort_by=None
+    )
+    new_man = {
+        "version": new_v,
+        "parent": v,
+        "partition_by": pby,
+        "partitions": new_dirs,
+        "schema": man["schema"] if "schema" in man else df.schema.json(),
+        "zorder_by": list(zorder_by),
+        "zorder_bits": bits,
+    }
+    if "stats_cols" in man:
+        # row content per partition is unchanged — bounds carry over
+        new_man["stats_cols"] = man["stats_cols"]
+        new_man["stats"] = {
+            k2: s for k2, s in (man.get("stats") or {}).items() if k2 in new_dirs
+        }
+    if "batch_id" in man:
+        new_man["batch_id"] = man["batch_id"]
+    _commit(spark, root, new_man)
+    return new_v
+
+
 def snapshot_vacuum(
     spark: SparkSession,
     root: str,

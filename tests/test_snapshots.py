@@ -739,3 +739,133 @@ def test_rollback_to_pre_schema_manifest(spark, tmp_path):
     v = snapshot_rollback(spark, root, 1)
     assert v == 3 and current_version(spark, root) == 3
     assert snapshot_read(spark, root).count() == 5
+
+
+# ------------------------------------------------------------ Z-ORDER ----
+def _file_bounds(spark, root, version, cols):
+    """Per-parquet-file [min, max] of ``cols`` for a committed version."""
+    import os
+
+    from momyre_spark.sinks.snapshots import read_manifest
+
+    man = read_manifest(spark, root, version)
+    out = []
+    for d in man["partitions"].values():
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            fdf = spark.read.parquet(os.path.join(d, f))
+            aggs = []
+            for c in cols:
+                aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+            r = fdf.agg(*aggs).collect()[0]
+            out.append({c: (r[f"lo_{c}"], r[f"hi_{c}"]) for c in cols})
+    return out
+
+
+def test_zorder_preserves_content_and_clusters_files(spark, tmp_path):
+    """snapshot_zorder commits a copy-on-write version with IDENTICAL rows
+    (diff empty, parent still readable) whose files cover small hyper-
+    rectangles of the zorder space: a point predicate on BOTH columns hits
+    a small fraction of files, versus nearly all files in the unclustered
+    parent layout."""
+    from momyre_spark.sinks.snapshots import (
+        snapshot_diff,
+        snapshot_read,
+        snapshot_zorder,
+    )
+
+    root = str(tmp_path / "store")
+    # 64x64 grid in RANDOMIZED row order -> every unclustered file spans
+    # nearly the full range of both columns
+    df = (
+        spark.range(4096)
+        .selectExpr(
+            "cast(id as string) as _id",
+            "cast(id % 64 as long) as x",
+            "cast(id div 64 as long) as y",
+            "xxhash64(id) as salt",
+        )
+        .repartition(8, "salt")
+        .drop("salt")
+    )
+    v1 = snapshot_write(spark, df, root, max_records_per_file=512)
+    v2 = snapshot_zorder(
+        spark, root, ["x", "y"], bits=6, target_file_bytes=8 * 1024
+    )
+    assert v2 == v1 + 1
+
+    # content identical, history intact
+    assert snapshot_diff(spark, root, v1, v2).count() == 0
+    assert snapshot_read(spark, root, version=v1).count() == 4096
+    assert snapshot_read(spark, root).count() == 4096
+
+    before = _file_bounds(spark, root, v1, ["x", "y"])
+    after = _file_bounds(spark, root, v2, ["x", "y"])
+    assert len(after) >= 4  # the tiny target actually split files
+
+    def hits(bounds, px, py):
+        return sum(
+            1 for b in bounds
+            if b["x"][0] <= px <= b["x"][1] and b["y"][0] <= py <= b["y"][1]
+        )
+
+    probe_points = [(5, 50), (33, 12), (60, 60), (17, 31)]
+    before_hits = sum(hits(before, px, py) for px, py in probe_points)
+    after_hits = sum(hits(after, px, py) for px, py in probe_points)
+    # unclustered: every file contains every point; z-ordered: a point
+    # lands in a small minority of files
+    assert before_hits >= len(before) * len(probe_points) * 0.7
+    assert after_hits <= len(after) * len(probe_points) * 0.35, (
+        before_hits, after_hits, len(before), len(after)
+    )
+
+
+def test_zorder_partitioned_carries_stats_and_batch_id(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import (
+        read_manifest,
+        snapshot_read,
+        snapshot_zorder,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.range(1000).selectExpr(
+        "cast(id as string) as _id",
+        "cast(id % 2 as string) as region",
+        "cast(id % 97 as long) as x",
+        "cast(id % 31 as long) as y",
+    )
+    v1 = snapshot_write(
+        spark, df, root, partition_by=["region"], batch_id=41,
+        stats_cols=["x"],
+    )
+    v2 = snapshot_zorder(spark, root, ["x", "y"], bits=4)
+    man = read_manifest(spark, root, v2)
+    assert man["parent"] == v1
+    assert man["zorder_by"] == ["x", "y"]
+    assert man["batch_id"] == 41  # replay-skip contract survives
+    assert man["stats_cols"] == ["x"] and set(man["stats"]) == set(
+        man["partitions"]
+    )
+    # hive partitioning intact: partition filter still prunes
+    got = snapshot_read(spark, root, partition_filter={"region": "1"})
+    assert got.count() == 500 and got.select("region").distinct().count() == 1
+
+
+def test_zorder_rejects_bad_columns(spark, tmp_path):
+    import pytest
+
+    from momyre_spark.sinks.snapshots import snapshot_zorder
+
+    root = str(tmp_path / "store")
+    snapshot_write(
+        spark,
+        spark.range(10).selectExpr("cast(id as string) as _id", "id as x"),
+        root,
+    )
+    with pytest.raises(ValueError, match="not in table"):
+        snapshot_zorder(spark, root, ["nope"])
+    with pytest.raises(ValueError, match="un-rankable"):
+        snapshot_zorder(spark, root, ["_id"])
+    with pytest.raises(ValueError, match="at least one"):
+        snapshot_zorder(spark, root, [])

@@ -72,8 +72,10 @@ HEADLINE = [
     "text_bpe_token_counts",
     "sim_topk_binary_hamming",
     # round-4: pigeonhole hamming family at 20k synthetic fingerprints
-    # (collapse guard + block join — the image/audio dedup candidate path)
+    # (collapse guard + block join — the image/audio dedup candidate path);
+    # persisted IVF index search (partition-pruned corpus scan)
     "dedup_hamming_synthetic_20k",
+    "sim_topk_ivf_indexed",
 ]
 
 

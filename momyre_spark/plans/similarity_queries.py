@@ -116,6 +116,41 @@ def sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_index_dir(spark: SparkSession, sf: str) -> str:
+    """Build (once per process per sf) the on-disk IVF index the indexed
+    search query runs against — deterministic first_c centroids so the
+    result matches the same _DUCK_IVF oracle as the in-memory variant."""
+    import os
+    import tempfile
+
+    from momyre_spark.operators.similarity import build_ivf_index
+
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"momyre_ivfidx{tag}")
+    if not os.path.exists(path):
+        build_ivf_index(
+            load_table(spark, sf, "embeddings"),
+            path,
+            num_cells=_N_CELLS,
+            centroids="first_c",
+        )
+    return path
+
+
+# The persisted-index twin: same cells, same oracle, but the corpus is read
+# back from a cell-partitioned index and the probe set becomes a literal
+# partition filter (PartitionFilters pruning asserted in
+# test_similarity_ops.py) — at 100 TB the search opens ~nprobe/C of the
+# corpus instead of scanning it all.
+@query("sim_topk_ivf_indexed", oracle=_DUCK_IVF)
+def sim_topk_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import ivf_topk_indexed
+
+    return ivf_topk_indexed(
+        spark, _ivf_index_dir(spark, sf), _queries_df(spark, sf), k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
 # SRP-LSH bucketed ANN. The operator is approximate, but candidates are
 # exact-rescored, so whenever every true top-k neighbor collides with its
 # query in >=1 table the output EQUALS the exact top-k — and the oracle is

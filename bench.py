@@ -76,6 +76,10 @@ HEADLINE = [
     # persisted IVF index search (partition-pruned corpus scan)
     "dedup_hamming_synthetic_20k",
     "sim_topk_ivf_indexed",
+    # round-4 text wave: rule-gate battery (map-only HOFs) and bigram-LM
+    # transition scoring (explode + 3 hash aggs + broadcast vocab)
+    "text_gopher_gates",
+    "text_bigram_logprob",
 ]
 
 

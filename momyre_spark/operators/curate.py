@@ -86,3 +86,82 @@ def curate_corpus(
         .select("stage", "docs")
     )
     return curated, report
+
+
+# The Gopher/MassiveText rule set's stopword probe (Rae et al. 2021,
+# published rules): a document passes if >= min_stop_hits of these occur.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality RULE gates (the published MassiveText
+    repetition-free subset): word-count bounds, mean word length band,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, and the stop-word probe. One per-gate boolean column plus the
+    conjunction (``passes``) per document.
+
+    Everything is a higher-order-function expression over ONE tokenize —
+    no explode, no UDF, no shuffle: the whole gate battery fuses into the
+    scan's WholeStageCodegen, so at 100 TB it runs at IO speed as the first
+    stage of curation (cheapest filter first, like curate_corpus stage 1).
+    All folds are sequential doubles, so a DuckDB oracle reproduces every
+    boolean bit-for-bit."""
+    from momyre_spark.functions.text import tokens
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks).cast("double")
+    lines = F.split(t, "\n")
+    nl = F.size(lines).cast("double")
+
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n
+    )
+    frac = lambda arr, pred, denom: (  # noqa: E731
+        F.size(F.filter(arr, pred)).cast("double") / denom
+    )
+    symbol_ratio = frac(toks, lambda x: x.rlike(r"#|\.\.\.|…"), n)
+    bullet_frac = frac(lines, lambda line: line.rlike(r"^\s*[-*•]"), nl)
+    ellipsis_frac = frac(
+        lines, lambda line: line.rlike(r"(\.\.\.|…)\s*$"), nl
+    )
+    alpha_frac = frac(toks, lambda x: x.rlike("[A-Za-z]"), n)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+    )
+
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        ((n >= min_words) & (n <= max_words)).alias("gate_words"),
+        (
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        ).alias("gate_word_len"),
+        (symbol_ratio <= max_symbol_word_ratio).alias("gate_symbols"),
+        (bullet_frac <= max_bullet_line_frac).alias("gate_bullets"),
+        (ellipsis_frac <= max_ellipsis_line_frac).alias("gate_ellipsis"),
+        (alpha_frac >= min_alpha_word_frac).alias("gate_alpha"),
+        (stop_hits >= min_stop_hits).alias("gate_stopwords"),
+    ).withColumn(
+        "passes",
+        F.col("gate_words")
+        & F.col("gate_word_len")
+        & F.col("gate_symbols")
+        & F.col("gate_bullets")
+        & F.col("gate_ellipsis")
+        & F.col("gate_alpha")
+        & F.col("gate_stopwords"),
+    )

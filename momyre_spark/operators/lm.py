@@ -199,3 +199,102 @@ def source_divergence(
             round_half_up(F.col("__kl").cast("double"), 4).alias("kl_divergence"),
         )
     )
+
+
+def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, prev, cur) for every adjacent token pair — ONE zip_with over
+    the token array then one explode (never a self-join on position)."""
+    w = docs.withColumn("__w", tokens(F.col(text_col))).filter(
+        F.size("__w") >= 2
+    )
+    pair = F.zip_with(
+        F.expr("slice(__w, 1, size(__w) - 1)"),
+        F.expr("slice(__w, 2, size(__w) - 1)"),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    return w.select(F.col(id_col), F.explode(pair).alias("pc")).select(
+        id_col, F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM over the corpus:
+    ``logprob(prev, cur) = round6(ln(lam·P(cur|prev) + (1−lam)·P(cur)))``
+    with both distributions estimated from the bigram table (P(cur) is the
+    right-marginal). The next step up from the unigram quality signal:
+    word-salad documents whose TOKENS are common but whose TRANSITIONS are
+    not score visibly lower.
+
+    Same determinism contract as the unigram LM: each distinct (prev, cur)
+    logprob is rounded once to DECIMAL(18,6); document sums are exact
+    decimal arithmetic. The interpolation constants are evaluated as
+    ``lam`` and ``1.0 - lam`` in doubles — an oracle must spell the second
+    one the same way (``1.0 - 0.7``, never the literal ``0.3``, which is a
+    DIFFERENT double).
+
+    Scale: one explode + three hash aggregations; marginals broadcast onto
+    the distinct-bigram frame (vocab-sized, not corpus-sized)."""
+    bg = _bigrams(docs, text_col, "doc_id") if "doc_id" in docs.columns else (
+        _bigrams(docs.withColumn("__id", F.monotonically_increasing_id()),
+                 text_col, "__id")
+    )
+    c_pc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("count"))
+    c_p = c_pc.groupBy("prev").agg(F.sum("count").alias("__cp"))
+    c_c = c_pc.groupBy("cur").agg(F.sum("count").alias("__cc"))
+    tot = c_pc.agg(F.sum("count").alias("__t"))
+    mix = F.lit(float(lam)) * (F.col("count") / F.col("__cp")) + (
+        F.lit(1.0) - F.lit(float(lam))
+    ) * (F.col("__cc") / F.col("__t"))
+    return (
+        c_pc.join(F.broadcast(c_p), "prev")
+        .join(F.broadcast(c_c), "cur")
+        .join(F.broadcast(tot))
+        .select("prev", "cur", "count", _round6(F.log(mix)).alias("logprob"))
+    )
+
+
+def score_documents_bigram(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability.
+
+    Returns ``(id_col, n_bigrams, mean_logprob)`` over documents with >= 2
+    tokens; self-scoring has no OOV bigrams by construction (a trained-LM
+    cross-corpus variant would charge unseen transitions the unigram
+    backoff — compose with train_unigram_lm's smoothing for that)."""
+    from momyre_spark.functions.numeric import round_half_up
+
+    if lm is None:
+        lm = train_bigram_lm(docs, text_col=text_col, lam=lam)
+    vocab = lm.select("prev", "cur", "logprob")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    pt = (
+        _bigrams(docs, text_col, id_col)
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        pt.join(vocab, ["prev", "cur"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("logprob") * F.col("tf")).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            round_half_up(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 4
+            ).alias("mean_logprob"),
+        )
+    )

@@ -821,3 +821,108 @@ def text_quality_model_scores(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher/MassiveText rule gates (operators/curate.gopher_gates): the
+# published rule battery as one codegen scan — word-count band, mean word
+# length, symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+# stop-word probe. The oracle mirrors every fold sequentially (list_reduce
+# == F.aggregate over doubles), so each boolean matches bit-for-bit.
+# Fixture note: docs are 10-99 words, so min_words=25 splits the corpus.
+# --------------------------------------------------------------------------
+_GOPHER_STOPS_SQL = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+
+
+@query(
+    "text_gopher_gates",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK} AS w,
+               string_split(text, chr(10)) AS ls
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+            CAST(len(w) AS DOUBLE) AS n,
+            CAST(len(ls) AS DOUBLE) AS nl,
+            (0.0 + list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+                        (a, b) -> a + b)) / len(w) AS mean_wl,
+            len(list_filter(w, x -> regexp_matches(x, '#|\\.\\.\\.|…')))
+                / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+            len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+                / CAST(len(ls) AS DOUBLE) AS bullet_frac,
+            len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
+            len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                / CAST(len(w) AS DOUBLE) AS alpha_frac,
+            len(list_filter(w, x -> lower(x) IN {_GOPHER_STOPS_SQL}))
+                AS stop_hits
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           (n >= 25 AND n <= 100000) AS gate_words,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS gate_word_len,
+           (symbol_ratio <= 0.1) AS gate_symbols,
+           (bullet_frac <= 0.9) AS gate_bullets,
+           (ellipsis_frac <= 0.3) AS gate_ellipsis,
+           (alpha_frac >= 0.8) AS gate_alpha,
+           (stop_hits >= 2) AS gate_stopwords,
+           ((n >= 25 AND n <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND (symbol_ratio <= 0.1) AND (bullet_frac <= 0.9)
+            AND (ellipsis_frac <= 0.3) AND (alpha_frac >= 0.8)
+            AND (stop_hits >= 2)) AS passes
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_gates(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.curate import gopher_gates
+
+    docs = load_table(spark, sf, "documents")
+    return gopher_gates(docs, min_words=25).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram LM scoring (operators/lm.train_bigram_lm): transition-
+# level quality signal. Constants: the oracle spells the unigram weight as
+# (1.0 - 0.7) — the literal 0.3 is a DIFFERENT double and would flip round6
+# at boundaries. Same DECIMAL determinism contract as the unigram query.
+# --------------------------------------------------------------------------
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK} AS w FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+        FROM d, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c_pc AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY 1, 2),
+    c_p AS (SELECT prev, sum(c) AS cp FROM c_pc GROUP BY 1),
+    c_c AS (SELECT cur, sum(c) AS cc FROM c_pc GROUP BY 1),
+    tot AS (SELECT sum(c) AS t FROM c_pc),
+    lm AS (
+        SELECT prev, cur,
+               CAST(floor(ln(0.7 * (c_pc.c / c_p.cp)
+                             + (1.0 - 0.7) * (c_c.cc / (SELECT t FROM tot)))
+                          * 1000000 + 0.5) / 1000000.0
+                    AS DECIMAL(18,6)) AS lp
+        FROM c_pc JOIN c_p USING (prev) JOIN c_c USING (cur)
+    ),
+    pt AS (SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY 1, 2, 3)
+    SELECT pt.doc_id,
+           CAST(sum(pt.tf) AS BIGINT) AS n_bigrams,
+           {round4_sql("CAST(sum(lm.lp * pt.tf) AS DOUBLE) / sum(pt.tf)")}
+               AS mean_logprob
+    FROM pt JOIN lm USING (prev, cur)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.lm import score_documents_bigram
+
+    docs = load_table(spark, sf, "documents")
+    return score_documents_bigram(docs).orderBy("doc_id")

@@ -292,3 +292,48 @@ def test_dense_positions_matches_global_window_and_is_layout_invariant(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_bigram_lm_penalizes_scrambled_transitions(spark):
+    """Tokens identical, transitions different: a scrambled twin of a
+    repetitive corpus must score LOWER under the bigram LM even though the
+    unigram LM cannot tell them apart."""
+    from momyre_spark.operators.lm import (
+        score_documents_bigram,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat " * 8
+    # same multiset of tokens, transitions broken
+    scrambled = "cat the on sat mat the " * 8
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=fluent.strip()),
+         Row(doc_id=2, text=fluent.strip()),
+         Row(doc_id=3, text=fluent.strip()),
+         Row(doc_id=4, text=scrambled.strip())]
+    )
+    got = {r["doc_id"]: r for r in score_documents_bigram(docs).collect()}
+    assert got[1]["n_bigrams"] == 47
+    assert got[1]["mean_logprob"] == got[2]["mean_logprob"]
+    assert got[4]["mean_logprob"] < got[1]["mean_logprob"]
+
+    # the trained table is a proper conditional: sum over cur of
+    # P(cur|prev) mass reconstructed from counts equals 1 per prev
+    lm = train_bigram_lm(docs)
+    chk = (
+        lm.groupBy("prev")
+        .agg((F.sum("count") / F.sum("count")).alias("one"))
+        .collect()
+    )
+    assert all(abs(r["one"] - 1.0) < 1e-12 for r in chk)
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    from momyre_spark.operators.lm import score_documents_bigram
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello"), Row(doc_id=2, text="hello world")]
+    )
+    got = {r["doc_id"]: r for r in score_documents_bigram(docs).collect()}
+    assert 1 not in got          # a 1-token doc has no transitions
+    assert got[2]["n_bigrams"] == 1

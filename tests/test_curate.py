@@ -79,3 +79,36 @@ def test_curate_to_lake_roundtrip(spark, tmp_path):
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert en.count() == curated.filter("lang = 'en'").count()
+
+
+def test_gopher_gates_planted_failures(spark):
+    """Each rule trips on exactly the document planted to violate it."""
+    from momyre_spark.operators.curate import gopher_gates
+
+    good = "the quick brown fox and the lazy dog have gone to the old barn " \
+           "of that keeper with plenty more words to clear the minimum " \
+           "count for this gate battery today"  # > 25 words, stopword-rich
+    docs = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="too short but the and of that have with be to"),
+        Row(doc_id=3, text=" ".join(["a an to of it by"] * 6)),  # mean len < 3
+        Row(doc_id=4, text=good + " " + "#tag " * 6),        # symbols > 0.1
+        Row(doc_id=5, text="\n".join("- " + line for line in [good] * 3)),
+        Row(doc_id=6, text="\n".join(line + " ..." for line in [good] * 3)),
+        Row(doc_id=7, text=good + " " + "123 456 789 " * 4),  # alpha < 0.8
+        Row(doc_id=8, text=" ".join(f"w{i}ord here" for i in range(20))),
+    ]
+    got = {r["doc_id"]: r for r in gopher_gates(
+        spark.createDataFrame(docs), min_words=25,
+        max_bullet_line_frac=0.5, max_ellipsis_line_frac=0.5,
+    ).collect()}
+    assert got[1]["passes"]
+    assert not got[2]["gate_words"] and got[2]["gate_stopwords"]
+    assert not got[3]["gate_word_len"]
+    assert not got[4]["gate_symbols"]
+    assert not got[5]["gate_bullets"] and got[1]["gate_bullets"]
+    assert not got[6]["gate_ellipsis"]
+    assert not got[7]["gate_alpha"]
+    assert not got[8]["gate_stopwords"]  # no Gopher stopwords at all
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert not got[d]["passes"]

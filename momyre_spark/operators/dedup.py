@@ -1185,3 +1185,44 @@ def dedup_incremental_fuzzy(
         surv_sigs, num_hashes=num_hashes, bands=bands, id_col=id_col
     )
     return survivors, surv_bands, surv_sigs
+
+
+def dedup_semantic(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    target_recall: float = 0.999,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication: drop every embedding that is
+    cosine-near a lower-id one, transitively — the representation-space
+    twin of near-dup text removal (paraphrases, templated rewrites and
+    cross-source copies collapse even when no n-gram survives).
+
+    Composition of the scale primitives: SRP-LSH candidate pairs with exact
+    cosine verify (:func:`embedding_neardup_pairs` — bucketed equi-join,
+    never all-pairs), min-label connected components
+    (:func:`duplicate_components`), anti-join the losers. Each duplicate
+    cluster keeps exactly its min-id member (replay-deterministic).
+
+    Returns the surviving rows (``keep_cols`` or all columns)."""
+    pairs = embedding_neardup_pairs(
+        emb,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        target_recall=target_recall,
+        num_planes=num_planes,
+        num_tables=num_tables,
+    )
+    comp = duplicate_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    out = emb.join(losers, id_col, "left_anti")
+    return out.select(*keep_cols) if keep_cols else out

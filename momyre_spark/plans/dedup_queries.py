@@ -860,3 +860,56 @@ def dedup_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_dups") > 1)
         .orderBy("canonical_url")
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic (SemDeDup-style) dedup: embedding near-dup pairs -> connected
+# components -> min-id survivors (operators/dedup.dedup_semantic). Oracle =
+# exact all-pairs cosine (the engine's float recipe, valid per the
+# dedup_embedding_cosine note) + the recursive-CTE reachability walk.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH RECURSIVE
+    e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (SELECT vec_id,
+                   sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+                                    (acc, x) -> acc + x)) AS nn
+            FROM e0),
+    e AS (SELECT e0.vec_id, list_transform(e0.v, x -> x / nrm.nn) AS v
+          FROM e0 JOIN nrm USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                          (acc, x) -> acc + x) >= 0.4
+    ),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION
+        SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    walk AS (
+        SELECT DISTINCT s AS id, s AS comp FROM edges
+        UNION
+        SELECT e2.s AS id, w.comp AS comp
+        FROM edges e2 JOIN walk w ON w.id = e2.d
+    ),
+    losers AS (
+        SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        WHERE id <> comp
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM losers)
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic_q(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import dedup_semantic
+
+    emb = load_table(spark, sf, "embeddings")
+    return dedup_semantic(
+        emb, threshold=0.4, target_recall=1 - 1e-6,
+        keep_cols=["vec_id", "label"],
+    ).orderBy("vec_id")

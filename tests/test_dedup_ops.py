@@ -302,3 +302,41 @@ def test_hamming_synthetic_20k_scale_evidence(spark):
         .collect()[0]["c"]
     )
     assert unc - cand >= 4950 * n_blocks * 0.99  # the blowup the guard kills
+
+
+def test_dedup_semantic_collapses_planted_cluster(spark):
+    """Three near-identical embeddings (plus noise) collapse to the min-id
+    member; orthogonal-ish vectors all survive; survivors deterministic."""
+    import random as _r
+
+    from momyre_spark.operators.dedup import dedup_semantic
+
+    _r.seed(21)
+    base = [_r.gauss(0, 1) for _ in range(16)]
+
+    def near(eps):
+        return [x + _r.gauss(0, eps) for x in base]
+
+    rows = [
+        Row(vec_id=1, embedding=near(0.01)),
+        Row(vec_id=5, embedding=near(0.01)),
+        Row(vec_id=9, embedding=near(0.01)),
+    ] + [
+        Row(vec_id=100 + i,
+            embedding=[_r.gauss(0, 1) for _ in range(16)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows)
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_semantic(emb, threshold=0.95, dim=16,
+                                num_planes=8, num_tables=12).collect()
+    )
+    assert 1 in kept and 5 not in kept and 9 not in kept
+    assert all(v in kept for v in range(100, 130))
+    again = sorted(
+        r["vec_id"]
+        for r in dedup_semantic(emb, threshold=0.95, dim=16,
+                                num_planes=8, num_tables=12).collect()
+    )
+    assert kept == again

@@ -70,12 +70,20 @@ def apply_actions(
     ``merge_ops_microbatch`` action frame -> post-merge rows. Shared by the
     in-place lake merge and the versioned-snapshot merge; semantics match
     the JDBC sink (upsert replaces, patch updates present fields, delete
-    drops, patch-to-missing is a no-op)."""
+    drops, patch-to-missing is a no-op).
+
+    ADDITIVE SCHEMA EVOLUTION: a field declared in ``fields`` but absent
+    from ``existing`` (the batch that first introduces a column) reads as a
+    typed NULL on the existing side — pre-evolution rows keep NULL for the
+    new column, exactly what a lakehouse MERGE with
+    ``mergeSchema``/``schema.autoMerge`` does. Removing or retyping a
+    column stays an error (silent data loss otherwise)."""
     if "__present" not in actions.columns:
         # upsert/delete-only callers need no patch field list
         actions = actions.withColumn(
             "__present", F.lit(None).cast("array<string>")
         )
+    existing_cols = set(existing.columns)
     a, e = actions.alias("a"), existing.alias("e")
     ak, ek = F.col(f"a.{key}"), F.col(f"e.{key}")
     act = F.col("a.__action")
@@ -85,14 +93,19 @@ def apply_actions(
         | ((act == "patch") & ek.isNull())  # patch to missing key: no-op
     )
     out_fields = []
-    for f in fields:
+    for f, ftype in fields.items():
+        e_f = (
+            F.col(f"e.{f}")
+            if f in existing_cols
+            else F.lit(None).cast(ftype)
+        )
         patched = F.when(
             F.array_contains(F.col("a.__present"), F.lit(f)), F.col(f"a.{f}")
-        ).otherwise(F.col(f"e.{f}"))
+        ).otherwise(e_f)
         out_fields.append(
             F.when(act == "upsert", F.col(f"a.{f}"))
             .when(act == "patch", patched)
-            .otherwise(F.col(f"e.{f}"))
+            .otherwise(e_f)
             .alias(f)
         )
     return joined.filter(keep).select(F.coalesce(ak, ek).alias(key), *out_fields)
@@ -132,7 +145,11 @@ def merge_cdc_actions(
         f"`{f}` {t}" for f, t in fields.items()
     )
     existing, existed = _read_or_empty(spark, path, schema)
-    existing = existing.select(key, *fields)
+    # additive schema evolution: newly declared fields are absent from the
+    # stored table — apply_actions fills them with typed NULLs
+    existing = existing.select(
+        key, *[f for f in fields if f in existing.columns]
+    )
 
     if partition_by and existed:
         # prune the merge's read side to partitions that can change

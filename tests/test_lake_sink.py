@@ -320,3 +320,18 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     assert z_files < l_files / 2, (z_files, l_files)
     # layout must not change the data
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_lake_merge_adds_new_column_additively(spark, tmp_path):
+    from momyre_spark.sinks.lake import merge_cdc_actions
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a", 1)], "_id string, x long").write.parquet(path)
+    acts = spark.createDataFrame(
+        [("b", "upsert", 2, "new", ["x", "y"])],
+        "_id string, __action string, x long, y string, __present array<string>",
+    )
+    merge_cdc_actions(spark, path, acts, {"x": "long", "y": "string"})
+    got = {r["_id"]: (r["x"], r["y"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (1, None), "b": (2, "new")}

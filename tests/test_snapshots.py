@@ -869,3 +869,64 @@ def test_zorder_rejects_bad_columns(spark, tmp_path):
         snapshot_zorder(spark, root, ["_id"])
     with pytest.raises(ValueError, match="at least one"):
         snapshot_zorder(spark, root, [])
+
+
+# ------------------------------------------------ schema evolution ----
+def test_merge_adds_new_column_additively(spark, tmp_path):
+    """A merge whose ``fields`` declares a NEW column evolves the snapshot
+    schema: pre-evolution rows read the column as NULL (old files are
+    re-referenced untouched), new/updated rows carry values, and time
+    travel still reads the old schema at the parent version."""
+    from momyre_spark.sinks.snapshots import snapshot_merge_cdc
+
+    root = str(tmp_path / "store")
+    v1 = snapshot_write(
+        spark,
+        spark.createDataFrame([("a", 1), ("b", 2)], "_id string, x long"),
+        root,
+    )
+    acts = spark.createDataFrame(
+        [("c", "upsert", 3, "fresh", ["x", "y"]),
+         ("a", "patch", None, "patched", ["y"])],
+        "_id string, __action string, x long, y string, "
+        "__present array<string>",
+    )
+    v2 = snapshot_merge_cdc(spark, root, acts, {"x": "long", "y": "string"})
+    assert v2 == v1 + 1
+    got = {r["_id"]: (r["x"], r["y"])
+           for r in snapshot_read(spark, root).collect()}
+    assert got == {"a": (1, "patched"), "b": (2, None), "c": (3, "fresh")}
+    # parent version: pre-evolution schema intact
+    old = snapshot_read(spark, root, version=v1)
+    assert old.columns == ["_id", "x"] and old.count() == 2
+
+
+def test_merge_adds_column_partitioned_rereferences_old_files(spark, tmp_path):
+    """Partitioned evolution: untouched partitions keep their ORIGINAL files
+    (no rewrite) yet read back with the evolved schema as NULLs."""
+    from momyre_spark.sinks.snapshots import read_manifest, snapshot_merge_cdc
+
+    root = str(tmp_path / "store")
+    snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [("a", "eu", 1), ("b", "us", 2)], "_id string, region string, x long"
+        ),
+        root,
+        partition_by=["region"],
+    )
+    acts = spark.createDataFrame(
+        [("c", "upsert", "eu", 9, "val", ["region", "x", "y"])],
+        "_id string, __action string, region string, x long, y string, "
+        "__present array<string>",
+    )
+    v2 = snapshot_merge_cdc(
+        spark, root, acts,
+        {"region": "string", "x": "long", "y": "string"},
+        partition_by=["region"],
+    )
+    man = read_manifest(spark, root, v2)
+    # us partition re-referenced from v1 (old files, no y column on disk)
+    assert "/v1/" in man["partitions"]["region=us"]
+    got = {r["_id"]: r["y"] for r in snapshot_read(spark, root).collect()}
+    assert got == {"a": None, "b": None, "c": "val"}

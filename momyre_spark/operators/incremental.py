@@ -96,3 +96,40 @@ def merge_aggregates(
     return merged.groupBy(*keys).agg(
         *[_MERGE[kind](out).alias(out) for out, (kind, _) in aggs.items()]
     )
+
+
+def refresh_aggregate_from_cdf(
+    base_agg: DataFrame,
+    cdf: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str | None]],
+    change_col: str = "__change",
+) -> DataFrame:
+    """Incrementally refresh a maintained aggregate from a CHANGE FEED — the
+    materialized-view maintenance loop over the snapshot store:
+
+        v1 full aggregate  ->  snapshot_diff(v1, v2, images=True)  ->
+        refresh_aggregate_from_cdf  ==  full aggregate of v2
+
+    ``cdf`` is the Delta-CDF row shape ``snapshot_diff(..., images=True)``
+    emits: insert / delete / update_preimage / update_postimage, pre-images
+    carrying the OLD values. Each row becomes a signed delta (+1 for
+    insert/postimage, -1 for delete/preimage) folded in with
+    :func:`merge_aggregates` — so the refresh scans only the CHANGED rows,
+    never the table. Only retractable kinds (count/sum) are valid; min/max
+    under deletes needs a recompute (enforced by aggregate_delta)."""
+    for out, (kind, _src) in aggs.items():
+        if kind in ("min", "max"):
+            raise ValueError(
+                f"{out}: {kind} is not retractable — a delete may remove "
+                "the extremum; recompute that column instead"
+            )
+    signed = cdf.withColumn(
+        "__weight",
+        F.when(
+            F.col(change_col).isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    )
+    return merge_aggregates(
+        base_agg, signed, keys, aggs, weight_col="__weight"
+    )

@@ -605,11 +605,19 @@ def snapshot_diff(
     from_version: int,
     to_version: int | None = None,
     key: str = "_id",
+    images: bool = False,
 ) -> DataFrame:
     """Row-level changes between two versions (the table_changes / CDF read
     every table format grows): one row per changed key with
     ``__change in (insert, update, delete)`` and the TO-version's values
     (NULLs for deletes).
+
+    ``images=True`` emits the Delta-CDF row shape instead: updates become
+    TWO rows (``update_preimage`` with the FROM-version values,
+    ``update_postimage`` with the TO-version values) and deletes carry the
+    DELETED values — exactly what retraction-based incremental aggregate
+    maintenance needs (``operators/incremental.refresh_aggregate_from_cdf``:
+    +1 for insert/postimage, -1 for delete/preimage).
 
     Scale shape: only partitions whose data directory DIFFERS between the
     two manifests are read — untouched partitions were re-referenced by the
@@ -657,15 +665,40 @@ def snapshot_diff(
         .when(kb.isNull(), F.lit("delete"))
         .when(~row_a.eqNullSafe(row_b), F.lit("update"))
     )
-    return (
-        joined.withColumn("__change", change)
-        .filter(F.col("__change").isNotNull())
-        .select(
+    base = joined.withColumn("__change", change).filter(
+        F.col("__change").isNotNull()
+    )
+    if not images:
+        return base.select(
             F.coalesce(kb, ka).alias(key),
             F.col("__change"),
             *[F.col(f"b.{c}").alias(c) for c in val_cols],
         )
+
+    # Delta-CDF row shape. Old-side columns absent before a schema
+    # evolution read as typed NULLs in pre-images.
+    a_cols = set(a.columns)
+
+    def _old(c):
+        if c in a_cols:
+            return F.col(f"a.{c}").alias(c)
+        return F.lit(None).cast(b.schema[c].dataType).alias(c)
+
+    post = base.filter(F.col("__change").isin("insert", "update")).select(
+        F.coalesce(kb, ka).alias(key),
+        F.when(F.col("__change") == "update", F.lit("update_postimage"))
+        .otherwise(F.lit("insert"))
+        .alias("__change"),
+        *[F.col(f"b.{c}").alias(c) for c in val_cols],
     )
+    pre = base.filter(F.col("__change").isin("delete", "update")).select(
+        F.coalesce(kb, ka).alias(key),
+        F.when(F.col("__change") == "update", F.lit("update_preimage"))
+        .otherwise(F.lit("delete"))
+        .alias("__change"),
+        *[_old(c) for c in val_cols],
+    )
+    return post.unionByName(pre)
 
 
 def snapshot_compact(

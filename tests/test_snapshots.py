@@ -930,3 +930,62 @@ def test_merge_adds_column_partitioned_rereferences_old_files(spark, tmp_path):
     assert "/v1/" in man["partitions"]["region=us"]
     got = {r["_id"]: r["y"] for r in snapshot_read(spark, root).collect()}
     assert got == {"a": None, "b": None, "c": "val"}
+
+
+# --------------------------------------- incremental MV from the CDF ----
+def test_incremental_aggregate_refresh_from_cdf(spark, tmp_path):
+    """The materialized-view loop: full aggregate at v1, then CDF-driven
+    refresh across a merge with inserts, updates AND deletes equals the
+    full recompute at v2 — without rescanning the table."""
+    from momyre_spark.operators.incremental import (
+        aggregate_delta,
+        refresh_aggregate_from_cdf,
+    )
+    from momyre_spark.sinks.snapshots import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark,
+        _df(spark, [("a", 1, "eu"), ("b", 2, "eu"), ("c", 3, "us"),
+                    ("d", 4, "ap")]),
+        root, partition_by=["region"],
+    )
+    aggs = {"cnt": ("count", None), "total": ("sum", "val")}
+    base = aggregate_delta(
+        snapshot_read(spark, root, v1), ["region"], aggs
+    )
+
+    v2 = snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [
+            ("e", "upsert", 10, "eu", ["val", "region"]),   # insert
+            ("a", "upsert", 100, "eu", ["val", "region"]),  # update
+            ("c", "delete", None, None, []),                 # delete
+        ]),
+        FIELDS, partition_by=["region"],
+    )
+    cdf = snapshot_diff(spark, root, v1, v2, images=True)
+    # Delta-CDF shape: update emits pre+post, delete carries OLD values
+    kinds = {r["_id"]: sorted(
+        x["__change"] for x in cdf.collect() if x["_id"] == r["_id"]
+    ) for r in cdf.collect()}
+    assert kinds["a"] == ["update_postimage", "update_preimage"]
+    assert kinds["c"] == ["delete"]
+    deleted = [r for r in cdf.collect() if r["_id"] == "c"][0]
+    assert deleted["val"] == 3 and deleted["region"] == "us"
+
+    refreshed = refresh_aggregate_from_cdf(base, cdf, ["region"], aggs)
+    want = aggregate_delta(snapshot_read(spark, root, v2), ["region"], aggs)
+    got = {r["region"]: (r["cnt"], r["total"])
+           for r in refreshed.filter(F.col("cnt") > 0).collect()}
+    exp = {r["region"]: (r["cnt"], r["total"]) for r in want.collect()}
+    assert got == exp
+    # us emptied entirely: count reached 0 via retraction
+    zero = {r["region"]: r["cnt"] for r in refreshed.collect()}
+    assert zero["us"] == 0
+
+    # min/max refuse the retraction path loudly
+    with pytest.raises(ValueError, match="not retractable"):
+        refresh_aggregate_from_cdf(
+            base, cdf, ["region"], {"m": ("max", "val")}
+        )

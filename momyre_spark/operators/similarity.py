@@ -695,3 +695,36 @@ def ivf_topk_indexed(
         .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval decontamination: drop every corpus row whose
+    cosine to ANY eval-set row reaches ``threshold`` — the semantic twin of
+    n-gram decontamination (``textops.decontaminate``), catching paraphrased
+    or reformatted test leakage that shares no 13-gram with the eval.
+
+    Shape: the eval side is benchmark-sized (thousands), so it BROADCASTS
+    and the corpus is scored map-side — the corpus never shuffles; the only
+    exchange is the distinct on matched ids (bounded by the contamination
+    count). Same broadcast-bounded contract as hard_negatives; for an eval
+    set too large to broadcast, pre-bucket both sides with SRP
+    (embedding_neardup_pairs) instead."""
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    c = add_normalized(corpus, vec_col, "__nv")
+    e = add_normalized(eval_set, vec_col, "__ev").select(
+        F.col(id_col).alias("__eid"), F.col("__ev")
+    )
+    hits = (
+        c.crossJoin(F.broadcast(e))
+        .filter(dot(F.col("__nv"), F.col("__ev")) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(hits, id_col, "left_anti")

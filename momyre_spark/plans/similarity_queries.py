@@ -666,3 +666,39 @@ def emb_label_margin(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.similarity import label_margin_report
 
     return label_margin_report(load_table(spark, sf, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Semantic eval-decontamination (operators/similarity.semantic_decontaminate):
+# corpus rows cosine-near any eval row are dropped before training. Corpus =
+# vec_id >= N_QUERIES, eval = the query set. Oracle = the exact all-pairs
+# check with the engine's float recipe.
+# --------------------------------------------------------------------------
+@query(
+    "sim_decontaminate",
+    oracle=f"""
+    WITH {_DUCK_NORM_CTE},
+    ev AS (SELECT vec_id AS eid, v FROM e WHERE vec_id < {N_QUERIES}),
+    corp AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}),
+    hits AS (
+        SELECT DISTINCT corp.vec_id
+        FROM corp CROSS JOIN ev
+        WHERE list_reduce(list_transform(range(1, 65),
+                          i -> corp.v[i] * ev.v[i]), (acc, x) -> acc + x)
+              >= 0.4
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id >= {N_QUERIES} AND vec_id NOT IN (SELECT vec_id FROM hits)
+    ORDER BY vec_id
+    """,
+)
+def sim_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return (
+        semantic_decontaminate(corpus, _queries_df(spark, sf), threshold=0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

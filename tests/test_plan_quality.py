@@ -268,3 +268,24 @@ def test_no_query_plans_rowwise_python_or_cartesian(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_gopher_gates_is_map_only(spark):
+    """The rule-gate battery must fuse into the scan: no Exchange (beyond
+    the wrapper's orderBy), no Python eval, no Generate (HOFs, not
+    explode)."""
+    plan = plan_of(q(spark, "text_gopher_gates"))
+    assert "EvalPython" not in plan and "Generate" not in plan
+    # exactly ONE exchange in the whole plan: the orderBy's range partition
+    import re as _re
+
+    assert len(_re.findall(r"Exchange (hash|range)partitioning", plan)) <= 1, plan
+
+
+def test_bigram_scoring_broadcasts_vocab(spark):
+    """The bigram LM vocab join must broadcast the (distinct-bigram) vocab
+    side — shuffling per-(doc,bigram) counts against it would move the
+    corpus."""
+    plan = plan_of(q(spark, "text_bigram_logprob"))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

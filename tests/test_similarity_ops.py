@@ -523,3 +523,25 @@ def test_ivf_indexed_nprobe_expands_recall(spark, tmp_path):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8
     assert r8 == 1.0  # probing every cell IS exact
+
+
+def test_semantic_decontaminate_drops_near_eval_rows(spark):
+    """A corpus row embedding-near an eval row is dropped even with a
+    different id; unrelated rows survive; eval side broadcast (plan)."""
+    from momyre_spark.operators.similarity import semantic_decontaminate
+
+    random.seed(5)
+    ev = [random.gauss(0, 1) for _ in range(8)]
+    rows_eval = [Row(vec_id=1, embedding=ev)]
+    rows_corpus = [
+        Row(vec_id=100, embedding=[x + random.gauss(0, 0.01) for x in ev]),
+        Row(vec_id=101, embedding=[random.gauss(0, 1) for _ in range(8)]),
+        Row(vec_id=102, embedding=[random.gauss(0, 1) for _ in range(8)]),
+    ]
+    corpus = spark.createDataFrame(rows_corpus)
+    out = semantic_decontaminate(
+        corpus, spark.createDataFrame(rows_eval), threshold=0.95
+    )
+    assert sorted(r["vec_id"] for r in out.collect()) == [101, 102]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1226,3 +1226,46 @@ def dedup_semantic(
     )
     out = emb.join(losers, id_col, "left_anti")
     return out.select(*keep_cols) if keep_cols else out
+
+
+def cross_source_fuzzy_overlap(
+    df: DataFrame,
+    threshold: float = 0.8,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-dup content overlap matrix between sources: for every source
+    pair (a < b), how many cross-source near-duplicate document pairs
+    (word-3-gram Jaccard >= threshold) exist — the fuzzy twin of
+    :func:`cross_source_overlap`, catching re-crawls that were re-templated
+    or lightly edited and so share no exact fingerprint.
+
+    Candidates come from the banded MinHash join (``minhash_lsh_pairs`` —
+    bucketed equi-join + exact verify, never all-pairs); sources attach by
+    joining the (tiny) pair list back to the id->source projection, so the
+    only full-corpus shuffles are LSH's own. Output is bounded by
+    |sources|^2/2 rows."""
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col
+    )
+    src = df.select(F.col(id_col), F.col(source_col).alias("__src"))
+    return (
+        pairs.join(
+            src.withColumnRenamed(id_col, "a_id")
+            .withColumnRenamed("__src", "__sa"),
+            "a_id",
+        )
+        .join(
+            src.withColumnRenamed(id_col, "b_id")
+            .withColumnRenamed("__src", "__sb"),
+            "b_id",
+        )
+        .filter(F.col("__sa") != F.col("__sb"))
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("neardup_pairs"))
+    )

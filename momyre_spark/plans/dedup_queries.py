@@ -913,3 +913,33 @@ def dedup_semantic_q(spark: SparkSession, sf: str) -> DataFrame:
         emb, threshold=0.4, target_recall=1 - 1e-6,
         keep_cols=["vec_id", "label"],
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy cross-source overlap (operators/dedup.cross_source_fuzzy_overlap):
+# near-dup pair counts per source pair — the re-crawl/provenance diagnostic
+# at near-dup granularity. Oracle = exact-Jaccard pairs (valid per the LSH
+# banding note) joined to sources.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cross_source_fuzzy",
+    oracle=f"""
+    WITH {_duck_pair_ctes("documents", 0.8)},
+    s AS (SELECT doc_id, source FROM documents)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS neardup_pairs
+    FROM pairs
+    JOIN s sa ON pairs.a_id = sa.doc_id
+    JOIN s sb ON pairs.b_id = sb.doc_id
+    WHERE sa.source <> sb.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import cross_source_fuzzy_overlap
+
+    docs = load_table(spark, sf, "documents")
+    return cross_source_fuzzy_overlap(docs, threshold=0.8).orderBy(
+        "source_a", "source_b"
+    )

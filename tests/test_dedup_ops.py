@@ -340,3 +340,26 @@ def test_dedup_semantic_collapses_planted_cluster(spark):
                                 num_planes=8, num_tables=12).collect()
     )
     assert kept == again
+
+
+def test_cross_source_fuzzy_overlap_counts_pairs(spark):
+    """A near-dup pair across sources counts once under (least, greatest);
+    same-source near-dups and exact-different docs don't count."""
+    from momyre_spark.operators.dedup import cross_source_fuzzy_overlap
+
+    words = BASE.split()
+    near = " ".join(words[:-1] + ["finally"])
+    rows = [
+        Row(doc_id=0, source="crawlA", text=BASE),
+        Row(doc_id=1, source="crawlB", text=near),        # cross-source pair
+        Row(doc_id=2, source="crawlB", text=BASE),        # also pairs with 0
+        Row(doc_id=3, source="crawlA", text="unrelated cooking content pasta sauce tomato basil recipe"),
+    ]
+    got = {
+        (r["source_a"], r["source_b"]): r["neardup_pairs"]
+        for r in cross_source_fuzzy_overlap(
+            spark.createDataFrame(rows), threshold=0.5
+        ).collect()
+    }
+    # pairs: (0,1) A-B, (0,2) A-B, (1,2) B-B filtered out
+    assert got == {("crawlA", "crawlB"): 2}

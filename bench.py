@@ -80,6 +80,10 @@ HEADLINE = [
     # transition scoring (explode + 3 hash aggs + broadcast vocab)
     "text_gopher_gates",
     "text_bigram_logprob",
+    # round-4 graph + semantic wave: 10-iteration exact-integer PageRank,
+    # SemDeDup survivors (SRP pairs -> components -> anti-join)
+    "graph_domain_pagerank",
+    "dedup_semantic",
 ]
 
 

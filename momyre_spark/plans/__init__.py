@@ -38,6 +38,7 @@ def load_all() -> None:
         cdc_queries,
         core_queries,
         dedup_queries,
+        graph_queries,
         maintenance_queries,
         multimodal_queries,
         pipeline_queries,

@@ -1,0 +1,107 @@
+"""Link-graph queries (operators/graph.py): domain PageRank over a
+synthetic host graph.
+
+The host graph is engine-neutral (md5-prefix arithmetic, the
+dedup_hamming/_syn_docs trick), and the oracle UNROLLS the same fixed
+iteration count as chained MATERIALIZED CTEs — each level is referenced
+several times, and DuckDB inlines non-materialized CTEs, which would blow
+the plan up exponentially with depth.
+
+Determinism: rank state is BIGINT units of 1e-10 in BOTH engines (see
+operators/graph.py — a DECIMAL formulation breaks on DuckDB's
+double-rounding DECIMAL->DOUBLE conversion). Every sum is exact integer
+arithmetic; every float op consumes exactly-converted integers, so all 10
+iterations match bit-for-bit and the query carries a full value-hash
+oracle — rare for an iterative algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from momyre_spark.plans import query
+
+_N_HOSTS = 100
+_N_EDGE_SEEDS = 1_000
+_PR_ITERS = 10
+_DAMP = 0.85
+_SCALE = "10000000000"
+
+
+def _host_edges(spark: SparkSession) -> DataFrame:
+    return (
+        spark.range(_N_EDGE_SEEDS)
+        .selectExpr(
+            "pmod(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT), {_N_HOSTS}) AS src",
+            "pmod(CAST(conv(substr(md5(concat('e', CAST(id AS STRING))), 1, 15),"
+            f" 16, 10) AS BIGINT), {_N_HOSTS}) AS dst",
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+
+
+def _pr_oracle() -> str:
+    head = f"""
+    edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS dg FROM e2 GROUP BY 1),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST({_SCALE} AS BIGINT) AS units FROM nodes)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        p = f"r{i - 1}"
+        contrib = (
+            f"CAST(floor(CAST({p}.units AS DOUBLE) / deg.dg + 0.5) AS BIGINT)"
+        )
+        upd = (
+            f"CAST(floor((1.0 - {_DAMP}) * {_SCALE}.0"
+            f" + {_DAMP} * (CAST(COALESCE(c{i}.s, 0) AS DOUBLE)"
+            f" + CAST((SELECT m FROM dang{i}) AS DOUBLE)"
+            f" / CAST((SELECT n FROM nn) AS DOUBLE))"
+            f" + 0.5) AS BIGINT)"
+        )
+        steps.append(f"""
+    dang{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(units), 0) AS m
+        FROM {p} LEFT JOIN deg USING (node) WHERE deg.dg IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT e2.dst AS node, SUM({contrib}) AS s
+        FROM e2
+        JOIN {p} ON e2.src = {p}.node
+        JOIN deg ON deg.node = e2.src
+        GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT nodes.node, {upd} AS units
+        FROM nodes LEFT JOIN c{i} USING (node)
+    )""")
+    return (
+        "WITH" + head + "," + ",".join(steps)
+        + f"""
+    SELECT node, CAST(units AS DOUBLE) / {_SCALE}.0 AS rank
+    FROM r{_PR_ITERS} ORDER BY node"""
+    )
+
+
+@query("graph_domain_pagerank", oracle=_pr_oracle())
+def graph_domain_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import pagerank
+
+    return pagerank(
+        _host_edges(spark), damping=_DAMP, max_iter=_PR_ITERS
+    ).orderBy("node")

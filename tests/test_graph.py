@@ -1,0 +1,74 @@
+"""PageRank operator (operators/graph.py): known-graph values, rank-mass
+conservation, dangling redistribution, early stop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from momyre_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_star_center_ranks_highest(spark):
+    # 5 leaves all pointing at the hub; hub points back at one leaf
+    pairs = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    ranks = {r["node"]: float(r["rank"])
+             for r in pagerank(_edges(spark, pairs), max_iter=15).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[1] > ranks[2]  # the hub's endorsement outweighs none
+    assert ranks[2] == ranks[3] == ranks[4] == ranks[5]
+
+
+def test_two_node_cycle_symmetric_and_mass_conserved(spark):
+    ranks = {r["node"]: float(r["rank"])
+             for r in pagerank(_edges(spark, [(1, 2), (2, 1)]),
+                               max_iter=10).collect()}
+    assert ranks[1] == ranks[2] == pytest.approx(1.0, abs=1e-9)
+    # general mass conservation on a graph WITH dangling nodes: node 3
+    # has no out-edges, its mass redistributes — total stays ~|V|
+    ranks2 = pagerank(
+        _edges(spark, [(1, 2), (2, 3), (1, 3)]), max_iter=30
+    ).collect()
+    total = sum(float(r["rank"]) for r in ranks2)
+    assert total == pytest.approx(3.0, abs=1e-6)
+
+
+def test_matches_hand_computed_fixpoint(spark):
+    """1->2, 2->1, 3->2 (3 dangling-free chain): closed-form fixpoint of
+    the 1-initialized formulation, verified against the operator at
+    convergence."""
+    ranks = {r["node"]: float(r["rank"])
+             for r in pagerank(_edges(spark, [(1, 2), (2, 1), (3, 2)]),
+                               max_iter=90).collect()}
+    d = 0.85
+    # r3 = (1-d) + d * dangling-share... node 3 has out-edge, none in: r3 = (1-d)
+    r3 = 1 - d
+    # fixpoint: r1 = (1-d) + d*r2 ; r2 = (1-d) + d*(r1 + r3)
+    r1 = ((1 - d) + d * ((1 - d) + d * r3)) / (1 - d * d)
+    r2 = (1 - d) + d * (r1 + r3)
+    assert ranks[3] == pytest.approx(r3, abs=1e-4)
+    assert ranks[1] == pytest.approx(r1, abs=1e-4)
+    assert ranks[2] == pytest.approx(r2, abs=1e-4)
+
+
+def test_tol_early_stop_matches_full_run(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    full = {r["node"]: float(r["rank"])
+            for r in pagerank(_edges(spark, pairs), max_iter=80).collect()}
+    early = {r["node"]: float(r["rank"])
+             for r in pagerank(_edges(spark, pairs), max_iter=80,
+                               tol=1e-9).collect()}
+    for n in full:
+        assert early[n] == pytest.approx(full[n], abs=1e-6)
+
+
+def test_parameter_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(e, max_iter=0)

@@ -184,6 +184,38 @@ def read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     return json.loads(txt)
 
 
+def version_at(spark: SparkSession, root: str, ts) -> int:
+    """AS-OF-TIMESTAMP time travel: the latest version whose commit
+    wall-clock (``committed_at``, recorded by ``_commit``) is <= ``ts``.
+
+    ``ts`` is epoch milliseconds, a ``datetime``, or an ISO-8601 string
+    (naive strings are taken as UTC — commit stamps are UTC wall-clock).
+    Manifests from before commit stamps existed sort as oldest. Raises if
+    the table has no version that old."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        parsed = _dt.datetime.fromisoformat(ts)
+        if parsed.tzinfo is None:
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        ts = int(parsed.timestamp() * 1000)
+    elif isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        ts = int(ts.timestamp() * 1000)
+    ts = int(ts)
+    best = None
+    for v in list_versions(spark, root):
+        committed = read_manifest(spark, root, v).get("committed_at", 0)
+        if committed <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at {root} committed at or before {ts}"
+        )
+    return best
+
+
 def list_versions(spark: SparkSession, root: str) -> list[int]:
     jvm, fs = _fs(spark, root)
     d = _jpath(jvm, f"{root}/{_M}")
@@ -213,6 +245,13 @@ def _commit(spark: SparkSession, root: str, manifest: dict) -> int:
             f"(manifests up to v{existing[-1]} exist) — concurrent writer "
             "or corrupted CURRENT hint"
         )
+    # commit wall-clock for AS-OF-timestamp time travel (version_at);
+    # manifests already carrying one (replays through _commit never happen,
+    # but be idempotent about it) keep theirs
+    if "committed_at" not in manifest:
+        import time as _time
+
+        manifest["committed_at"] = int(_time.time() * 1000)
     # COMMIT POINT: the manifest landing. CURRENT below is only a hint.
     _write_text(spark, f"{root}/{_M}/v{v}.json", json.dumps(manifest, sort_keys=True))
     jvm, fs = _fs(spark, root)
@@ -302,6 +341,45 @@ def _stats_prune(
     return False
 
 
+# -------------------------------------------------------- expectations ----
+def check_expectations(
+    df: DataFrame, expectations: dict[str, str]
+) -> dict[str, int]:
+    """Violation counts per named CHECK expression (SQL predicates over the
+    frame's columns), in ONE aggregation pass. NULL predicates count as
+    satisfied — the SQL CHECK-constraint convention."""
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).cast("long").alias(name)
+        for name, e in expectations.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name] or 0) for name in expectations}
+
+
+def _apply_expectations(
+    df: DataFrame, expectations: dict[str, str], on_violation: str
+) -> tuple[DataFrame, dict[str, int]]:
+    counts = check_expectations(df, expectations)
+    bad = {k: v for k, v in counts.items() if v}
+    if not bad:
+        return df, counts
+    if on_violation == "fail":
+        raise ValueError(
+            f"momyre: expectations violated, commit refused: {bad} "
+            "(on_violation='drop' to quarantine instead)"
+        )
+    if on_violation != "drop":
+        raise ValueError(
+            f"momyre: unknown on_violation {on_violation!r} (fail|drop)"
+        )
+    keep = F.lit(True)
+    for e in expectations.values():
+        keep = keep & F.coalesce(F.expr(e), F.lit(True))
+    return df.filter(keep), counts
+
+
 # --------------------------------------------------------------- writes ---
 def _write_version_data(
     df: DataFrame,
@@ -383,8 +461,18 @@ def snapshot_write(
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
     sort_by: list[str] | None = None,
+    expectations: dict[str, str] | None = None,
+    on_violation: str = "fail",
 ) -> int:
     """Commit ``df`` as a full new version. Returns the version number.
+
+    ``expectations`` (Delta-style CHECK constraints: name -> SQL predicate,
+    NULL counts as satisfied) gate the commit: ``on_violation='fail'``
+    (default) refuses the whole commit with per-expectation violation
+    counts; ``'drop'`` quarantines violating rows and records the dropped
+    counts in the manifest (``expectation_violations``) so the audit trail
+    survives with the version. One extra aggregation pass over the commit
+    batch — never the table.
 
     ``stats_cols`` records per-partition [min, max] bounds in the manifest
     (Iceberg-style column stats): ``snapshot_read(stats_filter=...)`` then
@@ -393,6 +481,9 @@ def snapshot_write(
     Bounds are only selective if the data is clustered on those columns;
     pass ``sort_by`` (usually the same columns) to cluster at write time.
     The stats job is one columnar scan of just those columns per commit."""
+    violations: dict[str, int] = {}
+    if expectations:
+        df, violations = _apply_expectations(df, expectations, on_violation)
     parent = current_version(spark, root)
     v = (parent or 0) + 1
     dirs = _write_version_data(
@@ -405,6 +496,9 @@ def snapshot_write(
         "partitions": dirs,
         "schema": df.schema.json(),
     }
+    if expectations:
+        man["expectations"] = dict(expectations)
+        man["expectation_violations"] = violations
     if stats_cols:
         man["stats_cols"] = list(stats_cols)
         man["stats"] = _collect_stats(spark, dirs, list(stats_cols),
@@ -422,8 +516,11 @@ def snapshot_read(
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
     stats_filter: dict[str, tuple] | None = None,
+    as_of: object | None = None,
 ) -> DataFrame:
-    """Read a version (default: current). ``partition_filter`` prunes
+    """Read a version (default: current; ``as_of`` resolves a commit
+    TIMESTAMP to its version via :func:`version_at` — mutually exclusive
+    with ``version``). ``partition_filter`` prunes
     manifest entries on the driver — files of other partitions are never
     listed, let alone read. ``stats_filter`` ({col: (lo, hi)}; None bound =
     open side) additionally skips partitions whose recorded column bounds
@@ -431,6 +528,10 @@ def snapshot_read(
     was committed with ``stats_cols``. Pruning is an OPTIMIZATION only:
     callers must still apply the actual predicate (partitions without
     stats are conservatively read)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("momyre: pass version OR as_of, not both")
+        version = version_at(spark, root, as_of)
     v = version if version is not None else current_version(spark, root)
     if v is None:
         raise FileNotFoundError(f"no committed version at {root}")

@@ -989,3 +989,64 @@ def test_incremental_aggregate_refresh_from_cdf(spark, tmp_path):
         refresh_aggregate_from_cdf(
             base, cdf, ["region"], {"m": ("max", "val")}
         )
+
+
+# --------------------------------- as-of time travel + expectations ----
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    from momyre_spark.sinks.snapshots import version_at
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root)
+    t_between = int(time.time() * 1000)
+    time.sleep(1.1)
+    snapshot_write(spark, _df(spark, [("a", 2, "eu")]), root)
+
+    assert version_at(spark, root, t_between) == 1
+    assert version_at(spark, root, int(time.time() * 1000)) == 2
+    got = snapshot_read(spark, root, as_of=t_between)
+    assert _state(got) == [("a", 1, "eu")]
+    # ISO string form resolves too
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        t_between / 1000, tz=datetime.timezone.utc
+    ).isoformat()
+    assert version_at(spark, root, iso) == 1
+    with pytest.raises(FileNotFoundError):
+        version_at(spark, root, 0)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, root, version=1, as_of=t_between)
+
+
+def test_write_expectations_fail_and_drop(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import check_expectations
+
+    root = str(tmp_path / "tbl")
+    df = _df(spark, [("a", 1, "eu"), ("b", -5, "us"), ("c", None, "eu")])
+    exp = {"val_positive": "val > 0", "region_known": "region IN ('eu','us')"}
+
+    # one-pass audit: NULL predicate (c) counts as satisfied
+    assert check_expectations(df, exp) == {
+        "val_positive": 1, "region_known": 0,
+    }
+
+    with pytest.raises(ValueError, match="val_positive"):
+        snapshot_write(spark, df, root, expectations=exp)
+    # failed commit left no version behind
+    from momyre_spark.sinks.snapshots import current_version
+
+    assert current_version(spark, root) is None
+
+    v = snapshot_write(
+        spark, df, root, expectations=exp, on_violation="drop"
+    )
+    got = _state(snapshot_read(spark, root))
+    assert got == [("a", 1, "eu"), ("c", None, "eu")]  # b quarantined
+    man = read_manifest(spark, root, v)
+    assert man["expectation_violations"] == {
+        "val_positive": 1, "region_known": 0,
+    }
+    assert man["expectations"] == exp
+    assert man["committed_at"] > 0

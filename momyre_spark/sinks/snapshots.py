@@ -892,6 +892,12 @@ def snapshot_compact(
         }
     if "sort_by" in man:
         new_man["sort_by"] = man["sort_by"]
+    for zk in ("zorder_by", "zorder_bits"):
+        if zk in man:
+            # carried as INFORMATION — compaction re-sorts rewritten
+            # partitions by sort_by, so their z-clustering degrades until
+            # snapshot_zorder is re-run (untouched partitions keep theirs)
+            new_man[zk] = man[zk]
     if "batch_id" in man:
         new_man["batch_id"] = man["batch_id"]
     _commit(spark, root, new_man)
@@ -1042,6 +1048,43 @@ def snapshot_zorder(
         new_man["batch_id"] = man["batch_id"]
     _commit(spark, root, new_man)
     return new_v
+
+
+def snapshot_history(spark: SparkSession, root: str) -> list[dict]:
+    """DESCRIBE HISTORY for the snapshot store: one dict per live version
+    (oldest first) with version, parent, committed_at, batch_id, partition
+    counts, and which partitions were REWRITTEN vs re-referenced from the
+    parent — the operational audit of what each commit touched.
+    Driver-side manifest reads only; never touches data files."""
+    out = []
+    manifests = {
+        v: read_manifest(spark, root, v) for v in list_versions(spark, root)
+    }
+    for v in sorted(manifests):
+        man = manifests[v]
+        parent = man.get("parent")
+        pparts = (
+            manifests.get(parent, {}).get("partitions", {})
+            if parent is not None
+            else {}
+        )
+        rewritten = sum(
+            1 for k, d in man["partitions"].items() if pparts.get(k) != d
+        )
+        out.append(
+            {
+                "version": v,
+                "parent": parent,
+                "committed_at": man.get("committed_at"),
+                "batch_id": man.get("batch_id"),
+                "n_partitions": len(man["partitions"]),
+                "n_rewritten": rewritten,
+                "n_rereferenced": len(man["partitions"]) - rewritten,
+                "zorder_by": man.get("zorder_by"),
+                "expectation_violations": man.get("expectation_violations"),
+            }
+        )
+    return out
 
 
 def snapshot_vacuum(

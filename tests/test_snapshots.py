@@ -1050,3 +1050,26 @@ def test_write_expectations_fail_and_drop(spark, tmp_path):
     }
     assert man["expectations"] == exp
     assert man["committed_at"] > 0
+
+
+def test_snapshot_history_audit(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import snapshot_history
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(
+        spark, _df(spark, [("a", 1, "eu"), ("b", 2, "us")]), root,
+        partition_by=["region"],
+    )
+    snapshot_merge_cdc(
+        spark, root,
+        _actions(spark, [("a", "upsert", 9, "eu", ["val", "region"])]),
+        FIELDS, partition_by=["region"], batch_id=3,
+    )
+    hist = snapshot_history(spark, root)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["parent"] is None and hist[0]["n_rewritten"] == 2
+    # the merge rewrote ONLY eu; us re-referenced
+    assert hist[1]["parent"] == 1
+    assert hist[1]["n_rewritten"] == 1 and hist[1]["n_rereferenced"] == 1
+    assert hist[1]["batch_id"] == 3
+    assert all(h["committed_at"] for h in hist)

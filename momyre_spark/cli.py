@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="maintain mode: versions retained by vacuum")
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="maintain mode: compaction target file size")
+    p.add_argument("--zorder", default=None,
+                   help="maintain mode: comma-separated columns to Z-ORDER "
+                        "cluster each table on after compaction "
+                        "(multi-column data skipping)")
     p.add_argument("--prep-input", default=None,
                    help="prep mode: parquet directory of raw documents")
     p.add_argument("--prep-output", default=None,
@@ -231,7 +235,11 @@ def main(argv: list[str] | None = None) -> int:
         if not args.lake_root:
             print("maintain mode requires --lake-root", file=sys.stderr)
             return 2
-        from momyre_spark.sinks.snapshots import snapshot_compact, snapshot_vacuum
+        from momyre_spark.sinks.snapshots import (
+            snapshot_compact,
+            snapshot_vacuum,
+            snapshot_zorder,
+        )
 
         for table in sorted(spec.tables):
             root = f"{args.lake_root}/{table}"
@@ -243,10 +251,18 @@ def main(argv: list[str] | None = None) -> int:
             except FileNotFoundError:
                 print(f"{table}: no versioned store at {root}", file=sys.stderr)
                 continue
+            znote = ""
+            if args.zorder:
+                zv = snapshot_zorder(
+                    spark, root,
+                    [c.strip() for c in args.zorder.split(",") if c.strip()],
+                    target_file_bytes=args.target_file_mb * 1024 * 1024,
+                )
+                znote = f", zordered->v{zv}"
             dropped = snapshot_vacuum(spark, root, keep_last=args.keep_versions,
                                       sweep_orphans=True)
             print(
-                f"{table}: compacted->" + (f"v{v}" if v else "no-op")
+                f"{table}: compacted->" + (f"v{v}" if v else "no-op") + znote
                 + f", vacuumed {len(dropped)} versions",
                 file=sys.stderr,
             )

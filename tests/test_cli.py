@@ -140,3 +140,33 @@ def test_prep_mode_tar_format(spark, tmp_path):
     back = read_tar_shards(spark, f"{out}/shard-*.tar")
     assert back.count() > 0
     assert back.select("shard").distinct().count() == 4
+
+
+def test_maintain_mode_zorder_flag(spark, tmp_path, monkeypatch):
+    """--zorder col1,col2 clusters each table after compaction; the final
+    kept version carries the zorder marker and identical content."""
+    from momyre_spark import cli
+    from momyre_spark.sinks.snapshots import (
+        current_version, read_manifest, snapshot_read, snapshot_write,
+    )
+
+    cfg = tmp_path / "momyre.yml"
+    cfg.write_text("tables:\n  users:\n    val: bigint\n")
+    root = str(tmp_path / "lake" / "users")
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)], "_id string, val bigint"
+    ).repartition(8)
+    snapshot_write(spark, df, root, max_records_per_file=10)
+
+    import momyre_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda **kw: spark)
+    rc = cli.main([
+        "--config", str(cfg), "--mode", "maintain",
+        "--lake-root", str(tmp_path / "lake"), "--keep-versions", "1",
+        "--zorder", "val",
+    ])
+    assert rc == 0
+    v = current_version(spark, root)
+    assert read_manifest(spark, root, v)["zorder_by"] == ["val"]
+    assert snapshot_read(spark, root).count() == 200

@@ -216,6 +216,54 @@ def version_at(spark: SparkSession, root: str, ts) -> int:
     return best
 
 
+def snapshot_tag(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> int:
+    """Pin a human-named TAG to a version (default: current) — the
+    training-run reproducibility primitive: tag the corpus a run trained
+    on (``snapshot_tag(root, 'train-2026-08')``) and every later
+    ``snapshot_read(tag=...)`` resolves to exactly that version. NOTE:
+    tags are names, not vacuum protection — reading a tag whose version
+    was vacuumed raises, so size ``keep_last`` to cover tagged history.
+    Re-tagging an existing name moves it. Returns the tagged version."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,99}", name or ""):
+        raise ValueError(f"momyre: invalid tag name {name!r}")
+    v = version if version is not None else current_version(spark, root)
+    if v is None or v not in list_versions(spark, root):
+        raise FileNotFoundError(f"no version {v} to tag at {root}")
+    _write_text(
+        spark,
+        f"{root}/{_M}/tag-{name}.json",
+        json.dumps({"name": name, "version": v}),
+    )
+    return v
+
+
+def resolve_tag(spark: SparkSession, root: str, name: str) -> int:
+    txt = _read_text(spark, f"{root}/{_M}/tag-{name}.json")
+    if txt is None:
+        raise FileNotFoundError(f"no tag {name!r} at {root}")
+    return int(json.loads(txt)["version"])
+
+
+def list_tags(spark: SparkSession, root: str) -> dict[str, int]:
+    jvm, fs = _fs(spark, root)
+    d = _jpath(jvm, f"{root}/{_M}")
+    if not fs.exists(d):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(d):
+        n = st.getPath().getName()
+        if n.startswith("tag-") and n.endswith(".json"):
+            txt = _read_text(spark, f"{root}/{_M}/{n}")
+            if txt:
+                rec = json.loads(txt)
+                out[rec["name"]] = int(rec["version"])
+    return out
+
+
 def list_versions(spark: SparkSession, root: str) -> list[int]:
     jvm, fs = _fs(spark, root)
     d = _jpath(jvm, f"{root}/{_M}")
@@ -517,10 +565,12 @@ def snapshot_read(
     partition_filter: dict[str, str] | None = None,
     stats_filter: dict[str, tuple] | None = None,
     as_of: object | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a version (default: current; ``as_of`` resolves a commit
-    TIMESTAMP to its version via :func:`version_at` — mutually exclusive
-    with ``version``). ``partition_filter`` prunes
+    TIMESTAMP via :func:`version_at`, ``tag`` resolves a named tag via
+    :func:`resolve_tag` — each mutually exclusive with ``version``).
+    ``partition_filter`` prunes
     manifest entries on the driver — files of other partitions are never
     listed, let alone read. ``stats_filter`` ({col: (lo, hi)}; None bound =
     open side) additionally skips partitions whose recorded column bounds
@@ -528,10 +578,12 @@ def snapshot_read(
     was committed with ``stats_cols``. Pruning is an OPTIMIZATION only:
     callers must still apply the actual predicate (partitions without
     stats are conservatively read)."""
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("momyre: pass at most one of version/as_of/tag")
     if as_of is not None:
-        if version is not None:
-            raise ValueError("momyre: pass version OR as_of, not both")
         version = version_at(spark, root, as_of)
+    if tag is not None:
+        version = resolve_tag(spark, root, tag)
     v = version if version is not None else current_version(spark, root)
     if v is None:
         raise FileNotFoundError(f"no committed version at {root}")

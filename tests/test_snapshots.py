@@ -1016,7 +1016,7 @@ def test_as_of_timestamp_time_travel(spark, tmp_path):
     assert version_at(spark, root, iso) == 1
     with pytest.raises(FileNotFoundError):
         version_at(spark, root, 0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         snapshot_read(spark, root, version=1, as_of=t_between)
 
 
@@ -1073,3 +1073,34 @@ def test_snapshot_history_audit(spark, tmp_path):
     assert hist[1]["n_rewritten"] == 1 and hist[1]["n_rereferenced"] == 1
     assert hist[1]["batch_id"] == 3
     assert all(h["committed_at"] for h in hist)
+
+
+def test_snapshot_tags_pin_training_corpora(spark, tmp_path):
+    from momyre_spark.sinks.snapshots import (
+        list_tags,
+        resolve_tag,
+        snapshot_tag,
+    )
+
+    root = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, [("a", 1, "eu")]), root)
+    snapshot_tag(spark, root, "train-run-1")
+    snapshot_write(spark, _df(spark, [("a", 2, "eu")]), root)
+    snapshot_tag(spark, root, "train-run-2")
+
+    assert list_tags(spark, root) == {"train-run-1": 1, "train-run-2": 2}
+    assert _state(snapshot_read(spark, root, tag="train-run-1")) == [
+        ("a", 1, "eu")
+    ]
+    assert _state(snapshot_read(spark, root, tag="train-run-2")) == [
+        ("a", 2, "eu")
+    ]
+    # re-tag moves; bad names and unknown tags are loud
+    assert snapshot_tag(spark, root, "train-run-1", version=2) == 2
+    assert resolve_tag(spark, root, "train-run-1") == 2
+    with pytest.raises(ValueError, match="invalid tag"):
+        snapshot_tag(spark, root, "../escape")
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, root, tag="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_read(spark, root, version=1, tag="train-run-1")

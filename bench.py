@@ -80,10 +80,14 @@ HEADLINE = [
     # transition scoring (explode + 3 hash aggs + broadcast vocab)
     "text_gopher_gates",
     "text_bigram_logprob",
-    # round-4 graph + semantic wave: 10-iteration exact-integer PageRank,
-    # SemDeDup survivors (SRP pairs -> components -> anti-join)
+    # round-4 graph wave: 10-iteration exact-integer PageRank.
+    # (dedup_semantic is deliberately NOT benched: its registered
+    # threshold-0.4 form is correctness-scaled for the sf0.01 oracle; at
+    # sf0.1 the label-clustered fixture embeddings make cosine>=0.4 a
+    # near-complete graph — 60s+ of component propagation that measures
+    # the FIXTURE's degeneracy, not the operator. Production thresholds
+    # (0.9+) keep the pair set sparse.)
     "graph_domain_pagerank",
-    "dedup_semantic",
 ]
 
 

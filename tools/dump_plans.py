@@ -31,6 +31,10 @@ SHOWCASE = [
     ("pipe_global_shuffle", "rank windows partition by hash bucket, not globally"),
     ("mm_image_dhash_pairs", "hamming candidates via hash join on pigeonhole blocks (no cartesian)"),
     ("dedup_url_canonical", "URL canonicalization fused into the scan; one groupBy exchange"),
+    ("text_gopher_gates", "whole rule battery map-only: one exchange (the orderBy), no Generate/EvalPython"),
+    ("sim_topk_ivf_indexed", "probe cells as literal PartitionFilters on the cell-partitioned index"),
+    ("text_bigram_logprob", "bigram vocab broadcasts; zip_with pairs, single Generate"),
+    ("dedup_hamming_synthetic_20k", "pigeonhole block equi-join at 20k fps; star-edge collapse, no cartesian"),
 ]
 
 

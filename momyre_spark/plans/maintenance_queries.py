@@ -483,3 +483,23 @@ def stats_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return reduce(lambda x, y: x.unionByName(y), outs).orderBy(
         "col_a", "col_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-estimated cross-source overlap (operators/sketches.
+# sketch_overlap_matrix): the join-free triage twin of dedup_cross_source.
+# HLL estimates are engine-specific (rows-only); accuracy vs the exact
+# overlap and the no-corpus-join shape are pinned in test_sketches.py.
+# --------------------------------------------------------------------------
+@query("stats_source_overlap_sketch")
+def stats_source_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import fingerprint
+    from momyre_spark.operators.sketches import sketch_overlap_matrix
+
+    docs = load_table(spark, sf, "documents")
+    fps = docs.select(
+        F.col("source"), fingerprint(F.col("text")).alias("fp")
+    )
+    return sketch_overlap_matrix(fps, "source", "fp").orderBy(
+        "group_a", "group_b"
+    )

@@ -48,6 +48,10 @@ _ROWS_ONLY = {
     # exact and the merge law are pinned in test_sketches.py.
     "stats_ndv_sketch",
     "stats_window_ndv_sketch",
+    # same HLL family: inclusion-exclusion overlap estimates; planted-
+    # overlap tolerance pinned in test_sketches.py, and the exact twin
+    # (dedup_cross_source) carries the full value-hash oracle.
+    "stats_source_overlap_sketch",
     # Eigen-decomposition is not SQL; orthonormality, numpy parity,
     # partitioning invariance and whitening are pinned in test_pca.py.
     "emb_pca_project",

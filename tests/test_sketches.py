@@ -97,3 +97,30 @@ def test_hourly_to_daily_rollup_matches_direct_daily(spark):
         for r in estimate_ndv(ndv_sketch_table(ev, ["day"], "user_id")).collect()
     }
     assert rolled == direct
+
+
+def test_sketch_overlap_matrix_estimates_planted_overlap(spark):
+    """Two sources share exactly 300 fingerprints (of 1000 each), a third
+    shares none: the estimate lands within HLL tolerance of truth, with no
+    join of the underlying data."""
+    from momyre_spark.operators.sketches import sketch_overlap_matrix
+
+    rows = (
+        [("A", f"shared{i}") for i in range(300)]
+        + [("A", f"onlyA{i}") for i in range(700)]
+        + [("B", f"shared{i}") for i in range(300)]
+        + [("B", f"onlyB{i}") for i in range(700)]
+        + [("C", f"onlyC{i}") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "source string, fp string")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in sketch_overlap_matrix(df, "source", "fp").collect()
+    }
+    ab = got[("A", "B")]
+    # three chained estimates at lgK=14: ~2% rsd each; assert within 10%
+    assert abs(ab["overlap_estimate"] - 300) <= 100, ab
+    assert abs(ab["ndv_a"] - 1000) <= 50
+    # disjoint pairs estimate near zero (clamped at 0)
+    assert got[("A", "C")]["overlap_estimate"] <= 60
+    assert got[("B", "C")]["overlap_estimate"] <= 60

@@ -204,6 +204,40 @@ def compact_ingest_state(
     return folded
 
 
+def ingest_state_report(spark: SparkSession, root: str) -> dict[str, dict]:
+    """Operational report of the dedup-state layout per table: base
+    version + file count, un-compacted tail epochs + file count — the
+    "do I need to compact" probe (mirrors ``snapshots.snapshot_history``
+    for the ingest side). Driver-side listing only; never reads data."""
+    jvm, fs = _fs(spark, root)
+
+    def _files(path: str) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(p):
+            return 0
+        it, n = fs.listFiles(p, True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    out: dict[str, dict] = {}
+    for table in _STATE_TABLES:
+        tail_dir = f"{root}/{table}"
+        base_dir = f"{root}/{table}_base"
+        versions = _base_versions(spark, base_dir)
+        epochs = _tail_epochs(spark, tail_dir)
+        out[table] = {
+            "base_version": versions[-1] if versions else None,
+            "base_files": (
+                _files(f"{base_dir}/v={versions[-1]}") if versions else 0
+            ),
+            "tail_epochs": len(epochs),
+            "tail_files": _files(tail_dir),
+        }
+    return out
+
+
 def ingest_batch(
     batch_df: DataFrame,
     epoch: int,

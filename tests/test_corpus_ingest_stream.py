@@ -222,6 +222,16 @@ def test_ingest_state_compaction_bounds_files_and_stays_correct(spark, tmp_path)
     fps2 = read_ingest_state(spark, root, "_fps", "fp string", n_epochs)
     assert fps2.count() == n_epochs
 
+    # operational report reflects the compacted layout
+    from momyre_spark.streaming.ingest import ingest_state_report
+
+    rep = ingest_state_report(spark, root)
+    assert set(rep) == {"_fps", "_lsh_bands", "_lsh_sigs"}
+    for t, r in rep.items():
+        assert r["base_version"] is not None, (t, r)
+        assert r["tail_epochs"] <= 1, (t, r)  # keep_tail newest epoch only
+        assert r["base_files"] >= 1
+
 
 def test_ingest_state_tail_read_partition_prunes(spark, tmp_path):
     """The replay-exclusion filter (epoch < E) must reach the tail scan as a

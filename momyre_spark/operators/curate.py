@@ -89,7 +89,8 @@ def curate_corpus(
 
 
 # The Gopher/MassiveText rule set's stopword probe (Rae et al. 2021,
-# published rules): a document passes if >= min_stop_hits of these occur.
+# published rules): a document passes if >= min_stop_hits DISTINCT members
+# of this list occur (occurrence counts don't matter — "the the the" is 1).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
@@ -139,8 +140,15 @@ def gopher_gates(
         lines, lambda line: line.rlike(r"(\.\.\.|…)\s*$"), nl
     )
     alpha_frac = frac(toks, lambda x: x.rlike("[A-Za-z]"), n)
+    # DISTINCT stop words, not occurrences: the published MassiveText rule
+    # requires >= 2 DIFFERENT stop words, so "the the the ..." must fail.
     stop_hits = F.size(
-        F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+        F.array_distinct(
+            F.filter(
+                F.transform(toks, lambda x: F.lower(x)),
+                lambda x: x.isin(*GOPHER_STOPWORDS),
+            )
+        )
     )
 
     return df.select(

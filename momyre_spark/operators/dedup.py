@@ -519,6 +519,18 @@ def hamming_neardup_pairs(
     return pairs.unionByName(star) if star is not None else pairs
 
 
+class _JvmBlocks:
+    """Duck-typed stand-in for a cached DataFrame in a ``persisted`` list:
+    releases checkpoint blocks that the DataFrame API cannot unpersist."""
+
+    def __init__(self, jrdds):
+        self._jrdds = jrdds
+
+    def unpersist(self, blocking: bool = False):
+        for j in self._jrdds:
+            j.unpersist(bool(blocking))
+
+
 def duplicate_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -536,9 +548,24 @@ def duplicate_components(
     hash-aggregations over the edge list — no driver-side graph.
 
     Returns (id, component) for every node that appears in a pair.
+
+    Storage hygiene: the edge cache and every per-round lineage-cut block
+    are released before returning — the result is eagerly materialized into
+    ONE self-contained checkpoint, so one-shot callers (``dedup_semantic``,
+    the registered component queries) leave exactly one persisted block
+    behind (the result's own), not one per invocation per round. Callers
+    that thread ``persisted`` get the result block appended so their
+    per-epoch unpersist releases it too.
     """
     from pyspark import StorageLevel
 
+    spark = pairs.sparkSession
+
+    def _persistent() -> dict[int, object]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+
+    entry_ids = set(_persistent())
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -546,12 +573,9 @@ def duplicate_components(
         # every propagation round + convergence check re-reads the edge
         # list; uncached, each round would recompute the (often expensive)
         # candidate-pair DAG that produced it. Cache it once: the edge list
-        # is pairs-sized, tiny next to the corpus. Long-running loops
-        # (streaming ingest) pass ``persisted`` and unpersist per epoch.
+        # is pairs-sized, tiny next to the corpus; released before return.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if persisted is not None:
-        persisted.append(edges)
     labels = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).select(F.col("src").alias("id"), "label")
@@ -583,7 +607,29 @@ def duplicate_components(
             break
         # cut lineage so the iterative plan doesn't grow unboundedly
         labels = labels.localCheckpoint(eager=True)
-    return labels.select("id", F.col("label").alias("component"))
+    # materialize the result into one self-contained block, then release
+    # the edge cache and every intermediate per-round checkpoint (reachable
+    # only through the JVM persistent-RDD map — DataFrame.localCheckpoint
+    # exposes no handle). Snapshot BEFORE the final checkpoint so the
+    # result's own block is the one id we never touch.
+    loop_ids = set(_persistent()) - entry_ids
+    out = labels.select("id", F.col("label").alias("component")).localCheckpoint(
+        eager=True
+    )
+    edges.unpersist()
+    for rid, jrdd in _persistent().items():
+        if rid in loop_ids:
+            jrdd.unpersist(False)
+    if persisted is not None:
+        # the result's own block: DataFrame.unpersist is a cache-manager
+        # no-op on a checkpointed frame, so hand the caller the JVM block
+        # handles instead — the ingest loop's per-epoch `df.unpersist()`
+        # then releases it like any other cached frame
+        handles = [
+            j for rid, j in _persistent().items() if rid not in entry_ids
+        ]
+        persisted.append(_JvmBlocks(handles))
+    return out
 
 
 def srp_params_for(

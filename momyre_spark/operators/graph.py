@@ -45,6 +45,7 @@ def pagerank(
     tol: float | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)`` with
     ``rank`` as double (internally exact 1e-10 integer units).
@@ -58,6 +59,17 @@ def pagerank(
     ``tol`` (optional) stops early when the max per-node change drops
     below it — at the cost of one extra aggregation per iteration; leave
     None for a fixed, cross-engine-reproducible iteration count.
+
+    ``checkpoint_dir``: per-iteration lineage cuts default to
+    ``localCheckpoint`` — blocks pinned to their executors, fine in local
+    mode but NOT fault-tolerant (an executor lost at iteration 9 of 10
+    kills the run on a real cluster). Pass a reliable (HDFS/object-store)
+    directory to use durable ``checkpoint()`` instead: an executor loss
+    then recovers from files and the job survives. Exactness contract:
+    every integer sum stays < 2^53, ENFORCED by a ValueError when
+    ``|V| * RANK_SCALE`` would cross it (~9e5 nodes at the default scale);
+    within that bound ranks are bit-identical under any partitioning and
+    across engines.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("momyre: damping must be in (0, 1)")
@@ -66,19 +78,44 @@ def pagerank(
     d = float(damping)
     base_units = (1.0 - d) * float(RANK_SCALE)
 
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _persistent():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+
+    entry_ids = set(_persistent())
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    nodes = (
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")
-    ).localCheckpoint(eager=True)
+    # total mass stays ~|V| (the formulation conserves it), so every unit
+    # sum — per-node in-mass, dangling mass — is bounded by |V|*RANK_SCALE.
+    # Past 2^53 the BIGINT->DOUBLE steps stop being exact (and int64 wraps
+    # silently near 2^63 under non-ANSI Spark): refuse rather than degrade.
+    if n_nodes * RANK_SCALE >= 2**53:
+        raise ValueError(
+            f"momyre: {n_nodes} nodes * RANK_SCALE {RANK_SCALE} exceeds the "
+            "2^53 exact-integer range; shard the graph or lower RANK_SCALE "
+            "(at the cost of rank resolution)"
+        )
+    deg = _cut(
+        e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("__deg")
+        )
+    )
 
     state = nodes.withColumn("units", F.lit(RANK_SCALE).cast("bigint"))
     for _ in range(max_iter):
@@ -132,12 +169,20 @@ def pagerank(
                 )
                 .collect()[0]["d"]
             )
-            state = new_state.localCheckpoint(eager=True)
+            state = _cut(new_state)
             if delta is not None and delta < tol * RANK_SCALE:
                 break
         else:
             # cut lineage so the plan stays iteration-count-independent
-            state = new_state.localCheckpoint(eager=True)
+            state = _cut(new_state)
+    # release every intermediate lineage-cut block (nodes, deg, iterations
+    # 1..N-1) — only the final state's block (the newest id) backs the
+    # returned frame. Same hygiene as dedup.duplicate_components: one
+    # self-contained block per call, not one per iteration.
+    own = {rid: j for rid, j in _persistent().items() if rid not in entry_ids}
+    for rid, j in own.items():
+        if own and rid != max(own):
+            j.unpersist(False)
     return state.select(
         "node",
         (F.col("units").cast("double") / F.lit(float(RANK_SCALE))).alias(

@@ -552,7 +552,13 @@ def label_margin_report(
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("__vec"),
     )
-    if base.count() > max_exact_rows:
+    # limit-probe, not a full count: take() on a limit short-circuits the
+    # scan once max_exact_rows+1 rows exist, so the guard costs O(cap) IO
+    # even on a petabyte input.
+    probe = base.select("vec_id").limit(max_exact_rows + 1).take(
+        max_exact_rows + 1
+    )
+    if len(probe) > max_exact_rows:
         base = sample_per_group(
             base, sample_per_label, ["label"], id_col="vec_id",
             salt="label_margin",
@@ -574,21 +580,26 @@ def label_margin_report(
         .cast("decimal(18,6)")
         .alias("cosd"),
     )
-    labels = base.select("label").distinct()
+    # Each pair touches at most two labels, so emit exactly those rows
+    # (intra: one row, inter: one per side) and aggregate by that key —
+    # |pairs| + |inter pairs| rows through the agg instead of the old
+    # labels x pairs cross-join blowup. Singleton-label rows still surface:
+    # with N >= 2 every row participates in some pair.
     zero = F.lit(0).cast("decimal(18,6)")
-    intra = (F.col("la") == F.col("lb")) & (F.col("la") == F.col("label"))
-    inter = (F.col("la") != F.col("lb")) & (
-        (F.col("la") == F.col("label")) | (F.col("lb") == F.col("label"))
+    tagged = pairs.select(
+        F.explode(
+            F.when(
+                F.col("la") == F.col("lb"), F.array(F.col("la"))
+            ).otherwise(F.array(F.col("la"), F.col("lb")))
+        ).alias("label"),
+        (F.col("la") == F.col("lb")).alias("__intra"),
+        "cosd",
     )
-    per = (
-        labels.crossJoin(pairs)
-        .groupBy("label")
-        .agg(
-            F.sum(F.when(intra, F.col("cosd")).otherwise(zero)).alias("s_intra"),
-            F.sum(F.when(intra, F.lit(1)).otherwise(F.lit(0))).alias("n_intra"),
-            F.sum(F.when(inter, F.col("cosd")).otherwise(zero)).alias("s_inter"),
-            F.sum(F.when(inter, F.lit(1)).otherwise(F.lit(0))).alias("n_inter"),
-        )
+    per = tagged.groupBy("label").agg(
+        F.sum(F.when(F.col("__intra"), F.col("cosd")).otherwise(zero)).alias("s_intra"),
+        F.sum(F.when(F.col("__intra"), F.lit(1)).otherwise(F.lit(0))).alias("n_intra"),
+        F.sum(F.when(~F.col("__intra"), F.col("cosd")).otherwise(zero)).alias("s_inter"),
+        F.sum(F.when(~F.col("__intra"), F.lit(1)).otherwise(F.lit(0))).alias("n_inter"),
     )
     mi = F.col("s_intra").cast("double") / F.col("n_intra")
     me = F.col("s_inter").cast("double") / F.col("n_inter")
@@ -644,6 +655,10 @@ def build_ivf_index(
         "cent_id long, centroid array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    # a rebuild indexes the caller's full corpus: any add-tail from a
+    # previous index generation at this root is stale — drop it
+    jvm, fs = _ivf_fs(spark, root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/adds"), True)
     return len(cents)
 
 
@@ -664,7 +679,10 @@ def ivf_topk_indexed(
     cells; the DISTINCT probe-cell set (≤ num_cells values) becomes a
     literal ``cell IN (...)`` filter on the partitioned corpus — partition
     pruning at the source, then a broadcast join of the (small) query side
-    against only the probed cells. Same output contract as ivf_topk."""
+    against only the probed cells. Same output contract as ivf_topk.
+    Vectors appended since the build (:func:`ivf_index_add`) participate:
+    the add-tail keeps ``cell`` as a partition column, so the same probe
+    filter prunes it identically."""
     from momyre_spark.functions.vectors import add_normalized, dot
 
     cents = [
@@ -681,7 +699,7 @@ def ivf_topk_indexed(
         int(r["__qcell"]) for r in q.select("__qcell").distinct().collect()
     )
     corpus = (
-        spark.read.parquet(f"{root}/vectors")
+        _ivf_corpus(spark, root)
         .filter(F.col("cell").isin(cells))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -695,6 +713,189 @@ def ivf_topk_indexed(
         .withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     )
     return _topk(scored, k)
+
+
+def _ivf_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _ivf_heal(spark: SparkSession, root: str) -> None:
+    """Self-heal the one non-atomic compaction window: a crash between
+    deleting ``vectors`` and renaming ``vectors_new`` leaves only the
+    committed (``_SUCCESS``-marked) new directory — finish the rename."""
+    jvm, fs = _ivf_fs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    vec, new = P(f"{root}/vectors"), P(f"{root}/vectors_new")
+    if (
+        not fs.exists(vec)
+        and fs.exists(new)
+        and fs.exists(P(f"{root}/vectors_new/_SUCCESS"))
+    ):
+        fs.rename(new, vec)
+
+
+def _ivf_add_epochs(spark: SparkSession, root: str) -> list[int]:
+    jvm, fs = _ivf_fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/adds")
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            out.append(int(name[6:]))
+    return sorted(out)
+
+
+def ivf_index_add(
+    spark: SparkSession,
+    root: str,
+    new_vectors: DataFrame,
+    epoch: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a :func:`build_ivf_index` index —
+    O(|batch|) per call, never O(corpus).
+
+    New rows are assigned to the EXISTING stored cells (the centroids never
+    move — search stays consistent with every previously indexed vector)
+    and land under ``adds/epoch=N/cell=C``: a replayed streaming epoch
+    overwrites its own directory (same idempotence pattern as the ingest
+    dedup state), and ``cell`` stays a partition column so
+    :func:`ivf_topk_indexed`'s probe filter prunes adds exactly like the
+    base. Freshness therefore costs one map-only assignment + one
+    partitioned write, NOT the full rebuild the overwrite-only builder
+    required (VERDICT r04 item #4). Compact with :func:`ivf_index_compact`
+    once :func:`ivf_index_report` says the tail or cell skew has grown.
+
+    Returns the epoch the batch was written under."""
+    from momyre_spark.functions.vectors import add_normalized
+
+    _ivf_heal(spark, root)
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    if epoch is None:
+        prior = _ivf_add_epochs(spark, root)
+        epoch = (prior[-1] + 1) if prior else 0
+    nemb = add_normalized(new_vectors, vec_col, "__nv")
+    assigned = _nearest_cells(nemb, cents, id_col, n_best=1).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__nv").alias("nvec"),
+        F.col("cent_id").alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{root}/adds/epoch={epoch}"
+    )
+    return int(epoch)
+
+
+def _ivf_corpus(spark: SparkSession, root: str) -> DataFrame:
+    """Base + add-tail union of an IVF index, ``cell`` partition-prunable
+    on both sides."""
+    _ivf_heal(spark, root)
+    base = spark.read.parquet(f"{root}/vectors")
+    cols = [c for c in base.columns]
+    if _ivf_add_epochs(spark, root):
+        adds = spark.read.parquet(f"{root}/adds").select(*cols)
+        base = base.unionByName(adds)
+    return base
+
+
+def ivf_index_report(
+    spark: SparkSession, root: str, skew_bound: float = 4.0
+) -> dict:
+    """Index staleness/health probe: per-cell row counts over base + adds
+    (one partition-column-only aggregation — footer metadata, no vector
+    IO), the add-tail depth, and a re-cluster recommendation when the
+    fullest cell exceeds ``skew_bound`` x the mean (skewed cells erode the
+    nprobe/num_cells pruning guarantee: one hot cell makes every probe
+    touching it scan far more than N/C rows)."""
+    per_cell = {
+        int(r["cell"]): int(r["n"])
+        for r in _ivf_corpus(spark, root)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_cells = len(per_cell)
+    total = sum(per_cell.values())
+    mean = total / n_cells if n_cells else 0.0
+    skew = (max(per_cell.values()) / mean) if per_cell and mean else 0.0
+    epochs = _ivf_add_epochs(spark, root)
+    return {
+        "cells": n_cells,
+        "rows": total,
+        "add_epochs": len(epochs),
+        "max_cell": max(per_cell.values()) if per_cell else 0,
+        "cell_skew": skew,
+        "recluster_recommended": bool(skew > skew_bound),
+    }
+
+
+def ivf_index_compact(
+    spark: SparkSession,
+    root: str,
+    recluster: bool = False,
+    num_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold the add-tail back into one clustered base (and optionally
+    re-cluster). O(corpus) by design — run occasionally, not per batch.
+
+    ``recluster=False`` keeps the stored centroids (stored normalized
+    projections are reused — no re-normalization pass); ``recluster=True``
+    re-trains k-means on the merged corpus and reassigns, for when
+    :func:`ivf_index_report` flags skew. Crash-safe like
+    ``compact_ingest_state``: the merged base writes to ``vectors_new``
+    first and prior state is destroyed only after its ``_SUCCESS`` marker
+    is verified; the single non-atomic delete->rename window self-heals on
+    the next read (:func:`_ivf_heal`). Returns the cell count."""
+    _ivf_heal(spark, root)
+    jvm, fs = _ivf_fs(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    epochs = _ivf_add_epochs(spark, root)
+    merged = _ivf_corpus(spark, root)
+    if recluster:
+        n = build_ivf_index(
+            merged.select(id_col, vec_col),
+            f"{root}/__rebuild",
+            num_cells=num_cells or spark.read.parquet(
+                f"{root}/centroids"
+            ).count(),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if not fs.exists(P(f"{root}/__rebuild/vectors/_SUCCESS")):
+            raise RuntimeError(
+                f"momyre: rebuild {root}/__rebuild missing _SUCCESS"
+            )
+        for sub in ("vectors", "centroids"):
+            fs.delete(P(f"{root}/{sub}"), True)
+            fs.rename(P(f"{root}/__rebuild/{sub}"), P(f"{root}/{sub}"))
+        fs.delete(P(f"{root}/__rebuild"), True)
+    else:
+        merged.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{root}/vectors_new"
+        )
+        if not fs.exists(P(f"{root}/vectors_new/_SUCCESS")):
+            raise RuntimeError(
+                f"momyre: compacted base {root}/vectors_new completed "
+                "without a _SUCCESS marker; refusing to drop prior state"
+            )
+        fs.delete(P(f"{root}/vectors"), True)
+        fs.rename(P(f"{root}/vectors_new"), P(f"{root}/vectors"))
+        n = spark.read.parquet(f"{root}/centroids").count()
+    for e in epochs:
+        fs.delete(P(f"{root}/adds/epoch={e}"), True)
+    fs.delete(P(f"{root}/adds"), False)
+    return int(n)
 
 
 def semantic_decontaminate(

@@ -856,7 +856,8 @@ _GOPHER_STOPS_SQL = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
                 / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
                 / CAST(len(w) AS DOUBLE) AS alpha_frac,
-            len(list_filter(w, x -> lower(x) IN {_GOPHER_STOPS_SQL}))
+            len(list_distinct(list_filter(list_transform(w, x -> lower(x)),
+                                          x -> x IN {_GOPHER_STOPS_SQL})))
                 AS stop_hits
         FROM d
     )

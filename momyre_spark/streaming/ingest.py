@@ -37,8 +37,12 @@ therefore BASE + TAIL:
   data column, so the replay filter applies uniformly.
 
 ``compact_ingest_state`` folds tail epochs into a NEW base version, then
-removes the folded tail directories and the old base: readers always take
-only the max ``v``, so every crash window leaves a readable state (the
+removes the folded tail directories and the old base: readers take the max
+``v`` whose directory carries the writer's ``_SUCCESS`` marker — a crash
+mid-rewrite leaves a marker-less partial that readers ignore and the next
+compaction deletes; the old base and folded tail are only dropped AFTER
+the new marker is verified. So every crash window leaves a readable state
+(the
 worst case is rows present in both the new base and a not-yet-deleted
 tail epoch — harmless: fingerprints are membership, and the LSH probe
 ``distinct``s candidates — and the next compaction's ``distinct``
@@ -76,17 +80,32 @@ def _missing(e: AnalysisException) -> bool:
     return "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e)
 
 
-def _base_versions(spark: SparkSession, base_dir: str) -> list[int]:
+def _list_base_versions(
+    spark: SparkSession, base_dir: str
+) -> tuple[list[int], list[int]]:
+    """(committed, uncommitted) base versions. A version is COMMITTED only
+    if its directory holds the writer's ``_SUCCESS`` marker — a crash mid
+    base rewrite leaves a marker-less partial directory that must never be
+    read as authoritative state (it would silently pass every replayed doc
+    through dedup) nor trigger cleanup of the last complete base."""
     jvm, fs = _fs(spark, base_dir)
     p = jvm.org.apache.hadoop.fs.Path(base_dir)
     if not fs.exists(p):
-        return []
-    out = []
+        return [], []
+    committed, partial = [], []
     for st in fs.listStatus(p):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("v="):
-            out.append(int(name[2:]))
-    return sorted(out)
+            v = int(name[2:])
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{base_dir}/{name}/_SUCCESS"
+            )
+            (committed if fs.exists(marker) else partial).append(v)
+    return sorted(committed), sorted(partial)
+
+
+def _base_versions(spark: SparkSession, base_dir: str) -> list[int]:
+    return _list_base_versions(spark, base_dir)[0]
 
 
 def _tail_epochs(spark: SparkSession, tail_dir: str) -> list[int]:
@@ -160,11 +179,13 @@ def compact_ingest_state(
         base_dir = f"{root}/{table}_base"
         epochs = _tail_epochs(spark, tail_dir)
         to_fold = epochs[:-keep_tail] if keep_tail else epochs
-        versions = _base_versions(spark, base_dir)
-        # drop stale base versions left by an earlier crash (max v wins)
+        versions, partial = _list_base_versions(spark, base_dir)
         jvm, fs = _fs(spark, root)
-        for v in versions[:-1]:
+        # drop marker-less partials from a crashed rewrite (never read,
+        # never authoritative) and stale COMMITTED versions below the max
+        for v in partial + versions[:-1]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_dir}/v={v}"), True)
+        highest = max(versions + partial) if (versions or partial) else 0
         versions = versions[-1:]
         if not to_fold:
             folded[table] = 0
@@ -188,9 +209,21 @@ def compact_ingest_state(
             merged = merged.repartition(base_files, cluster)
         else:
             merged = merged.repartition(base_files)
-        new_v = (versions[0] + 1) if versions else 1
+        new_v = highest + 1
         merged.write.mode("overwrite").parquet(f"{base_dir}/v={new_v}")
-        # new base visible -> drop folded tail dirs, then the old base
+        # COMMIT POINT: the old base and folded tail are destroyed only
+        # after the new base's _SUCCESS marker is verified on disk — a
+        # crash anywhere before this leaves the previous committed base
+        # authoritative and the marker-less partial ignored/cleaned later.
+        if not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base_dir}/v={new_v}/_SUCCESS")
+        ):
+            raise RuntimeError(
+                f"momyre: base rewrite {base_dir}/v={new_v} completed "
+                "without a _SUCCESS marker; refusing to drop prior state "
+                "(is mapreduce.fileoutputcommitter.marksuccessfuljobs off?)"
+            )
+        # new base committed -> drop folded tail dirs, then the old base
         for e in to_fold:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{tail_dir}/epoch={e}"), True
@@ -252,12 +285,21 @@ def ingest_batch(
     fuzzy_num_hashes: int = 128,
     fuzzy_bands: int = 32,
     compact_every: int | None = None,
+    ivf_root: str | None = None,
+    ivf_vec_col: str = "embedding",
 ) -> None:
     """One epoch of the gate -> incremental-dedup -> snapshot-commit loop.
 
     Module-level (not a closure) so batch jobs and tests can drive epochs
     directly; ``start_corpus_ingest`` wraps it in foreachBatch. Replay-safe
-    for the SAME epoch (see module docstring)."""
+    for the SAME epoch (see module docstring).
+
+    ``ivf_root``: when set (and ``ivf_vec_col`` is among ``fields``), each
+    epoch's dedup survivors are ALSO appended to the persisted IVF ANN
+    index at that root (``operators/similarity.ivf_index_add`` — O(batch)
+    assignment to the existing cells, epoch-directory idempotent like the
+    dedup state), keeping similarity search fresh without per-epoch index
+    rebuilds."""
     from momyre_spark.operators.dedup import (
         dedup_incremental,
         dedup_incremental_fuzzy,
@@ -329,6 +371,17 @@ def ingest_batch(
             surv_sigs.write.mode("overwrite").parquet(
                 f"{root}/_lsh_sigs/epoch={epoch}"
             )
+        if ivf_root is not None and ivf_vec_col in cols:
+            from momyre_spark.operators.similarity import ivf_index_add
+
+            ivf_index_add(
+                spark,
+                ivf_root,
+                survivors.select(id_col, ivf_vec_col),
+                epoch=epoch,
+                id_col=id_col,
+                vec_col=ivf_vec_col,
+            )
     finally:
         # one cached sigs frame per epoch would otherwise outlive the batch
         # for the life of the stream (executor storage leak)
@@ -353,6 +406,8 @@ def start_corpus_ingest(
     fuzzy_num_hashes: int = 128,
     fuzzy_bands: int = 32,
     compact_every: int | None = 32,
+    ivf_root: str | None = None,
+    ivf_vec_col: str = "embedding",
 ) -> StreamingQuery:
     """Run the gate -> incremental-dedup -> snapshot-commit loop over a
     streaming frame of documents. ``fields`` is the snapshot column->type
@@ -384,6 +439,8 @@ def start_corpus_ingest(
             fuzzy_num_hashes=fuzzy_num_hashes,
             fuzzy_bands=fuzzy_bands,
             compact_every=compact_every,
+            ivf_root=ivf_root,
+            ivf_vec_col=ivf_vec_col,
         )
 
     writer = docs_stream.writeStream.foreachBatch(apply).option(

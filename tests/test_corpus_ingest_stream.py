@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from momyre_spark.sinks.snapshots import (
     current_version,
     read_manifest,
@@ -255,6 +257,155 @@ def test_ingest_state_tail_read_partition_prunes(spark, tmp_path):
     )[1][:120], plan
     # and the pruned read really excludes epoch 2's rows
     assert tail.count() == 2
+
+
+def test_compaction_crash_leaves_committed_base_authoritative(spark, tmp_path):
+    """A crash mid base-rewrite leaves a marker-less partial v=K+1: readers
+    must keep v=K authoritative (NOT the partial — reading it would silently
+    pass replayed docs through dedup), and the next compaction must delete
+    the partial, never the last committed base (ADVICE r04 high)."""
+    import shutil
+
+    from momyre_spark.streaming.ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        read_ingest_state,
+    )
+
+    root = str(tmp_path / "corpus")
+    for e in range(6):
+        df = spark.createDataFrame(
+            [{"doc_id": e, "text": " ".join(f"q{e}w{i}" for i in range(25)),
+              "src": "a"}], SCHEMA
+        )
+        ingest_batch(df, e, root, FIELDS, min_tokens=2)
+    compact_ingest_state(spark, root)  # -> committed base v=1
+    base = f"{root}/_fps_base"
+    assert os.path.exists(f"{base}/v=1/_SUCCESS")
+    n_committed = read_ingest_state(spark, root, "_fps", "fp string", 99).count()
+    assert n_committed == 6
+
+    # simulate the crash: a half-written v=2 (files copied, marker missing)
+    shutil.copytree(f"{base}/v=1", f"{base}/v=2")
+    os.remove(f"{base}/v=2/_SUCCESS")
+    # poison the partial so reading it would be detectable as data loss
+    for f in os.listdir(f"{base}/v=2"):
+        if f.endswith(".parquet"):
+            os.remove(f"{base}/v=2/{f}")
+
+    # reader ignores the partial: state is still the 6 committed fps
+    assert read_ingest_state(
+        spark, root, "_fps", "fp string", 99
+    ).count() == 6
+
+    # more epochs + compaction: partial cleaned, new COMMITTED version
+    # numbered past the partial, nothing lost
+    for e in range(6, 9):
+        df = spark.createDataFrame(
+            [{"doc_id": e, "text": " ".join(f"q{e}w{i}" for i in range(25)),
+              "src": "a"}], SCHEMA
+        )
+        ingest_batch(df, e, root, FIELDS, min_tokens=2)
+    compact_ingest_state(spark, root)
+    assert not os.path.exists(f"{base}/v=2") or os.path.exists(
+        f"{base}/v=2/_SUCCESS"
+    )
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(base) if d.startswith("v=")
+    )
+    assert len(versions) == 1 and versions[0] >= 3
+    assert os.path.exists(f"{base}/v={versions[0]}/_SUCCESS")
+    assert read_ingest_state(
+        spark, root, "_fps", "fp string", 99
+    ).count() == 9
+
+    # a dup of epoch 0's doc is still caught after the crash-heal cycle
+    dup = spark.createDataFrame(
+        [{"doc_id": 999, "text": " ".join(f"q0w{i}" for i in range(25)),
+          "src": "b"}], SCHEMA
+    )
+    ingest_batch(dup, 9, root, FIELDS, min_tokens=2)
+    assert read_ingest_state(
+        spark, root, "_fps", "fp string", 99
+    ).count() == 9  # no new fingerprint: the dup was dropped
+
+
+def test_ingest_keeps_ivf_index_fresh(spark, tmp_path):
+    """ivf_root wiring: each epoch's survivors land in the ANN index via
+    O(batch) incremental adds — search over base+adds matches exact
+    brute-force over everything ingested, and a replayed epoch does not
+    double-index (VERDICT r04 item #4)."""
+    import random
+
+    from momyre_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_report,
+        ivf_topk_indexed,
+    )
+    from momyre_spark.streaming.ingest import ingest_batch
+
+    random.seed(23)
+    root = str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivf")
+    fields = {"text": "string", "embedding": "array<double>"}
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def vec():
+        return [random.gauss(0, 1) for _ in range(8)]
+
+    seed_rows = [
+        {"doc_id": i, "text": " ".join(f"s{i}w{j}" for j in range(20)),
+         "embedding": vec()}
+        for i in range(40)
+    ]
+    seed = spark.createDataFrame(seed_rows, schema)
+    build_ivf_index(seed.select("doc_id", "embedding"), ivf, num_cells=4,
+                    centroids="first_c", id_col="doc_id")
+    ingest_batch(seed, 0, root, fields, id_col="doc_id", min_tokens=2)
+
+    all_rows = list(seed_rows)
+    for e in (1, 2):
+        rows = [
+            {"doc_id": 100 * e + i,
+             "text": " ".join(f"e{e}d{i}w{j}" for j in range(20)),
+             "embedding": vec()}
+            for i in range(15)
+        ]
+        all_rows += rows
+        ingest_batch(
+            spark.createDataFrame(rows, schema), e, root, fields,
+            id_col="doc_id", min_tokens=2, ivf_root=ivf,
+        )
+    # replay epoch 2: the adds directory is overwritten, not doubled
+    ingest_batch(
+        spark.createDataFrame(
+            [{"doc_id": 200 + i,
+              "text": " ".join(f"e2d{i}w{j}" for j in range(20)),
+              "embedding": all_rows[55 + i]["embedding"]}
+             for i in range(15)], schema
+        ),
+        2, root, fields, id_col="doc_id", min_tokens=2, ivf_root=ivf,
+    )
+    assert ivf_index_report(spark, ivf)["rows"] == 70
+
+    full = spark.createDataFrame(all_rows, schema).select(
+        "doc_id", "embedding"
+    )
+    queries = full.filter(F.col("doc_id").isin(3, 101, 210))
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            full, queries, k=3, id_col="doc_id"
+        ).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_indexed(
+            spark, ivf, queries, k=3, id_col="doc_id", nprobe=4
+        ).collect()
+    )
+    assert got == exact
 
 
 def test_ingest_fuzzy_unpersists_batch_sigs(spark, tmp_path):

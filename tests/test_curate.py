@@ -97,6 +97,8 @@ def test_gopher_gates_planted_failures(spark):
         Row(doc_id=6, text="\n".join(line + " ..." for line in [good] * 3)),
         Row(doc_id=7, text=good + " " + "123 456 789 " * 4),  # alpha < 0.8
         Row(doc_id=8, text=" ".join(f"w{i}ord here" for i in range(20))),
+        # one stopword repeated 30x: occurrences pass, DISTINCT count fails
+        Row(doc_id=9, text=" ".join(["the"] * 30) + " word another thing"),
     ]
     got = {r["doc_id"]: r for r in gopher_gates(
         spark.createDataFrame(docs), min_words=25,
@@ -110,5 +112,6 @@ def test_gopher_gates_planted_failures(spark):
     assert not got[6]["gate_ellipsis"]
     assert not got[7]["gate_alpha"]
     assert not got[8]["gate_stopwords"]  # no Gopher stopwords at all
-    for d in (2, 3, 4, 5, 6, 7, 8):
+    assert not got[9]["gate_stopwords"]  # 30x "the" is only 1 DISTINCT stop
+    for d in (2, 3, 4, 5, 6, 7, 8, 9):
         assert not got[d]["passes"]

@@ -111,6 +111,32 @@ def test_duplicate_components_matches_union_find(spark):
     assert got[13] == 1 and got[21] == 20
 
 
+def test_duplicate_components_releases_caches(spark):
+    """One-shot callers must not leak the edge cache or per-round
+    checkpoint blocks: after the call, at most ONE new persistent block
+    remains (the materialized result), and threading ``persisted`` +
+    unpersisting releases even that (VERDICT r04 item #3 / ADVICE)."""
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return sc._jsc.getPersistentRDDs().size()
+
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (3, 4), (5, 6)]
+    df = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in pairs])
+    before = n_blocks()
+    out = duplicate_components(df)
+    out.collect()
+    assert n_blocks() <= before + 1  # only the result's own block
+    # threaded mode: the shim releases the result block too
+    held: list = []
+    out2 = duplicate_components(df, persisted=held)
+    got = {r["id"]: r["component"] for r in out2.collect()}
+    assert got == _components_reference(pairs)
+    for h in held:
+        h.unpersist()
+    assert n_blocks() <= before + 1  # back to just the first call's block
+
+
 def test_prefix_filter_matches_plain_inverted_index(spark):
     """Prefix filtering is lossless: identical pairs + jaccards on the
     fixture corpus, both orders of magnitude."""

@@ -72,3 +72,41 @@ def test_parameter_validation(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError, match="max_iter"):
         pagerank(e, max_iter=0)
+
+
+def test_exactness_overflow_guard(spark, monkeypatch):
+    """|V| * RANK_SCALE past 2^53 must refuse, not silently degrade the
+    bit-identical contract (ADVICE r04: BIGINT->DOUBLE exactness loss,
+    int64 wrap)."""
+    import momyre_spark.operators.graph as graph
+
+    monkeypatch.setattr(graph, "RANK_SCALE", 2**53)
+    with pytest.raises(ValueError, match="2\\^53"):
+        graph.pagerank(_edges(spark, [(1, 2)]))
+
+
+def test_durable_checkpoint_matches_local_and_releases_blocks(
+    spark, tmp_path
+):
+    """checkpoint_dir mode (reliable, cluster-survivable lineage cuts)
+    must produce identical ranks to the localCheckpoint default, write its
+    state under the given dir, and neither mode may leak one cached block
+    per iteration (VERDICT r04 item #5)."""
+    import os
+
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (5, 4)]
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    local = {r["node"]: float(r["rank"])
+             for r in pagerank(_edges(spark, pairs), max_iter=10).collect()}
+    # local mode: at most the final state's own block lingers per call
+    assert sc._jsc.getPersistentRDDs().size() <= before + 1
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    durable = {r["node"]: float(r["rank"])
+               for r in pagerank(_edges(spark, pairs), max_iter=10,
+                                 checkpoint_dir=ckpt).collect()}
+    assert durable == local  # bit-identical: same integer recipe
+    # the reliable checkpoints actually landed on (durable) storage
+    found = any(files for _, _, files in os.walk(ckpt))
+    assert found, "no checkpoint files written under checkpoint_dir"

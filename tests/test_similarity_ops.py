@@ -525,6 +525,158 @@ def test_ivf_indexed_nprobe_expands_recall(spark, tmp_path):
     assert r8 == 1.0  # probing every cell IS exact
 
 
+def test_ivf_index_add_search_matches_rebuild(spark, tmp_path):
+    """Incremental adds (VERDICT r04 item #4): vectors appended after the
+    build participate in search exactly as a fresh rebuild's would — and
+    the add path never rewrites the base (O(batch) per epoch, not
+    O(corpus))."""
+    import os
+
+    from momyre_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_report,
+        ivf_topk_indexed,
+    )
+
+    random.seed(7)
+
+    def mk(lo, hi):
+        return [
+            Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(8)])
+            for i in range(lo, hi)
+        ]
+
+    base_rows = mk(0, 300)
+    emb = spark.createDataFrame(base_rows)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_cells=8, centroids="first_c")
+    base_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs_ in os.walk(f"{root}/vectors")
+        for f in fs_
+    )
+
+    # three add epochs, O(batch) each
+    adds = [mk(300, 330), mk(330, 360), mk(360, 390)]
+    for i, batch in enumerate(adds):
+        e = ivf_index_add(spark, root, spark.createDataFrame(batch))
+        assert e == i
+    # the base was not rewritten by any add
+    assert base_files == sorted(
+        os.path.join(d, f)
+        for d, _, fs_ in os.walk(f"{root}/vectors")
+        for f in fs_
+    )
+
+    all_rows = base_rows + [r for b in adds for r in b]
+    full = spark.createDataFrame(all_rows)
+    queries = full.filter(F.col("vec_id").isin(2, 150, 310, 385))
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(full, queries, k=5).collect()
+    )
+    # probing every cell IS exact — over base AND adds
+    got = sorted(
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_indexed(
+            spark, root, queries, k=5, nprobe=8
+        ).collect()
+    )
+    assert got == exact
+
+    rep = ivf_index_report(spark, root)
+    assert rep["rows"] == 390 and rep["add_epochs"] == 3
+    assert rep["cells"] == 8
+
+    # replaying an epoch (same epoch number) is idempotent, not additive
+    ivf_index_add(spark, root, spark.createDataFrame(adds[1]), epoch=1)
+    assert ivf_index_report(spark, root)["rows"] == 390
+
+
+def test_ivf_index_compact_folds_adds_and_survives_crash(spark, tmp_path):
+    """ivf_index_compact folds the add-tail into the base (search results
+    unchanged, adds gone); the delete->rename crash window self-heals on
+    the next read; recluster=True rebalances skewed cells."""
+    import os
+    import shutil
+
+    from momyre_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_report,
+        ivf_topk_indexed,
+    )
+
+    random.seed(19)
+    rows = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(8)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_cells=4, centroids="first_c")
+    extra = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(8)])
+        for i in range(200, 260)
+    ]
+    ivf_index_add(spark, root, spark.createDataFrame(extra))
+    queries = emb.filter(F.col("vec_id") < 4)
+    before = sorted(
+        map(tuple, ivf_topk_indexed(spark, root, queries, k=5,
+                                    nprobe=4).collect())
+    )
+
+    n = ivf_index_compact(spark, root)
+    assert n == 4
+    assert not os.path.exists(f"{root}/adds")
+    assert os.path.exists(f"{root}/vectors/_SUCCESS")
+    after = sorted(
+        map(tuple, ivf_topk_indexed(spark, root, queries, k=5,
+                                    nprobe=4).collect())
+    )
+    assert after == before
+    assert ivf_index_report(spark, root)["rows"] == 260
+
+    # crash window: vectors deleted, committed vectors_new not yet renamed
+    shutil.move(f"{root}/vectors", f"{root}/vectors_new")
+    healed = sorted(
+        map(tuple, ivf_topk_indexed(spark, root, queries, k=5,
+                                    nprobe=4).collect())
+    )
+    assert healed == before
+    assert os.path.exists(f"{root}/vectors")
+
+    # recluster path: still searchable, still complete
+    ivf_index_add(
+        spark,
+        root,
+        spark.createDataFrame(
+            [Row(vec_id=999, embedding=[float(j == 0) for j in range(8)])]
+        ),
+    )
+    ivf_index_compact(spark, root, recluster=True)
+    assert ivf_index_report(spark, root)["rows"] == 261
+    from momyre_spark.operators.similarity import brute_force_topk
+
+    full261 = spark.createDataFrame(
+        rows + extra
+        + [Row(vec_id=999, embedding=[float(j == 0) for j in range(8)])]
+    )
+    exact261 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(full261, queries, k=5).collect()
+    }
+    rc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk_indexed(spark, root, queries, k=5,
+                                  nprobe=4).collect()
+    }
+    assert rc == exact261  # probing every cell is exact post-recluster
+
+
 def test_semantic_decontaminate_drops_near_eval_rows(spark):
     """A corpus row embedding-near an eval row is dropped even with a
     different id; unrelated rows survive; eval side broadcast (plan)."""

@@ -86,8 +86,13 @@ HEADLINE = [
     # sf0.1 the label-clustered fixture embeddings make cosine>=0.4 a
     # near-complete graph — 60s+ of component propagation that measures
     # the FIXTURE's degeneracy, not the operator. Production thresholds
-    # (0.9+) keep the pair set sparse.)
+    # (0.9+) keep the pair set sparse — which is exactly what the
+    # round-5 synthetic query below measures instead.)
     "graph_domain_pagerank",
+    # round-5: the SRP-LSH semantic-dedup path at a PRODUCTION threshold
+    # (0.9) over 20k synthetic embeddings with 200 planted near-dups —
+    # the evidence replacing the fixture-degeneracy anecdote above
+    "dedup_semantic_synthetic_20k",
 ]
 
 
@@ -153,6 +158,91 @@ def main() -> None:
         # operators persist() intermediates that outlive their query; drop
         # them so each query is measured self-contained, not under the
         # accumulated cache/GC pressure of every query before it
+        spark.catalog.clearCache()
+
+    # ---- maintenance/write-path benches (VERDICT r04 item #6) ----------
+    # The lake/ingest WRITE path (z-order re-cluster, dedup-state
+    # compaction) was correctness-tested but unbenched — a regression there
+    # would go unseen. Each run gets FRESH state (the op mutates its
+    # input): state is built once, copied per run, and only the operation
+    # itself is timed; min of 3.
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="momyre_bench_maint_")
+    try:
+        from pyspark.sql import functions as SF
+
+        from momyre_spark.sinks.snapshots import snapshot_write, snapshot_zorder
+        from momyre_spark.streaming.ingest import compact_ingest_state
+
+        # snapshot_zorder over the largest fixture table: full-version
+        # re-cluster (quantile pass + codegen interleave + range shuffle)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_shipdate",
+        )
+        zseed = f"{work}/zorder_seed"
+        snapshot_write(spark, li, zseed)
+        runs = []
+        for i in range(3):
+            zroot = f"{work}/zorder_{i}"
+            shutil.copytree(zseed, zroot)
+            t0 = time.perf_counter()
+            snapshot_zorder(spark, zroot, ["l_orderkey", "l_partkey"])
+            runs.append(time.perf_counter() - t0)
+            shutil.rmtree(zroot, ignore_errors=True)
+        timings["maint_snapshot_zorder"] = round(min(runs), 3)
+
+        # compact_ingest_state over a 24-epoch base+tail dedup state
+        # (fps + LSH bands + sigs), ~10k state rows/epoch
+        iseed = f"{work}/ingest_seed"
+        for e in range(24):
+            ids = spark.range(e * 10_000, (e + 1) * 10_000)
+            ids.select(
+                SF.md5(SF.col("id").cast("string")).alias("fp")
+            ).coalesce(1).write.parquet(f"{iseed}/_fps/epoch={e}")
+            ids.select(
+                SF.col("id").alias("doc_id"),
+                SF.explode(SF.sequence(SF.lit(0), SF.lit(3))).alias("band"),
+            ).withColumn(
+                "bh", SF.xxhash64("doc_id", "band")
+            ).coalesce(1).write.parquet(f"{iseed}/_lsh_bands/epoch={e}")
+            ids.select(
+                SF.col("id").alias("doc_id"),
+                SF.array(*[SF.xxhash64("id", SF.lit(k)) for k in range(16)])
+                .alias("signature"),
+            ).coalesce(1).write.parquet(f"{iseed}/_lsh_sigs/epoch={e}")
+        runs = []
+        for i in range(3):
+            iroot = f"{work}/ingest_{i}"
+            shutil.copytree(iseed, iroot)
+            t0 = time.perf_counter()
+            compact_ingest_state(spark, iroot)
+            runs.append(time.perf_counter() - t0)
+            shutil.rmtree(iroot, ignore_errors=True)
+        timings["maint_compact_ingest_state"] = round(min(runs), 3)
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---- second-window corroboration (VERDICT r04 item #2) -------------
+    # Sub-second fixture-bound queries are the ones a SUSTAINED host burst
+    # can distort even through min-of-N: every sample of a 0.3s query fits
+    # inside one multi-minute burst (r04 recorded dedup_exact_groups at
+    # 3.1x with a provably untouched plan). Re-measure them here, minutes
+    # after their first window, and keep the better min — a burst now has
+    # to span BOTH windows to survive into the recorded number.
+    for name in [n for n, t in timings.items() if t < 1.0 and n in set(HEADLINE)]:
+        fn = plans.QUERIES[name]
+
+        def rerun() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        rerun()  # re-warm (cache was cleared after the first window)
+        timings[name] = round(min([timings[name], rerun(), rerun()]), 3)
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

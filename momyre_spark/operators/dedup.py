@@ -519,6 +519,13 @@ def hamming_neardup_pairs(
     return pairs.unionByName(star) if star is not None else pairs
 
 
+def _persistent_rdds(spark) -> dict[int, object]:
+    """id -> JavaRDD handle for every currently persisted RDD (including
+    localCheckpoint blocks, which the DataFrame API cannot release)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+
+
 class _JvmBlocks:
     """Duck-typed stand-in for a cached DataFrame in a ``persisted`` list:
     releases checkpoint blocks that the DataFrame API cannot unpersist."""
@@ -562,8 +569,7 @@ def duplicate_components(
     spark = pairs.sparkSession
 
     def _persistent() -> dict[int, object]:
-        m = spark.sparkContext._jsc.getPersistentRDDs()
-        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+        return _persistent_rdds(spark)
 
     entry_ids = set(_persistent())
     edges = (
@@ -1256,6 +1262,8 @@ def dedup_semantic(
     cluster keeps exactly its min-id member (replay-deterministic).
 
     Returns the surviving rows (``keep_cols`` or all columns)."""
+    spark = emb.sparkSession
+    entry_ids = set(_persistent_rdds(spark))
     pairs = embedding_neardup_pairs(
         emb,
         threshold=threshold,
@@ -1266,7 +1274,24 @@ def dedup_semantic(
         num_planes=num_planes,
         num_tables=num_tables,
     )
+    # cut the pair lineage before the component loop: the SRP bucket
+    # battery is a tables x planes x dim expression tree, and every action
+    # the loop runs (convergence probes, checkpoints) would re-ANALYZE it
+    # — seconds of driver time per action at production plane counts —
+    # and the edge union would re-EXECUTE the pair DAG twice on top
+    pairs = pairs.localCheckpoint(eager=True)
     comp = duplicate_components(pairs)
+    # comp (the newest block) is self-contained and feeds the anti-join;
+    # the pair checkpoint and the normalized-vector cache inside pair
+    # generation are now unreachable — release them
+    own = {
+        rid: j
+        for rid, j in _persistent_rdds(spark).items()
+        if rid not in entry_ids
+    }
+    for rid, j in own.items():
+        if own and rid != max(own):
+            j.unpersist(False)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

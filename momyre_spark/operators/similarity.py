@@ -161,13 +161,62 @@ def _srp_bucket_sql(vec_col: str, table_planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# past this many TOTAL planes (tables x planes/table) the per-plane fold
+# expressions stop being viable: the expression tree carries
+# tables x planes x dim literals, so Catalyst re-analyzes tens of
+# thousands of nodes on EVERY downstream action and evaluation falls out
+# of codegen — switch to one Arrow-batched matmul (the same escape hatch
+# as _EXPR_CELL_LIMIT for IVF cells). Sign boundaries are the only
+# possible divergence between the two paths (fold vs SIMD summation order
+# at |projection| ~ 1e-16) — measure-zero, and it only perturbs candidate
+# RECALL; the exact-cosine verify downstream keeps precision 1 either way.
+_EXPR_PLANE_LIMIT = 96
+
+
+def _with_srp_buckets_arrow(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables, n_planes = len(planes), len(planes[0])
+    w = np.asarray(planes, dtype=np.float64).reshape(
+        n_tables * n_planes, -1
+    )
+    powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy())  # (n, dim)
+        signs = (x @ w.T) > 0  # (n, tables*planes)
+        ids = (
+            signs.reshape(len(x), n_tables, n_planes).astype(np.int64)
+            * powers
+        ).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
 def with_srp_buckets(
     df: DataFrame,
     planes: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "__buckets",
 ) -> DataFrame:
-    """Attach ``out_col``: array<long> of per-table SRP bucket ids."""
+    """Attach ``out_col``: array<long> of per-table SRP bucket ids.
+
+    Codegen fold expressions up to ``_EXPR_PLANE_LIMIT`` total planes
+    (bit-identical with the SQL-oracle recipe); one Arrow matmul batch
+    above it (production plane counts)."""
+    if planes and len(planes) * len(planes[0]) > _EXPR_PLANE_LIMIT:
+        return _with_srp_buckets_arrow(df, planes, vec_col, out_col)
     items = ", ".join(_srp_bucket_sql(vec_col, tp) for tp in planes)
     return df.selectExpr("*", f"array({items}) AS `{out_col}`")
 

@@ -518,6 +518,139 @@ def dedup_hamming_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Synthetic semantic-dedup corpus at scale (the SRP-LSH path at a
+# PRODUCTION threshold): 20k 64-dim embeddings with components
+# +-1/8 derived from md5 bits — every vector is EXACTLY unit-norm and the
+# cosine of any pair is EXACTLY (64 - 2h)/64 where h is the number of
+# differing sign bits (equal-magnitude components; all double arithmetic
+# exact). 200 planted near-dups flip exactly ONE coordinate of their
+# predecessor (cos = 62/64 = 0.96875 >= 0.9); background pairs sit at
+# h ~ 32 (cos ~ 0) with P(h <= 3) ~ 2e-15 per pair — none exist. The
+# fixture `embeddings` table cannot exercise this regime (its label-
+# clustered vectors make threshold 0.4 a near-complete graph — see
+# bench.py); here threshold 0.9 keeps the pair set EXACTLY the planted
+# 200, pinned linear in N by construction. The DuckDB oracle is a full
+# independent recompute: cos >= 0.9 <=> h <= 3, found EXACTLY by the same
+# pigeonhole block decomposition as the hamming oracle (4 blocks of 16
+# bits; h <= 3 forces >= 1 identical block) — never all-pairs in either
+# engine.
+# --------------------------------------------------------------------------
+_N_SEM = 20_000
+_SEM_DIM = 64
+
+# 64 sign bits from md5(id): lo = first 60 (15 hex chars), hi = next 4
+_SEM_LO = "CAST(conv(substr(md5(CAST({i} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_SEM_HI = "CAST(conv(substr(md5(CAST({i} AS STRING)), 16, 1), 16, 10) AS BIGINT)"
+# planted flip position p = (id*7) mod 64
+_SEM_P = "CAST(pmod(id * 7, 64) AS INT)"
+
+
+def _sem_emb(spark: SparkSession) -> DataFrame:
+    """The synthetic 20k embedding table, materialized once per process
+    (same rationale as _syn_docs: measure scan + dedup, not generation)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"momyre_synsem_{_N_SEM}_{_SEM_DIM}.parquet"
+    )
+    if not os.path.exists(path):
+        lo_self, hi_self = _SEM_LO.format(i="id"), _SEM_HI.format(i="id")
+        lo_par = _SEM_LO.format(i="id - 1")
+        hi_par = _SEM_HI.format(i="id - 1")
+        lo = (
+            f"CASE WHEN pmod(id, 100) = 1 AND {_SEM_P} < 60 THEN"
+            f" ({lo_par} ^ shiftleft(CAST(1 AS BIGINT), {_SEM_P}))"
+            f" WHEN pmod(id, 100) = 1 THEN {lo_par}"
+            f" ELSE {lo_self} END"
+        )
+        hi = (
+            f"CASE WHEN pmod(id, 100) = 1 AND {_SEM_P} >= 60 THEN"
+            f" ({hi_par} ^ shiftleft(CAST(1 AS BIGINT), {_SEM_P} - 60))"
+            f" WHEN pmod(id, 100) = 1 THEN {hi_par}"
+            f" ELSE {hi_self} END"
+        )
+        # 32 files, NOT one: the SRP bucketing downstream is a heavy
+        # per-row expression battery — a single-file 20k-row parquet reads
+        # as ONE input partition and serializes the whole evaluation onto
+        # one core
+        spark.range(_N_SEM).repartition(32).selectExpr(
+            "id AS vec_id", f"{lo} AS __lo", f"{hi} AS __hi"
+        ).selectExpr(
+            "vec_id",
+            "transform(sequence(0, 63), j -> CAST((CASE WHEN j < 60"
+            " THEN shiftright(__lo, j) ELSE shiftright(__hi, j - 60) END"
+            " & CAST(1 AS BIGINT)) * 2 - 1 AS DOUBLE) * 0.125)"
+            " AS embedding",
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+_SEM_ORACLE = f"""
+    WITH RECURSIVE
+    idx AS (SELECT CAST(i AS BIGINT) AS id FROM range({_N_SEM}) t(i)),
+    raw AS (
+        SELECT id,
+            ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT AS slo,
+            ('0x' || substr(md5(CAST(id AS VARCHAR)), 16, 1))::BIGINT AS shi,
+            ('0x' || substr(md5(CAST(id - 1 AS VARCHAR)), 1, 15))::BIGINT AS plo,
+            ('0x' || substr(md5(CAST(id - 1 AS VARCHAR)), 16, 1))::BIGINT AS phi,
+            CAST((id * 7) % 64 AS INT) AS p
+        FROM idx),
+    bits AS (
+        SELECT id,
+            CASE WHEN id % 100 = 1 AND p < 60
+                 THEN xor(plo, 1::BIGINT << p)
+                 WHEN id % 100 = 1 THEN plo ELSE slo END AS lo,
+            CASE WHEN id % 100 = 1 AND p >= 60
+                 THEN xor(phi, 1::BIGINT << (p - 60))
+                 WHEN id % 100 = 1 THEN phi ELSE shi END AS hi
+        FROM raw),
+    blocked AS (
+        SELECT id, lo, hi, b AS blk,
+            CASE b WHEN 0 THEN lo & 65535
+                   WHEN 1 THEN (lo >> 16) & 65535
+                   WHEN 2 THEN (lo >> 32) & 65535
+                   ELSE ((lo >> 48) & 4095) + ((hi & 15) << 12) END AS bv
+        FROM bits, UNNEST([0, 1, 2, 3]) AS t(b)),
+    pairs AS (
+        SELECT DISTINCT l.id AS a_id, r.id AS b_id
+        FROM blocked l JOIN blocked r
+          ON l.blk = r.blk AND l.bv = r.bv AND l.id < r.id
+        WHERE bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) <= 3),
+    edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION SELECT b_id AS s, a_id AS d FROM pairs),
+    walk AS (
+        SELECT DISTINCT s AS id, s AS comp FROM edges
+        UNION
+        SELECT e2.s AS id, w.comp AS comp
+        FROM edges e2 JOIN walk w ON w.id = e2.d),
+    losers AS (
+        SELECT id FROM (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+        WHERE id <> comp)
+    SELECT id AS vec_id FROM idx
+    WHERE id NOT IN (SELECT id FROM losers)
+    ORDER BY vec_id
+"""
+
+
+@query("dedup_semantic_synthetic_20k", oracle=_SEM_ORACLE)
+def dedup_semantic_synthetic_20k(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import dedup_semantic
+
+    # 12 planes x 24 tables: per-plane collision at the planted cosine
+    # (0.96875) is c = 1 - arccos(.96875)/pi = 0.920; a pair misses all
+    # tables with (1 - c^12)^24 ~ 1.6e-5 — deterministic planes (fixed
+    # seed), verified all-200 recall. 2^12 buckets keep background
+    # candidate collisions ~1M across tables: verify stays linear-ish.
+    return dedup_semantic(
+        _sem_emb(spark), threshold=0.9, num_planes=12, num_tables=24,
+        keep_cols=["vec_id"],
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # Sub-document (segment/paragraph-level) exact dedup: distinct segments
 # survive only at their global first occurrence; documents reassemble from
 # survivors (operators/dedup.segment_dedup). On real corpora the unit is

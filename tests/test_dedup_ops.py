@@ -111,6 +111,33 @@ def test_duplicate_components_matches_union_find(spark):
     assert got[13] == 1 and got[21] == 20
 
 
+def test_semantic_synthetic_20k_scale_evidence(spark):
+    """Scale evidence for the SRP-LSH semantic-dedup path at a PRODUCTION
+    threshold (0.9) — the regime the 500-row fixture cannot exercise (its
+    label-clustered embeddings at the oracle-scaled 0.4 threshold make a
+    near-complete graph). On 20k synthetic embeddings: the verified pair
+    set is EXACTLY the 200 planted one-coordinate flips (linear in N by
+    construction — 1 per 100 rows), pair cosines are exactly 62/64, and
+    the plan has no cartesian anywhere."""
+    from momyre_spark.operators.dedup import embedding_neardup_pairs
+    from momyre_spark.plans.dedup_queries import _N_SEM, _sem_emb
+
+    emb = _sem_emb(spark)
+    assert emb.count() == _N_SEM
+
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.9, num_planes=12, num_tables=24
+    )
+    rows = pairs.collect()
+    assert len(rows) == _N_SEM // 100  # 200: linear, all planted
+    for r in rows:
+        assert r["b_id"] - r["a_id"] == 1 and r["b_id"] % 100 == 1
+        assert float(r["cos"]) == 0.9688  # (64-2)/64 rounded to 4
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_duplicate_components_releases_caches(spark):
     """One-shot callers must not leak the edge cache or per-round
     checkpoint blocks: after the call, at most ONE new persistent block

@@ -190,6 +190,130 @@ def token_budget_mixture(
     )
 
 
+def temperature_mixture_report(
+    df: DataFrame,
+    tau: float = 0.5,
+    global_budget: int | None = None,
+    strata_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled data-mixture weights: per stratum (source, lang,
+    domain), the sampling weight ``p_s ∝ n_s^tau`` — the standard
+    pretraining re-balancing (XLM-R/mT5 style) that up-samples small
+    sources relative to their natural share without letting any one source
+    dominate. ``tau=1`` is natural proportions, ``tau=0`` uniform.
+
+    With ``global_budget`` (total training tokens) the report also
+    allocates per-stratum token budgets (feed them to
+    :func:`token_budget_mixture` for the actual selection) and the implied
+    epoch/repeat factor per stratum (``alloc/n_s`` — the data-constrained
+    signal: an epochs value far above ~4 means the temperature is asking
+    for more repetition than small-source data can usefully give).
+
+    Shape at 100 TB: ONE hash aggregation to per-stratum token sums (rows
+    = #strata, tiny), then a broadcast 1-row total — the corpus is
+    touched once, map-side combined.
+
+    Cross-engine determinism: per-stratum token sums are exact BIGINTs;
+    ``n^tau`` is rounded to 6 decimals and summed as DECIMAL (exact,
+    order-independent) before the weight ratio, and every emitted float is
+    decimal-rounded — the oracled-floating-aggregate pattern. ``tau=0.5``
+    maps to sqrt(), correctly rounded in every IEEE engine; other tau use
+    pow(), whose last-ulp behavior is engine-specific (fine in production,
+    not oracle-pinned).
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.col(token_col)).cast("bigint").alias("tokens")
+    )
+    scaled = (
+        F.sqrt(F.col("tokens").cast("double"))
+        if tau == 0.5
+        else F.pow(F.col("tokens").cast("double"), F.lit(float(tau)))
+    )
+    per = per.withColumn(
+        "__s", round_half_up(scaled, 6).cast("decimal(18,6)")
+    )
+    totals = per.agg(
+        F.sum("tokens").cast("bigint").alias("__tot_tokens"),
+        F.sum("__s").alias("__tot_s"),
+    )
+    out = (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "stratum",
+            "tokens",
+            round_half_up(
+                F.col("tokens").cast("double")
+                / F.col("__tot_tokens").cast("double"),
+                6,
+            ).alias("nat_frac"),
+            round_half_up(
+                F.col("__s").cast("double") / F.col("__tot_s").cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
+    if global_budget is not None:
+        alloc = F.floor(F.col("weight") * F.lit(int(global_budget))).cast(
+            "bigint"
+        )
+        out = out.withColumn("alloc_tokens", alloc).withColumn(
+            "epochs",
+            round_half_up(
+                F.col("alloc_tokens").cast("double")
+                / F.col("tokens").cast("double"),
+                4,
+            ),
+        )
+    return out.orderBy("stratum")
+
+
+def materialize_mixture(
+    df: DataFrame,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a mixture as the actual repeated dataset: per stratum
+    with repeat factor ``e``, every document gets ``floor(e)`` full copies
+    plus ONE more iff its id-hash falls under the fractional part — the
+    executable form of :func:`temperature_mixture_report`'s ``epochs``
+    column (e=2.5 → two copies of everything, half the docs a third).
+
+    Adds ``copy`` (0-based repeat index, so downstream shuffles can keep
+    copies apart). e < 1 downsamples (e=0.25 keeps a quarter, zero
+    copies drop the row); the fractional selection is a HASH THRESHOLD,
+    not an exact window rank — approximate fraction, but MAP-ONLY: the
+    whole materialization fuses into the scan with no shuffle at all,
+    which is the right trade at 100 TB (an exact per-stratum cut needs a
+    stratum window sort; use stratified_sample when exactness matters
+    more than a shuffle). Deterministic: same doc → same copies on every
+    run, engine, partitioning (md5-prefix hash, thresholds precomputed
+    driver-side as integers)."""
+    if any(e < 0 for e in epochs.values()) or default_epochs < 0:
+        raise ValueError("momyre: epochs must be >= 0")
+
+    def _thr(e: float) -> int:
+        return int((e - int(e)) * (1 << 60))
+
+    full = F.lit(int(default_epochs))
+    thr = F.lit(_thr(default_epochs))
+    for k, e in epochs.items():
+        cond = F.col(strata_col) == k
+        full = F.when(cond, F.lit(int(e))).otherwise(full)
+        thr = F.when(cond, F.lit(_thr(e))).otherwise(thr)
+    copies = (
+        full + (_key_hash(id_col) < thr).cast("int")
+    ).cast("int")
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0), copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy", F.explode(seq))
+
+
 def sample_exact_k(
     df: DataFrame, k: int, id_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:

@@ -174,6 +174,104 @@ def pipe_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (operators/sampling.
+# temperature_mixture_report): p_s ∝ n_s^tau per source — the standard
+# pretraining re-balancing; with a global budget the report allocates
+# per-source tokens + the implied repeat epochs (data-constrained signal).
+# tau = 0.5 so the power is sqrt() — correctly rounded in BOTH engines;
+# the scaled terms round to DECIMAL(18,6) BEFORE summation (exact,
+# order-independent) and every float output is decimal-rounded, so the
+# weight ratio is bit-identical (the oracled-floating-aggregate pattern;
+# scale 6 keeps decimal->double conversion a single rounding in DuckDB).
+# --------------------------------------------------------------------------
+_TMIX_BUDGET = 1_000_000
+
+
+@query(
+    "pipe_temperature_mixture",
+    oracle=f"""
+    WITH per AS (
+        SELECT source AS stratum,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    s AS (
+        SELECT stratum, tokens,
+               CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000 + 0.5)
+                    / 1000000.0 AS DECIMAL(18,6)) AS sv
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(sum(tokens) AS BIGINT) AS tt, sum(sv) AS ts FROM s
+    ),
+    w AS (
+        SELECT stratum, tokens,
+               floor(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000.0 AS nat_frac,
+               floor(CAST(sv AS DOUBLE) / CAST(ts AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000.0 AS weight
+        FROM s, tot
+    )
+    SELECT stratum, tokens, nat_frac, weight,
+           CAST(floor(weight * {_TMIX_BUDGET}) AS BIGINT) AS alloc_tokens,
+           floor(CAST(floor(weight * {_TMIX_BUDGET}) AS BIGINT)
+                 / CAST(tokens AS DOUBLE) * 10000 + 0.5) / 10000.0 AS epochs
+    FROM w ORDER BY stratum
+    """,
+)
+def pipe_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import temperature_mixture_report
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    return temperature_mixture_report(
+        docs, tau=0.5, global_budget=_TMIX_BUDGET
+    )
+
+
+# --------------------------------------------------------------------------
+# Mixture materialization (operators/sampling.materialize_mixture): the
+# executable form of the mixture report — floor(e) full copies per doc plus
+# one more under a fractional hash threshold; e < 1 downsamples. MAP-ONLY
+# (the explode fuses into the scan; no shuffle at all) — the 100 TB trade
+# vs an exact window cut. Thresholds are driver-side integer literals, so
+# both engines compare the same BIGINTs.
+# --------------------------------------------------------------------------
+_MAT_EPOCHS = {"src0": 2.0, "src1": 1.5, "src5": 0.25}
+
+
+def _mat_case(expr: str) -> str:
+    full, thr = [], []
+    for k, e in _MAT_EPOCHS.items():
+        full.append(f"WHEN '{k}' THEN {int(e)}")
+        thr.append(f"WHEN '{k}' THEN {int((e - int(e)) * (1 << 60))}")
+    return (
+        f"(CASE source {' '.join(full)} ELSE 1 END"
+        f" + CASE WHEN {expr} < (CASE source {' '.join(thr)} ELSE 0 END)"
+        " THEN 1 ELSE 0 END)"
+    )
+
+
+@query(
+    "pipe_mixture_materialize",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source, {_mat_case(_H)} AS copies FROM documents
+    )
+    SELECT doc_id, source, CAST(u.c AS INT) AS copy
+    FROM c, UNNEST(range(copies)) AS u(c)
+    ORDER BY doc_id, copy
+    """,
+)
+def pipe_mixture_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import materialize_mixture
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return materialize_mixture(docs, _MAT_EPOCHS).orderBy("doc_id", "copy")
+
+
+# --------------------------------------------------------------------------
 # Deterministic exact-k sample (operators/sampling.sample_exact_k): the k
 # smallest md5(salt||id) — a seeded reservoir sample that is reproducible
 # across engines and stable under appends. Planned as TakeOrderedAndProject

@@ -98,3 +98,82 @@ def test_pack_sequences_per_shard_windows(spark):
         out.groupBy("shard").agg(F.min("bin").alias("mn")).collect()
     }
     assert all(v == 0 for v in per_shard_bins.values())
+
+
+def test_temperature_mixture_report_math_and_monotonicity(spark):
+    """tau=0.5 weights: exact hand-computed values on planted strata;
+    temperature up-samples the SMALL source relative to natural share and
+    down-samples the large; budget allocation + epochs follow the weights;
+    tau=1.0 (pow path) reproduces natural proportions."""
+    import math
+
+    from momyre_spark.operators.sampling import temperature_mixture_report
+
+    rows = (
+        [Row(doc_id=i, source="big", n_tokens=100) for i in range(90)]
+        + [Row(doc_id=100 + i, source="small", n_tokens=100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        r["stratum"]: r
+        for r in temperature_mixture_report(
+            df, tau=0.5, global_budget=1_000_000
+        ).collect()
+    }
+    assert got["big"]["tokens"] == 9000 and got["small"]["tokens"] == 1000
+    s_big, s_small = math.sqrt(9000), math.sqrt(1000)
+    w_big = s_big / (s_big + s_small)
+    assert abs(got["big"]["weight"] - w_big) < 1e-5
+    # temperature pulls weights toward uniform: small gains, big loses
+    assert got["small"]["weight"] > got["small"]["nat_frac"]
+    assert got["big"]["weight"] < got["big"]["nat_frac"]
+    assert got["big"]["weight"] + got["small"]["weight"] > 0.999
+    # allocation follows weight; epochs = alloc / corpus tokens
+    assert got["big"]["alloc_tokens"] == int(got["big"]["weight"] * 1_000_000)
+    assert abs(
+        got["small"]["epochs"]
+        - got["small"]["alloc_tokens"] / 1000
+    ) < 1e-3
+
+    nat = {
+        r["stratum"]: r
+        for r in temperature_mixture_report(df, tau=1.0).collect()
+    }
+    assert abs(nat["big"]["weight"] - 0.9) < 1e-5
+    assert "alloc_tokens" not in nat["big"].asDict()
+
+
+def test_materialize_mixture_repeats_and_downsamples(spark):
+    """floor(e) full copies for everyone; the fractional extra copy hits
+    ~frac of docs (hash threshold); e<1 keeps ~e of docs; e=0 drops the
+    stratum; copies are 0..n-1 and deterministic across calls."""
+    from momyre_spark.operators.sampling import materialize_mixture
+
+    rows = [
+        Row(doc_id=i, source=("rep" if i < 400 else "down"))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows)
+    out = materialize_mixture(
+        df, {"rep": 2.5, "down": 0.5}, default_epochs=1.0
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    # rep: 400 docs x (2 + ~0.5 extra) ~ 1000; down: ~200
+    assert 900 <= counts["rep"] <= 1100, counts
+    assert 150 <= counts["down"] <= 250, counts
+    per = {(r["doc_id"], r["copy"]) for r in out.collect()}
+    # every rep doc has copies 0 and 1; copy indices dense from 0
+    for i in range(400):
+        assert (i, 0) in per and (i, 1) in per
+    # determinism: second call identical
+    per2 = {(r["doc_id"], r["copy"])
+            for r in materialize_mixture(
+                df, {"rep": 2.5, "down": 0.5}).collect()}
+    assert per == per2
+    # e=0 drops the stratum entirely
+    none = materialize_mixture(df, {"rep": 0.0, "down": 0.0})
+    assert none.count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="epochs"):
+        materialize_mixture(df, {"rep": -1.0})

@@ -282,6 +282,32 @@ def test_gopher_gates_is_map_only(spark):
     assert len(_re.findall(r"Exchange (hash|range)partitioning", plan)) <= 1, plan
 
 
+def test_mixture_materialize_is_map_only(spark):
+    """materialize_mixture must fuse into the scan: scan -> generate
+    (explode of the copy sequence) with NO hash shuffle — the only
+    exchange is the presentation orderBy's range partitioning."""
+    import re as _re
+
+    plan = plan_of(q(spark, "pipe_mixture_materialize"))
+    assert "EvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert len(_re.findall(r"Exchange rangepartitioning", plan)) <= 1, plan
+
+
+def test_temperature_mixture_broadcasts_totals(spark):
+    """The mixture-weight totals join must broadcast the 1-row total —
+    never shuffle the per-stratum aggregate against it — and the corpus
+    aggregation must execute ONCE: the totals branch re-reads the
+    per-stratum exchange (AQE ReusedExchange), not the corpus."""
+    df = q(spark, "pipe_temperature_mixture")
+    df.collect()  # finalize the adaptive plan so reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "ReusedExchange" in plan, plan
+
+
 def test_bigram_scoring_broadcasts_vocab(spark):
     """The bigram LM vocab join must broadcast the (distinct-bigram) vocab
     side — shuffling per-(doc,bigram) counts against it would move the

@@ -35,6 +35,8 @@ SHOWCASE = [
     ("sim_topk_ivf_indexed", "probe cells as literal PartitionFilters on the cell-partitioned index"),
     ("text_bigram_logprob", "bigram vocab broadcasts; zip_with pairs, single Generate"),
     ("dedup_hamming_synthetic_20k", "pigeonhole block equi-join at 20k fps; star-edge collapse, no cartesian"),
+    ("pipe_temperature_mixture", "mixture weights: one hash agg + broadcast 1-row totals"),
+    ("pipe_mixture_materialize", "epoch materialization map-only: scan -> generate, zero shuffle"),
 ]
 
 

@@ -258,13 +258,17 @@ def ingest_state_report(spark: SparkSession, root: str) -> dict[str, dict]:
     for table in _STATE_TABLES:
         tail_dir = f"{root}/{table}"
         base_dir = f"{root}/{table}_base"
-        versions = _base_versions(spark, base_dir)
+        versions, partial = _list_base_versions(spark, base_dir)
         epochs = _tail_epochs(spark, tail_dir)
         out[table] = {
             "base_version": versions[-1] if versions else None,
             "base_files": (
                 _files(f"{base_dir}/v={versions[-1]}") if versions else 0
             ),
+            # marker-less partials from a crashed rewrite: ignored by
+            # readers, cleaned by the next compaction — surfaced here so
+            # operators can see a crash happened
+            "partial_bases": len(partial),
             "tail_epochs": len(epochs),
             "tail_files": _files(tail_dir),
         }

@@ -233,6 +233,7 @@ def test_ingest_state_compaction_bounds_files_and_stays_correct(spark, tmp_path)
         assert r["base_version"] is not None, (t, r)
         assert r["tail_epochs"] <= 1, (t, r)  # keep_tail newest epoch only
         assert r["base_files"] >= 1
+        assert r["partial_bases"] == 0, (t, r)  # no crashed rewrites here
 
 
 def test_ingest_state_tail_read_partition_prunes(spark, tmp_path):
@@ -297,6 +298,10 @@ def test_compaction_crash_leaves_committed_base_authoritative(spark, tmp_path):
     assert read_ingest_state(
         spark, root, "_fps", "fp string", 99
     ).count() == 6
+    # the crash is visible to operators
+    from momyre_spark.streaming.ingest import ingest_state_report
+
+    assert ingest_state_report(spark, root)["_fps"]["partial_bases"] == 1
 
     # more epochs + compaction: partial cleaned, new COMMITTED version
     # numbered past the partial, nothing lost

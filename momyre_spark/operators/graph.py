@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 # for any graph whose node table fits a driver-side count
 RANK_SCALE = 10_000_000_000
 
+# lineage-cut cadence in the fixed-iteration path: checkpoint every N
+# rounds instead of every round (values are exact integers, so the cadence
+# cannot change results — it only trades plan depth for fewer jobs)
+_CUT_EVERY = 3
+
 
 def pagerank(
     edges: DataFrame,
@@ -118,7 +123,7 @@ def pagerank(
     )
 
     state = nodes.withColumn("units", F.lit(RANK_SCALE).cast("bigint"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         with_deg = state.join(deg, "node", "left")
         # dangling mass as a broadcast 1-row integer aggregate
         dang_frame = with_deg.filter(F.col("__deg").isNull()).agg(
@@ -173,8 +178,16 @@ def pagerank(
             if delta is not None and delta < tol * RANK_SCALE:
                 break
         else:
-            # cut lineage so the plan stays iteration-count-independent
-            state = _cut(new_state)
+            # cut lineage every few iterations (and at the end) so the
+            # plan stays bounded without paying one full materialization
+            # job per iteration — each job's plan is then at most
+            # _CUT_EVERY join+agg rounds deep, and wall-clock is dominated
+            # by the joins, not 10x fixed scheduling overhead. Values are
+            # exact integers: cut frequency cannot change the result.
+            if (it + 1) % _CUT_EVERY == 0 or it == max_iter - 1:
+                state = _cut(new_state)
+            else:
+                state = new_state
     # release every intermediate lineage-cut block (nodes, deg, iterations
     # 1..N-1) — only the final state's block (the newest id) backs the
     # returned frame. Same hygiene as dedup.duplicate_components: one

@@ -571,7 +571,24 @@ def duplicate_components(
     def _persistent() -> dict[int, object]:
         return _persistent_rdds(spark)
 
-    entry_ids = set(_persistent())
+    # ownership tracking: record the block ids each of OUR eager
+    # checkpoints creates (the per-call delta of the persistent-RDD map)
+    # and release exactly those, never "everything new since entry" — a
+    # concurrent job sharing this SparkSession can persist blocks at any
+    # time, and an entry-diff would release blocks we do not own (or
+    # mistake a foreign block for our result). Residual race: a foreign
+    # block persisted INSIDE one of our eager cuts is mis-tracked, but the
+    # error direction for the RESULT is always safe (result ids are
+    # excluded from release).
+    owned: set[int] = set()
+
+    def _cut(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = set(_persistent())
+        out = df.localCheckpoint(eager=True)
+        made = set(_persistent()) - before
+        owned.update(made)
+        return out, made
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -612,19 +629,18 @@ def duplicate_components(
         if changed == 0:
             break
         # cut lineage so the iterative plan doesn't grow unboundedly
-        labels = labels.localCheckpoint(eager=True)
+        labels, _ = _cut(labels)
     # materialize the result into one self-contained block, then release
     # the edge cache and every intermediate per-round checkpoint (reachable
     # only through the JVM persistent-RDD map — DataFrame.localCheckpoint
-    # exposes no handle). Snapshot BEFORE the final checkpoint so the
-    # result's own block is the one id we never touch.
-    loop_ids = set(_persistent()) - entry_ids
-    out = labels.select("id", F.col("label").alias("component")).localCheckpoint(
-        eager=True
+    # exposes no handle). Only OWNED block ids are touched, minus the
+    # result's own.
+    out, result_ids = _cut(
+        labels.select("id", F.col("label").alias("component"))
     )
     edges.unpersist()
     for rid, jrdd in _persistent().items():
-        if rid in loop_ids:
+        if rid in owned and rid not in result_ids:
             jrdd.unpersist(False)
     if persisted is not None:
         # the result's own block: DataFrame.unpersist is a cache-manager
@@ -632,7 +648,7 @@ def duplicate_components(
         # handles instead — the ingest loop's per-epoch `df.unpersist()`
         # then releases it like any other cached frame
         handles = [
-            j for rid, j in _persistent().items() if rid not in entry_ids
+            j for rid, j in _persistent().items() if rid in result_ids
         ]
         persisted.append(_JvmBlocks(handles))
     return out
@@ -1263,7 +1279,6 @@ def dedup_semantic(
 
     Returns the surviving rows (``keep_cols`` or all columns)."""
     spark = emb.sparkSession
-    entry_ids = set(_persistent_rdds(spark))
     pairs = embedding_neardup_pairs(
         emb,
         threshold=threshold,
@@ -1278,19 +1293,19 @@ def dedup_semantic(
     # battery is a tables x planes x dim expression tree, and every action
     # the loop runs (convergence probes, checkpoints) would re-ANALYZE it
     # — seconds of driver time per action at production plane counts —
-    # and the edge union would re-EXECUTE the pair DAG twice on top
+    # and the edge union would re-EXECUTE the pair DAG twice on top.
+    # Track exactly the blocks THIS cut materializes (the pair checkpoint
+    # plus the normalized-vector cache inside pair generation, whose lazy
+    # persist first fills here) — releasing an entry-diff instead would
+    # clobber blocks a concurrent job owns.
+    before = set(_persistent_rdds(spark))
     pairs = pairs.localCheckpoint(eager=True)
+    pair_ids = set(_persistent_rdds(spark)) - before
     comp = duplicate_components(pairs)
-    # comp (the newest block) is self-contained and feeds the anti-join;
-    # the pair checkpoint and the normalized-vector cache inside pair
-    # generation are now unreachable — release them
-    own = {
-        rid: j
-        for rid, j in _persistent_rdds(spark).items()
-        if rid not in entry_ids
-    }
-    for rid, j in own.items():
-        if own and rid != max(own):
+    # comp is self-contained (duplicate_components materializes + cleans
+    # its own intermediates); the pair blocks are now unreachable
+    for rid, j in _persistent_rdds(spark).items():
+        if rid in pair_ids:
             j.unpersist(False)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

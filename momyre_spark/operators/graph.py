@@ -33,14 +33,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# rank stored as integer units of 1e-10: |V| * SCALE stays far below 2^53
-# for any graph whose node table fits a driver-side count
+# default rank resolution: integer units of 1e-10. pagerank() coarsens
+# this per graph (divide by 10) whenever |V| * scale would cross the 2^53
+# exact-integer range, so large graphs trade resolution, never exactness
 RANK_SCALE = 10_000_000_000
 
 # lineage-cut cadence in the fixed-iteration path: checkpoint every N
 # rounds instead of every round (values are exact integers, so the cadence
 # cannot change results — it only trades plan depth for fewer jobs)
 _CUT_EVERY = 3
+
+
+def _resolve_scale(n_nodes: int, scale: int | None = None) -> int:
+    """Largest power-of-10 rank scale (<= RANK_SCALE) keeping every unit
+    sum below 2^53 — total mass is ~|V|, so the bound is |V| * scale.
+    Raises only when even 1e-4 units would overflow (~9e14 nodes, beyond
+    any driver-side node count)."""
+    if scale is None:
+        scale = RANK_SCALE
+    while n_nodes * scale >= 2**53 and scale > 10_000:
+        scale //= 10
+    if n_nodes * scale >= 2**53:
+        raise ValueError(
+            f"momyre: {n_nodes} nodes exceeds the 2^53 exact-integer range "
+            "even at 1e-4 rank units; shard the graph"
+        )
+    return scale
 
 
 def pagerank(
@@ -53,7 +71,8 @@ def pagerank(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)`` with
-    ``rank`` as double (internally exact 1e-10 integer units).
+    ``rank`` as double (internally exact integer units, 1e-10 by default —
+    auto-coarsened on graphs large enough to threaten 2^53 exactness).
 
     Ranks follow the 1-initialized form, total mass ~|V|:
     ``rank(v) = (1-d) + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/|V|)``
@@ -71,32 +90,43 @@ def pagerank(
     kills the run on a real cluster). Pass a reliable (HDFS/object-store)
     directory to use durable ``checkpoint()`` instead: an executor loss
     then recovers from files and the job survives. Exactness contract:
-    every integer sum stays < 2^53, ENFORCED by a ValueError when
-    ``|V| * RANK_SCALE`` would cross it (~9e5 nodes at the default scale);
-    within that bound ranks are bit-identical under any partitioning and
-    across engines.
+    every integer sum stays < 2^53 — on large graphs the rank scale
+    AUTO-COARSENS (divides by 10 until ``|V| * scale < 2^53``, i.e. a
+    10M-node graph runs at 1e-9-unit resolution instead of failing), and
+    only a graph too large for even 1e-4 units raises. Within the active
+    scale ranks are bit-identical under any partitioning and across
+    engines.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("momyre: damping must be in (0, 1)")
     if max_iter < 1:
         raise ValueError("momyre: max_iter must be >= 1")
     d = float(damping)
-    base_units = (1.0 - d) * float(RANK_SCALE)
 
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _cut(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
     def _persistent():
         m = spark.sparkContext._jsc.getPersistentRDDs()
         return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
 
-    entry_ids = set(_persistent())
+    # ownership tracking (same rationale as dedup.duplicate_components):
+    # release only block ids OUR eager cuts created, never an entry-diff —
+    # a concurrent job on this session may persist blocks at any moment
+    owned: set[int] = set()
+    last_ids: set[int] = set()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        nonlocal last_ids
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        before = set(_persistent())
+        out = df.localCheckpoint(eager=True)
+        last_ids = set(_persistent()) - before
+        owned.update(last_ids)
+        return out
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -107,22 +137,20 @@ def pagerank(
     )
     n_nodes = nodes.count()
     # total mass stays ~|V| (the formulation conserves it), so every unit
-    # sum — per-node in-mass, dangling mass — is bounded by |V|*RANK_SCALE.
+    # sum — per-node in-mass, dangling mass — is bounded by |V|*scale.
     # Past 2^53 the BIGINT->DOUBLE steps stop being exact (and int64 wraps
-    # silently near 2^63 under non-ANSI Spark): refuse rather than degrade.
-    if n_nodes * RANK_SCALE >= 2**53:
-        raise ValueError(
-            f"momyre: {n_nodes} nodes * RANK_SCALE {RANK_SCALE} exceeds the "
-            "2^53 exact-integer range; shard the graph or lower RANK_SCALE "
-            "(at the cost of rank resolution)"
-        )
+    # silently near 2^63 under non-ANSI Spark): coarsen the rank
+    # resolution instead of degrading silently, and refuse only when even
+    # 1e-4 units would overflow (~9e16 nodes — beyond any driver count).
+    scale = _resolve_scale(n_nodes)
+    base_units = (1.0 - d) * float(scale)
     deg = _cut(
         e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("__deg")
         )
     )
 
-    state = nodes.withColumn("units", F.lit(RANK_SCALE).cast("bigint"))
+    state = nodes.withColumn("units", F.lit(scale).cast("bigint"))
     for it in range(max_iter):
         with_deg = state.join(deg, "node", "left")
         # dangling mass as a broadcast 1-row integer aggregate
@@ -175,7 +203,7 @@ def pagerank(
                 .collect()[0]["d"]
             )
             state = _cut(new_state)
-            if delta is not None and delta < tol * RANK_SCALE:
+            if delta is not None and delta < tol * scale:
                 break
         else:
             # cut lineage every few iterations (and at the end) so the
@@ -188,17 +216,16 @@ def pagerank(
                 state = _cut(new_state)
             else:
                 state = new_state
-    # release every intermediate lineage-cut block (nodes, deg, iterations
-    # 1..N-1) — only the final state's block (the newest id) backs the
-    # returned frame. Same hygiene as dedup.duplicate_components: one
-    # self-contained block per call, not one per iteration.
-    own = {rid: j for rid, j in _persistent().items() if rid not in entry_ids}
-    for rid, j in own.items():
-        if own and rid != max(own):
+    # release every intermediate lineage-cut block (nodes, deg, earlier
+    # rounds) — only the final state's block(s) (the last cut's ids) back
+    # the returned frame. Only OWNED ids are touched, so a concurrent
+    # job's blocks are never clobbered.
+    for rid, j in _persistent().items():
+        if rid in owned and rid not in last_ids:
             j.unpersist(False)
     return state.select(
         "node",
-        (F.col("units").cast("double") / F.lit(float(RANK_SCALE))).alias(
+        (F.col("units").cast("double") / F.lit(float(scale))).alias(
             "rank"
         ),
     )

@@ -232,8 +232,14 @@ def temperature_mixture_report(
         if tau == 0.5
         else F.pow(F.col("tokens").cast("double"), F.lit(float(tau)))
     )
+    # decimal(38,6): 32 integer digits — n^tau for a 5e13-token stratum at
+    # tau->1 is ~5e13, far past decimal(18,6)'s 12 digits, and a silent
+    # NULL overflow here would drop the LARGEST stratum from the weight
+    # denominator. (The cross-engine single-rounding argument needs the
+    # scaled integer < 2^53 — holds through ~9e9, i.e. any tau<=0.5 corpus
+    # and every oracle fixture; beyond that weights are engine-local.)
     per = per.withColumn(
-        "__s", round_half_up(scaled, 6).cast("decimal(18,6)")
+        "__s", round_half_up(scaled, 6).cast("decimal(38,6)")
     )
     totals = per.agg(
         F.sum("tokens").cast("bigint").alias("__tot_tokens"),

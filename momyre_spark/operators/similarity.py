@@ -189,11 +189,22 @@ def _with_srp_buckets_arrow(
     )
     powers = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
+    dim = w.shape[1]
+
     @pandas_udf("array<long>")
     def _buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        x = np.stack(v.to_numpy())  # (n, dim)
+        # NULL / wrong-length embeddings must match the expression path's
+        # behavior (NULL projection -> CASE false -> bucket 0), not crash
+        # the batch: substitute a zero vector, whose projections are
+        # exactly 0 -> every sign bit false -> bucket 0 in every table
+        x = np.stack([
+            np.asarray(e, dtype=np.float64)
+            if e is not None and len(e) == dim
+            else np.zeros(dim)
+            for e in v.to_numpy()
+        ])
         signs = (x @ w.T) > 0  # (n, tables*planes)
         ids = (
             signs.reshape(len(x), n_tables, n_planes).astype(np.int64)
@@ -771,9 +782,18 @@ def _ivf_fs(spark: SparkSession, path: str):
 
 
 def _ivf_heal(spark: SparkSession, root: str) -> None:
-    """Self-heal the one non-atomic compaction window: a crash between
-    deleting ``vectors`` and renaming ``vectors_new`` leaves only the
-    committed (``_SUCCESS``-marked) new directory — finish the rename."""
+    """Self-heal every non-atomic compaction window before any read.
+
+    Plain compact: a crash between deleting ``vectors`` and renaming
+    ``vectors_new`` leaves only the committed (``_SUCCESS``-marked) new
+    directory — finish the rename.
+
+    Recluster: the rebuild lives under ``__rebuild`` and becomes
+    authoritative only once its ``_COMMIT`` marker exists. With the
+    marker, redo the idempotent swap (delete primary, rename rebuild sub,
+    drop the add-tail) for whichever of vectors/centroids the crash left
+    unswapped; without it, the rebuild never committed — discard it, the
+    primaries are intact."""
     jvm, fs = _ivf_fs(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     vec, new = P(f"{root}/vectors"), P(f"{root}/vectors_new")
@@ -783,6 +803,16 @@ def _ivf_heal(spark: SparkSession, root: str) -> None:
         and fs.exists(P(f"{root}/vectors_new/_SUCCESS"))
     ):
         fs.rename(new, vec)
+    rb = P(f"{root}/__rebuild")
+    if fs.exists(rb):
+        if fs.exists(P(f"{root}/__rebuild/_COMMIT")):
+            for sub in ("vectors", "centroids"):
+                rsub = P(f"{root}/__rebuild/{sub}")
+                if fs.exists(rsub):
+                    fs.delete(P(f"{root}/{sub}"), True)
+                    fs.rename(rsub, P(f"{root}/{sub}"))
+            fs.delete(P(f"{root}/adds"), True)
+        fs.delete(rb, True)
 
 
 def _ivf_add_epochs(spark: SparkSession, root: str) -> list[int]:
@@ -902,15 +932,28 @@ def ivf_index_compact(
     projections are reused — no re-normalization pass); ``recluster=True``
     re-trains k-means on the merged corpus and reassigns, for when
     :func:`ivf_index_report` flags skew. Crash-safe like
-    ``compact_ingest_state``: the merged base writes to ``vectors_new``
-    first and prior state is destroyed only after its ``_SUCCESS`` marker
-    is verified; the single non-atomic delete->rename window self-heals on
-    the next read (:func:`_ivf_heal`). Returns the cell count."""
+    ``compact_ingest_state`` (single-writer, like the snapshot store):
+    the plain path writes ``vectors_new`` and destroys prior state only
+    after its ``_SUCCESS`` marker verifies; the recluster path stages
+    under ``__rebuild`` and drops a ``_COMMIT`` marker once complete —
+    every crash window (mid-rebuild, mid-swap of either vectors or
+    centroids, before the add-tail delete) self-heals on the next read
+    (:func:`_ivf_heal`): an uncommitted rebuild is discarded, a committed
+    one has its swap finished idempotently. The merge dedupes by
+    ``id_col`` so a crash between the base swap and the add-tail delete
+    can only cause TRANSIENT duplicate neighbors (until the next
+    compaction), never a permanently doubled base. Returns the cell
+    count."""
     _ivf_heal(spark, root)
     jvm, fs = _ivf_fs(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     epochs = _ivf_add_epochs(spark, root)
-    merged = _ivf_corpus(spark, root)
+    # dropDuplicates, not raw union: if a previous compact crashed after
+    # swapping in the merged base but before deleting the add-tail, every
+    # added row exists in BOTH — folding that union verbatim would bake
+    # the duplicates in permanently. Copies are identical rows, so any
+    # survivor is correct.
+    merged = _ivf_corpus(spark, root).dropDuplicates([id_col])
     if recluster:
         n = build_ivf_index(
             merged.select(id_col, vec_col),
@@ -925,9 +968,13 @@ def ivf_index_compact(
             raise RuntimeError(
                 f"momyre: rebuild {root}/__rebuild missing _SUCCESS"
             )
+        # COMMIT POINT: after this marker the rebuild is authoritative
+        # and _ivf_heal finishes the swap from any crash window
+        fs.create(P(f"{root}/__rebuild/_COMMIT")).close()
         for sub in ("vectors", "centroids"):
             fs.delete(P(f"{root}/{sub}"), True)
             fs.rename(P(f"{root}/__rebuild/{sub}"), P(f"{root}/{sub}"))
+        fs.delete(P(f"{root}/adds"), True)
         fs.delete(P(f"{root}/__rebuild"), True)
     else:
         merged.write.mode("overwrite").partitionBy("cell").parquet(
@@ -941,9 +988,9 @@ def ivf_index_compact(
         fs.delete(P(f"{root}/vectors"), True)
         fs.rename(P(f"{root}/vectors_new"), P(f"{root}/vectors"))
         n = spark.read.parquet(f"{root}/centroids").count()
-    for e in epochs:
-        fs.delete(P(f"{root}/adds/epoch={e}"), True)
-    fs.delete(P(f"{root}/adds"), False)
+        for e in epochs:
+            fs.delete(P(f"{root}/adds/epoch={e}"), True)
+        fs.delete(P(f"{root}/adds"), False)
     return int(n)
 
 

@@ -198,7 +198,7 @@ _TMIX_BUDGET = 1_000_000
     s AS (
         SELECT stratum, tokens,
                CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000 + 0.5)
-                    / 1000000.0 AS DECIMAL(18,6)) AS sv
+                    / 1000000.0 AS DECIMAL(38,6)) AS sv
         FROM per
     ),
     tot AS (

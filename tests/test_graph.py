@@ -74,15 +74,36 @@ def test_parameter_validation(spark):
         pagerank(e, max_iter=0)
 
 
-def test_exactness_overflow_guard(spark, monkeypatch):
-    """|V| * RANK_SCALE past 2^53 must refuse, not silently degrade the
-    bit-identical contract (ADVICE r04: BIGINT->DOUBLE exactness loss,
-    int64 wrap)."""
+def test_exactness_scale_coarsens_not_fails(spark):
+    """|V| * RANK_SCALE past 2^53 must not silently degrade the exact
+    contract (ADVICE r04) nor refuse normal graphs: the scale coarsens in
+    powers of 10 until sums fit, raising only past the 1e-4-unit floor."""
+    from momyre_spark.operators.graph import RANK_SCALE, _resolve_scale
+
+    assert _resolve_scale(100) == RANK_SCALE  # small graphs: full 1e-10
+    s = _resolve_scale(10_000_000)  # 1e7 nodes: coarsened, still exact
+    assert s < RANK_SCALE and 10_000_000 * s < 2**53
+    assert s == 10 ** len(str(s)) // 10  # stays a power of 10
+    with pytest.raises(ValueError, match="2\\^53"):
+        _resolve_scale(10**15)
+
+    # e2e: a coarse scale produces the same ranks to its resolution
     import momyre_spark.operators.graph as graph
 
-    monkeypatch.setattr(graph, "RANK_SCALE", 2**53)
-    with pytest.raises(ValueError, match="2\\^53"):
-        graph.pagerank(_edges(spark, [(1, 2)]))
+    pairs = [(1, 2), (2, 1), (3, 2)]
+    full = {r["node"]: float(r["rank"])
+            for r in pagerank(_edges(spark, pairs), max_iter=20).collect()}
+    coarse_scale = _resolve_scale(3, scale=10**6)
+    orig = graph._resolve_scale
+    graph._resolve_scale = lambda n, scale=None: coarse_scale
+    try:
+        coarse = {r["node"]: float(r["rank"])
+                  for r in pagerank(_edges(spark, pairs),
+                                    max_iter=20).collect()}
+    finally:
+        graph._resolve_scale = orig
+    for n in full:
+        assert coarse[n] == pytest.approx(full[n], abs=1e-4)
 
 
 def test_durable_checkpoint_matches_local_and_releases_blocks(

@@ -677,6 +677,97 @@ def test_ivf_index_compact_folds_adds_and_survives_crash(spark, tmp_path):
     assert rc == exact261  # probing every cell is exact post-recluster
 
 
+def test_ivf_recluster_crash_windows_self_heal(spark, tmp_path):
+    """The recluster swap is only authoritative once __rebuild/_COMMIT
+    exists: an uncommitted rebuild is discarded (primaries intact), and a
+    committed one has its partial swap finished on the next read —
+    including the centroids sub and the add-tail drop (code-review r05:
+    the old delete->rename windows bricked the index)."""
+    import os
+    import shutil
+
+    from momyre_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_report,
+        ivf_topk_indexed,
+    )
+
+    random.seed(29)
+    rows = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(8)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_cells=4, centroids="first_c")
+    ivf_index_add(spark, root, spark.createDataFrame(
+        [Row(vec_id=200 + i, embedding=[random.gauss(0, 1) for _ in range(8)])
+         for i in range(20)]
+    ))
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = sorted(map(tuple, ivf_topk_indexed(
+        spark, root, queries, k=4, nprobe=4).collect()))
+
+    # (a) UNCOMMITTED rebuild left by a crash mid-build: discarded, index
+    # unchanged
+    os.makedirs(f"{root}/__rebuild/vectors", exist_ok=True)
+    got = sorted(map(tuple, ivf_topk_indexed(
+        spark, root, queries, k=4, nprobe=4).collect()))
+    assert got == want and not os.path.exists(f"{root}/__rebuild")
+
+    # (b) COMMITTED rebuild, crash mid-swap: stage a fake rebuild that is
+    # a copy of the current index, mark _COMMIT, delete one primary — the
+    # next read must finish the swap, drop the add-tail, and search fine
+    shutil.copytree(f"{root}/vectors", f"{root}/__rebuild/vectors")
+    shutil.copytree(f"{root}/centroids", f"{root}/__rebuild/centroids")
+    open(f"{root}/__rebuild/_COMMIT", "w").close()
+    shutil.rmtree(f"{root}/vectors")
+    healed = sorted(map(tuple, ivf_topk_indexed(
+        spark, root, queries, k=4, nprobe=4).collect()))
+    assert not os.path.exists(f"{root}/__rebuild")
+    assert not os.path.exists(f"{root}/adds")  # tail folded by the commit
+    assert os.path.exists(f"{root}/vectors")
+    # the staged rebuild held base-only vectors (120 rows): report agrees
+    # and no dropped add-tail row (vec_id >= 200) can surface as a neighbor
+    assert ivf_index_report(spark, root)["rows"] == 120
+    assert all(n < 200 for _, n, *_ in healed)
+
+
+def test_ivf_compact_dedupes_partial_tail_crash(spark, tmp_path):
+    """A crash AFTER the base swap but BEFORE the add-tail delete leaves
+    added rows duplicated in base+tail; the next compact must fold to one
+    copy per id, not bake the duplicates in (code-review r05)."""
+    import os
+
+    from momyre_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_index_report,
+    )
+
+    random.seed(31)
+    rows = [
+        Row(vec_id=i, embedding=[random.gauss(0, 1) for _ in range(8)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_cells=4, centroids="first_c")
+    extra = [Row(vec_id=100 + i,
+                 embedding=[random.gauss(0, 1) for _ in range(8)])
+             for i in range(10)]
+    ivf_index_add(spark, root, spark.createDataFrame(extra))
+    ivf_index_compact(spark, root)  # base now includes the adds
+    # simulate the crash window: re-create the already-folded add epoch
+    ivf_index_add(spark, root, spark.createDataFrame(extra), epoch=0)
+    assert ivf_index_report(spark, root)["rows"] == 100  # transient dups
+    ivf_index_compact(spark, root)
+    assert ivf_index_report(spark, root)["rows"] == 90  # deduped, not baked
+    assert not os.path.exists(f"{root}/adds")
+
+
 def test_semantic_decontaminate_drops_near_eval_rows(spark):
     """A corpus row embedding-near an eval row is dropped even with a
     different id; unrelated rows survive; eval side broadcast (plan)."""

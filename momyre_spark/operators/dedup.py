@@ -654,6 +654,51 @@ def duplicate_components(
     return out
 
 
+def component_survivors(
+    docs: DataFrame,
+    comp: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """One survivor per duplicate component: the min-id member by default
+    (replay-deterministic first occurrence), or — with ``quality_col`` —
+    the HIGHEST-quality member (ties break to the lowest id). Production
+    dedup usually wants the best copy of a cluster, not the
+    first-crawled one; the min-id rule silently keeps whichever near-dup
+    happened to be crawled first.
+
+    ``comp`` is :func:`duplicate_components` output (id, component);
+    rows outside any component always survive. Cost: one join of the
+    component table (pairs-sized, tiny next to the corpus) against a
+    two-column projection of ``docs``, one per-component argmax, one
+    anti-join — the corpus itself is scanned once and never shuffled on
+    anything but the final anti-join key.
+    """
+    if quality_col is None:
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+        return docs.join(losers, id_col, "left_anti")
+    members = comp.join(
+        docs.select(
+            F.col(id_col).alias("id"), F.col(quality_col).alias("__q")
+        ),
+        "id",
+    )
+    # max_by on (quality, -id): highest quality wins, ties to lowest id —
+    # deterministic under any partitioning
+    winners = members.groupBy("component").agg(
+        F.expr("max_by(id, struct(__q, -id))").alias("__win")
+    )
+    losers = (
+        members.join(
+            winners.select(F.col("__win").alias("id")), "id", "left_anti"
+        )
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def srp_params_for(
     threshold: float, target_recall: float = 0.999, max_tables: int = 96
 ) -> tuple[int, int]:

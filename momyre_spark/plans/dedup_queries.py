@@ -266,6 +266,75 @@ def dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality-aware survivor selection (operators/dedup.component_survivors):
+# per duplicate cluster keep the HIGHEST-quality member (ties -> lowest
+# id), not the first-crawled one — the production knob min-id dedup lacks.
+# Oracle mirrors with a row_number window (quality DESC, id ASC == Spark's
+# max_by on struct(quality, -id)); quality_score is a stored double, so
+# comparisons are bit-identical in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_best_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_duck_pair_ctes("documents", 0.8)},
+    {_DUCK_COMPONENT_CTES},
+    q AS (
+        SELECT doc_id, source,
+               floor((0.3 * (CASE WHEN n = 0 THEN 0.0
+                             ELSE hits / CAST(n AS DOUBLE) END)
+                    + 0.5 * (CASE WHEN total = 0 THEN 0.0
+                             ELSE alpha / CAST(total AS DOUBLE) END)
+                    + 0.2 * (least(CAST(n AS DOUBLE), 200.0) / 200.0))
+                     * 10000 + 0.5) / 10000.0 AS quality_score
+        FROM (
+            SELECT doc_id, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> list_contains(['the','a','of','and','to','in','is'], t))) AS hits,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS total
+            FROM documents
+        )
+    ),
+    compd AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+    memb AS (
+        SELECT c.id, c.comp, q.quality_score
+        FROM compd c JOIN q ON q.doc_id = c.id
+    ),
+    win AS (
+        SELECT id FROM (
+            SELECT id, row_number() OVER (
+                PARTITION BY comp ORDER BY quality_score DESC, id ASC
+            ) AS rn FROM memb
+        ) WHERE rn = 1
+    ),
+    losers AS (SELECT id FROM memb WHERE id NOT IN (SELECT id FROM win))
+    SELECT doc_id, source, quality_score FROM q
+    WHERE doc_id NOT IN (SELECT id FROM losers)
+    ORDER BY doc_id
+    """,
+)
+def dedup_best_quality_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import quality_score
+    from momyre_spark.operators.dedup import (
+        component_survivors,
+        duplicate_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "quality_score", quality_score(F.col("text"))
+    )
+    comp = duplicate_components(minhash_lsh_pairs(docs, threshold=0.8))
+    return (
+        component_survivors(docs, comp, quality_col="quality_score")
+        .select("doc_id", "source", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Full curation pipeline (operators/curate.py): quality gate -> exact dedup
 # -> LSH near-dup removal. Every stage is SQL-expressible (quality formula
 # mirrors text_queries' oracle; components via the recursive CTE above), so

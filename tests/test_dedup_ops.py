@@ -416,3 +416,24 @@ def test_cross_source_fuzzy_overlap_counts_pairs(spark):
     }
     # pairs: (0,1) A-B, (0,2) A-B, (1,2) B-B filtered out
     assert got == {("crawlA", "crawlB"): 2}
+
+
+def test_component_survivors_keeps_best_quality(spark):
+    """Per duplicate cluster the HIGHEST-quality member survives (ties ->
+    lowest id); min-id default unchanged; singletons always pass."""
+    from momyre_spark.operators.dedup import component_survivors
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, q=0.2), Row(doc_id=2, q=0.9), Row(doc_id=3, q=0.5),
+        Row(doc_id=10, q=0.4), Row(doc_id=11, q=0.4),
+        Row(doc_id=99, q=0.1),  # not in any component
+    ])
+    comp = spark.createDataFrame([
+        Row(id=1, component=1), Row(id=2, component=1), Row(id=3, component=1),
+        Row(id=10, component=10), Row(id=11, component=10),
+    ])
+    best = {r["doc_id"] for r in component_survivors(
+        docs, comp, quality_col="q").collect()}
+    assert best == {2, 10, 99}  # 2 beats 1/3 on quality; 10 ties-to-min; 99 solo
+    default = {r["doc_id"] for r in component_survivors(docs, comp).collect()}
+    assert default == {1, 10, 99}  # min-id rule

@@ -222,6 +222,52 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             shutil.rmtree(iroot, ignore_errors=True)
         timings["maint_compact_ingest_state"] = round(min(runs), 3)
+
+        # IVF index maintenance (VERDICT r04 item #4's ops): one O(batch)
+        # incremental add of 4k vectors to a 16k-vector index, and one
+        # compaction folding an 8-epoch add-tail back into the base. The
+        # 20k synthetic embedding table is the dedup_semantic_synthetic_20k
+        # corpus (64-dim, hash-deterministic).
+        from momyre_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_add,
+            ivf_index_compact,
+        )
+        from momyre_spark.plans.dedup_queries import _sem_emb
+
+        emb = _sem_emb(spark)
+        vseed = f"{work}/ivf_seed"
+        build_ivf_index(
+            emb.filter("vec_id < 16000"), vseed, num_cells=32,
+            centroids="first_c",
+        )
+        runs = []
+        for i in range(3):
+            vroot = f"{work}/ivf_add_{i}"
+            shutil.copytree(vseed, vroot)
+            t0 = time.perf_counter()
+            ivf_index_add(spark, vroot, emb.filter("vec_id >= 16000"))
+            runs.append(time.perf_counter() - t0)
+            shutil.rmtree(vroot, ignore_errors=True)
+        timings["maint_ivf_index_add"] = round(min(runs), 3)
+
+        # seed an 8-epoch tail (500 rows each), then time the fold
+        for e in range(8):
+            lo = 16000 + e * 500
+            ivf_index_add(
+                spark, vseed,
+                emb.filter(f"vec_id >= {lo} AND vec_id < {lo + 500}"),
+                epoch=e,
+            )
+        runs = []
+        for i in range(3):
+            vroot = f"{work}/ivf_compact_{i}"
+            shutil.copytree(vseed, vroot)
+            t0 = time.perf_counter()
+            ivf_index_compact(spark, vroot)
+            runs.append(time.perf_counter() - t0)
+            shutil.rmtree(vroot, ignore_errors=True)
+        timings["maint_ivf_index_compact"] = round(min(runs), 3)
         spark.catalog.clearCache()
     finally:
         shutil.rmtree(work, ignore_errors=True)

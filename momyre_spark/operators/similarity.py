@@ -673,6 +673,72 @@ def label_margin_report(
     ).orderBy("label")
 
 
+def ann_recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor list against the exact
+    one — the measurement that turns "the IVF/LSH index is accurate" from a
+    claim into a number. Both inputs are ``(query_id, neighbor_id, rank)``
+    frames (the shape every top-k operator here emits); recall@k =
+    |approx ∩ exact top-k| / |exact top-k| per query, with the exact list
+    as the denominator so an approximate list that returns FEWER than k
+    rows (an under-populated IVF cell) is penalized, not excused.
+
+    Cost: both sides are |queries|·k rows — negligible next to the corpus
+    scans that produced them; one equi-join on (query_id, neighbor_id) and
+    one hash agg. At 100 TB the report costs what the two searches cost;
+    the comparison itself is free.
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        round_half_up(
+            F.col("n_hit").cast("double") / F.col("n_exact"), 4
+        ).alias("recall"),
+    ).orderBy("query_id")
+
+
+def _write_by_cell(
+    assigned: DataFrame,
+    path: str,
+    num_cells: int,
+    files_per_cell: int,
+    id_col: str,
+) -> None:
+    """Cell-partitioned parquet write with a BOUNDED file count.
+
+    Hash-clustering rows on (cell, id-salt) before ``partitionBy("cell")``
+    pins every cell to exactly ``files_per_cell`` writer tasks — the file
+    count is ~num_cells·files_per_cell regardless of how many input
+    partitions (executors) produced the rows. Without it the committer
+    emits up to input_partitions files PER CELL per write."""
+    n = max(1, int(files_per_cell))
+    salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n))
+    (
+        assigned.repartition(num_cells * n, F.col("cell"), salt)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     root: str,
@@ -680,6 +746,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | str = "kmeans",
+    files_per_cell: int = 1,
 ) -> int:
     """Materialize the corpus as an ON-DISK IVF index: every vector (with
     its unit-normalized projection precomputed) written to parquet
@@ -694,8 +761,15 @@ def build_ivf_index(
     Normalization is paid once at BUILD time, not per query.
 
     Build cost: centroid resolve (k-means sample or first_c TakeOrdered) +
-    one map-only assignment pass + one partitioned write (no shuffle
-    beyond the writer's). Returns the number of cells."""
+    one map-only assignment pass + one cell-keyed shuffle into the
+    partitioned write. The shuffle is what BOUNDS the file count: writing
+    partitionBy("cell") straight from the scan's partitioning emits up to
+    input_partitions x cells files (a 1000-executor build over 1000 cells
+    would leave a million files); hash-clustering on (cell, salt) first
+    pins each cell to exactly ``files_per_cell`` writer tasks, so the
+    index is ~num_cells·files_per_cell files whatever the input
+    parallelism. Raise ``files_per_cell`` when single cells outgrow one
+    task's worth of read parallelism. Returns the number of cells."""
     spark = emb.sparkSession
     from momyre_spark.functions.vectors import add_normalized
 
@@ -707,8 +781,8 @@ def build_ivf_index(
         F.col("__nv").alias("nvec"),
         F.col("cent_id").alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{root}/vectors"
+    _write_by_cell(
+        assigned, f"{root}/vectors", num_cells, files_per_cell, id_col
     )
     cdf = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in cents],
@@ -868,8 +942,12 @@ def ivf_index_add(
         F.col("__nv").alias("nvec"),
         F.col("cent_id").alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{root}/adds/epoch={epoch}"
+    # one file per cell per epoch — without the cell-keyed cluster a
+    # wide-parallelism streaming epoch writes input_partitions x cells
+    # tiny files into the tail, and the tail's file count (not its row
+    # count) becomes what forces compactions
+    _write_by_cell(
+        assigned, f"{root}/adds/epoch={epoch}", len(cents), 1, id_col
     )
     return int(epoch)
 
@@ -977,9 +1055,8 @@ def ivf_index_compact(
         fs.delete(P(f"{root}/adds"), True)
         fs.delete(P(f"{root}/__rebuild"), True)
     else:
-        merged.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{root}/vectors_new"
-        )
+        n_cells = spark.read.parquet(f"{root}/centroids").count()
+        _write_by_cell(merged, f"{root}/vectors_new", n_cells, 1, id_col)
         if not fs.exists(P(f"{root}/vectors_new/_SUCCESS")):
             raise RuntimeError(
                 f"momyre: compacted base {root}/vectors_new completed "
@@ -987,7 +1064,7 @@ def ivf_index_compact(
             )
         fs.delete(P(f"{root}/vectors"), True)
         fs.rename(P(f"{root}/vectors_new"), P(f"{root}/vectors"))
-        n = spark.read.parquet(f"{root}/centroids").count()
+        n = n_cells
         for e in epochs:
             fs.delete(P(f"{root}/adds/epoch={e}"), True)
         fs.delete(P(f"{root}/adds"), False)

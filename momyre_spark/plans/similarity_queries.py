@@ -702,3 +702,76 @@ def sim_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# ANN quality measurement (operators/similarity.ann_recall_report): recall@k
+# of the nprobe=1 IVF search against the exact brute-force top-k — the
+# number an index-tuning pass reads before committing to (num_cells, nprobe)
+# at corpus scale. Oracle = both searches composed in SQL, then the same
+# left-join hit count.
+# --------------------------------------------------------------------------
+_DUCK_IVF_RECALL = f"""
+    WITH {_DUCK_NORM_CTE},
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    bscored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="e", b="q")} AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bscored) t
+        WHERE rank <= {TOP_K}
+    ),
+    cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, e.v, cents.cent_id AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a="e", b="cents")} DESC, cents.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    qc AS (SELECT * FROM cells WHERE vec_id < {N_QUERIES}),
+    iscored AS (
+        SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="c", b="qc")} AS cos
+        FROM cells c JOIN qc ON c.cell = qc.cell AND c.vec_id <> qc.vec_id
+    ),
+    ivf_k AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM iscored) t
+        WHERE rank <= {TOP_K}
+    )
+    SELECT x.query_id AS query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+           floor(CAST(coalesce(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000.0 AS recall
+    FROM exact_k x LEFT JOIN ivf_k i
+      ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+    GROUP BY x.query_id ORDER BY query_id
+"""
+
+
+@query("sim_ivf_recall", oracle=_DUCK_IVF_RECALL)
+def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = _queries_df(spark, sf)
+    exact = brute_force_topk(emb, qs, k=TOP_K)
+    approx = ivf_topk(emb, qs, k=TOP_K, num_cells=_N_CELLS)
+    return ann_recall_report(exact, approx, k=TOP_K)

@@ -788,3 +788,66 @@ def test_semantic_decontaminate_drops_near_eval_rows(spark):
     assert sorted(r["vec_id"] for r in out.collect()) == [101, 102]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_recall_report_self_is_one_and_misses_penalized(spark):
+    from momyre_spark.operators.similarity import ann_recall_report
+
+    emb = _embs(spark)
+    queries = emb.filter("vec_id < 4")
+    exact = brute_force_topk(emb, queries, k=5)
+    # identical lists -> recall 1.0 for every query
+    perfect = {r["query_id"]: r for r in
+               ann_recall_report(exact, exact, k=5).collect()}
+    assert set(perfect) == {0, 1, 2, 3}
+    assert all(r["recall"] == 1.0 and r["n_hit"] == r["n_exact"] == 5
+               for r in perfect.values())
+
+    # drop query 0's rank-1 neighbor from the approx list: recall 4/5 for
+    # query 0 only — a SHORT approx list is penalized, not excused
+    approx = exact.filter("NOT (query_id = 0 AND rank = 1)")
+    rep = {r["query_id"]: r for r in
+           ann_recall_report(exact, approx, k=5).collect()}
+    assert rep[0]["n_hit"] == 4 and rep[0]["recall"] == 0.8
+    assert all(rep[q]["recall"] == 1.0 for q in (1, 2, 3))
+
+
+def test_ann_recall_report_ivf_vs_exact_bounds(spark):
+    from momyre_spark.operators.similarity import ann_recall_report
+
+    emb = _embs(spark)
+    queries = emb.filter("vec_id < 6")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, num_cells=4)
+    rows = ann_recall_report(exact, approx, k=5).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hit"] <= r["n_exact"]
+        assert 0.0 <= r["recall"] <= 1.0
+    # multi-probe dominates single-probe recall query-by-query
+    probe2 = ivf_topk(emb, queries, k=5, num_cells=4, nprobe=2)
+    r1 = {r["query_id"]: r["recall"] for r in rows}
+    r2 = {r["query_id"]: r["recall"] for r in
+          ann_recall_report(exact, probe2, k=5).collect()}
+    assert all(r2[q] >= r1[q] for q in r1)
+
+
+def test_ivf_writes_bounded_file_count(spark, tmp_path):
+    """The cell-keyed pre-write cluster bounds index files to
+    ~files_per_cell per cell regardless of input parallelism — writing
+    straight from a 32-partition scan would emit up to 32 files per cell."""
+    import glob
+
+    from momyre_spark.operators.similarity import build_ivf_index, ivf_index_add
+
+    emb = _embs(spark, n=200).repartition(32)
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb, root, num_cells=4, centroids="first_c")
+    for cell_dir in glob.glob(f"{root}/vectors/cell=*"):
+        files = glob.glob(f"{cell_dir}/*.parquet")
+        assert len(files) <= 1, cell_dir
+    ivf_index_add(spark, root, _embs(spark, n=50, seed=9).repartition(16))
+    for cell_dir in glob.glob(f"{root}/adds/epoch=0/cell=*"):
+        files = glob.glob(f"{cell_dir}/*.parquet")
+        assert len(files) <= 1, cell_dir

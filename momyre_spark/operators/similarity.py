@@ -1102,3 +1102,118 @@ def semantic_decontaminate(
         .distinct()
     )
     return corpus.join(hits, id_col, "left_anti")
+
+
+def token_slices(
+    emb: DataFrame,
+    n_tokens: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split a pooled D-dim vector into ``n_tokens`` contiguous sub-vectors
+    — a deterministic multi-vector stand-in for corpora that store one
+    pooled embedding per document (real late-interaction corpora supply
+    per-token vectors directly and skip this).
+
+    Output: ``(id_col, token_pos, vec)``, one row per sub-vector. Map-only
+    (posexplode of a slice transform); D must divide evenly."""
+    d = F.size(F.col(vec_col))
+    sub = d / F.lit(n_tokens)
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda t: F.slice(F.col(vec_col), (t * sub + 1).cast("int"), sub.cast("int")),
+    )
+    return emb.select(
+        id_col, F.posexplode(slices).alias("token_pos", "vec")
+    )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    pos_col: str = "token_pos",
+    vec_col: str = "vec",
+    candidates: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) top-k retrieval over
+    multi-vector representations: score(q, d) = sum over q's token vectors
+    of the max cosine against any of d's token vectors. Captures per-token
+    alignment a single pooled vector blurs away — the standard re-ranking
+    score for multi-vector corpora.
+
+    Inputs are token frames ``(id, token_pos, vec)`` (one row per token).
+    The query side must be bounded (it broadcasts; hard cap
+    ``MAX_QUERY_TOKENS`` via a limit-probe, not a count). Two shapes:
+
+    - ``candidates=None``: every doc scores against every query — one
+      broadcast pass over the corpus tokens (same contract as
+      brute_force_topk). Exact, for bounded corpora or oracle twins.
+    - ``candidates=(query_id, doc_id)`` frame: scoring restricted to the
+      given pairs — doc tokens hash-join to candidates on doc id, then to
+      the broadcast query tokens on query id; every join is an equi-join
+      and cost is |candidate pairs| x |tokens|^2, independent of corpus
+      size. This is the 100 TB path: candidates come from a cheap
+      first-stage retriever (IVF cells / SRP buckets on the pooled
+      vector), maxsim re-ranks them.
+
+    The per-(query token, doc) max is taken over cosines rounded to 6
+    decimals and summed as DECIMAL(18,6) — rounding is monotone so the max
+    is unchanged, and the decimal sum makes the score bit-identical under
+    any partitioning and across engines (the oracled-floating-aggregate
+    pattern). Output: (query_id, doc_id, rank, score)."""
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    MAX_QUERY_TOKENS = 100_000
+    qn = add_normalized(query_tokens, vec_col, "__qv").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(pos_col).alias("__qpos"),
+        "__qv",
+    )
+    probe = qn.limit(MAX_QUERY_TOKENS + 1).take(MAX_QUERY_TOKENS + 1)
+    if len(probe) > MAX_QUERY_TOKENS:
+        raise ValueError(
+            f"maxsim_topk: query token set exceeds {MAX_QUERY_TOKENS} rows — "
+            "it must be broadcastable; batch the queries"
+        )
+    dn = add_normalized(doc_tokens, vec_col, "__dv").select(
+        F.col(doc_id_col).alias("doc_id"), "__dv"
+    )
+    if candidates is None:
+        pairs = dn.crossJoin(F.broadcast(qn))
+    else:
+        # contract: candidates carries literal (query_id, doc_id) columns —
+        # id-col kwargs describe the token frames, whose ids may share a name
+        cand = candidates.select("query_id", "doc_id")
+        pairs = dn.join(cand, "doc_id").join(F.broadcast(qn), "query_id")
+    if exclude_self:
+        pairs = pairs.filter(F.col("doc_id") != F.col("query_id"))
+    per_qtoken = (
+        pairs.withColumn(
+            "__cos",
+            round_half_up(dot(F.col("__dv"), F.col("__qv")), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .groupBy("query_id", "__qpos", "doc_id")
+        .agg(F.max("__cos").alias("__maxcos"))
+    )
+    scored = per_qtoken.groupBy("query_id", "doc_id").agg(
+        F.sum("__maxcos").alias("__score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            round_half_up(F.col("__score").cast("double"), 4).alias("score"),
+        )
+    )

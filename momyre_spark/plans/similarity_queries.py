@@ -775,3 +775,139 @@ def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
     exact = brute_force_topk(emb, qs, k=TOP_K)
     approx = ivf_topk(emb, qs, k=TOP_K, num_cells=_N_CELLS)
     return ann_recall_report(exact, approx, k=TOP_K)
+
+
+# --------------------------------------------------------------------------
+# Late-interaction (ColBERT-style MaxSim) retrieval
+# (operators/similarity.maxsim_topk): the pooled 64-dim embedding is split
+# into 8 contiguous 8-dim "token" vectors (token_slices — the deterministic
+# multi-vector stand-in); score(q, d) = sum over q's tokens of the max
+# cosine against d's tokens. Per-token maxes are rounded to 6 decimals and
+# summed as DECIMAL(18,6), so the score hashes identically across engines.
+# --------------------------------------------------------------------------
+_N_TOKENS = 8
+_SUB = 64 // _N_TOKENS
+
+# sub-vector tokens sliced from the RAW embedding (e0), each normalized
+# independently with the same sequential float64 folds as the engine
+_DUCK_TOKS_CTE = f"""
+    toks0 AS (
+        SELECT vec_id, t.pos AS pos,
+               list_transform(range(0, {_SUB}),
+                              i -> v[CAST(t.pos * {_SUB} + i + 1 AS BIGINT)]) AS tv
+        FROM e0 CROSS JOIN range(0, {_N_TOKENS}) t(pos)
+    ),
+    tn AS (SELECT vec_id, pos,
+                  sqrt(list_reduce(list_transform(range(1, {_SUB + 1}), i -> tv[i] * tv[i]),
+                                   (acc, x) -> acc + x)) AS nn, tv
+           FROM toks0),
+    toks AS (SELECT vec_id, pos, list_transform(tv, x -> x / nn) AS ntv FROM tn)
+"""
+
+_DUCK_TOKCOS = f"""
+        list_reduce(list_transform(range(1, {_SUB + 1}), i -> {{a}}.ntv[i] * {{b}}.ntv[i]),
+                    (acc, x) -> acc + x)
+"""
+
+_DUCK_MAXSIM_TAIL = f"""
+    scored AS (SELECT query_id, doc_id, sum(maxcos) AS s FROM pertok GROUP BY 1, 2)
+    SELECT query_id, doc_id, rank,
+           floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000.0 AS score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+          FROM scored) t
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+_DUCK_MAXSIM = f"""
+    WITH {_DUCK_NORM_CTE},
+    {_DUCK_TOKS_CTE},
+    q AS (SELECT * FROM toks WHERE vec_id < {N_QUERIES}),
+    pertok AS (
+        SELECT q.vec_id AS query_id, q.pos AS qpos, d.vec_id AS doc_id,
+               max(CAST(floor({_DUCK_TOKCOS.format(a="d", b="q")} * 1000000 + 0.5)
+                        / 1000000.0 AS DECIMAL(18,6))) AS maxcos
+        FROM toks d CROSS JOIN q
+        WHERE d.vec_id <> q.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    {_DUCK_MAXSIM_TAIL}
+"""
+
+
+def _token_frames(spark: SparkSession, sf: str):
+    from momyre_spark.operators.similarity import token_slices
+
+    emb = load_table(spark, sf, "embeddings")
+    toks = token_slices(emb, _N_TOKENS)
+    return toks, toks.filter(F.col("vec_id") < N_QUERIES)
+
+
+@query("sim_maxsim_topk", oracle=_DUCK_MAXSIM)
+def sim_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import maxsim_topk
+
+    toks, qtoks = _token_frames(spark, sf)
+    return maxsim_topk(
+        toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
+        exclude_self=True,
+    ).orderBy("query_id", "rank")
+
+
+# The scale path: candidates from the pooled-vector IVF cells (the cheap
+# first-stage retriever), maxsim re-ranks ONLY those — every join an
+# equi-join, cost ~ |candidates| x tokens^2, independent of corpus size.
+_DUCK_MAXSIM_PRUNED = f"""
+    WITH {_DUCK_NORM_CTE},
+    {_DUCK_TOKS_CTE},
+    cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, cents.cent_id AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a="e", b="cents")} DESC, cents.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+    cand AS (
+        SELECT qc.vec_id AS query_id, c.vec_id AS doc_id
+        FROM cells c JOIN (SELECT * FROM cells WHERE vec_id < {N_QUERIES}) qc
+          ON c.cell = qc.cell
+        WHERE c.vec_id <> qc.vec_id
+    ),
+    q AS (SELECT * FROM toks WHERE vec_id < {N_QUERIES}),
+    pertok AS (
+        SELECT cand.query_id, q.pos AS qpos, cand.doc_id,
+               max(CAST(floor({_DUCK_TOKCOS.format(a="d", b="q")} * 1000000 + 0.5)
+                        / 1000000.0 AS DECIMAL(18,6))) AS maxcos
+        FROM cand
+        JOIN toks d ON d.vec_id = cand.doc_id
+        JOIN q ON q.vec_id = cand.query_id
+        GROUP BY 1, 2, 3
+    ),
+    {_DUCK_MAXSIM_TAIL}
+"""
+
+
+@query("sim_maxsim_pruned", oracle=_DUCK_MAXSIM_PRUNED)
+def sim_maxsim_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import assign_ivf_cells, maxsim_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    cells = assign_ivf_cells(emb, num_cells=_N_CELLS, centroids="first_c")
+    qc = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        cells.select(F.col("vec_id").alias("doc_id"), "cell")
+        .join(qc, "cell")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    toks, qtoks = _token_frames(spark, sf)
+    return maxsim_topk(
+        toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
+        candidates=cand,
+    ).orderBy("query_id", "rank")

@@ -851,3 +851,97 @@ def test_ivf_writes_bounded_file_count(spark, tmp_path):
     for cell_dir in glob.glob(f"{root}/adds/epoch=0/cell=*"):
         files = glob.glob(f"{cell_dir}/*.parquet")
         assert len(files) <= 1, cell_dir
+
+
+def _maxsim_ref(doc_toks, q_toks):
+    """Pure-python maxsim: doc_toks/q_toks = {id: [vec, ...]}."""
+    scores = {}
+    for qid, qvs in q_toks.items():
+        for did, dvs in doc_toks.items():
+            s = 0.0
+            for qv in qvs:
+                s += round(max(_cos(qv, dv) for dv in dvs), 6)
+            scores[(qid, did)] = round(s, 4)
+    return scores
+
+
+def test_maxsim_matches_reference_and_self_is_max(spark):
+    from momyre_spark.operators.similarity import maxsim_topk, token_slices
+
+    emb = _embs(spark, n=20, dim=16)
+    toks = token_slices(emb, n_tokens=4)  # 4 tokens x 4 dims
+    q = toks.filter("vec_id < 3")
+    out = maxsim_topk(
+        toks, q, k=20, doc_id_col="vec_id", query_id_col="vec_id"
+    ).collect()
+    rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    split = {
+        i: [v[t * 4:(t + 1) * 4] for t in range(4)] for i, v in vecs.items()
+    }
+    ref = _maxsim_ref(split, {i: split[i] for i in range(3)})
+    got = {(r["query_id"], r["doc_id"]): r["score"] for r in out}
+    for key, score in got.items():
+        assert abs(ref[key] - score) < 1e-9, key
+    # a query against itself aligns every token perfectly: score = n_tokens,
+    # and nothing can beat it -> rank 1
+    top = {r["query_id"]: r for r in out if r["rank"] == 1}
+    for qid in range(3):
+        assert top[qid]["doc_id"] == qid and top[qid]["score"] == 4.0
+
+
+def test_maxsim_candidates_restrict_and_match_full(spark):
+    from momyre_spark.operators.similarity import maxsim_topk, token_slices
+
+    emb = _embs(spark, n=30, dim=16)
+    toks = token_slices(emb, n_tokens=4)
+    q = toks.filter("vec_id < 2")
+    full = maxsim_topk(
+        toks, q, k=5, doc_id_col="vec_id", query_id_col="vec_id",
+        exclude_self=True,
+    )
+    # the full candidate set reproduces the unrestricted result exactly
+    all_cand = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .crossJoin(spark.range(2).select(F.col("id").alias("query_id")))
+        .filter("doc_id <> query_id")
+    )
+    bounded = maxsim_topk(
+        toks, q, k=5, doc_id_col="vec_id", query_id_col="vec_id",
+        candidates=all_cand,
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, bounded.collect())
+    )
+    # a restricted candidate list only ever scores the listed pairs, and
+    # (unlike the crossJoin-built full list above, which is test scaffolding)
+    # an equi-join-produced candidate frame keeps the whole plan equi-join
+    only = spark.createDataFrame(
+        [(q_, d) for q_ in (0, 1) for d in (5, 6, 7)],
+        "query_id long, doc_id long",
+    )
+    few_df = maxsim_topk(
+        toks, q, k=5, doc_id_col="vec_id", query_id_col="vec_id",
+        candidates=only,
+    )
+    few = few_df.collect()
+    assert {r["doc_id"] for r in few} == {5, 6, 7}
+    plan = few_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maxsim_query_token_cap_guard(spark):
+    import pytest
+
+    import momyre_spark.operators.similarity as sim
+
+    emb = _embs(spark, n=10, dim=16)
+    toks = sim.token_slices(emb, n_tokens=4)
+    # 40 tokens x 3000 = 120k query tokens busts the 100k broadcast cap;
+    # the guard is a limit-probe (take, not count) so it stays cheap
+    big = toks.crossJoin(
+        spark.range(3000).select(F.lit(1).alias("__x"))
+    ).drop("__x")
+    with pytest.raises(ValueError, match="query token set exceeds"):
+        sim.maxsim_topk(toks, big, doc_id_col="vec_id", query_id_col="vec_id")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SKETCH_COL = "ndv_sketch"
 
@@ -105,3 +106,157 @@ def sketch_overlap_matrix(
             (est_a + est_b - est_union).cast("bigint"), F.lit(0)
         ).alias("overlap_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile state: fixed geometric histogram
+# ---------------------------------------------------------------------------
+#
+# The same 100 TB maintenance argument as the NDV sketches, for percentiles:
+# an exact percentile (or approx_percentile) over a maintained corpus is a
+# full re-scan per refresh, but a histogram over a FIXED bin grid is an
+# associative, commutative aggregate — per-batch bin counts merge by
+# integer addition, and any rollup's quantiles read off the merged counts.
+# A geometric (log-spaced) grid bounds the RELATIVE error of every estimate
+# by its bin ratio (10^(1/per_decade) − 1, ~7.5% at 32 bins/decade), the
+# right guarantee for positive heavy-tailed metrics (sizes, latencies,
+# token counts). Unlike HLL bytes the state is engine-neutral — plain
+# (group, bin, n) rows — so the whole path carries a value-hash SQL oracle.
+#
+# Determinism: bin boundaries are DECIMAL literals generated once in Python
+# and shared verbatim with the oracle; assignment compares the value
+# (rounded half-up to 6 decimals, cast DECIMAL) against them — no floats,
+# no log() calls, bit-identical in any engine and under any partitioning.
+
+QUANTILE_VALUE_SCALE = 6  # decimals the value is rounded to before binning
+
+
+def geometric_boundaries(
+    lo_decade: int = -2, hi_decade: int = 3, per_decade: int = 32
+) -> list[str]:
+    """Geometric bin edges 10^lo .. 10^hi as exact 6-decimal string
+    literals — the shared vocabulary between engine state and SQL oracle.
+    The grid must cover the data's positive range: values below the first
+    edge land in bin 0 (estimate = first edge), values at or above the
+    last edge land in the unbounded overflow bin (estimate = NULL), so an
+    undersized grid is visible in the output, never silently wrong."""
+    n = (hi_decade - lo_decade) * per_decade
+    out = []
+    for i in range(n + 1):
+        v = 10.0 ** (lo_decade + i / per_decade)
+        out.append(f"{v:.6f}")
+    return out
+
+
+def _boundary_array(boundaries: list[str]):
+    from decimal import Decimal
+
+    return F.array(
+        *[F.lit(Decimal(b)).cast("decimal(18,6)") for b in boundaries]
+    )
+
+
+def _bin_search_expr(val, boundaries: list[str]):
+    """Number of boundaries <= val as an unrolled binary-search WHEN tree:
+    log2(|edges|) exact DECIMAL comparisons per row, and — deliberately —
+    no higher-order function: a lambda capturing an outer column breaks
+    Spark's attribute dedup when two states built from the same source are
+    unioned (the exact shape every merge caller has)."""
+    from decimal import Decimal
+
+    def go(lo: int, hi: int):
+        # invariant: edges[:lo] <= val, edges[hi:] > val; answer in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        edge = F.lit(Decimal(boundaries[mid])).cast("decimal(18,6)")
+        return F.when(val >= edge, go(mid + 1, hi)).otherwise(go(lo, mid))
+
+    return go(0, len(boundaries))
+
+
+def value_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    boundaries: list[str],
+) -> DataFrame:
+    """Per-group geometric-histogram state: ``group_cols + (bin, n)``.
+
+    ``bin`` = number of boundaries <= value (binary-search WHEN tree of
+    DECIMAL comparisons against the literal grid — exact). One hash
+    aggregation with map-side partial combine; the state is <=
+    len(boundaries)+1 rows per group whatever the input size, safe to
+    persist per ingest batch."""
+    from momyre_spark.functions.numeric import round_half_up
+
+    val = round_half_up(
+        F.col(value_col).cast("double"), QUANTILE_VALUE_SCALE
+    ).cast("decimal(18,6)")
+    return (
+        df.withColumn("bin", _bin_search_expr(val, boundaries).cast("int"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def merge_value_histograms(
+    states: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge histogram states (e.g. many batch states unioned row-wise, or
+    a finer grouping rolled up): integer addition per (group, bin) —
+    associative, commutative, ingest-order-free."""
+    return states.groupBy(*group_cols, "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+
+
+def quantiles_from_histogram(
+    state: DataFrame,
+    group_cols: list[str],
+    boundaries: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Read quantile estimates off histogram state: for each q, the UPPER
+    edge of the bin where the cumulative count first reaches ceil(q·n) —
+    an overestimate by at most one bin ratio of the true quantile (tested).
+    Overflow-bin hits surface as NULL estimates (grid too small), never a
+    fabricated number.
+
+    Cost: the state is bins x groups rows — the window and join here are
+    over KB of data regardless of corpus size. Output:
+    ``group_cols + (q, n_total, est)``."""
+    spark = state.sparkSession
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # n_total rides the same frame as the running sum (no self-join of the
+    # state), so the whole read is one window pass + one tiny broadcast
+    cum = state.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_total",
+        F.sum("n").over(Window.partitionBy(*group_cols)).cast("bigint"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # rank in DECIMAL: ceil(q*n) in doubles can land on either side of an
+    # integer depending on the engine's rounding; the decimal product is
+    # exact, so the rank (and therefore the chosen bin) is engine-stable
+    sel = (
+        cum.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "rank",
+            F.ceil(F.col("q").cast("decimal(10,6)") * F.col("n_total")).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*group_cols, "q", "n_total")
+        .agg(F.min("bin").alias("__bin"))
+    )
+    bl = _boundary_array(boundaries)
+    est = F.when(
+        F.col("__bin") < F.lit(len(boundaries)),
+        F.element_at(bl, F.col("__bin") + 1).cast("double"),
+    )
+    return sel.select(*group_cols, "q", "n_total", est.alias("est"))

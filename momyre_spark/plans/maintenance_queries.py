@@ -503,3 +503,75 @@ def stats_source_overlap_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return sketch_overlap_matrix(fps, "source", "fp").orderBy(
         "group_a", "group_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable geometric-histogram quantiles (operators/sketches.py): the
+# maintained-percentile pattern — per-batch (group, bin, n) states merge by
+# integer addition; quantiles read off the merged counts. Unlike HLL bytes
+# the state is engine-neutral, so the WHOLE path (state -> merge -> read)
+# composes in SQL and carries a full value-hash oracle. The merge law is
+# part of the query: the state is built as two half-states (event_id
+# parity) merged, which must equal the single-pass state.
+# --------------------------------------------------------------------------
+def _quantile_oracle() -> str:
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = "[" + ", ".join(geometric_boundaries(-2, 3, 32)) + "]::DECIMAL(18,6)[]"
+    n_edges = len(geometric_boundaries(-2, 3, 32))
+    return f"""
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+                    AS DECIMAL(18,6)) AS val
+        FROM events
+    ),
+    h AS (
+        SELECT event_type, len(list_filter({bl}, b -> b <= val)) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS n_total
+        FROM h
+    ),
+    r AS (
+        SELECT event_type, n_total, q.q,
+               CAST(ceil(CAST(q.q AS DECIMAL(10,6)) * n_total) AS BIGINT) AS rank
+        FROM (SELECT DISTINCT event_type, n_total FROM c)
+        CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q) q
+    ),
+    sel AS (
+        SELECT r.event_type, r.q, r.n_total, min(c.bin) AS bin
+        FROM r JOIN c ON c.event_type = r.event_type AND c.cum >= r.rank
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(q AS DOUBLE) AS q,
+           CAST(n_total AS BIGINT) AS n_total,
+           CASE WHEN bin < {n_edges}
+                THEN CAST(list_extract({bl}, bin + 1) AS DOUBLE) END AS est
+    FROM sel ORDER BY event_type, q
+    """
+
+
+@query("stats_value_quantiles", oracle=_quantile_oracle())
+def stats_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        merge_value_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-2, 3, 32)
+    ev = load_table(spark, sf, "events")
+    # two per-"batch" states (event_id parity stands in for ingest epochs)
+    # merged — the maintained path; the oracle computes the single pass,
+    # so a hash match IS the merge law checked end-to-end
+    s0 = value_histogram(ev.filter("event_id % 2 = 0"), ["event_type"], "value", bl)
+    s1 = value_histogram(ev.filter("event_id % 2 = 1"), ["event_type"], "value", bl)
+    merged = merge_value_histograms(s0.unionByName(s1), ["event_type"])
+    return quantiles_from_histogram(
+        merged, ["event_type"], bl, qs=(0.5, 0.95, 0.99)
+    ).orderBy("event_type", "q")

@@ -124,3 +124,79 @@ def test_sketch_overlap_matrix_estimates_planted_overlap(spark):
     # disjoint pairs estimate near zero (clamped at 0)
     assert got[("A", "C")]["overlap_estimate"] <= 60
     assert got[("B", "C")]["overlap_estimate"] <= 60
+
+
+# ---------------------------------------------------------------------------
+# Geometric-histogram quantile state
+# ---------------------------------------------------------------------------
+def _vals(spark, n=5000, groups=3):
+    # deterministic positive heavy-tailed-ish values in [0.01, ~500)
+    rows = [
+        Row(g=f"g{i % groups}", v=0.01 + ((i * 2654435761) % 49_000) / 100.0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_histogram_quantile_merge_law_and_error_bound(spark):
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        merge_value_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-2, 3, 32)
+    df = _vals(spark)
+    whole = value_histogram(df, ["g"], "v", bl)
+    # merge law: union of two batch states == single-pass state, exactly
+    h0 = value_histogram(df.filter("v < 100"), ["g"], "v", bl)
+    h1 = value_histogram(df.filter("v >= 100"), ["g"], "v", bl)
+    merged = merge_value_histograms(h0.unionByName(h1), ["g"])
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # state is bounded: at most |bins|+1 rows per group
+    assert whole.count() <= 3 * (len(bl) + 1)
+
+    # error bound: the estimate is an upper edge — at least the exact
+    # quantile and at most one bin ratio above it
+    est = {
+        (r["g"], r["q"]): r
+        for r in quantiles_from_histogram(merged, ["g"], bl).collect()
+    }
+    pdf = df.toPandas()
+    ratio = 10 ** (1 / 32)
+    import math
+    for (g, q), r in est.items():
+        grp = sorted(pdf[pdf["g"] == g]["v"])
+        exact = grp[math.ceil(q * len(grp)) - 1]
+        assert r["n_total"] == len(grp)
+        assert r["est"] is not None
+        assert exact <= r["est"] <= exact * ratio + 1e-9, (g, q, exact, r["est"])
+
+
+def test_histogram_quantile_overflow_is_null_not_wrong(spark):
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    # grid tops out at 10^1; values above it land in the overflow bin and
+    # any quantile that resolves there reads NULL, not a fabricated number
+    bl = geometric_boundaries(-1, 1, 8)
+    df = spark.createDataFrame([Row(g="a", v=float(x)) for x in (1, 2, 3, 500, 900)])
+    out = {
+        r["q"]: r for r in quantiles_from_histogram(
+            value_histogram(df, ["g"], "v", bl), ["g"], bl
+        ).collect()
+    }
+    assert out[0.5]["est"] is not None       # median 3 is on-grid
+    assert out[0.99]["est"] is None          # p99 is off-grid -> NULL
+    # values below the first edge land in bin 0 and read the first edge
+    low = spark.createDataFrame([Row(g="a", v=0.0001)])
+    lo = quantiles_from_histogram(
+        value_histogram(low, ["g"], "v", bl), ["g"], bl, qs=(0.5,)
+    ).collect()[0]
+    assert abs(lo["est"] - 0.1) < 1e-9

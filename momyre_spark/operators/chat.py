@@ -114,3 +114,70 @@ def chat_pairs(
             F.col("content").alias("response"),
         )
     )
+
+
+def build_preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    id_col: str = "doc_id",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference (chosen/rejected) pair assembly for DPO/RLHF-style
+    training: within each group, rank candidates by score and pair the
+    i-th best with the i-th worst (i <= floor(n/2)), so every pair has the
+    widest margin available at its rank and no candidate appears twice.
+    Pairs with margin <= ``min_margin`` are dropped — equal-score pairs
+    teach nothing and their chosen/rejected assignment would be arbitrary.
+
+    Shape: one shuffle by group for the two rank windows (same exchange,
+    two sort orders), then a co-partitioned self-join on (group, pair_idx)
+    — at corpus scale the join keys inherit the window partitioning. Ties
+    break on id (desc on the ascending rank) so the pairing is total-order
+    deterministic in any engine.
+
+    Output: ``group_cols + (pair_idx, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin)``."""
+    from momyre_spark.functions.numeric import round_half_up
+    from pyspark.sql.window import Window
+
+    gp = [F.col(c) for c in group_cols]
+    wd = Window.partitionBy(*gp).orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    wa = Window.partitionBy(*gp).orderBy(
+        F.col("__s").asc(), F.col("__id").desc()
+    )
+    ranked = df.select(
+        *group_cols,
+        F.col(id_col).alias("__id"),
+        F.col(score_col).alias("__s"),
+    ).select(
+        "*",
+        F.row_number().over(wd).alias("__rd"),
+        F.row_number().over(wa).alias("__ra"),
+        F.count(F.lit(1)).over(Window.partitionBy(*gp)).alias("__n"),
+    )
+    half = F.floor(F.col("__n") / F.lit(2))
+    chosen = ranked.filter(F.col("__rd") <= half).select(
+        *group_cols,
+        F.col("__rd").cast("bigint").alias("pair_idx"),
+        F.col("__id").alias("chosen_id"),
+        F.col("__s").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("__ra") <= half).select(
+        *group_cols,
+        F.col("__ra").cast("bigint").alias("pair_idx"),
+        F.col("__id").alias("rejected_id"),
+        F.col("__s").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, [*group_cols, "pair_idx"])
+        .withColumn(
+            "margin",
+            round_half_up(
+                F.col("chosen_score") - F.col("rejected_score"), 4
+            ),
+        )
+        .filter(F.col("margin") > F.lit(float(min_margin)))
+    )

@@ -752,3 +752,65 @@ def pipe_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "position")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Preference (chosen/rejected) pair prep (operators/chat.py
+# build_preference_pairs): within each source, quality-rank the documents
+# and pair i-th best with i-th worst — the DPO-style dataset assembly.
+# Quality is the shared deterministic heuristic (text_quality's recipe),
+# so the whole path carries a value-hash oracle.
+# --------------------------------------------------------------------------
+def _pref_pairs_oracle() -> str:
+    from momyre_spark.plans.text_queries import _TOK, _hits
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOK}) END AS n,
+               {_hits("en")} AS hits,
+               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+               length(regexp_replace(text, '\\s', '', 'g')) AS total
+        FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, source,
+               floor((0.3 * (CASE WHEN n = 0 THEN 0.0 ELSE hits / CAST(n AS DOUBLE) END)
+                    + 0.5 * (CASE WHEN total = 0 THEN 0.0 ELSE alpha / CAST(total AS DOUBLE) END)
+                    + 0.2 * (least(CAST(n AS DOUBLE), 200.0) / 200.0)) * 10000 + 0.5)
+                   / 10000.0 AS q
+        FROM m
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rd,
+               row_number() OVER (PARTITION BY source ORDER BY q ASC, doc_id DESC) AS ra,
+               count(*) OVER (PARTITION BY source) AS nn
+        FROM sc
+    ),
+    c AS (SELECT source, CAST(rd AS BIGINT) AS pair_idx, doc_id AS chosen_id,
+                 q AS chosen_score
+          FROM r WHERE rd <= nn // 2),
+    x AS (SELECT source, CAST(ra AS BIGINT) AS pair_idx, doc_id AS rejected_id,
+                 q AS rejected_score
+          FROM r WHERE ra <= nn // 2)
+    SELECT c.source AS source, c.pair_idx AS pair_idx, chosen_id, rejected_id,
+           chosen_score, rejected_score,
+           floor((chosen_score - rejected_score) * 10000 + 0.5) / 10000.0 AS margin
+    FROM c JOIN x ON c.source = x.source AND c.pair_idx = x.pair_idx
+    WHERE floor((chosen_score - rejected_score) * 10000 + 0.5) / 10000.0 > 0
+    ORDER BY c.source, c.pair_idx
+    """
+
+
+@query("pipe_preference_pairs", oracle=_pref_pairs_oracle())
+def pipe_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import quality_score
+    from momyre_spark.operators.chat import build_preference_pairs
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    return build_preference_pairs(
+        docs, ["source"], "q", id_col="doc_id"
+    ).orderBy("source", "pair_idx")

@@ -96,3 +96,50 @@ def test_chat_stats_no_explode_plan(spark):
     )
     assert "Generate" not in plan
     assert "Exchange" not in plan
+
+
+def test_preference_pairs_top_vs_bottom_disjoint(spark):
+    from momyre_spark.operators.chat import build_preference_pairs
+    from pyspark.sql import Row
+
+    # group a: scores 1..6 -> pairs (6,1),(5,2),(4,3); group b: 3 rows ->
+    # one pair, the median row 2 sits out
+    rows = [Row(g="a", doc_id=i, s=float(i)) for i in range(1, 7)]
+    rows += [Row(g="b", doc_id=i, s=float(i)) for i in (1, 2, 3)]
+    out = build_preference_pairs(
+        spark.createDataFrame(rows), ["g"], "s", id_col="doc_id"
+    ).collect()
+    got = {(r["g"], r["pair_idx"]): (r["chosen_id"], r["rejected_id"], r["margin"])
+           for r in out}
+    assert got == {
+        ("a", 1): (6, 1, 5.0),
+        ("a", 2): (5, 2, 3.0),
+        ("a", 3): (4, 3, 1.0),
+        ("b", 1): (3, 1, 2.0),
+    }
+    # no candidate appears on both sides
+    chosen = {(r["g"], r["chosen_id"]) for r in out}
+    rejected = {(r["g"], r["rejected_id"]) for r in out}
+    assert not chosen & rejected
+
+
+def test_preference_pairs_margin_filter_and_tie_determinism(spark):
+    from momyre_spark.operators.chat import build_preference_pairs
+    from pyspark.sql import Row
+
+    # all-equal scores -> every margin is 0 -> no pairs survive the default
+    flat = spark.createDataFrame([Row(g="a", doc_id=i, s=1.0) for i in range(4)])
+    assert build_preference_pairs(flat, ["g"], "s").count() == 0
+    # min_margin keeps only wide pairs
+    rows = [Row(g="a", doc_id=i, s=float(i)) for i in range(1, 5)]
+    out = build_preference_pairs(
+        spark.createDataFrame(rows), ["g"], "s", min_margin=2.5
+    ).collect()
+    assert [(r["chosen_id"], r["rejected_id"]) for r in out] == [(4, 1)]
+    # score ties inside a group break on id, identically in repeat runs
+    tied = spark.createDataFrame(
+        [Row(g="a", doc_id=i, s=float(i % 2)) for i in range(6)]
+    )
+    a = sorted(map(tuple, build_preference_pairs(tied, ["g"], "s").collect()))
+    b = sorted(map(tuple, build_preference_pairs(tied, ["g"], "s").collect()))
+    assert a == b

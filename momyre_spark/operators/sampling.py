@@ -559,3 +559,40 @@ def dense_positions(
         .withColumn(out_col, (F.col("__offset") + F.col("__rk")).cast("bigint"))
         .drop("__bucket", "__rk", "__offset")
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Split-integrity audit: how much duplicate/near-duplicate content
+    straddles the train/holdout boundary. ``group_col`` is any
+    same-content key (exact fingerprint, MinHash component label, domain);
+    a group whose members land in more than one split leaks — its holdout
+    half is memorizable from its training half, so the holdout loss reads
+    too low.
+
+    One row: (n_groups, n_leaky_groups, n_leaky_docs, leak_frac). Cost:
+    one group-keyed aggregation + a single-row rollup — the audit is one
+    shuffle over (group, split) pairs regardless of corpus size. The fix
+    it motivates is free: split on the GROUP key instead of the doc id
+    (``train_val_split(df, id_col=group_col)``), which makes straddling
+    structurally impossible — pin that with this report reading zero."""
+    from momyre_spark.functions.numeric import round_half_up
+
+    per_group = df.groupBy(group_col).agg(
+        F.countDistinct(split_col).alias("__ns"),
+        F.count(F.lit(1)).alias("__nd"),
+    )
+    leaky = F.col("__ns") > 1
+    return per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(leaky, 1).otherwise(0)).cast("bigint").alias("n_leaky_groups"),
+        F.sum(F.when(leaky, F.col("__nd")).otherwise(0)).cast("bigint").alias("n_leaky_docs"),
+        round_half_up(
+            F.sum(F.when(leaky, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("leak_frac"),
+    )

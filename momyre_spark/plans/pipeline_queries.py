@@ -814,3 +814,78 @@ def pipe_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return build_preference_pairs(
         docs, ["source"], "q", id_col="doc_id"
     ).orderBy("source", "pair_idx")
+
+
+# --------------------------------------------------------------------------
+# Split-integrity audit (operators/sampling.split_leakage_report): how many
+# same-content groups straddle the train/val boundary under a doc-id hash
+# split, vs ZERO under a group-key hash split — the side-by-side that
+# motivates leakage-safe splitting. The group key is a cheap near-dup
+# blocking key (md5 of the first-8-token prefix) rather than the full
+# exact fingerprint, because this fixture has no byte-identical dups but
+# DOES have shared-prefix clusters — the realistic leak shape. Full SQL
+# oracle.
+# --------------------------------------------------------------------------
+_LEAK_FRAC = 0.2
+_LEAK_CUT = int(_LEAK_FRAC * _VAL_RES)
+_FP_SQL = ("md5(array_to_string("
+           "(string_split_regex(trim(lower(text)), '\\s+'))[1:8], ' '))")
+
+
+def _leak_split(key_expr: str) -> str:
+    return (f"CASE WHEN CAST(('0x' || substr(md5({key_expr}), 1, 15)) AS BIGINT)"
+            f" % {_VAL_RES} < {_LEAK_CUT} THEN 'val' ELSE 'train' END")
+
+
+def _leak_report(tag: str, split_col: str) -> str:
+    return f"""
+        SELECT '{tag}' AS strategy,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+               CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+               floor(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS leak_frac
+        FROM (SELECT fp, count(DISTINCT {split_col}) AS ns, count(*) AS nd
+              FROM s GROUP BY fp) g
+    """
+
+
+@query(
+    "pipe_split_leakage",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+    s AS (
+        SELECT *,
+               {_leak_split("CAST(doc_id AS VARCHAR)")} AS split_doc,
+               {_leak_split("fp")} AS split_grp
+        FROM d
+    )
+    SELECT * FROM ({_leak_report("by_doc", "split_doc")}) a
+    UNION ALL
+    SELECT * FROM ({_leak_report("by_group", "split_grp")}) b
+    ORDER BY strategy
+    """,
+)
+def pipe_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import (
+        split_leakage_report,
+        train_val_split,
+    )
+
+    from momyre_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(F.lower(F.col("text"))), 1, 8))
+        ).alias("fp"),
+    )
+    by_doc = train_val_split(docs, _LEAK_FRAC, id_col="doc_id")
+    by_grp = train_val_split(docs, _LEAK_FRAC, id_col="fp")
+    r1 = split_leakage_report(by_doc, "fp").select(
+        F.lit("by_doc").alias("strategy"), "*"
+    )
+    r2 = split_leakage_report(by_grp, "fp").select(
+        F.lit("by_group").alias("strategy"), "*"
+    )
+    return r1.unionByName(r2).orderBy("strategy")

@@ -177,3 +177,39 @@ def test_materialize_mixture_repeats_and_downsamples(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="epochs"):
         materialize_mixture(df, {"rep": -1.0})
+
+
+def test_split_leakage_report_counts_and_group_split_is_leakproof(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.sampling import (
+        split_leakage_report,
+        train_val_split,
+    )
+
+    # two dup groups (fp a: 3 docs, fp b: 2 docs) + singletons; force a
+    # straddle by hand-assigning splits
+    rows = [
+        Row(doc_id=1, fp="a", split="train"),
+        Row(doc_id=2, fp="a", split="train"),
+        Row(doc_id=3, fp="a", split="val"),    # group a straddles
+        Row(doc_id=4, fp="b", split="train"),
+        Row(doc_id=5, fp="b", split="train"),  # group b does not
+        Row(doc_id=6, fp="c", split="val"),
+    ]
+    rep = split_leakage_report(spark.createDataFrame(rows), "fp").collect()[0]
+    assert rep["n_groups"] == 3
+    assert rep["n_leaky_groups"] == 1
+    assert rep["n_leaky_docs"] == 3
+    assert rep["leak_frac"] == 0.3333
+
+    # splitting on the group key makes straddling structurally impossible
+    df = spark.createDataFrame(
+        [Row(doc_id=i, fp=f"g{i % 7}") for i in range(100)]
+    )
+    grouped = train_val_split(df, 0.4, id_col="fp")
+    rep2 = split_leakage_report(grouped, "fp").collect()[0]
+    assert rep2["n_leaky_groups"] == 0 and rep2["n_leaky_docs"] == 0
+    # while the doc-id split at the same fraction does leak on shared fps
+    leaky = train_val_split(df, 0.4, id_col="doc_id")
+    assert split_leakage_report(leaky, "fp").collect()[0]["n_leaky_groups"] > 0

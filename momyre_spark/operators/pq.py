@@ -221,3 +221,183 @@ def pq_topk(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    root: str,
+    num_cells: int = 16,
+    m: int = 8,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids="kmeans",
+    files_per_cell: int = 1,
+) -> int:
+    """FAISS-style IVF-PQ index on disk: both prunings persisted together.
+    Each vector is unit-normalized ONCE at build, assigned to its nearest
+    coarse cell (IVF — prunes WHICH rows a query opens, via partition
+    pruning), and PQ-encoded over the normalized coordinates (prunes WHAT
+    each opened row costs to score). The layout is the existing IVF index
+    plus a ``pq_code`` column per row and a ``codebooks`` table
+    (m x codes sub-centroids, KB-scale) next to the centroids.
+
+    Costs one extra equi-join at build (codes back onto rows); search can
+    then scan probe cells in the compressed domain and touch raw vectors
+    only for a shortlist. Returns the number of cells."""
+    from momyre_spark.functions.vectors import add_normalized
+    from momyre_spark.operators.similarity import (
+        _centroid_rows,
+        _nearest_cells,
+        _write_by_cell,
+    )
+
+    spark = emb.sparkSession
+    nemb = add_normalized(emb, vec_col, "__nv")
+    books = train_pq_codebooks(nemb, m=m, codes=codes, id_col=id_col, vec_col="__nv")
+    coded = pq_encode(nemb, books, id_col=id_col, vec_col="__nv")
+    cents = _centroid_rows(emb, num_cells, id_col, centroids, vec_col)
+    assigned = (
+        _nearest_cells(nemb, cents, id_col, n_best=1)
+        .select(
+            id_col,
+            F.col("__nv").alias("nvec"),
+            F.col("cent_id").alias("cell"),
+        )
+        .join(coded, id_col)
+    )
+    _write_by_cell(
+        assigned, f"{root}/vectors", num_cells, files_per_cell, id_col
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cent_id int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    bdf = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(codes)
+        ],
+        "j int, c int, centroid array<double>",
+    )
+    bdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebooks")
+    return len(cents)
+
+
+def ivfpq_topk_indexed(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a :func:`build_ivfpq_index` index, Spark-native ADC:
+
+    1. probe cells resolve driver-side (centroids are KB) into a literal
+       partition filter — only ~nprobe/C of the index is ever opened;
+    2. per (query, probe-cell) row of a BROADCAST frame carries the
+       query's flattened ADC table (m·codes exact sub-distances, built
+       once on the driver) — candidates attach by one equi-join on the
+       cell id, so restriction is strictly per-query;
+    3. ADC cost per candidate is an m-lookup ``aggregate`` fold over the
+       broadcast table — plain codegen'd JVM expressions, no Python in
+       the scan path;
+    4. the ADC shortlist (``max(k, refine*k)`` per query) is re-ranked by
+       EXACT cosine from the stored normalized vectors — the standard
+       refine step, touching raw vectors for shortlist rows only.
+
+    Output matches ivf_topk: (query_id, neighbor_id, rank, cos), ranked
+    by exact cosine within the shortlist. PQ lossiness therefore only
+    costs recall when a true neighbor misses the shortlist entirely
+    (recall-vs-exact pinned in tests; widen refine/nprobe to recover)."""
+    import numpy as np
+
+    from momyre_spark.functions.vectors import add_normalized, dot
+    from momyre_spark.operators.similarity import _nearest_cells, _topk
+
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    brows = spark.read.parquet(f"{root}/codebooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    codes = 1 + max(r["c"] for r in brows)
+    books = np.empty((m, codes, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["j"]][r["c"]] = r["centroid"]
+    sub = books.shape[2]
+
+    nq = add_normalized(queries, vec_col, "__nv")
+    qcells = _nearest_cells(nq, cents, id_col, n_best=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__nv").alias("__qv"),
+        F.col("cent_id").alias("__qcell"),
+    )
+    MAX_QUERIES = 100_000
+    qrows = qcells.limit(MAX_QUERIES + 1).collect()
+    if len(qrows) > MAX_QUERIES:
+        raise ValueError(
+            "ivfpq_topk_indexed: query set must be broadcastable (100k cap)"
+        )
+    tables: dict[int, list[float]] = {}
+    qvecs: dict[int, list[float]] = {}
+    for r in qrows:
+        qid = int(r["query_id"])
+        if qid not in tables:
+            qv = np.asarray(r["__qv"], dtype=np.float64)
+            tbl = np.empty((m, codes))
+            for j in range(m):
+                qs = qv[j * sub : (j + 1) * sub]
+                tbl[j] = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+            tables[qid] = [float(x) for x in tbl.ravel()]
+            qvecs[qid] = [float(x) for x in qv]
+    qframe = spark.createDataFrame(
+        [
+            (int(r["query_id"]), int(r["__qcell"]),
+             tables[int(r["query_id"])], qvecs[int(r["query_id"])])
+            for r in qrows
+        ],
+        "query_id long, __qcell int, __tbl array<double>, __qv array<double>",
+    )
+    probe = sorted({int(r["__qcell"]) for r in qrows})
+    corpus = (
+        spark.read.parquet(f"{root}/vectors")
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("nvec").alias("__cv"),
+            F.col("pq_code"),
+            F.col("cell").alias("__ccell"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__tbl"),
+            (j * codes + F.element_at(F.col("pq_code"), j + 1) + 1).cast("int"),
+        ),
+    )
+    shortlist = max(k, refine * k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(qframe), F.col("__ccell") == F.col("__qcell")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__d2", adc)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+    )
+    scored = cand.withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
+    return _topk(scored, k)

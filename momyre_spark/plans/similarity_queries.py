@@ -911,3 +911,42 @@ def sim_maxsim_pruned(spark: SparkSession, sf: str) -> DataFrame:
         toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
         candidates=cand,
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: both prunings persisted together (operators/pq.build_ivfpq_index
+# + ivfpq_topk_indexed) — probe cells prune the SCAN (partition filter),
+# ADC tables prune the per-row COST (m broadcast-table lookups in plain
+# codegen'd expressions), exact-cosine refine on the shortlist. No SQL
+# oracle (Lloyd codebooks); the driver records rows-only and
+# tests/test_similarity_ops.py pins full-probe+refine == exact brute force
+# plus recall floors and the partition-pruned plan.
+# --------------------------------------------------------------------------
+def _ivfpq_index_dir(spark: SparkSession, sf: str) -> str:
+    import os
+    import tempfile
+
+    from momyre_spark.operators.pq import build_ivfpq_index
+
+    tag = sf.rstrip("/").replace("/", "_").replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"momyre_ivfpqidx{tag}")
+    if not os.path.exists(path):
+        build_ivfpq_index(
+            load_table(spark, sf, "embeddings"),
+            path,
+            num_cells=_N_CELLS,
+            m=8,
+            codes=16,
+            centroids="first_c",
+        )
+    return path
+
+
+@query("sim_topk_ivfpq")
+def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pq import ivfpq_topk_indexed
+
+    root = _ivfpq_index_dir(spark, sf)
+    return ivfpq_topk_indexed(
+        spark, root, _queries_df(spark, sf), k=TOP_K, nprobe=4, refine=4
+    ).orderBy("query_id", "rank")

@@ -41,6 +41,11 @@ _ROWS_ONLY = {
     # test_similarity_ops.test_pq_encode_compresses_and_search_recalls,
     # and the exact twins (sim_topk_bruteforce/numpy) carry full oracles.
     "sim_topk_pq",
+    # same codebooks, composed with the persisted IVF index: rows-only for
+    # the same reason; test_similarity_ops pins full-probe+refine == the
+    # exact brute-force list (hash-equal rows), recall floors, and the
+    # partition-pruned scan plan.
+    "sim_topk_ivfpq",
     # xxhash64 span-dedup variant: DuckDB has no xxhash64; the md5 twin
     # (dedup_span_overlap) value-checks the identical plan shape.
     "dedup_span_overlap_fast",

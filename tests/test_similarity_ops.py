@@ -945,3 +945,72 @@ def test_maxsim_query_token_cap_guard(spark):
     ).drop("__x")
     with pytest.raises(ValueError, match="query token set exceeds"):
         sim.maxsim_topk(toks, big, doc_id_col="vec_id", query_id_col="vec_id")
+
+
+def test_ivfpq_full_probe_refine_equals_exact(spark, tmp_path):
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+
+    emb = _embs(spark, n=120, dim=16)
+    root = str(tmp_path / "ivfpq")
+    n_cells = build_ivfpq_index(
+        emb, root, num_cells=4, m=4, codes=8, centroids="first_c"
+    )
+    assert n_cells == 4
+    q = emb.filter("vec_id < 5")
+    # probing every cell with a corpus-wide refine shortlist removes both
+    # approximations -> the result IS the exact brute-force list
+    full = ivfpq_topk_indexed(spark, root, q, k=8, nprobe=4, refine=100)
+    exact = brute_force_topk(emb, q, k=8)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_ivfpq_recall_monotone_and_partition_pruned(spark, tmp_path):
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+    from momyre_spark.operators.similarity import ann_recall_report
+
+    emb = _embs(spark, n=200, dim=16)
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, root, num_cells=8, m=4, codes=8, centroids="first_c")
+    q = emb.filter("vec_id < 6")
+    exact = brute_force_topk(emb, q, k=5)
+
+    def mean_recall(df):
+        rows = ann_recall_report(exact, df, k=5).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    # monotone in nprobe ONLY when the refine shortlist covers the probed
+    # candidates (exact re-rank dominates): at a FIXED small shortlist,
+    # widening the probe adds ADC-ranked competitors that can crowd true
+    # neighbors out — the classic IVFPQ trade, so refine scales with nprobe
+    r1 = mean_recall(ivfpq_topk_indexed(spark, root, q, k=5, nprobe=1, refine=100))
+    r4 = mean_recall(ivfpq_topk_indexed(spark, root, q, k=5, nprobe=4, refine=100))
+    r8 = mean_recall(ivfpq_topk_indexed(spark, root, q, k=5, nprobe=8, refine=100))
+    assert r1 <= r4 + 1e-9 <= r8 + 2e-9
+    assert r8 >= 0.95  # all cells + covering refine recovers everything
+
+    # the scan is partition-pruned to the probe cells
+    df = ivfpq_topk_indexed(spark, root, q, k=5, nprobe=1, refine=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "BatchEvalPython" not in plan  # ADC is pure expressions
+
+
+def test_ivfpq_per_query_cell_restriction(spark, tmp_path):
+    """Candidates attach by equi-join on the query's OWN probe cells — a
+    query never scores rows from another query's cells."""
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+    from momyre_spark.operators.similarity import assign_ivf_cells
+
+    emb = _embs(spark, n=150, dim=16)
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, root, num_cells=6, m=4, codes=8, centroids="first_c")
+    q = emb.filter("vec_id < 4")
+    out = ivfpq_topk_indexed(spark, root, q, k=50, nprobe=1, refine=1)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_ivf_cells(emb, num_cells=6, centroids="first_c").collect()
+    }
+    for r in out.collect():
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r

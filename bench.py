@@ -93,6 +93,15 @@ HEADLINE = [
     # (0.9) over 20k synthetic embeddings with 200 planted near-dups —
     # the evidence replacing the fixture-degeneracy anecdote above
     "dedup_semantic_synthetic_20k",
+    # round-5 second wave: late-interaction MaxSim re-rank over IVF-cell
+    # candidates (equi-joins only), IVF-PQ persisted-index search (ADC
+    # expression fold over the partition-pruned scan), mergeable
+    # histogram-quantile state (two states merged + window read), and
+    # preference-pair assembly (two rank windows + co-partitioned join)
+    "sim_maxsim_pruned",
+    "sim_topk_ivfpq",
+    "stats_value_quantiles",
+    "pipe_preference_pairs",
 ]
 
 

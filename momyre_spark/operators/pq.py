@@ -365,8 +365,10 @@ def ivfpq_topk_indexed(
         "query_id long, __qcell int, __tbl array<double>, __qv array<double>",
     )
     probe = sorted({int(r["__qcell"]) for r in qrows})
+    from momyre_spark.operators.similarity import _ivf_corpus
+
     corpus = (
-        spark.read.parquet(f"{root}/vectors")
+        _ivf_corpus(spark, root)
         .filter(F.col("cell").isin(probe))
         .select(
             F.col(id_col).alias("neighbor_id"),
@@ -401,3 +403,64 @@ def ivfpq_topk_indexed(
     )
     scored = cand.withColumn("cos", dot(F.col("__cv"), F.col("__qv")))
     return _topk(scored, k)
+
+
+def ivfpq_index_add(
+    spark,
+    root: str,
+    new_vectors: DataFrame,
+    epoch: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a :func:`build_ivfpq_index` index —
+    O(|batch|), same layout contract as ``similarity.ivf_index_add``
+    (epoch-idempotent ``adds/epoch=N/cell=C`` tail, one file per cell).
+
+    New rows are encoded with the STORED codebooks and assigned to the
+    STORED cells, so search over base+tail stays one consistent index; the
+    codebooks never move between compactions for the same reason the
+    coarse centroids never move (ADC tables built against them must rank
+    every indexed row). Fold the tail with ``similarity.ivf_index_compact``
+    (``recluster=False`` — the pq_code column passes through the merge);
+    a RE-clustered IVF-PQ index means retrained codebooks, which is a
+    :func:`build_ivfpq_index` rebuild by definition."""
+    import numpy as np
+
+    from momyre_spark.functions.vectors import add_normalized
+    from momyre_spark.operators.similarity import (
+        _ivf_add_epochs,
+        _ivf_heal,
+        _nearest_cells,
+        _write_by_cell,
+    )
+
+    _ivf_heal(spark, root)
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    brows = spark.read.parquet(f"{root}/codebooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    codes = 1 + max(r["c"] for r in brows)
+    books = np.empty((m, codes, len(brows[0]["centroid"])))
+    for r in brows:
+        books[r["j"]][r["c"]] = r["centroid"]
+    if epoch is None:
+        prior = _ivf_add_epochs(spark, root)
+        epoch = (prior[-1] + 1) if prior else 0
+    nemb = add_normalized(new_vectors, vec_col, "__nv")
+    coded = pq_encode(nemb, books, id_col=id_col, vec_col="__nv")
+    assigned = (
+        _nearest_cells(nemb, cents, id_col, n_best=1)
+        .select(
+            id_col,
+            F.col("__nv").alias("nvec"),
+            F.col("cent_id").alias("cell"),
+        )
+        .join(coded, id_col)
+    )
+    _write_by_cell(
+        assigned, f"{root}/adds/epoch={epoch}", len(cents), 1, id_col
+    )
+    return int(epoch)

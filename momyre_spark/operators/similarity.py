@@ -959,7 +959,15 @@ def _ivf_corpus(spark: SparkSession, root: str) -> DataFrame:
     base = spark.read.parquet(f"{root}/vectors")
     cols = [c for c in base.columns]
     if _ivf_add_epochs(spark, root):
-        adds = spark.read.parquet(f"{root}/adds").select(*cols)
+        # explicit schema, not inference: an epoch whose batch deduped away
+        # entirely is a directory with only _SUCCESS — inference throws
+        # UNABLE_TO_INFER_SCHEMA and would brick every later search, while
+        # the base schema reads it as zero rows (epoch stays a pruned-away
+        # partition dir either way)
+        adds = (
+            spark.read.schema(base.schema).parquet(f"{root}/adds")
+            .select(*cols)
+        )
         base = base.unionByName(adds)
     return base
 

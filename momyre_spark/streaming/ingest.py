@@ -291,6 +291,7 @@ def ingest_batch(
     compact_every: int | None = None,
     ivf_root: str | None = None,
     ivf_vec_col: str = "embedding",
+    ivf_kind: str = "ivf",
 ) -> None:
     """One epoch of the gate -> incremental-dedup -> snapshot-commit loop.
 
@@ -303,7 +304,9 @@ def ingest_batch(
     index at that root (``operators/similarity.ivf_index_add`` — O(batch)
     assignment to the existing cells, epoch-directory idempotent like the
     dedup state), keeping similarity search fresh without per-epoch index
-    rebuilds."""
+    rebuilds. ``ivf_kind='ivfpq'`` maintains a :func:`operators.pq.
+    build_ivfpq_index` index instead (same O(batch)/epoch-idempotent
+    contract; rows are PQ-encoded with the stored codebooks)."""
     from momyre_spark.operators.dedup import (
         dedup_incremental,
         dedup_incremental_fuzzy,
@@ -376,7 +379,12 @@ def ingest_batch(
                 f"{root}/_lsh_sigs/epoch={epoch}"
             )
         if ivf_root is not None and ivf_vec_col in cols:
-            from momyre_spark.operators.similarity import ivf_index_add
+            if ivf_kind == "ivfpq":
+                from momyre_spark.operators.pq import (
+                    ivfpq_index_add as ivf_index_add,
+                )
+            else:
+                from momyre_spark.operators.similarity import ivf_index_add
 
             ivf_index_add(
                 spark,
@@ -412,6 +420,7 @@ def start_corpus_ingest(
     compact_every: int | None = 32,
     ivf_root: str | None = None,
     ivf_vec_col: str = "embedding",
+    ivf_kind: str = "ivf",
 ) -> StreamingQuery:
     """Run the gate -> incremental-dedup -> snapshot-commit loop over a
     streaming frame of documents. ``fields`` is the snapshot column->type
@@ -445,6 +454,7 @@ def start_corpus_ingest(
             compact_every=compact_every,
             ivf_root=ivf_root,
             ivf_vec_col=ivf_vec_col,
+            ivf_kind=ivf_kind,
         )
 
     writer = docs_stream.writeStream.foreachBatch(apply).option(

@@ -475,3 +475,58 @@ def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
     # LSH state grew by the survivor only
     sigs = spark.read.parquet(f"{root}/_lsh_sigs")
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 11]
+
+
+def test_ingest_keeps_ivfpq_index_fresh(spark, tmp_path):
+    """ivf_kind='ivfpq': epochs append PQ-encoded rows (stored codebooks,
+    stored cells) — full-probe covering-refine search over base+adds
+    equals exact brute force over everything ingested."""
+    import random
+
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+    from momyre_spark.operators.similarity import brute_force_topk
+    from momyre_spark.streaming.ingest import ingest_batch
+
+    random.seed(29)
+    root = str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivfpq")
+    fields = {"text": "string", "embedding": "array<double>"}
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def vec():
+        return [random.gauss(0, 1) for _ in range(8)]
+
+    seed_rows = [
+        {"doc_id": i, "text": " ".join(f"s{i}w{j}" for j in range(20)),
+         "embedding": vec()}
+        for i in range(40)
+    ]
+    seed = spark.createDataFrame(seed_rows, schema)
+    build_ivfpq_index(
+        seed.select("doc_id", "embedding"), ivf, num_cells=4, m=4, codes=8,
+        centroids="first_c", id_col="doc_id",
+    )
+    ingest_batch(seed, 0, root, fields, id_col="doc_id", min_tokens=2)
+
+    all_rows = list(seed_rows)
+    for e in (1, 2):
+        rows = [
+            {"doc_id": 100 * e + i,
+             "text": " ".join(f"e{e}d{i}w{j}" for j in range(20)),
+             "embedding": vec()}
+            for i in range(15)
+        ]
+        all_rows += rows
+        ingest_batch(
+            spark.createDataFrame(rows, schema), e, root, fields,
+            id_col="doc_id", min_tokens=2, ivf_root=ivf, ivf_kind="ivfpq",
+        )
+    corpus = spark.createDataFrame(all_rows, schema)
+    q = corpus.filter("doc_id < 3")
+    got = ivfpq_topk_indexed(
+        spark, ivf, q, k=5, nprobe=4, refine=100, id_col="doc_id",
+    )
+    exact = brute_force_topk(corpus, q, k=5, id_col="doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exact.collect())
+    )

@@ -1014,3 +1014,66 @@ def test_ivfpq_per_query_cell_restriction(spark, tmp_path):
     }
     for r in out.collect():
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_ivfpq_add_tail_searched_and_compact_invariant(spark, tmp_path):
+    from momyre_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_topk_indexed,
+    )
+    from momyre_spark.operators.similarity import ivf_index_compact
+
+    base = _embs(spark, n=100, dim=16)
+    tail = _embs(spark, n=140, dim=16).filter("vec_id >= 100")
+    both = base.unionByName(tail)
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, root, num_cells=4, m=4, codes=8, centroids="first_c")
+    q = base.filter("vec_id < 4")
+
+    # full probe + covering refine is exact over whatever is indexed, so
+    # base+adds must equal the brute-force list over the UNION corpus
+    ivfpq_index_add(spark, root, tail)
+    got = ivfpq_topk_indexed(spark, root, q, k=6, nprobe=4, refine=100)
+    exact = brute_force_topk(both, q, k=6)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+    # replaying the same epoch overwrites, never doubles
+    ivfpq_index_add(spark, root, tail, epoch=0)
+    again = ivfpq_topk_indexed(spark, root, q, k=6, nprobe=4, refine=100)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, exact.collect()))
+
+    # folding the tail (generic compact, recluster=False) keeps pq_code
+    # and leaves search results identical
+    ivf_index_compact(spark, root)
+    folded = spark.read.parquet(f"{root}/vectors")
+    assert "pq_code" in folded.columns
+    import glob
+    assert not glob.glob(f"{root}/adds/epoch=*")
+    after = ivfpq_topk_indexed(spark, root, q, k=6, nprobe=4, refine=100)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_empty_add_epoch_does_not_brick_search(spark, tmp_path):
+    """An ingest epoch whose batch dedupes away entirely writes an adds
+    epoch with zero data files; reads must see zero rows, not an
+    UNABLE_TO_INFER_SCHEMA crash on every later search."""
+    from momyre_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_index_compact,
+        ivf_topk_indexed,
+    )
+
+    emb = _embs(spark, n=80, dim=16)
+    root = str(tmp_path / "ivf")
+    build_ivf_index(emb, root, num_cells=4, centroids="first_c")
+    ivf_index_add(spark, root, emb.filter("vec_id < 0"))  # empty batch
+    q = emb.filter("vec_id < 3")
+    got = ivf_topk_indexed(spark, root, q, k=5, nprobe=4)
+    exact = brute_force_topk(emb, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    # compaction over the empty tail also survives and stays invariant
+    ivf_index_compact(spark, root)
+    after = ivf_topk_indexed(spark, root, q, k=5, nprobe=4)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, exact.collect()))

@@ -21,6 +21,11 @@ QUERIES = [
     "cdc_apply_ops",         # CDC merge reduction
     "q52_resample_locf",     # window + generated grid over events
     "q06_orphan_antijoin",   # anti-join
+    # round 5: candidate-bounded maxsim re-rank (cost tracks candidates,
+    # not corpus) and mergeable histogram-quantile state (hash agg + tiny
+    # window read)
+    "sim_maxsim_pruned",
+    "stats_value_quantiles",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

@@ -133,3 +133,47 @@ def refresh_aggregate_from_cdf(
     return merge_aggregates(
         base_agg, signed, keys, aggs, weight_col="__weight"
     )
+
+
+def refresh_join_from_cdf(
+    mat: DataFrame,
+    left_new: DataFrame,
+    right_new: DataFrame,
+    cdf_left: DataFrame | None,
+    cdf_right: DataFrame | None,
+    join_col: str,
+    change_col: str = "__change",
+) -> DataFrame:
+    """Incrementally refresh a materialized INNER equi-join from change
+    feeds — the join-view counterpart of :func:`refresh_aggregate_from_cdf`,
+    via the dirty-key strategy:
+
+        M_new = M_old ⋉̸ dirty  ∪  (L_new ⋉ dirty) ⋈ (R_new ⋉ dirty)
+
+    ``dirty`` is every join-key value any change touched, from BOTH image
+    sides: an update that moves a row to a different join key dirties the
+    old key (pre-image) and the new one (post-image), so both neighborhoods
+    rebuild. Correct for any multiplicity on either side — the dirty
+    neighborhoods are recomputed from current state, everything else is
+    carried over untouched.
+
+    Scale shape: dirty keys are change-sized, so the anti/semi joins
+    broadcast and the recompute scans only the dirty slices of each side
+    (partition/bucket pruning when the tables are laid out on the join
+    key) — the view never recomputes, and the base tables never fully
+    rescan. ``mat``'s columns must equal the join projection's (it IS a
+    prior output of the same join)."""
+    parts = [
+        c.select(F.col(join_col)) for c in (cdf_left, cdf_right)
+        if c is not None
+    ]
+    if not parts:
+        return mat
+    dirty = parts[0]
+    for p in parts[1:]:
+        dirty = dirty.unionByName(p)
+    dirty = dirty.distinct()
+    kept = mat.join(dirty, join_col, "left_anti")
+    l = left_new.join(dirty, join_col, "left_semi")
+    r = right_new.join(dirty, join_col, "left_semi")
+    return kept.unionByName(l.join(r, join_col).select(*mat.columns))

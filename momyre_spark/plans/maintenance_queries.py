@@ -575,3 +575,151 @@ def stats_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     return quantiles_from_histogram(
         merged, ["event_type"], bl, qs=(0.5, 0.95, 0.99)
     ).orderBy("event_type", "q")
+
+
+# --------------------------------------------------------------------------
+# Windowed maintained quantiles: HOURLY histogram states roll up to DAILY
+# p50/p95 by integer addition — the time-dimension version of the merge
+# law (the window an ops dashboard actually reads). The oracle computes
+# the daily quantiles in one pass; a hash match proves the rollup.
+# --------------------------------------------------------------------------
+def _window_quantile_oracle() -> str:
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = "[" + ", ".join(geometric_boundaries(-2, 3, 32)) + "]::DECIMAL(18,6)[]"
+    n_edges = len(geometric_boundaries(-2, 3, 32))
+    return f"""
+    WITH v AS (
+        SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+                    AS DECIMAL(18,6)) AS val
+        FROM events
+    ),
+    h AS (
+        SELECT day, len(list_filter({bl}, b -> b <= val)) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *, sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY day) AS n_total
+        FROM h
+    ),
+    sel AS (
+        SELECT c.day, q.q, c.n_total, min(c.bin) AS bin
+        FROM c CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) q
+        WHERE c.cum >= CAST(ceil(CAST(q.q AS DECIMAL(10,6)) * c.n_total) AS BIGINT)
+        GROUP BY 1, 2, 3
+    )
+    SELECT day, CAST(q AS DOUBLE) AS q, CAST(n_total AS BIGINT) AS n_total,
+           CASE WHEN bin < {n_edges}
+                THEN CAST(list_extract({bl}, bin + 1) AS DOUBLE) END AS est
+    FROM sel ORDER BY day, q
+    """
+
+
+@query("stats_window_quantiles", oracle=_window_quantile_oracle())
+def stats_window_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        merge_value_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-2, 3, 32)
+    ev = load_table(spark, sf, "events").select(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    hourly = value_histogram(ev, ["day", "hour"], "value", bl)
+    daily = merge_value_histograms(hourly.drop("hour"), ["day"])
+    return quantiles_from_histogram(daily, ["day"], bl, qs=(0.5, 0.95)).orderBy(
+        "day", "q"
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (operators/incremental.
+# refresh_join_from_cdf): the dirty-key strategy — rows of the maintained
+# orders x customer view whose join key no change touched carry over
+# untouched; dirty neighborhoods recompute from current state. The batch
+# simulates all three change shapes (inserts, a non-key column update on
+# the customer side, and a JOIN-KEY-MOVING update on the orders side —
+# the case that dirties both the old and new key). The oracle is simply
+# the full join of the new state: a hash match proves the maintenance.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_join_view_refresh",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey AS custkey, c_name,
+           {round4_sql('o_totalprice')} AS o_totalprice,
+           {round4_sql('c_acctbal')} AS acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def cdc_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.incremental import refresh_join_from_cdf
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    ins = F.col("o_orderkey") % 7 == 0          # rows absent yesterday
+    moved = (F.col("o_orderkey") % 97 == 0) & ~ins  # join key moved today
+    old_key = (F.col("o_custkey") % 100) + 1
+    upd_c = F.col("c_custkey") % 50 == 0        # non-key column updated
+
+    def left_side(as_of_v1: bool) -> DataFrame:
+        key = (
+            F.when(moved, old_key).otherwise(F.col("o_custkey"))
+            if as_of_v1
+            else F.col("o_custkey")
+        )
+        df = orders.select(
+            key.alias("custkey"), "o_orderkey", "o_totalprice"
+        )
+        return df.filter(~ins) if as_of_v1 else df
+
+    def right_side(as_of_v1: bool) -> DataFrame:
+        bal = (
+            F.when(upd_c, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal"))
+            if as_of_v1
+            else F.col("c_acctbal")
+        )
+        return customer.select(
+            F.col("c_custkey").alias("custkey"), "c_name", bal.alias("acctbal")
+        )
+
+    mat = left_side(True).join(right_side(True), "custkey")
+    cdf_left = (
+        orders.filter(ins)
+        .select(F.col("o_custkey").alias("custkey"), F.lit("insert").alias("__change"))
+        .unionByName(
+            orders.filter(moved).select(
+                old_key.alias("custkey"),
+                F.lit("update_preimage").alias("__change"),
+            )
+        )
+        .unionByName(
+            orders.filter(moved).select(
+                F.col("o_custkey").alias("custkey"),
+                F.lit("update_postimage").alias("__change"),
+            )
+        )
+    )
+    cdf_right = customer.filter(upd_c).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit("update_postimage").alias("__change"),
+    )
+    out = refresh_join_from_cdf(
+        mat, left_side(False), right_side(False), cdf_left, cdf_right,
+        "custkey",
+    )
+    return out.select(
+        "o_orderkey",
+        "custkey",
+        "c_name",
+        round_half_up(F.col("o_totalprice"), 4).alias("o_totalprice"),
+        round_half_up(F.col("acctbal"), 4).alias("acctbal"),
+    ).orderBy("o_orderkey")

@@ -950,3 +950,73 @@ def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return ivfpq_topk_indexed(
         spark, root, _queries_df(spark, sf), k=TOP_K, nprobe=4, refine=4
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding QA (map-only posexplode + one hash agg): mean /
+# std / min / max / zero-fraction per coordinate — the "is a dimension
+# collapsed or dead" check run before trusting an embedding column at
+# corpus scale. Moments are DECIMAL-exact (values rounded to 6 dp, sums
+# exact), the std formula then runs the identical double-op sequence on
+# both engines (the corr-matrix pattern).
+# --------------------------------------------------------------------------
+_DUCK_DIM_STATS = """
+    WITH x AS (
+        SELECT i.d AS dim,
+               CAST(floor(CAST(embedding[CAST(i.d + 1 AS BIGINT)] AS DOUBLE)
+                          * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS v
+        FROM embeddings CROSS JOIN range(0, 64) i(d)
+    ),
+    m AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               sum(v) AS s, sum(v * v) AS ss,
+               min(v) AS mn, max(v) AS mx,
+               CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        FROM x GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n,
+           floor(CAST(s AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS mean,
+           floor(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                 * 10000 + 0.5) / 10000.0 AS std,
+           CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v,
+           floor(CAST(zeros AS DOUBLE) / n * 10000 + 0.5) / 10000.0 AS zero_frac
+    FROM m ORDER BY dim
+"""
+
+
+@query("emb_dim_stats", oracle=_DUCK_DIM_STATS)
+def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.numeric import round_half_up
+
+    emb = load_table(spark, sf, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "__raw"
+        )
+    ).select(
+        "dim",
+        round_half_up(F.col("__raw"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum(F.when(F.col("v") == zero, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zeros"),
+    )
+    sd, nd = F.col("s").cast("double"), F.col("n")
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        round_half_up(sd / nd, 4).alias("mean"),
+        round_half_up(
+            F.sqrt((F.col("ss").cast("double") - sd * sd / nd) / nd), 4
+        ).alias("std"),
+        F.col("mn").cast("double").alias("min_v"),
+        F.col("mx").cast("double").alias("max_v"),
+        round_half_up(F.col("zeros").cast("double") / nd, 4).alias("zero_frac"),
+    ).orderBy("dim")

@@ -208,3 +208,43 @@ def test_drift_report_between_snapshot_versions(spark, tmp_path):
     # widening the lexicographic [min_str, max_str] bound ('s2' -> 's4')
     assert rep["cat"]["range_widened"] is True
     assert (rep["cat"]["min_to"], rep["cat"]["max_to"]) == ("s0", "s4")
+
+
+def test_refresh_join_from_cdf_dirty_keys_only(spark):
+    """Dirty-key join maintenance: inserts, deletes, and a join-key-moving
+    update all land correctly; untouched keys carry over; the plan keeps
+    the carry-over as an anti-join (never a recompute)."""
+    from pyspark.sql import Row, functions as F
+
+    from momyre_spark.operators.incremental import refresh_join_from_cdf
+
+    left_v1 = spark.createDataFrame(
+        [Row(k=1, lid=10), Row(k=1, lid=11), Row(k=2, lid=20), Row(k=3, lid=30)]
+    )
+    right_v1 = spark.createDataFrame(
+        [Row(k=1, rname="a"), Row(k=2, rname="b"), Row(k=3, rname="c")]
+    )
+    mat = left_v1.join(right_v1, "k")
+    # changes: lid=20 moves k 2 -> 3; lid=40 inserted at k=9 (no right match);
+    # right gets a new k=9 row so the insert joins; k=1 untouched
+    left_v2 = spark.createDataFrame(
+        [Row(k=1, lid=10), Row(k=1, lid=11), Row(k=3, lid=20), Row(k=3, lid=30),
+         Row(k=9, lid=40)]
+    )
+    right_v2 = right_v1.unionByName(spark.createDataFrame([Row(k=9, rname="z")]))
+    cdf_l = spark.createDataFrame(
+        [Row(k=2, __change="update_preimage"), Row(k=3, __change="update_postimage"),
+         Row(k=9, __change="insert")]
+    )
+    cdf_r = spark.createDataFrame([Row(k=9, __change="insert")])
+    out = refresh_join_from_cdf(
+        mat, left_v2, right_v2, cdf_l, cdf_r, "k"
+    )
+    want = left_v2.join(right_v2, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+    # no changes at all -> the view is returned as-is
+    same = refresh_join_from_cdf(mat, left_v2, right_v2, None, None, "k")
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, mat.collect()))

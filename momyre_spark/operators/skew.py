@@ -44,3 +44,54 @@ def salted_join(
     salted_s = small.select("*", salt_values)
     out = salted_l.join(salted_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Hot-key diagnosis: the top-N heaviest values of a join/group key,
+    each with its row count, share of the table, skew vs the mean key, and
+    the salt factor that would level it — the number :func:`salted_join`
+    takes, read from data instead of guessed. Run it BEFORE a big join
+    ships: a key with skew 40 on a 1000-partition shuffle is one straggler
+    task doing 40 keys' worth of work (or spilling).
+
+    Cost: one key-keyed aggregation (map-side combine) + a 1-row total
+    broadcast + a distributed TakeOrdered over the per-key counts (orderBy
+    + limit, NOT an unpartitioned window — the per-key table's row count
+    is the key's NDV, which can be billions; a global window would funnel
+    it through one task). Output: ``(key, n, share, skew, suggested_salt)``
+    ordered heaviest first. ``suggested_salt`` is ceil(skew) clamped at
+    >= 1 — shards the hot key into ~mean-sized slices."""
+    from momyre_spark.functions.numeric import round_half_up
+
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__nkeys"),
+    )
+    top = per_key.orderBy(F.col("n").desc(), "key").limit(top_n)
+    skew = (
+        F.col("n").cast("double")
+        * F.col("__nkeys").cast("double")
+        / F.col("__total").cast("double")
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            round_half_up(
+                F.col("n").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
+            round_half_up(skew, 4).alias("skew"),
+            F.greatest(F.ceil(skew), F.lit(1)).cast("bigint").alias(
+                "suggested_salt"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "key")
+    )

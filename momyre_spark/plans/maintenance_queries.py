@@ -723,3 +723,33 @@ def cdc_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
         round_half_up(F.col("o_totalprice"), 4).alias("o_totalprice"),
         round_half_up(F.col("acctbal"), 4).alias("acctbal"),
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Hot-key diagnosis (operators/skew.key_skew_report): the top heaviest
+# join-key values with their skew vs the mean key and the salt factor
+# salted_join would need — read from data, not guessed. TakeOrdered top-N
+# (never an unpartitioned window over the key NDV). Full SQL oracle.
+# --------------------------------------------------------------------------
+@query(
+    "stats_key_skew",
+    oracle="""
+    WITH pk AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS nkeys FROM pk),
+    top AS (SELECT * FROM pk ORDER BY n DESC, key LIMIT 10)
+    SELECT key, n,
+           floor(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000.0 AS share,
+           floor(CAST(n AS DOUBLE) * nkeys / total * 10000 + 0.5) / 10000.0 AS skew,
+           CAST(greatest(ceil(CAST(n AS DOUBLE) * nkeys / total), 1) AS BIGINT)
+               AS suggested_salt
+    FROM top CROSS JOIN t ORDER BY n DESC, key
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.skew import key_skew_report
+
+    return key_skew_report(load_table(spark, sf, "events"), "user_id", top_n=10)

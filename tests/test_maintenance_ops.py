@@ -248,3 +248,22 @@ def test_refresh_join_from_cdf_dirty_keys_only(spark):
     # no changes at all -> the view is returned as-is
     same = refresh_join_from_cdf(mat, left_v2, right_v2, None, None, "k")
     assert sorted(map(tuple, same.collect())) == sorted(map(tuple, mat.collect()))
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.skew import key_skew_report
+
+    # 4 keys: one holds 70 of 100 rows -> skew 2.8, salt 3
+    rows = [Row(k=0)] * 70 + [Row(k=1)] * 10 + [Row(k=2)] * 10 + [Row(k=3)] * 10
+    rep = key_skew_report(spark.createDataFrame(rows), "k", top_n=2).collect()
+    assert [r["key"] for r in rep] == ["0", "1"]
+    hot = rep[0]
+    assert hot["n"] == 70 and hot["share"] == 0.7
+    assert hot["skew"] == 2.8 and hot["suggested_salt"] == 3
+    # uniform keys read skew ~1 / salt 1
+    flat = key_skew_report(
+        spark.createDataFrame([Row(k=i % 5) for i in range(100)]), "k"
+    ).collect()
+    assert all(r["skew"] == 1.0 and r["suggested_salt"] == 1 for r in flat)

@@ -173,3 +173,43 @@ def gopher_gates(
         & F.col("gate_alpha")
         & F.col("gate_stopwords"),
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    boundaries: list[str],
+    q: float = 0.99,
+    state: DataFrame | None = None,
+) -> DataFrame:
+    """Drop rows whose ``value_col`` exceeds the per-group qth-quantile
+    estimate — the data-driven outlier gate (per-source length caps,
+    latency trims) that replaces hand-tuned constants. Thresholds come
+    from the mergeable histogram state (``sketches.value_histogram``):
+    pass the MAINTAINED ``state`` in production so the gate never rescans
+    the corpus to learn its cutoffs; omitted, it builds the state from
+    ``df`` in one extra aggregation.
+
+    The estimate is a bin UPPER edge, so the gate keeps every row of the
+    quantile's bin (conservative — it over-keeps by at most one bin ratio,
+    never over-drops). A NULL estimate (quantile beyond the grid) keeps
+    the whole group: an undersized grid degrades to a no-op, not a silent
+    purge. Thresholds are groups-sized — the join broadcasts."""
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.operators.sketches import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    if state is None:
+        state = value_histogram(df, group_cols, value_col, boundaries)
+    thr = quantiles_from_histogram(
+        state, group_cols, boundaries, qs=(q,)
+    ).select(*group_cols, F.col("est").alias("__thr"))
+    val = round_half_up(F.col(value_col).cast("double"), 6)
+    return (
+        df.join(F.broadcast(thr), group_cols, "left")
+        .filter(F.col("__thr").isNull() | (val <= F.col("__thr")))
+        .drop("__thr")
+    )

@@ -143,10 +143,11 @@ def refresh_join_from_cdf(
     cdf_right: DataFrame | None,
     join_col: str,
     change_col: str = "__change",
+    how: str = "inner",
 ) -> DataFrame:
-    """Incrementally refresh a materialized INNER equi-join from change
-    feeds — the join-view counterpart of :func:`refresh_aggregate_from_cdf`,
-    via the dirty-key strategy:
+    """Incrementally refresh a materialized equi-join (``how``: inner or
+    left) from change feeds — the join-view counterpart of
+    :func:`refresh_aggregate_from_cdf`, via the dirty-key strategy:
 
         M_new = M_old ⋉̸ dirty  ∪  (L_new ⋉ dirty) ⋈ (R_new ⋉ dirty)
 
@@ -173,7 +174,9 @@ def refresh_join_from_cdf(
     for p in parts[1:]:
         dirty = dirty.unionByName(p)
     dirty = dirty.distinct()
+    if how not in ("inner", "left"):
+        raise ValueError(f"refresh_join_from_cdf: unsupported how={how!r}")
     kept = mat.join(dirty, join_col, "left_anti")
     l = left_new.join(dirty, join_col, "left_semi")
     r = right_new.join(dirty, join_col, "left_semi")
-    return kept.unionByName(l.join(r, join_col).select(*mat.columns))
+    return kept.unionByName(l.join(r, join_col, how).select(*mat.columns))

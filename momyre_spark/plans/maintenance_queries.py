@@ -753,3 +753,68 @@ def stats_key_skew(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.skew import key_skew_report
 
     return key_skew_report(load_table(spark, sf, "events"), "user_id", top_n=10)
+
+
+# --------------------------------------------------------------------------
+# Quantile-threshold outlier gate (operators/curate.quantile_gate): keep
+# events at or below the per-type p95 ESTIMATE from the histogram state —
+# the maintained state made actionable. Conservative by construction (bin
+# upper edge: over-keeps within one bin ratio, never over-drops). Oracle
+# recomputes the same thresholds in SQL and applies the same filter.
+# --------------------------------------------------------------------------
+def _quantile_gate_oracle() -> str:
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = "[" + ", ".join(geometric_boundaries(-2, 3, 32)) + "]::DECIMAL(18,6)[]"
+    n_edges = len(geometric_boundaries(-2, 3, 32))
+    return f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+                    AS DECIMAL(18,6)) AS val
+        FROM events
+    ),
+    h AS (
+        SELECT event_type, len(list_filter({bl}, b -> b <= val)) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS n_total
+        FROM h
+    ),
+    sel AS (
+        SELECT event_type, min(bin) AS bin
+        FROM c
+        WHERE cum >= CAST(ceil(CAST(0.95 AS DECIMAL(10,6)) * n_total) AS BIGINT)
+        GROUP BY 1
+    ),
+    thr AS (
+        SELECT event_type,
+               CASE WHEN bin < {n_edges}
+                    THEN CAST(list_extract({bl}, bin + 1) AS DOUBLE) END AS t
+        FROM sel
+    )
+    SELECT e.event_id, e.event_type,
+           floor(CAST(e.value AS DOUBLE) * 10000 + 0.5) / 10000.0 AS value
+    FROM events e LEFT JOIN thr ON e.event_type = thr.event_type
+    WHERE thr.t IS NULL
+       OR floor(CAST(e.value AS DOUBLE) * 1000000 + 0.5) / 1000000.0 <= thr.t
+    ORDER BY e.event_id
+    """
+
+
+@query("pipe_quantile_gate", oracle=_quantile_gate_oracle())
+def pipe_quantile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.curate import quantile_gate
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    ev = load_table(spark, sf, "events")
+    kept = quantile_gate(ev, ["event_type"], "value",
+                         geometric_boundaries(-2, 3, 32), q=0.95)
+    return kept.select(
+        "event_id",
+        "event_type",
+        round_half_up(F.col("value"), 4).alias("value"),
+    ).orderBy("event_id")

@@ -267,3 +267,27 @@ def test_key_skew_report_flags_hot_key(spark):
         spark.createDataFrame([Row(k=i % 5) for i in range(100)]), "k"
     ).collect()
     assert all(r["skew"] == 1.0 and r["suggested_salt"] == 1 for r in flat)
+
+
+def test_refresh_join_from_cdf_left_join_variant(spark):
+    """Left-join views maintain identically: a dirty RIGHT key re-derives
+    the null-extension for left rows that gained/lost a match."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.incremental import refresh_join_from_cdf
+
+    left = spark.createDataFrame([Row(k=1, lid=10), Row(k=2, lid=20), Row(k=4, lid=40)])
+    right_v1 = spark.createDataFrame([Row(k=1, rname="a")])
+    mat = left.join(right_v1, "k", "left")
+    # right gains k=2 (left row 20 flips null->match) and loses k=1
+    right_v2 = spark.createDataFrame([Row(k=2, rname="b")])
+    cdf_r = spark.createDataFrame(
+        [Row(k=1, __change="delete"), Row(k=2, __change="insert")]
+    )
+    out = refresh_join_from_cdf(
+        mat, left, right_v2, None, cdf_r, "k", how="left"
+    )
+    want = left.join(right_v2, "k", "left")
+    assert sorted(map(tuple, out.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )

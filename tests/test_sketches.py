@@ -200,3 +200,31 @@ def test_histogram_quantile_overflow_is_null_not_wrong(spark):
         value_histogram(low, ["g"], "v", bl), ["g"], bl, qs=(0.5,)
     ).collect()[0]
     assert abs(lo["est"] - 0.1) < 1e-9
+
+
+def test_quantile_gate_drops_tail_keeps_on_null_threshold(spark):
+    from momyre_spark.operators.curate import quantile_gate
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = geometric_boundaries(-1, 2, 16)
+    # group a: 99 values ~1, one huge outlier; p90 gate must drop the
+    # outlier and keep the bulk (upper-edge semantics keep the p90 bin)
+    rows = [Row(g="a", v=1.0 + (i % 7) / 100) for i in range(99)]
+    rows.append(Row(g="a", v=95.0))
+    df = spark.createDataFrame(rows)
+    kept = quantile_gate(df, ["g"], "v", bl, q=0.9)
+    vals = [r["v"] for r in kept.collect()]
+    assert 95.0 not in vals and len(vals) == 99
+
+    # values beyond the grid -> NULL threshold -> nothing dropped
+    wild = spark.createDataFrame([Row(g="b", v=1e6) for _ in range(10)])
+    assert quantile_gate(wild, ["g"], "v", bl, q=0.5).count() == 10
+
+    # production shape: a PRE-maintained state gates a new batch without
+    # rescanning anything
+    from momyre_spark.operators.sketches import value_histogram
+
+    state = value_histogram(df, ["g"], "v", bl)
+    batch = spark.createDataFrame([Row(g="a", v=1.02), Row(g="a", v=50.0)])
+    out = quantile_gate(batch, ["g"], "v", bl, q=0.9, state=state).collect()
+    assert [r["v"] for r in out] == [1.02]

@@ -1020,3 +1020,82 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("mx").cast("double").alias("max_v"),
         round_half_up(F.col("zeros").cast("double") / nd, 4).alias("zero_frac"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# Token-level candidate generation for MaxSim (the PLAID/ColBERT-v2 shape):
+# candidates = docs sharing AT LEAST ONE token-vector IVF cell with the
+# query — the first stage operates on the SAME granularity the scorer
+# ranks, so a doc whose one aligned token matches strongly is findable
+# even when its pooled vector is dissimilar (the case the pooled-vector
+# cell rule of sim_maxsim_pruned misses). Cells on token vectors, join on
+# cell, distinct pairs, maxsim re-rank — every stage an equi-join.
+# --------------------------------------------------------------------------
+_N_TOKEN_CELLS = 32
+
+_DUCK_MAXSIM_TOKEN_PRUNED = f"""
+    WITH {_DUCK_NORM_CTE},
+    {_DUCK_TOKS_CTE},
+    tcents AS (
+        SELECT vec_id * {_N_TOKENS} + pos AS cent_id, ntv
+        FROM toks ORDER BY vec_id, pos LIMIT {_N_TOKEN_CELLS}
+    ),
+    tassign AS (
+        SELECT t.vec_id, t.pos, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY t.vec_id, t.pos
+                   ORDER BY {_DUCK_TOKCOS.format(a="t", b="c")} DESC, c.cent_id
+               ) AS rn
+        FROM toks t CROSS JOIN tcents c
+    ),
+    tcells AS (SELECT vec_id, pos, cent_id AS cell FROM tassign WHERE rn = 1),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS doc_id
+        FROM tcells d JOIN (SELECT * FROM tcells WHERE vec_id < {N_QUERIES}) q
+          ON d.cell = q.cell
+        WHERE d.vec_id <> q.vec_id
+    ),
+    q AS (SELECT * FROM toks WHERE vec_id < {N_QUERIES}),
+    pertok AS (
+        SELECT cand.query_id, q.pos AS qpos, cand.doc_id,
+               max(CAST(floor({_DUCK_TOKCOS.format(a="d", b="q")} * 1000000 + 0.5)
+                        / 1000000.0 AS DECIMAL(18,6))) AS maxcos
+        FROM cand
+        JOIN toks d ON d.vec_id = cand.doc_id
+        JOIN q ON q.vec_id = cand.query_id
+        GROUP BY 1, 2, 3
+    ),
+    {_DUCK_MAXSIM_TAIL}
+"""
+
+
+@query("sim_maxsim_token_pruned", oracle=_DUCK_MAXSIM_TOKEN_PRUNED)
+def sim_maxsim_token_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import assign_ivf_cells, maxsim_topk
+
+    toks, qtoks = _token_frames(spark, sf)
+    tok_ids = toks.select(
+        (F.col("vec_id") * _N_TOKENS + F.col("token_pos")).alias("token_id"),
+        "vec_id",
+        "vec",
+    )
+    tcells = assign_ivf_cells(
+        tok_ids, num_cells=_N_TOKEN_CELLS, id_col="token_id", vec_col="vec",
+        centroids="first_c",
+    ).select(
+        (F.col("token_id") / _N_TOKENS).cast("bigint").alias("vec_id"), "cell"
+    )
+    qc = tcells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        tcells.select(F.col("vec_id").alias("doc_id"), "cell")
+        .join(qc, "cell")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return maxsim_topk(
+        toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
+        candidates=cand,
+    ).orderBy("query_id", "rank")

@@ -1077,3 +1077,56 @@ def test_ivf_empty_add_epoch_does_not_brick_search(spark, tmp_path):
     ivf_index_compact(spark, root)
     after = ivf_topk_indexed(spark, root, q, k=5, nprobe=4)
     assert sorted(map(tuple, after.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_maxsim_token_cell_candidates_cover_and_converge(spark):
+    """Token-cell candidate generation: with ONE cell every doc is a
+    candidate, so the pruned result equals the unrestricted maxsim; with
+    many cells, every returned pair provably shares a token cell."""
+    from momyre_spark.operators.similarity import (
+        assign_ivf_cells,
+        maxsim_topk,
+        token_slices,
+    )
+
+    emb = _embs(spark, n=40, dim=16)
+    toks = token_slices(emb, n_tokens=4)
+    q = toks.filter("vec_id < 3")
+
+    def cand_from_cells(n_cells):
+        tok_ids = toks.select(
+            (F.col("vec_id") * 4 + F.col("token_pos")).alias("token_id"),
+            "vec_id", "vec",
+        )
+        cells = assign_ivf_cells(
+            tok_ids, num_cells=n_cells, id_col="token_id", vec_col="vec",
+            centroids="first_c",
+        ).select((F.col("token_id") / 4).cast("bigint").alias("vec_id"), "cell")
+        qc = cells.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "cell"
+        )
+        return (
+            cells.select(F.col("vec_id").alias("doc_id"), "cell")
+            .join(qc, "cell")
+            .filter("doc_id <> query_id")
+            .select("query_id", "doc_id")
+            .distinct()
+        ), cells
+
+    cand1, _ = cand_from_cells(1)
+    pruned1 = maxsim_topk(toks, q, k=6, doc_id_col="vec_id",
+                          query_id_col="vec_id", candidates=cand1)
+    full = maxsim_topk(toks, q, k=6, doc_id_col="vec_id",
+                       query_id_col="vec_id", exclude_self=True)
+    assert sorted(map(tuple, pruned1.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    cand8, cells = cand_from_cells(8)
+    out = maxsim_topk(toks, q, k=6, doc_id_col="vec_id",
+                      query_id_col="vec_id", candidates=cand8).collect()
+    cellmap = {}
+    for r in cells.collect():
+        cellmap.setdefault(r["vec_id"], set()).add(r["cell"])
+    for r in out:
+        assert cellmap[r["query_id"]] & cellmap[r["doc_id"]], r

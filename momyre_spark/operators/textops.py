@@ -88,3 +88,69 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df_pct: int = 20,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal: a LINE that appears in
+    at least ``min_df_pct`` percent of documents (cookie banners, nav
+    menus, "subscribe" footers) is boilerplate — strip it from every
+    document and reassemble the rest in order.
+
+    Shape: one explode (map-only), one line-keyed aggregation for the
+    document frequencies, a broadcast-able anti-join of the line table
+    against the boilerplate set (bounded by distinct frequent lines), and
+    one per-doc reassembly aggregation. The threshold compare is integer
+    (df * 100 >= pct * n_docs) — no float boundary to disagree across
+    engines. Documents whose every line is boilerplate survive with empty
+    text (visible, not silently dropped).
+
+    Output: ``(id_col, clean_text, n_lines, n_removed)``."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("bigint").alias("__ndocs")
+    )
+    df_per_line = (
+        lines.select("line", id_col)
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__df"))
+    )
+    boiler = (
+        df_per_line.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") * 100 >= F.lit(int(min_df_pct)) * F.col("__ndocs"))
+        .select("line")
+    )
+    tagged = lines.join(F.broadcast(boiler.withColumn("__b", F.lit(1))), "line", "left")
+    kept = tagged.filter(F.col("__b").isNull())
+    out = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total")
+    )
+    return (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+            (F.col("__total") - F.coalesce(F.col("n_lines"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

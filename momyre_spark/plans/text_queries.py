@@ -927,3 +927,87 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return score_documents_bigram(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate line removal (operators/textops.
+# strip_boilerplate_lines): a line present in >= 20% of documents (cookie
+# banners, nav, footers) strips from every document; rare lines survive.
+# Multi-line docs are synthesized deterministically from the documents
+# table (the fixture corpus is single-line): one universal banner, one
+# unique body line, a 1-in-3 "subscribe" footer, and a 20-variant footer
+# whose ~5% df sits BELOW the threshold and must be kept. concat_ws skips
+# NULLs identically in both engines, so conditional lines need no branch
+# duplication. Full value-hash oracle.
+# --------------------------------------------------------------------------
+_BOILER_SYNTH_SQL = """
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   'COOKIE NOTICE please accept our cookies',
+                   'doc ' || CAST(doc_id AS VARCHAR) || ' body ' || source,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'subscribe to the newsletter' END,
+                   'footer variant ' || CAST(doc_id % 20 AS VARCHAR)
+               ) AS text
+        FROM documents
+"""
+
+_BOILER_ORACLE = f"""
+    WITH d AS ({_BOILER_SYNTH_SQL}),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+    l AS (
+        SELECT doc_id, CAST(p.p AS INT) - 1 AS pos, ls[CAST(p.p AS BIGINT)] AS line
+        FROM s CROSS JOIN range(1, 9) p(p) WHERE p.p <= len(ls)
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM d),
+    dfl AS (
+        SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM l GROUP BY line
+    ),
+    boiler AS (
+        SELECT line FROM dfl CROSS JOIN t WHERE df * 100 >= 20 * ndocs
+    ),
+    kept AS (
+        SELECT l.* FROM l LEFT JOIN boiler b ON l.line = b.line
+        WHERE b.line IS NULL
+    ),
+    re AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total FROM l GROUP BY doc_id)
+    SELECT tot.doc_id AS doc_id,
+           coalesce(re.clean_text, '') AS clean_text,
+           coalesce(re.n_lines, 0) AS n_lines,
+           tot.total - coalesce(re.n_lines, 0) AS n_removed
+    FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+    ORDER BY doc_id
+"""
+
+
+@query("text_boilerplate_strip", oracle=_BOILER_ORACLE)
+def text_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import strip_boilerplate_lines
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("COOKIE NOTICE please accept our cookies"),
+            F.concat(
+                F.lit("doc "), F.col("doc_id").cast("string"),
+                F.lit(" body "), F.col("source"),
+            ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to the newsletter"),
+            ),
+            F.concat(
+                F.lit("footer variant "),
+                (F.col("doc_id") % 20).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(docs, min_df_pct=20).orderBy("doc_id")

@@ -175,3 +175,42 @@ def interpolate_linear(
         .when(prev.isNotNull() & nxt.isNotNull(), blended)
     )
     return df.withColumn(value_col, filled)
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.3,
+    lookback: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average with a BOUNDED lookback:
+    ewma_t = sum_{i<K} (1-a)^i * x_{t-i} / sum_{i<K, present} (1-a)^i —
+    the smoothing signal next to `rolling` z-scores, truncated at K lags
+    so it is a fixed window expression instead of an unbounded recurrence
+    (the infinite-memory EWMA is inherently sequential; truncation error
+    is (1-a)^K, under 6% of the weight at the defaults and shrinking
+    geometrically). Early rows renormalize over the lags that exist, so
+    the series starts at x_0, not at a damped artifact.
+
+    Determinism: the weights are Python float literals shared with any
+    SQL mirror, and both numerator and denominator are FIXED-ORDER chains
+    of +/* — the same IEEE sequence in every engine and under any
+    partitioning (one shuffle on the key, a window, no aggregation whose
+    order could float)."""
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    v = F.col(value_col).cast("double")
+    num = None
+    den = None
+    for i in range(lookback):
+        coeff = float((1.0 - alpha) ** i)
+        x_i = v if i == 0 else F.lag(v, i).over(w)
+        term = F.when(x_i.isNotNull(), x_i * F.lit(coeff)).otherwise(F.lit(0.0))
+        dterm = F.when(x_i.isNotNull(), F.lit(coeff)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return df.withColumn(out_col, num / den)

@@ -1627,3 +1627,38 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
             round_half_up(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4),
         ).alias("mom_pct"),
     ).orderBy("month_epoch")
+
+
+# --------------------------------------------------------------------------
+# Bounded-lookback EWMA (operators/timeseries.ewma_bounded): the smoothing
+# signal next to q56's rolling z-score; 8-lag truncation keeps it a fixed
+# window expression (<6% of the weight beyond the horizon at alpha=0.3),
+# and early rows renormalize over the lags that exist. Numerator and
+# denominator are fixed-order +/* chains with shared float-literal
+# weights, so the value hashes identically across engines.
+# --------------------------------------------------------------------------
+@query(
+    "ts_ewma_bounded",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_id,
+               ((CASE WHEN CAST(value AS DOUBLE) IS NOT NULL THEN CAST(value AS DOUBLE) * 1.0 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 1) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 1) OVER fr * 0.7 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 2) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 2) OVER fr * 0.48999999999999994 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 3) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 3) OVER fr * 0.3429999999999999 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 4) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 4) OVER fr * 0.24009999999999995 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 5) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 5) OVER fr * 0.16806999999999994 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 6) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 6) OVER fr * 0.11764899999999996 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 7) OVER fr IS NOT NULL THEN lag(CAST(value AS DOUBLE), 7) OVER fr * 0.08235429999999996 ELSE 0.0 END)) AS num, ((CASE WHEN CAST(value AS DOUBLE) IS NOT NULL THEN 1.0 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 1) OVER fr IS NOT NULL THEN 0.7 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 2) OVER fr IS NOT NULL THEN 0.48999999999999994 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 3) OVER fr IS NOT NULL THEN 0.3429999999999999 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 4) OVER fr IS NOT NULL THEN 0.24009999999999995 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 5) OVER fr IS NOT NULL THEN 0.16806999999999994 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 6) OVER fr IS NOT NULL THEN 0.11764899999999996 ELSE 0.0 END) + (CASE WHEN lag(CAST(value AS DOUBLE), 7) OVER fr IS NOT NULL THEN 0.08235429999999996 ELSE 0.0 END)) AS den
+        FROM events
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           floor(num / den * 10000 + 0.5) / 10000.0 AS ewma
+    FROM w ORDER BY user_id, event_id
+""",
+)
+def ts_ewma_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import ewma_bounded
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    out = ewma_bounded(ev, ["user_id"], ["ts", "event_id"], "value",
+                       alpha=0.3, lookback=8)
+    return out.select(
+        "user_id",
+        "event_id",
+        round_half_up(F.col("ewma"), 4).alias("ewma"),
+    ).orderBy("user_id", "event_id")

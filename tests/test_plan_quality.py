@@ -315,3 +315,27 @@ def test_bigram_scoring_broadcasts_vocab(spark):
     plan = plan_of(q(spark, "text_bigram_logprob"))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_audit_plan_reports_shape_facts(spark):
+    """The programmatic auditor agrees with the string checks the suite
+    pins elsewhere: pushdown reaches the scan, joins classify correctly,
+    the Python boundary is visible."""
+    from momyre_spark.plans.audit import audit_plan
+    from momyre_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").filter("l_quantity > 40")
+    o = load_table(spark, SF_SMOKE, "orders")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_totalprice"
+    )
+    facts = audit_plan(joined, execute=True)
+    assert facts["scans"] == 2
+    assert any("l_quantity" in p for p in facts["pushed_filters"])
+    assert facts["cartesian"] == 0 and facts["python_eval"] == 0
+    assert facts["broadcast_hash_joins"] + facts["sort_merge_joins"] >= 1
+    assert facts["codegen_spans"] >= 1
+
+    crossed = li.crossJoin(o.limit(1))
+    assert audit_plan(crossed)["bnlj"] + audit_plan(crossed)["cartesian"] >= 1

@@ -37,6 +37,14 @@ SHOWCASE = [
     ("dedup_hamming_synthetic_20k", "pigeonhole block equi-join at 20k fps; star-edge collapse, no cartesian"),
     ("pipe_temperature_mixture", "mixture weights: one hash agg + broadcast 1-row totals"),
     ("pipe_mixture_materialize", "epoch materialization map-only: scan -> generate, zero shuffle"),
+    # round 5
+    ("sim_maxsim_pruned", "maxsim re-rank: candidates by equi-join, query tokens broadcast, decimal max/sum aggs"),
+    ("sim_topk_ivfpq", "IVF-PQ: PartitionFilters prune the scan; ADC is an expression fold (no Python)"),
+    ("stats_value_quantiles", "mergeable histogram: two states union into one merge agg + tiny window read"),
+    ("cdc_join_view_refresh", "dirty-key view refresh: LeftAnti carry-over + LeftSemi-restricted recompute"),
+    ("pipe_split_leakage", "leakage audit: one fingerprint groupBy + 1-row rollups, map-side splits"),
+    ("text_boilerplate_strip", "boilerplate strip: line-df agg, broadcast anti-join, ordered reassembly"),
+    ("ts_ewma_bounded", "EWMA: one window, fixed-order lag chains, no aggregation ordering"),
 ]
 
 

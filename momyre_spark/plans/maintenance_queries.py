@@ -818,3 +818,82 @@ def pipe_quantile_gate(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         round_half_up(F.col("value"), 4).alias("value"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Quantile-state ROLLUP reuse: ONE set of fine-grained (event_type, day)
+# histogram states answers BOTH coarser questions — per-type and per-day
+# quantiles — by merging away the other key; the corpus is scanned once
+# for the fine states and never again. The oracle computes each rollup
+# from scratch, so the hash match proves state reuse loses nothing.
+# --------------------------------------------------------------------------
+def _quantile_rollup_oracle() -> str:
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = "[" + ", ".join(geometric_boundaries(-2, 3, 32)) + "]::DECIMAL(18,6)[]"
+    n_edges = len(geometric_boundaries(-2, 3, 32))
+
+    def side(key_expr: str, tag: str) -> str:
+        return f"""
+        SELECT '{tag}' AS dim, key, CAST(q AS DOUBLE) AS q,
+               CAST(n_total AS BIGINT) AS n_total,
+               CASE WHEN bin < {n_edges}
+                    THEN CAST(list_extract({bl}, bin + 1) AS DOUBLE) END AS est
+        FROM (
+            SELECT key, q.q, n_total, min(bin) AS bin
+            FROM (
+                SELECT *, sum(n) OVER (PARTITION BY key ORDER BY bin) AS cum,
+                       sum(n) OVER (PARTITION BY key) AS n_total
+                FROM (
+                    SELECT {key_expr} AS key,
+                           len(list_filter({bl}, b -> b <= val)) AS bin,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT event_type,
+                                 CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR) AS day,
+                                 CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5)
+                                      / 1000000.0 AS DECIMAL(18,6)) AS val
+                          FROM events) v
+                    GROUP BY 1, 2
+                ) h
+            ) c CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q) q
+            WHERE cum >= CAST(ceil(CAST(q.q AS DECIMAL(10,6)) * n_total) AS BIGINT)
+            GROUP BY 1, 2, 3
+        ) s
+        """
+
+    return (f"SELECT * FROM ({side('event_type', 'by_type')}) a "
+            f"UNION ALL SELECT * FROM ({side('day', 'by_day')}) b "
+            "ORDER BY dim, key, q")
+
+
+@query("stats_quantile_rollup", oracle=_quantile_rollup_oracle())
+def stats_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        merge_value_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-2, 3, 32)
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+        "value",
+    )
+    fine = value_histogram(ev, ["event_type", "day"], "value", bl)
+    by_type = quantiles_from_histogram(
+        merge_value_histograms(fine.drop("day"), ["event_type"]),
+        ["event_type"], bl, qs=(0.5, 0.95),
+    ).select(
+        F.lit("by_type").alias("dim"), F.col("event_type").alias("key"),
+        "q", "n_total", "est",
+    )
+    by_day = quantiles_from_histogram(
+        merge_value_histograms(fine.drop("event_type"), ["day"]),
+        ["day"], bl, qs=(0.5, 0.95),
+    ).select(
+        F.lit("by_day").alias("dim"), F.col("day").alias("key"),
+        "q", "n_total", "est",
+    )
+    return by_type.unionByName(by_day).orderBy("dim", "key", "q")

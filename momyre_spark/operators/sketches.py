@@ -187,14 +187,19 @@ def value_histogram(
     DECIMAL comparisons against the literal grid — exact). One hash
     aggregation with map-side partial combine; the state is <=
     len(boundaries)+1 rows per group whatever the input size, safe to
-    persist per ingest batch."""
+    persist per ingest batch.
+
+    NULL values are EXCLUDED from the distribution (the standard
+    percentile contract) — without the filter every NULL comparison would
+    descend the low branch and silently count as the smallest value."""
     from momyre_spark.functions.numeric import round_half_up
 
     val = round_half_up(
         F.col(value_col).cast("double"), QUANTILE_VALUE_SCALE
     ).cast("decimal(18,6)")
     return (
-        df.withColumn("bin", _bin_search_expr(val, boundaries).cast("int"))
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bin", _bin_search_expr(val, boundaries).cast("int"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -228,3 +228,24 @@ def test_quantile_gate_drops_tail_keeps_on_null_threshold(spark):
     batch = spark.createDataFrame([Row(g="a", v=1.02), Row(g="a", v=50.0)])
     out = quantile_gate(batch, ["g"], "v", bl, q=0.9, state=state).collect()
     assert [r["v"] for r in out] == [1.02]
+
+
+def test_histogram_excludes_nulls_from_distribution(spark):
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-1, 1, 8)
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=2.0), Row(g="a", v=None),
+         Row(g="a", v=None)],
+        "g string, v double",
+    )
+    state = value_histogram(df, ["g"], "v", bl)
+    # NULLs excluded: n_total is 2, not 4 (and they never read as the
+    # smallest values — a NULL comparison would descend to bin 0)
+    out = quantiles_from_histogram(state, ["g"], bl, qs=(0.5,)).collect()[0]
+    assert out["n_total"] == 2
+    assert out["est"] >= 1.0

@@ -195,6 +195,10 @@ def ewma_bounded(
     geometrically). Early rows renormalize over the lags that exist, so
     the series starts at x_0, not at a damped artifact.
 
+    NULL values act as missing observations: their term contributes
+    nothing and the denominator renormalizes over the lags present, so a
+    gap damps the smoothing window rather than poisoning it with NULL.
+
     Determinism: the weights are Python float literals shared with any
     SQL mirror, and both numerator and denominator are FIXED-ORDER chains
     of +/* — the same IEEE sequence in every engine and under any

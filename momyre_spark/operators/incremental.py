@@ -163,7 +163,10 @@ def refresh_join_from_cdf(
     (partition/bucket pruning when the tables are laid out on the join
     key) — the view never recomputes, and the base tables never fully
     rescan. ``mat``'s columns must equal the join projection's (it IS a
-    prior output of the same join)."""
+    prior output of the same join). Join keys must be NON-NULL: a NULL
+    key never matches the dirty-set anti/semi joins, so changes to
+    NULL-key rows could not invalidate their carried view rows — filter
+    or surrogate NULL keys upstream (an inner join drops them anyway)."""
     parts = [
         c.select(F.col(join_col)) for c in (cdf_left, cdf_right)
         if c is not None

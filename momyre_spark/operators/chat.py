@@ -148,7 +148,10 @@ def build_preference_pairs(
     wa = Window.partitionBy(*gp).orderBy(
         F.col("__s").asc(), F.col("__id").desc()
     )
-    ranked = df.select(
+    # NULL scores are excluded up front: NULLS FIRST in the ascending
+    # window would otherwise consume rejected slots and null out the
+    # widest-margin pairs
+    ranked = df.filter(F.col(score_col).isNotNull()).select(
         *group_cols,
         F.col(id_col).alias("__id"),
         F.col(score_col).alias("__s"),

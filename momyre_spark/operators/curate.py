@@ -208,8 +208,15 @@ def quantile_gate(
         state, group_cols, boundaries, qs=(q,)
     ).select(*group_cols, F.col("est").alias("__thr"))
     val = round_half_up(F.col(value_col).cast("double"), 6)
+    # NULL values pass: they do not exceed any threshold (and the state
+    # that learned the threshold excluded them) — a gate must not purge
+    # rows it never measured
     return (
         df.join(F.broadcast(thr), group_cols, "left")
-        .filter(F.col("__thr").isNull() | (val <= F.col("__thr")))
+        .filter(
+            F.col("__thr").isNull()
+            | F.col(value_col).isNull()
+            | (val <= F.col("__thr"))
+        )
         .drop("__thr")
     )

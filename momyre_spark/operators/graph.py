@@ -88,8 +88,14 @@ def pagerank(
     ``localCheckpoint`` — blocks pinned to their executors, fine in local
     mode but NOT fault-tolerant (an executor lost at iteration 9 of 10
     kills the run on a real cluster). Pass a reliable (HDFS/object-store)
-    directory to use durable ``checkpoint()`` instead: an executor loss
-    then recovers from files and the job survives. Exactness contract:
+    directory for durable cuts: each cut is an explicit parquet
+    write+read under a per-run subdirectory, an executor loss recovers
+    from files, a SUPERSEDED state cut is deleted as soon as the next one
+    lands (the run holds at most nodes+degrees+two state versions, never
+    one copy per iteration), and everything but the FINAL state is
+    removed before returning. The session's global checkpoint location is
+    never touched. The returned frame reads the final cut's files: the
+    caller owns ``checkpoint_dir`` cleanup once the results are consumed. Exactness contract:
     every integer sum stays < 2^53 — on large graphs the rank scale
     AUTO-COARSENS (divides by 10 until ``|V| * scale < 2^53``, i.e. a
     10M-node graph runs at 1e-9-unit resolution instead of failing), and
@@ -104,8 +110,20 @@ def pagerank(
     d = float(damping)
 
     spark = edges.sparkSession
+    run_dir = None
+    ckpt_paths: list[str] = []
+    ckpt_seq = 0
+    prev_state_path: str | None = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        run_dir = f"{checkpoint_dir.rstrip('/')}/pagerank-{uuid.uuid4().hex[:12]}"
+
+    def _rm(path: str) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, True)
 
     def _persistent():
         m = spark.sparkContext._jsc.getPersistentRDDs()
@@ -117,10 +135,26 @@ def pagerank(
     owned: set[int] = set()
     last_ids: set[int] = set()
 
-    def _cut(df: DataFrame) -> DataFrame:
-        nonlocal last_ids
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+    def _cut(df: DataFrame, state_chain: bool = False) -> DataFrame:
+        nonlocal last_ids, prev_state_path, ckpt_seq
+        if run_dir is not None:
+            # monotonically numbered: deriving the name from the list
+            # length would REUSE an index after a superseded path is
+            # removed, making a later cut overwrite the very directory
+            # its input is being read from mid-job
+            path = f"{run_dir}/cut-{ckpt_seq}"
+            ckpt_seq += 1
+            ckpt_paths.append(path)
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            if state_chain:
+                # the new state no longer references the previous one —
+                # drop it now, so the run never holds O(iterations) copies
+                if prev_state_path is not None:
+                    _rm(prev_state_path)
+                    ckpt_paths.remove(prev_state_path)
+                prev_state_path = path
+            return out
         before = set(_persistent())
         out = df.localCheckpoint(eager=True)
         last_ids = set(_persistent()) - before
@@ -202,7 +236,7 @@ def pagerank(
                 )
                 .collect()[0]["d"]
             )
-            state = _cut(new_state)
+            state = _cut(new_state, state_chain=True)
             if delta is not None and delta < tol * scale:
                 break
         else:
@@ -213,7 +247,7 @@ def pagerank(
             # by the joins, not 10x fixed scheduling overhead. Values are
             # exact integers: cut frequency cannot change the result.
             if (it + 1) % _CUT_EVERY == 0 or it == max_iter - 1:
-                state = _cut(new_state)
+                state = _cut(new_state, state_chain=True)
             else:
                 state = new_state
     # release every intermediate lineage-cut block (nodes, deg, earlier
@@ -223,6 +257,12 @@ def pagerank(
     for rid, j in _persistent().items():
         if rid in owned and rid not in last_ids:
             j.unpersist(False)
+    if run_dir is not None:
+        # only the FINAL state's files back the returned frame — the
+        # nodes/degrees cuts (and any non-superseded leftovers) go now
+        for path in list(ckpt_paths):
+            if path != prev_state_path:
+                _rm(path)
     return state.select(
         "node",
         (F.col("units").cast("double") / F.lit(float(scale))).alias(

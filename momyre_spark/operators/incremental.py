@@ -142,7 +142,6 @@ def refresh_join_from_cdf(
     cdf_left: DataFrame | None,
     cdf_right: DataFrame | None,
     join_col: str,
-    change_col: str = "__change",
     how: str = "inner",
 ) -> DataFrame:
     """Incrementally refresh a materialized equi-join (``how``: inner or
@@ -154,7 +153,8 @@ def refresh_join_from_cdf(
     ``dirty`` is every join-key value any change touched, from BOTH image
     sides: an update that moves a row to a different join key dirties the
     old key (pre-image) and the new one (post-image), so both neighborhoods
-    rebuild. Correct for any multiplicity on either side — the dirty
+    rebuild. The change TYPE is deliberately not consumed: any key a
+    change row touches is dirty, whatever the row was. Correct for any multiplicity on either side — the dirty
     neighborhoods are recomputed from current state, everything else is
     carried over untouched.
 

@@ -283,6 +283,14 @@ def build_ivfpq_index(
         "j int, c int, centroid array<double>",
     )
     bdf.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebooks")
+    # a rebuild indexes the caller's full corpus AND retrains codebooks:
+    # any add-tail from a previous index generation is stale on both
+    # counts (old rows duplicate the new base; old pq_code/cell were
+    # computed against the old codebooks/centroids) — drop it
+    from momyre_spark.operators.similarity import _ivf_fs
+
+    jvm, fs = _ivf_fs(spark, root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/adds"), True)
     return len(cents)
 
 
@@ -318,8 +326,15 @@ def ivfpq_topk_indexed(
     import numpy as np
 
     from momyre_spark.functions.vectors import add_normalized, dot
-    from momyre_spark.operators.similarity import _nearest_cells, _topk
+    from momyre_spark.operators.similarity import (
+        _ivf_heal,
+        _nearest_cells,
+        _topk,
+    )
 
+    # heal FIRST: loading centroids before the heal could mix an old
+    # centroid geometry with a committed-but-unswapped reclustered base
+    _ivf_heal(spark, root)
     cents = [
         (int(r["cent_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{root}/centroids").collect()
@@ -339,8 +354,11 @@ def ivfpq_topk_indexed(
         F.col("cent_id").alias("__qcell"),
     )
     MAX_QUERIES = 100_000
-    qrows = qcells.limit(MAX_QUERIES + 1).collect()
-    if len(qrows) > MAX_QUERIES:
+    # the frame has nprobe rows per query — cap the QUERY count (what the
+    # sibling searches cap), not the row count, or raising nprobe would
+    # spuriously reject valid workloads
+    qrows = qcells.limit(MAX_QUERIES * max(1, nprobe) + 1).collect()
+    if len({int(r["query_id"]) for r in qrows}) > MAX_QUERIES:
         raise ValueError(
             "ivfpq_topk_indexed: query set must be broadcastable (100k cap)"
         )

@@ -819,6 +819,9 @@ def ivf_topk_indexed(
     filter prunes it identically."""
     from momyre_spark.functions.vectors import add_normalized, dot
 
+    # heal FIRST: loading centroids before the heal could mix an old
+    # centroid geometry with a committed-but-unswapped reclustered base
+    _ivf_heal(spark, root)
     cents = [
         (int(r["cent_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{root}/centroids").collect()

@@ -110,9 +110,13 @@ def strip_boilerplate_lines(
     text (visible, not silently dropped).
 
     Output: ``(id_col, clean_text, n_lines, n_removed)``."""
+    # NULL text explodes to zero rows and the doc would VANISH from the
+    # output (and still inflate n_docs) — treat it as empty text instead
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     n_docs = docs.select(
         F.count(F.lit(1)).cast("bigint").alias("__ndocs")

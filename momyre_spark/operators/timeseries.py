@@ -217,4 +217,6 @@ def ewma_bounded(
         dterm = F.when(x_i.isNotNull(), F.lit(coeff)).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = dterm if den is None else den + dterm
-    return df.withColumn(out_col, num / den)
+    # a row whose value and every lookback lag are NULL has nothing to
+    # smooth: emit NULL, not 0.0/0.0 = NaN (NaN sorts above every value)
+    return df.withColumn(out_col, F.when(den > 0, num / den))

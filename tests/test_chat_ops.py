@@ -143,3 +143,19 @@ def test_preference_pairs_margin_filter_and_tie_determinism(spark):
     a = sorted(map(tuple, build_preference_pairs(tied, ["g"], "s").collect()))
     b = sorted(map(tuple, build_preference_pairs(tied, ["g"], "s").collect()))
     assert a == b
+
+
+def test_preference_pairs_null_scores_excluded(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.chat import build_preference_pairs
+
+    rows = [Row(g="a", doc_id=1, s=0.9), Row(g="a", doc_id=2, s=0.5),
+            Row(g="a", doc_id=3, s=0.1), Row(g="a", doc_id=4, s=None)]
+    out = build_preference_pairs(
+        spark.createDataFrame(rows, "g string, doc_id long, s double"),
+        ["g"], "s",
+    ).collect()
+    # the NULL row neither consumes a slot nor nulls the widest pair:
+    # ranking runs over the 3 scored docs -> one pair (best, worst)
+    assert [(r["chosen_id"], r["rejected_id"]) for r in out] == [(1, 3)]

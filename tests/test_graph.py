@@ -131,3 +131,28 @@ def test_durable_checkpoint_matches_local_and_releases_blocks(
     # the reliable checkpoints actually landed on (durable) storage
     found = any(files for _, _, files in os.walk(ckpt))
     assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_durable_checkpoint_bounds_files_and_restores_nothing_global(
+    spark, tmp_path
+):
+    """The durable mode may leave AT MOST the final state's cut on disk
+    (superseded state cuts and the nodes/degree cuts are deleted as the
+    run advances / before return), and must not touch the session's
+    global checkpoint location."""
+    import glob
+    import os
+
+    ckpt = str(tmp_path / "pr_ckpt")
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 2), (5, 4)]
+    before_global = spark.sparkContext._jsc.sc().getCheckpointDir()
+    out = pagerank(_edges(spark, pairs), max_iter=10, checkpoint_dir=ckpt)
+    ranks = {r["node"]: float(r["rank"]) for r in out.collect()}
+    assert len(ranks) == 5
+    # exactly one cut directory remains: the final state backing `out`
+    cuts = glob.glob(f"{ckpt}/pagerank-*/cut-*")
+    assert len(cuts) == 1, cuts
+    # the returned frame still reads after the cleanup
+    assert out.count() == 5
+    after_global = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert str(before_global) == str(after_global)

@@ -267,6 +267,15 @@ def test_key_skew_report_flags_hot_key(spark):
         spark.createDataFrame([Row(k=i % 5) for i in range(100)]), "k"
     ).collect()
     assert all(r["skew"] == 1.0 and r["suggested_salt"] == 1 for r in flat)
+    # one INPUT scan at execution: the totals and the top-N consume the
+    # same per-key exchange (ReuseExchange), not two passes over the table
+    from momyre_spark.plans.audit import audit_plan
+
+    facts = audit_plan(
+        key_skew_report(spark.createDataFrame(rows), "k", top_n=2),
+        execute=True,
+    )
+    assert facts["plan"].count("ReusedExchange") >= 1
 
 
 def test_refresh_join_from_cdf_left_join_variant(spark):

@@ -1130,3 +1130,32 @@ def test_maxsim_token_cell_candidates_cover_and_converge(spark):
         cellmap.setdefault(r["vec_id"], set()).add(r["cell"])
     for r in out:
         assert cellmap[r["query_id"]] & cellmap[r["doc_id"]], r
+
+
+def test_ivfpq_rebuild_drops_stale_add_tail(spark, tmp_path):
+    """A rebuild retrains codebooks and indexes the full corpus — an
+    add-tail from the previous index generation must not survive it (its
+    rows would duplicate the base with codes from the OLD codebooks)."""
+    import glob
+
+    from momyre_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_topk_indexed,
+    )
+
+    emb = _embs(spark, n=120, dim=16)
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb.filter("vec_id < 80"), root, num_cells=4, m=4,
+                      codes=8, centroids="first_c")
+    ivfpq_index_add(spark, root, emb.filter("vec_id >= 80"))
+    assert glob.glob(f"{root}/adds/epoch=*")
+    # rebuild over a DIFFERENT corpus slice: the old tail is stale
+    build_ivfpq_index(emb.filter("vec_id < 100"), root, num_cells=4, m=4,
+                      codes=8, centroids="first_c")
+    assert not glob.glob(f"{root}/adds/epoch=*")
+    got = ivfpq_topk_indexed(spark, root, emb.filter("vec_id < 3"),
+                             k=5, nprobe=4, refine=100)
+    exact = brute_force_topk(emb.filter("vec_id < 100"),
+                             emb.filter("vec_id < 3"), k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))

@@ -249,3 +249,19 @@ def test_histogram_excludes_nulls_from_distribution(spark):
     out = quantiles_from_histogram(state, ["g"], bl, qs=(0.5,)).collect()[0]
     assert out["n_total"] == 2
     assert out["est"] >= 1.0
+
+
+def test_quantile_gate_keeps_null_values(spark):
+    from momyre_spark.operators.curate import quantile_gate
+    from momyre_spark.operators.sketches import geometric_boundaries
+
+    bl = geometric_boundaries(-1, 2, 16)
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in range(1, 11)]
+        + [Row(g="a", v=None)],
+        "g string, v double",
+    )
+    out = quantile_gate(df, ["g"], "v", bl, q=0.5).collect()
+    # the NULL row survives: the gate never measured it, so it cannot
+    # have exceeded the threshold
+    assert any(r["v"] is None for r in out)

@@ -27,3 +27,16 @@ def test_strip_boilerplate_lines_threshold_and_empty_doc(spark):
     )
     kept = {r["doc_id"]: r for r in strip_boilerplate_lines(multi).collect()}
     assert kept[2]["clean_text"] == "first 2\nsecond 2\nthird 2"
+
+
+def test_strip_boilerplate_null_text_stays_visible(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.textops import strip_boilerplate_lines
+
+    rows = [Row(doc_id=i, text=f"unique {i}") for i in range(9)]
+    rows.append(Row(doc_id=9, text=None))
+    out = {r["doc_id"]: r for r in strip_boilerplate_lines(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert 9 in out  # the NULL-text doc did not vanish
+    assert out[9]["clean_text"] == "" or out[9]["n_lines"] >= 0

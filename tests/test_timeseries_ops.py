@@ -25,3 +25,21 @@ def test_ewma_bounded_matches_pandas_and_starts_clean(spark):
     # against full pandas ewm the truncation error is tiny once warm
     full = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
     assert abs(out[9] - full[9]) < 0.06 * abs(full[9])
+
+
+def test_ewma_all_null_window_is_null_not_nan(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.timeseries import ewma_bounded
+
+    df = spark.createDataFrame(
+        [Row(k="a", t=0, v=None), Row(k="a", t=1, v=None),
+         Row(k="a", t=2, v=4.0)],
+        "k string, t int, v double",
+    )
+    out = {r["t"]: r["ewma"]
+           for r in ewma_bounded(df, ["k"], ["t"], "v", lookback=2).collect()}
+    assert out[0] is None and out[1] is None
+    assert out[2] == 4.0 and not math.isnan(out[2])

@@ -269,3 +269,26 @@ def pagerank(
             "rank"
         ),
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of an UNDIRECTED graph: ``(node, component)``
+    with the component labeled by its smallest node id — the graph-level
+    face of the same min-label propagation the dedup module runs over
+    near-duplicate pair lists (``dedup.duplicate_components``; two hash
+    aggregations per round, O(log diameter) rounds, no driver-side
+    graph). Directed edges are treated as undirected — pass each edge
+    once, direction irrelevant."""
+    from momyre_spark.operators.dedup import duplicate_components
+
+    pairs = edges.select(
+        F.col(src_col).alias("a_id"), F.col(dst_col).alias("b_id")
+    )
+    return duplicate_components(
+        pairs, max_iterations=max_iterations
+    ).select(F.col("id").alias("node"), "component")

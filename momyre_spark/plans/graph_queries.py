@@ -105,3 +105,58 @@ def graph_domain_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(
         _host_edges(spark), damping=_DAMP, max_iter=_PR_ITERS
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Connected components (operators/graph.connected_components -> the same
+# min-label propagation as dedup.duplicate_components): a SPARSER slice of
+# the synthetic host graph (60 edge seeds over 100 hosts -> ~12
+# components), so fragmentation is real. The oracle is a DuckDB RECURSIVE
+# CTE computing min-reachable-node over the undirected closure — set
+# semantics of UNION guarantee termination; both engines label each
+# component by its smallest node id, so the query carries a full
+# value-hash oracle despite being an iterative algorithm.
+# --------------------------------------------------------------------------
+_N_CC_SEEDS = 60
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_CC_SEEDS}) t(i)
+    ),
+    e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+    ue AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    nodes AS (SELECT DISTINCT src AS node FROM ue),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT ue.dst AS node, r.label FROM reach r JOIN ue ON ue.src = r.node
+    )
+    SELECT node, CAST(min(label) AS BIGINT) AS component
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.graph import connected_components
+
+    edges = (
+        spark.range(_N_CC_SEEDS)
+        .selectExpr(
+            "pmod(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT), {_N_HOSTS}) AS src",
+            "pmod(CAST(conv(substr(md5(concat('e', CAST(id AS STRING))), 1, 15),"
+            f" 16, 10) AS BIGINT), {_N_HOSTS}) AS dst",
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return connected_components(edges).orderBy("node")

@@ -292,3 +292,41 @@ def connected_components(
     return duplicate_components(
         pairs, max_iterations=max_iterations
     ).select(F.col("id").alias("node"), "component")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation over an undirected graph —
+    ``(node, n_triangles)`` for every node in at least one triangle. The
+    local-clustering signal under community/spam heuristics.
+
+    Shape: edges canonicalize to a < b (each undirected edge once), then
+    two hash equi-joins enumerate wedges a-b-c (a < b < c) and close them
+    against the edge set — every triangle is found exactly once in its
+    canonical orientation, so no post-hoc dedup. Cost is the classic
+    O(sum of wedge counts); at scale the first join keys on the wedge
+    midpoint, so skew follows the degree distribution (salt hot nodes via
+    skew.salted_join if one hub dominates)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = ab.join(bc, "y").select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -160,3 +160,45 @@ def graph_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return connected_components(edges).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (operators/graph.triangle_counts): canonical a<b<c
+# wedge enumeration + one closing equi-join — each triangle found exactly
+# once, per-node counts by exploding its three corners. Same host graph
+# as PageRank (dense enough for real triangles). Full SQL oracle.
+# --------------------------------------------------------------------------
+_TRI_ORACLE = f"""
+    WITH edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab
+        JOIN e bc ON bc.a = ab.b
+        JOIN e ca ON ca.a = ab.a AND ca.b = bc.b
+    ),
+    corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_triangle_counts", oracle=_TRI_ORACLE)
+def graph_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_host_edges(spark)).orderBy("node")

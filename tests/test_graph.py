@@ -156,3 +156,18 @@ def test_durable_checkpoint_bounds_files_and_restores_nothing_global(
     assert out.count() == 5
     after_global = spark.sparkContext._jsc.sc().getCheckpointDir()
     assert str(before_global) == str(after_global)
+
+
+def test_triangle_counts_known_graph(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    # (no triangle) and a duplicate/reversed edge (must not double-count)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (2, 1), (3, 1)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert 5 not in out

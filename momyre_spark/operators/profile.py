@@ -222,3 +222,52 @@ def drift_report(
         )
         .orderBy("col_name")
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    join_col: str,
+) -> DataFrame:
+    """The planner's classic equi-join output estimate from per-side
+    stats: ``|A| * |B| / max(ndv_A, ndv_B)`` (uniform-frequency
+    assumption, containment of the smaller key set) — plus the ACTUAL
+    join count next to it, so the report doubles as an estimate-quality
+    probe. Run it before shipping an expensive join: a huge estimate says
+    broadcast/filter first; estimate << actual says the uniformity
+    assumption broke (skew — see skew.key_skew_report).
+
+    Cost: one aggregate per side (count + exact NDV in the same pass) and
+    the actual count via a key-count join on NDV-sized per-key tables,
+    never materializing the join output itself."""
+    la = left.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.countDistinct(join_col).cast("bigint").alias("ndv_left"),
+    )
+    ra = right.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"),
+        F.countDistinct(join_col).cast("bigint").alias("ndv_right"),
+    )
+    # actual |A join B| = sum over shared keys of cntA * cntB — computed
+    # on the per-key COUNT tables (NDV-sized), not by running the join
+    ka = left.groupBy(join_col).agg(F.count(F.lit(1)).alias("__ca"))
+    kb = right.groupBy(join_col).agg(F.count(F.lit(1)).alias("__cb"))
+    actual = ka.join(kb, join_col).agg(
+        F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+        .cast("bigint")
+        .alias("actual_rows")
+    )
+    est = F.floor(
+        F.col("n_left").cast("double")
+        * F.col("n_right").cast("double")
+        / F.greatest(F.col("ndv_left"), F.col("ndv_right")).cast("double")
+    ).cast("bigint")
+    return (
+        la.crossJoin(ra)
+        .crossJoin(actual)
+        .select(
+            "n_left", "ndv_left", "n_right", "ndv_right",
+            est.alias("estimated_rows"),
+            "actual_rows",
+        )
+    )

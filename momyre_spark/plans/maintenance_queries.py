@@ -897,3 +897,45 @@ def stats_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
         "q", "n_total", "est",
     )
     return by_type.unionByName(by_day).orderBy("dim", "key", "q")
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation (operators/profile.join_cardinality_estimate):
+# the planner's |A|*|B|/max(ndv) uniform estimate next to the ACTUAL join
+# count (computed on NDV-sized per-key count tables, never the join
+# output). orders x lineitem on orderkey: containment holds, so estimate
+# == actual — the oracle checks both columns. Full value-hash oracle.
+# --------------------------------------------------------------------------
+@query(
+    "stats_join_cardinality",
+    oracle="""
+    WITH la AS (SELECT CAST(count(*) AS BIGINT) AS n_left,
+                       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_left
+                FROM orders),
+    ra AS (SELECT CAST(count(*) AS BIGINT) AS n_right,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_right
+           FROM lineitem),
+    act AS (
+        SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS actual_rows
+        FROM (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1) a
+        JOIN (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) b
+          USING (k)
+    )
+    SELECT n_left, ndv_left, n_right, ndv_right,
+           CAST(floor(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                      / greatest(ndv_left, ndv_right)) AS BIGINT)
+               AS estimated_rows,
+           actual_rows
+    FROM la CROSS JOIN ra CROSS JOIN act
+    """,
+)
+def stats_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import join_cardinality_estimate
+
+    orders = load_table(spark, sf, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    li = load_table(spark, sf, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    return join_cardinality_estimate(orders, li, "orderkey")

@@ -300,3 +300,28 @@ def test_refresh_join_from_cdf_left_join_variant(spark):
     assert sorted(map(tuple, out.collect()), key=str) == sorted(
         map(tuple, want.collect()), key=str
     )
+
+
+def test_join_cardinality_estimate_exact_under_containment_and_skew_gap(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.profile import join_cardinality_estimate
+
+    # containment + uniform: estimate == actual
+    left = spark.createDataFrame([Row(k=i % 10, v=i) for i in range(100)])
+    right = spark.createDataFrame([Row(k=i, w=i) for i in range(10)])
+    r = join_cardinality_estimate(left, right, "k").collect()[0]
+    assert r["estimated_rows"] == r["actual_rows"] == 100
+    # skew breaks the uniformity assumption visibly: estimate < actual
+    skew = spark.createDataFrame(
+        [Row(k=0, v=i) for i in range(90)] + [Row(k=i, v=i) for i in range(1, 11)]
+    )
+    r2 = join_cardinality_estimate(skew, skew.select("k"), "k").collect()[0]
+    assert r2["actual_rows"] > r2["estimated_rows"]
+    # disjoint keys: actual 0, estimate > 0 — the report shows the gap
+    dis = join_cardinality_estimate(
+        spark.createDataFrame([Row(k=1, v=1)]),
+        spark.createDataFrame([Row(k=2, w=1)]),
+        "k",
+    ).collect()[0]
+    assert dis["actual_rows"] == 0 and dis["estimated_rows"] == 1

@@ -330,3 +330,47 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (deg*(deg-1))
+    over the undirected simple graph — how close each node's
+    neighborhood is to a clique (community-density / spam-farm signal).
+    Degree-1 nodes read 0.0. One triangle pass + one degree aggregation
+    + a (node-keyed) join; rounded to 4 decimals for engine-stable
+    hashing."""
+    from momyre_spark.functions.numeric import round_half_up
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(e, src_col="a", dst_col="b")
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0)
+        * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+            "n_triangles"
+        ),
+        round_half_up(cc, 4).alias("clustering"),
+    )

@@ -202,3 +202,55 @@ def graph_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.graph import triangle_counts
 
     return triangle_counts(_host_edges(spark)).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (operators/graph.clustering_coefficients):
+# triangles + degrees composed — 2*tri/(deg*(deg-1)), degree-1 nodes 0.
+# Full SQL oracle over the same host graph.
+# --------------------------------------------------------------------------
+_CC2_ORACLE = f"""
+    WITH edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node
+    ),
+    tri AS (
+        SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        FROM e ab JOIN e bc ON bc.a = ab.b
+        JOIN e ca ON ca.a = ab.a AND ca.b = bc.b
+    ),
+    tcnt AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node AS node, degree,
+           CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(CASE WHEN degree >= 2
+                      THEN 2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)
+                           / CAST(degree * (degree - 1) AS DOUBLE)
+                      ELSE 0.0 END * 10000 + 0.5) / 10000.0 AS clustering
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    ORDER BY node
+"""
+
+
+@query("graph_clustering_coefficients", oracle=_CC2_ORACLE)
+def graph_clustering_coefficients(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import clustering_coefficients
+
+    return clustering_coefficients(_host_edges(spark)).orderBy("node")

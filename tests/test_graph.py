@@ -171,3 +171,19 @@ def test_triangle_counts_known_graph(spark):
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
     assert 5 not in out
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import clustering_coefficients
+
+    # triangle {1,2,3} + pendant 3-4: nodes 1,2 have cc=1.0 (deg 2, 1
+    # triangle); node 3 deg 3, 1 triangle -> 2/(3*2)=0.3333; node 4 deg 1
+    # -> 0.0 by contract
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    out = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert out[1]["clustering"] == 1.0 and out[2]["clustering"] == 1.0
+    assert out[3]["clustering"] == 0.3333 and out[3]["degree"] == 3
+    assert out[4]["clustering"] == 0.0 and out[4]["n_triangles"] == 0

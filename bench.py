@@ -102,6 +102,11 @@ HEADLINE = [
     "sim_topk_ivfpq",
     "stats_value_quantiles",
     "pipe_preference_pairs",
+    # round-6: star-view maintenance from mixed fact/dim feeds (anti/semi
+    # dirty-surface joins + rebuild-slice star join), and the IVF-PQ
+    # recall report (both searches + the change-bounded compare)
+    "cdc_two_join_view_refresh",
+    "sim_ivfpq_recall",
 ]
 
 

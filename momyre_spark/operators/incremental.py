@@ -183,3 +183,61 @@ def refresh_join_from_cdf(
     l = left_new.join(dirty, join_col, "left_semi")
     r = right_new.join(dirty, join_col, "left_semi")
     return kept.unionByName(l.join(r, join_col, how).select(*mat.columns))
+
+
+def refresh_star_join_from_cdf(
+    mat: DataFrame,
+    fact_new: DataFrame,
+    dims: dict[str, tuple[DataFrame, DataFrame | None]],
+    cdf_fact: DataFrame | None,
+    fact_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Incrementally refresh a materialized STAR join (fact + N dims, each
+    dim equi-joined to the fact on its own column) from change feeds — the
+    multi-table lift of :func:`refresh_join_from_cdf`:
+
+        M_new = M_old minus every dirty neighborhood
+              ∪ (dirty fact rows) ⋈ dim_1 ⋈ ... ⋈ dim_N
+
+    Dirtiness is tracked per join surface: a fact change dirties that fact
+    ROW (by ``fact_key`` — fact rows have identity, unlike the keyed
+    neighborhoods of the 2-table case); a dim change dirties every view
+    row joined through the touched dim-key value, from BOTH images (a dim
+    row that moves its join-key value invalidates the old neighborhood and
+    populates the new one). The rebuild set is the union of (a) changed
+    fact rows and (b) surviving fact rows in any dirty dim neighborhood —
+    assembled as an EXCLUSIVE anti-then-semi chain so a fact row picked up
+    by several dirty surfaces rebuilds exactly once, with no uniqueness
+    assumption on any key.
+
+    Scale shape: every dirty set is change-sized, so the anti/semi joins
+    broadcast; the carried view rows never rescan, and the dim joins in
+    the rebuild see only the rebuild slice on the probe side (dims are
+    the build/broadcast side in a star). ``mat`` must carry ``fact_key``
+    and every dim join column (it IS a prior output of the same join
+    projection). Join keys must be NON-NULL, as in the 2-table case."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"refresh_star_join_from_cdf: unsupported how={how!r}")
+    surfaces: list[tuple[str, DataFrame]] = []
+    if cdf_fact is not None:
+        surfaces.append((fact_key, cdf_fact.select(fact_key).distinct()))
+    for col, (_dim, cdf) in dims.items():
+        if cdf is not None:
+            surfaces.append((col, cdf.select(col).distinct()))
+    if not surfaces:
+        return mat
+    kept = mat
+    for col, dirty in surfaces:
+        kept = kept.join(dirty, col, "left_anti")
+    remaining = fact_new
+    picked: list[DataFrame] = []
+    for col, dirty in surfaces:
+        picked.append(remaining.join(dirty, col, "left_semi"))
+        remaining = remaining.join(dirty, col, "left_anti")
+    rebuild = picked[0]
+    for p in picked[1:]:
+        rebuild = rebuild.unionByName(p)
+    for col, (dim, _cdf) in dims.items():
+        rebuild = rebuild.join(dim, col, how)
+    return kept.unionByName(rebuild.select(*mat.columns))

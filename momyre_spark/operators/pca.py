@@ -39,8 +39,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+_MOMENT_FANIN = 32
+
+
 def _moments(emb: DataFrame, vec_col: str, dim: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """(sum_vec, sum_outer, n) over the corpus — one scan, O(d^2) result."""
+    """(sum_vec, sum_outer, n) over the corpus — one scan, O(d^2) result.
+
+    Tree-reduced: the per-partition partials (one O(d^2) row EACH) are
+    folded executor-side through a ~``_MOMENT_FANIN``-way intermediate
+    level and a final single-task fold, so the driver receives exactly ONE
+    row whatever the input parallelism. Without the tree, 10k partitions
+    at d=1024 would ship ~80 GB of partial moments to the driver; with it
+    the driver-facing traffic is ~8 MB at any scale (the intermediate
+    shuffle moves the same partials executor-to-executor, where they
+    belong)."""
     schema = StructType.fromDDL("n BIGINT, s ARRAY<DOUBLE>, o ARRAY<DOUBLE>")
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -56,12 +68,26 @@ def _moments(emb: DataFrame, vec_col: str, dim: int) -> tuple[np.ndarray, np.nda
             o += m.T @ m
         yield pd.DataFrame({"n": [n], "s": [s.tolist()], "o": [o.ravel().tolist()]})
 
-    parts = emb.select(vec_col).mapInPandas(partial, schema=schema).collect()
-    n = sum(r["n"] for r in parts)
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        o = np.zeros(dim * dim)
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                n += int(r["n"])
+                s += np.asarray(r["s"], dtype=np.float64)
+                o += np.asarray(r["o"], dtype=np.float64)
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "o": [o.tolist()]})
+
+    parts = emb.select(vec_col).mapInPandas(partial, schema=schema)
+    mid = parts.repartition(_MOMENT_FANIN).mapInPandas(fold, schema=schema)
+    rows = mid.repartition(1).mapInPandas(fold, schema=schema).collect()
+    assert len(rows) == 1  # the whole point: O(1) driver-facing rows
+    n = int(rows[0]["n"])
     if n == 0:
         raise ValueError("momyre: PCA needs a non-empty corpus")
-    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
-    o = np.sum([np.array(r["o"]).reshape(dim, dim) for r in parts], axis=0)
+    s = np.asarray(rows[0]["s"], dtype=np.float64)
+    o = np.asarray(rows[0]["o"], dtype=np.float64).reshape(dim, dim)
     return s, o, n
 
 

@@ -84,7 +84,8 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Compress each vector to its m nearest-centroid codes:
-    ``(id_col, pq_code: array<int>)``. Map-only."""
+    ``(id_col, pq_code: array<int>)``. Map-only; the id rides through
+    with its NATIVE type (string/UUID ids are as valid as ints)."""
     import numpy as np
 
     books = np.asarray(codebooks)
@@ -107,8 +108,9 @@ def pq_encode(
                 {id_col: pdf[id_col].to_numpy(), "pq_code": list(out)}
             )
 
+    id_type = emb.schema[id_col].dataType.simpleString()
     return emb.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, pq_code array<integer>"
+        encode, schema=f"{id_col} {id_type}, pq_code array<integer>"
     )
 
 
@@ -358,14 +360,17 @@ def ivfpq_topk_indexed(
     # sibling searches cap), not the row count, or raising nprobe would
     # spuriously reject valid workloads
     qrows = qcells.limit(MAX_QUERIES * max(1, nprobe) + 1).collect()
-    if len({int(r["query_id"]) for r in qrows}) > MAX_QUERIES:
+    if len({r["query_id"] for r in qrows}) > MAX_QUERIES:
         raise ValueError(
             "ivfpq_topk_indexed: query set must be broadcastable (100k cap)"
         )
-    tables: dict[int, list[float]] = {}
-    qvecs: dict[int, list[float]] = {}
+    # ids ride through with their NATIVE type (string/UUID ids are as
+    # valid as ints — the broadcast schema is built from the query frame,
+    # matching the sibling ivf_topk_indexed's contract)
+    tables: dict = {}
+    qvecs: dict = {}
     for r in qrows:
-        qid = int(r["query_id"])
+        qid = r["query_id"]
         if qid not in tables:
             qv = np.asarray(r["__qv"], dtype=np.float64)
             tbl = np.empty((m, codes))
@@ -374,20 +379,38 @@ def ivfpq_topk_indexed(
                 tbl[j] = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
             tables[qid] = [float(x) for x in tbl.ravel()]
             qvecs[qid] = [float(x) for x in qv]
+    from pyspark.sql import types as T
+
+    id_type = qcells.schema["query_id"].dataType
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("__qcell", T.IntegerType()),
+            T.StructField("__tbl", T.ArrayType(T.DoubleType())),
+            T.StructField("__qv", T.ArrayType(T.DoubleType())),
+        ]
+    )
     qframe = spark.createDataFrame(
         [
-            (int(r["query_id"]), int(r["__qcell"]),
-             tables[int(r["query_id"])], qvecs[int(r["query_id"])])
+            (r["query_id"], int(r["__qcell"]),
+             tables[r["query_id"]], qvecs[r["query_id"]])
             for r in qrows
         ],
-        "query_id long, __qcell int, __tbl array<double>, __qv array<double>",
+        qschema,
     )
     probe = sorted({int(r["__qcell"]) for r in qrows})
     from momyre_spark.operators.similarity import _ivf_corpus
 
+    # pq_code IS NOT NULL: a PQ index fed through plain ivf_index_add
+    # (ivf_kind left at 'ivf') reads NULL pq_code via the explicit-schema
+    # union; a NULL ADC distance under default NULLS FIRST would flood
+    # every shortlist and silently displace real candidates. Un-encoded
+    # rows cannot be ADC-ranked at all, so they are excluded here — use
+    # ivfpq_index_add to keep tail rows searchable.
     corpus = (
         _ivf_corpus(spark, root)
         .filter(F.col("cell").isin(probe))
+        .filter(F.col("pq_code").isNotNull())
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col("nvec").alias("__cv"),
@@ -408,7 +431,7 @@ def ivfpq_topk_indexed(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").asc(), F.col("neighbor_id")
+        F.col("__d2").asc_nulls_last(), F.col("neighbor_id")
     )
     cand = (
         corpus.join(

@@ -386,7 +386,13 @@ def _centroid_rows(
         rows = (
             emb.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
         )
-        return [(int(r[id_col]), _unit(list(r[vec_col]))) for r in rows]
+        # cell ids are the source row ids when integral (mirrors the SQL
+        # oracles' `vec_id AS cent_id`); non-integral ids (string/UUID
+        # corpora) fall back to the deterministic position in id order —
+        # cells are int-labeled partition values on disk either way
+        if rows and isinstance(rows[0][id_col], int):
+            return [(int(r[id_col]), _unit(list(r[vec_col]))) for r in rows]
+        return [(i, _unit(list(r[vec_col]))) for i, r in enumerate(rows)]
     # explicit centroids: either bare vectors (ids = position) or
     # id-carrying (cent_id, vector) tuples (e.g. a cached first_c resolve)
     if centroids and isinstance(centroids[0], tuple):
@@ -690,11 +696,22 @@ def ann_recall_report(
     scans that produced them; one equi-join on (query_id, neighbor_id) and
     one hash agg. At 100 TB the report costs what the two searches cost;
     the comparison itself is free.
+
+    Both pair sets are de-duplicated before the join: a neighbor list can
+    legitimately repeat a (query_id, neighbor_id) pair (the same vec_id in
+    both IVF base and add-tail after a re-ingest), and a duplicate on
+    either side would fan out the left join, inflating n_exact/n_hit so
+    recall no longer measures |approx ∩ exact| / |exact top-k|.
     """
-    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    e = (
+        exact.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     a = (
         approx.filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
+        .distinct()
         .withColumn("__hit", F.lit(1))
     )
     per = (
@@ -1127,12 +1144,26 @@ def token_slices(
     per-token vectors directly and skip this).
 
     Output: ``(id_col, token_pos, vec)``, one row per sub-vector. Map-only
-    (posexplode of a slice transform); D must divide evenly."""
+    (posexplode of a slice transform); D must divide evenly — enforced at
+    runtime (mirroring train_pq_codebooks' 'dim not divisible' error): a
+    fractional sub-width would int-truncate into misaligned slices that
+    silently drop trailing dimensions."""
     d = F.size(F.col(vec_col))
     sub = d / F.lit(n_tokens)
-    slices = F.transform(
-        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
-        lambda t: F.slice(F.col(vec_col), (t * sub + 1).cast("int"), sub.cast("int")),
+    guard = F.raise_error(
+        F.concat(
+            F.lit("token_slices: dim "),
+            d.cast("string"),
+            F.lit(f" not divisible by n_tokens={n_tokens}"),
+        )
+    )
+    slices = F.when(d % n_tokens != 0, guard).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda t: F.slice(
+                F.col(vec_col), (t * sub + 1).cast("int"), sub.cast("int")
+            ),
+        )
     )
     return emb.select(
         id_col, F.posexplode(slices).alias("token_pos", "vec")

@@ -191,15 +191,35 @@ def value_histogram(
 
     NULL values are EXCLUDED from the distribution (the standard
     percentile contract) — without the filter every NULL comparison would
-    descend the low branch and silently count as the smallest value."""
+    descend the low branch and silently count as the smallest value. NaN
+    is excluded alongside NULL (it casts to a NULL decimal, which would
+    otherwise be indistinguishable from overflow). Values whose DECIMAL
+    cast overflows (|v| >= 1e12 at scale 6) cannot enter the WHEN tree —
+    every NULL comparison is false and would descend to bin 0, silently
+    counting extremes as the SMALLEST value; instead they are routed by
+    sign: positive overflow to the unbounded overflow bin
+    (len(boundaries), estimate = NULL downstream — visible, never
+    fabricated), negative overflow to bin 0 (below the first edge, same
+    as any other sub-grid value)."""
     from momyre_spark.functions.numeric import round_half_up
 
-    val = round_half_up(
-        F.col(value_col).cast("double"), QUANTILE_VALUE_SCALE
-    ).cast("decimal(18,6)")
+    raw = F.col(value_col).cast("double")
+    rd = round_half_up(raw, QUANTILE_VALUE_SCALE)
+    # range-guard BEFORE the decimal cast: |v| >= 1e12 cannot fit
+    # DECIMAL(18,6) — under ANSI the cast would throw, under non-ANSI it
+    # NULLs (and a NULL comparison descends the WHEN tree to bin 0)
+    in_range = (rd > F.lit(-1.0e12)) & (rd < F.lit(1.0e12))
+    val = (
+        F.when(in_range, rd).otherwise(F.lit(None)).cast("decimal(18,6)")
+    )
+    bin_expr = (
+        F.when(val.isNull() & (raw < 0), F.lit(0))
+        .when(val.isNull(), F.lit(len(boundaries)))
+        .otherwise(_bin_search_expr(val, boundaries))
+    )
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .withColumn("bin", _bin_search_expr(val, boundaries).cast("int"))
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(raw))
+        .withColumn("bin", bin_expr.cast("int"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -107,6 +107,27 @@ def graph_domain_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("node")
 
 
+# The durable-cut twin: identical ranks BY CONTRACT (the file-based
+# lineage cut changes recovery semantics, never values — exactness is the
+# BIGINT unit arithmetic either way), so it shares the unrolled-CTE
+# oracle verbatim and the driver pins the checkpoint/recovery path with
+# the same value hash. The cut directory is per-run (uuid) under the JVM
+# temp dir; pagerank documents that the caller owns cleanup — a
+# bench/correctness drive leaves a few KB of parquet in /tmp.
+@query("graph_domain_pagerank_durable", oracle=_pr_oracle())
+def graph_domain_pagerank_durable(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from momyre_spark.operators.graph import pagerank
+
+    return pagerank(
+        _host_edges(spark),
+        damping=_DAMP,
+        max_iter=_PR_ITERS,
+        checkpoint_dir=f"{tempfile.gettempdir()}/momyre_pr_cuts",
+    ).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # Connected components (operators/graph.connected_components -> the same
 # min-label propagation as dedup.duplicate_components): a SPARSER slice of

@@ -726,6 +726,98 @@ def cdc_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Multi-table incremental view maintenance (operators/incremental.
+# refresh_star_join_from_cdf): a lineitem x part x supplier STAR view
+# maintained from changes on BOTH the fact and one dim — the shape real
+# serving views have. The batch simulates: fact inserts, a fact update
+# that MOVES its part join key (handled by fact-row identity: the old
+# view row dies by fact_id, the new key's neighborhood rebuilds), and a
+# non-key supplier update (dirties every view row through that suppkey).
+# The part dim has NO feed this batch (cdf=None) — the mixed case. The
+# oracle is the full recompute of the new state: a hash match proves the
+# maintenance.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_two_join_view_refresh",
+    oracle=f"""
+    SELECT l_orderkey * 10 + l_linenumber AS fact_id,
+           l_partkey AS partkey, l_suppkey AS suppkey, p_name,
+           {round4_sql('s_acctbal')} AS acctbal,
+           {round4_sql('l_extendedprice')} AS price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY fact_id
+    """,
+)
+def cdc_two_join_view_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.incremental import refresh_star_join_from_cdf
+
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_name"
+    )
+    supp = load_table(spark, sf, "supplier")
+    fact_id = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("fact_id")
+    ins = F.col("l_orderkey") % 7 == 0              # rows absent yesterday
+    moved = (F.col("l_orderkey") % 97 == 0) & ~ins  # part key moved today
+    old_key = (F.col("l_partkey") % 100) + 1
+    upd_s = F.col("s_suppkey") % 10 == 0            # non-key dim update
+
+    def fact_side(as_of_v1: bool) -> DataFrame:
+        key = (
+            F.when(moved, old_key).otherwise(F.col("l_partkey"))
+            if as_of_v1
+            else F.col("l_partkey")
+        )
+        df = li.select(
+            fact_id, key.alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"), "l_extendedprice",
+        )
+        return df.filter(~ins) if as_of_v1 else df
+
+    def supp_side(as_of_v1: bool) -> DataFrame:
+        bal = (
+            F.when(upd_s, F.col("s_acctbal") + 100).otherwise(F.col("s_acctbal"))
+            if as_of_v1
+            else F.col("s_acctbal")
+        )
+        return supp.select(
+            F.col("s_suppkey").alias("suppkey"), bal.alias("s_acctbal")
+        )
+
+    mat = fact_side(True).join(part, "partkey").join(supp_side(True), "suppkey")
+    cdf_fact = (
+        li.filter(ins)
+        .select(fact_id, F.lit("insert").alias("__change"))
+        .unionByName(
+            li.filter(moved).select(
+                fact_id, F.lit("update_postimage").alias("__change")
+            )
+        )
+    )
+    cdf_supp = supp.filter(upd_s).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.lit("update_postimage").alias("__change"),
+    )
+    out = refresh_star_join_from_cdf(
+        mat,
+        fact_side(False),
+        {"partkey": (part, None), "suppkey": (supp_side(False), cdf_supp)},
+        cdf_fact,
+        "fact_id",
+    )
+    return out.select(
+        "fact_id",
+        "partkey",
+        "suppkey",
+        "p_name",
+        round_half_up(F.col("s_acctbal"), 4).alias("acctbal"),
+        round_half_up(F.col("l_extendedprice"), 4).alias("price"),
+    ).orderBy("fact_id")
+
+
+# --------------------------------------------------------------------------
 # Hot-key diagnosis (operators/skew.key_skew_report): the top heaviest
 # join-key values with their skew vs the mean key and the salt factor
 # salted_join would need — read from data, not guessed. TakeOrdered top-N

@@ -952,6 +952,38 @@ def sim_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# Recall@k of the persisted IVF-PQ search vs exact brute force, as a FULL
+# value-hash oracle (the sim_ivf_recall pattern): the shortlist is set
+# covering (refine*k >= any probed cell's population at bench scales), so
+# the exact-cosine re-rank neutralizes the ADC approximation and the
+# measured recall is exactly the SQL-expressible cell-pruning recall — the
+# oracle IS _DUCK_IVF_RECALL. What the driver hash then pins through the
+# real ivfpq_topk_indexed path: heal ordering, cell probing, the
+# ADC-shortlist window (every true candidate must survive it — the r05
+# NULLS-FIRST flooding bug would have broken this hash), refine re-rank,
+# and ann_recall_report itself. The ADC lossiness at NON-covering refine
+# stays pinned by pytest recall floors (test_similarity_ops.py).
+_COVERING_REFINE = 1_000  # shortlist 10k >= cell population at sf<=0.1
+
+
+@query("sim_ivfpq_recall", oracle=_DUCK_IVF_RECALL)
+def sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pq import ivfpq_topk_indexed
+    from momyre_spark.operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = _queries_df(spark, sf)
+    exact = brute_force_topk(emb, qs, k=TOP_K)
+    root = _ivfpq_index_dir(spark, sf)
+    approx = ivfpq_topk_indexed(
+        spark, root, qs, k=TOP_K, nprobe=1, refine=_COVERING_REFINE
+    )
+    return ann_recall_report(exact, approx, k=TOP_K)
+
+
 # --------------------------------------------------------------------------
 # Per-dimension embedding QA (map-only posexplode + one hash agg): mean /
 # std / min / max / zero-fraction per coordinate — the "is a dimension

@@ -379,6 +379,22 @@ def ingest_batch(
                 f"{root}/_lsh_sigs/epoch={epoch}"
             )
         if ivf_root is not None and ivf_vec_col in cols:
+            # guard the kind against the on-disk layout: plain ivf adds
+            # into a PQ index would leave NULL pq_code tail rows that ADC
+            # search cannot rank (it excludes them) — fail loud at ingest
+            # instead of silently shrinking the searchable corpus
+            from momyre_spark.operators.similarity import _ivf_fs
+
+            jvm, fs = _ivf_fs(spark, ivf_root)
+            has_books = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{ivf_root}/codebooks")
+            )
+            if has_books != (ivf_kind == "ivfpq"):
+                raise ValueError(
+                    f"ingest_batch: ivf_kind={ivf_kind!r} does not match "
+                    f"the index layout at {ivf_root} "
+                    f"({'has' if has_books else 'no'} codebooks/)"
+                )
             if ivf_kind == "ivfpq":
                 from momyre_spark.operators.pq import (
                     ivfpq_index_add as ivf_index_add,

@@ -325,3 +325,58 @@ def test_join_cardinality_estimate_exact_under_containment_and_skew_gap(spark):
         "k",
     ).collect()[0]
     assert dis["actual_rows"] == 0 and dis["estimated_rows"] == 1
+
+
+def test_refresh_star_join_from_cdf_mixed_surfaces(spark):
+    """Star-view maintenance (fact + 2 dims): fact insert, fact update
+    that MOVES a dim join key, dim non-key update, and one dim with NO
+    feed this batch. Untouched rows carry via anti-joins; a fact row
+    dirtied through several surfaces rebuilds exactly once."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.incremental import refresh_star_join_from_cdf
+
+    dim_a = spark.createDataFrame(
+        [Row(a=1, aname="a1"), Row(a=2, aname="a2"), Row(a=3, aname="a3")]
+    )
+
+    def dim_b(v1):
+        return spark.createDataFrame(
+            [Row(b=7, bval=70 + (100 if v1 else 0)), Row(b=8, bval=80)]
+        )
+
+    fact_v1 = spark.createDataFrame(
+        [Row(fid=1, a=1, b=8), Row(fid=2, a=2, b=7), Row(fid=3, a=3, b=8)]
+    )
+    # fid=2 moves a 2->3 (fact change); fid=4 inserted; dim_b(7) updated
+    fact_v2 = spark.createDataFrame(
+        [Row(fid=1, a=1, b=8), Row(fid=2, a=3, b=7), Row(fid=3, a=3, b=8),
+         Row(fid=4, a=1, b=7)]
+    )
+    mat = fact_v1.join(dim_a, "a").join(dim_b(True), "b")
+    cdf_fact = spark.createDataFrame(
+        [Row(fid=2, __change="update_postimage"), Row(fid=4, __change="insert")]
+    )
+    cdf_b = spark.createDataFrame([Row(b=7, __change="update_postimage")])
+    out = refresh_star_join_from_cdf(
+        mat, fact_v2,
+        {"a": (dim_a, None), "b": (dim_b(False), cdf_b)},
+        cdf_fact, "fid",
+    )
+    want = fact_v2.join(dim_a, "a").join(dim_b(False), "b")
+    assert sorted(map(tuple, out.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # each output fid appears exactly once (no double rebuild: fid=2 is
+    # dirty via BOTH the fact feed and dim_b's key 7)
+    fids = [r["fid"] for r in out.collect()]
+    assert sorted(fids) == [1, 2, 3, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+    # no feeds at all -> the view returns as-is
+    same = refresh_star_join_from_cdf(
+        mat, fact_v2, {"a": (dim_a, None), "b": (dim_b(False), None)},
+        None, "fid",
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(map(tuple, mat.collect()))

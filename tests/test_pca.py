@@ -98,3 +98,23 @@ def test_plan_is_map_only_after_training(spark):
     m = train_pca(df, k=2)
     plan = apply_pca(df, m)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_moments_tree_reduce_driver_receives_one_row(spark):
+    """VERDICT r05: _moments must not ship one O(d^2) partial row per
+    partition to the driver (10k partitions x d=1024 ~ 80 GB). The tree
+    fold collapses the partials executor-side; the driver-facing frame is
+    exactly ONE row at any input parallelism, and the folded moments match
+    a flat single-pass reference."""
+    from momyre_spark.operators.pca import _moments
+
+    df, data = _frame(spark, n=300, d=8)
+    many = df.repartition(24)  # force many partials
+    s, o, n = _moments(many, "embedding", 8)
+    assert n == 300
+    assert np.allclose(s, data.sum(axis=0), atol=1e-9)
+    assert np.allclose(o, data.T @ data, atol=1e-8)
+    # and train_pca over 24 partitions equals train_pca over 1
+    m_many = train_pca(many, k=3)
+    m_one = train_pca(df.coalesce(1), k=3)
+    assert np.allclose(m_many["components"], m_one["components"], atol=1e-8)

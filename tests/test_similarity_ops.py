@@ -1159,3 +1159,81 @@ def test_ivfpq_rebuild_drops_stale_add_tail(spark, tmp_path):
     exact = brute_force_topk(emb.filter("vec_id < 100"),
                              emb.filter("vec_id < 3"), k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_token_slices_rejects_indivisible_dim(spark):
+    """ADVICE r05: 'D must divide evenly' is enforced, not just
+    documented — a fractional sub-width would int-truncate into
+    misaligned slices that silently drop trailing dimensions."""
+    import pytest
+    from momyre_spark.operators import similarity as sim
+
+    emb = _embs(spark, n=4, dim=10)  # 10 % 4 != 0
+    with pytest.raises(Exception, match="not divisible"):
+        sim.token_slices(emb, n_tokens=4).collect()
+    # divisible dims still slice cleanly and cover every dimension
+    ok = sim.token_slices(_embs(spark, n=2, dim=12), n_tokens=4).collect()
+    assert len(ok) == 2 * 4
+    assert all(len(r["vec"]) == 3 for r in ok)
+
+
+def test_ann_recall_report_dedups_duplicate_pairs(spark):
+    """ADVICE r05: duplicate (query_id, neighbor_id) rows (same vec_id in
+    IVF base + add-tail after a re-ingest) must not fan out the join —
+    n_exact stays |exact top-k| and recall stays <= 1."""
+    from momyre_spark.operators.similarity import ann_recall_report
+
+    emb = _embs(spark)
+    queries = emb.filter("vec_id < 3")
+    exact = brute_force_topk(emb, queries, k=5)
+    doubled = exact.union(exact)  # duplicates on BOTH sides
+    rep = {r["query_id"]: r for r in
+           ann_recall_report(doubled, doubled, k=5).collect()}
+    assert all(r["n_exact"] == 5 and r["n_hit"] == 5 and r["recall"] == 1.0
+               for r in rep.values())
+
+
+def test_ivfpq_topk_indexed_string_ids(spark, tmp_path):
+    """ADVICE r05: ivfpq_topk_indexed carries the id through with its
+    native type (string/UUID ids work like the sibling ivf_topk_indexed),
+    instead of hardcoding a 'query_id long' broadcast schema."""
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+
+    emb = _embs(spark, n=80, dim=16).select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 3, "0")
+                 ).alias("vec_id"),
+        "embedding",
+    )
+    root = str(tmp_path / "ivfpq_str")
+    build_ivfpq_index(emb, root, num_cells=4, m=4, codes=8,
+                      centroids="first_c")
+    q = emb.filter("vec_id IN ('doc-000', 'doc-001')")
+    got = ivfpq_topk_indexed(spark, root, q, k=5, nprobe=4, refine=100)
+    exact = brute_force_topk(emb, q, k=5, id_col="vec_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_ivfpq_null_pq_code_tail_never_floods_shortlist(spark, tmp_path):
+    """ADVICE r05: rows added with plain ivf_index_add into a PQ index
+    read NULL pq_code; a NULL ADC distance under default NULLS FIRST
+    would flood every shortlist. They are excluded from ADC ranking
+    (and the shortlist orders nulls last as defense in depth)."""
+    from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
+    from momyre_spark.operators.similarity import ivf_index_add
+
+    emb = _embs(spark, n=100, dim=16)
+    root = str(tmp_path / "ivfpq_mixed")
+    build_ivfpq_index(emb.filter("vec_id < 90"), root, num_cells=4, m=4,
+                      codes=8, centroids="first_c")
+    # the WRONG ingest kind: un-encoded tail rows
+    ivf_index_add(spark, root, emb.filter("vec_id >= 90"))
+    q = emb.filter("vec_id < 3")
+    got = ivfpq_topk_indexed(spark, root, q, k=5, nprobe=4, refine=100)
+    exact = brute_force_topk(emb.filter("vec_id < 90"), q, k=5)
+    # encoded base is still ranked exactly; NULL-code tail rows are
+    # excluded rather than displacing every true neighbor
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exact.collect())
+    )

@@ -265,3 +265,38 @@ def test_quantile_gate_keeps_null_values(spark):
     # the NULL row survives: the gate never measured it, so it cannot
     # have exceeded the threshold
     assert any(r["v"] is None for r in out)
+
+
+def test_histogram_decimal_overflow_routes_to_overflow_bin(spark):
+    """ADVICE r05: values whose DECIMAL(18,6) cast overflows (>= ~1e12)
+    must land in the OVERFLOW bin, not silently count as the smallest
+    value (a NULL decimal makes every WHEN comparison false, descending
+    to bin 0). NaN is excluded like NULL; negative overflow is below the
+    grid, i.e. bin 0."""
+    from momyre_spark.operators.sketches import (
+        geometric_boundaries,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    bl = geometric_boundaries(-1, 1, 8)
+    df = spark.createDataFrame(
+        [
+            Row(g="a", v=1.0),
+            Row(g="a", v=2.0),
+            Row(g="a", v=1e13),        # decimal overflow -> overflow bin
+            Row(g="a", v=float("nan")),  # excluded entirely
+            Row(g="a", v=-1e13),       # negative overflow -> bin 0
+        ],
+        "g string, v double",
+    )
+    state = {r["bin"]: r["n"] for r in
+             value_histogram(df, ["g"], "v", bl).collect()}
+    assert state.get(len(bl)) == 1          # 1e13 in the unbounded bin
+    assert state.get(0) == 1                # -1e13 below the grid
+    assert sum(state.values()) == 4         # NaN never counted
+    # and the quantile that resolves in the overflow bin reads NULL
+    out = {r["q"]: r for r in quantiles_from_histogram(
+        value_histogram(df, ["g"], "v", bl), ["g"], bl, qs=(0.99,)
+    ).collect()}
+    assert out[0.99]["est"] is None

@@ -26,6 +26,10 @@ QUERIES = [
     # window read)
     "sim_maxsim_pruned",
     "stats_value_quantiles",
+    # round 6: compressed-domain search against the persisted IVF-PQ index
+    # (probe -> partition filter, ADC in codegen; cost tracks the probed
+    # cells' population, not the corpus)
+    "sim_topk_ivfpq",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

@@ -107,6 +107,11 @@ HEADLINE = [
     # recall report (both searches + the change-bounded compare)
     "cdc_two_join_view_refresh",
     "sim_ivfpq_recall",
+    # round-6 second wave: PII scrub (map-only regex battery at IO speed)
+    # and the Gopher repetition metrics (3 explode+agg surfaces joined
+    # doc-keyed)
+    "text_pii_scrub",
+    "text_repetition_report",
 ]
 
 

@@ -220,3 +220,133 @@ def quantile_gate(
         )
         .drop("__thr")
     )
+
+
+def repetition_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher/MassiveText REPETITION metrics — the half of the published
+    quality battery :func:`gopher_gates` doesn't cover: within-document
+    duplicate lines/paragraphs and the top-n-gram character fraction, the
+    signals that catch boilerplate-looping and keyword-stuffed pages.
+
+    Per document:
+
+    - ``dup_line_frac``   : (lines − distinct lines) / lines
+    - ``dup_line_char_frac``: characters in lines occurring ≥2 times (all
+      occurrences) / characters across all lines
+    - ``dup_para_frac`` / ``dup_para_char_frac``: same over ``\\n\\n``
+      paragraphs
+    - ``top{n}_frac``     : occurrences(most frequent word n-gram) ×
+      len(n-gram) / len(space-joined token stream), per requested n
+
+    Lines/paragraphs are the non-blank ``\\n`` / ``\\n\\n`` splits; n-grams
+    are space-joined word windows. Ratios are round-half-up to 6 dp with
+    integer numerators, so a SQL oracle reproduces every bit.
+
+    Shape: one explode + hash-agg per surface (lines, paragraphs, one
+    tagged explode for ALL requested n), each keyed by (doc, unit) — the
+    per-key state is one count, the per-doc rollup is tiny, and the three
+    doc-keyed aggregates co-partition into the final joins. No window over
+    the corpus, no UDF; empty docs surface NULL fractions, never a
+    fabricated 0."""
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.text import tokens
+
+    t = F.col(text_col)
+    nonblank = lambda arr: F.filter(  # noqa: E731
+        arr, lambda x: F.trim(x) != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        nonblank(F.split(t, "\n")).alias("__lines"),
+        nonblank(F.split(t, "\n\n")).alias("__paras"),
+        tokens(t).alias("__toks"),
+    )
+
+    def unit_stats(arr_col: str, prefix: str) -> DataFrame:
+        ex = base.select(id_col, F.explode(arr_col).alias("u"))
+        per_unit = (
+            ex.groupBy(id_col, "u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("ln", F.length("u"))
+        )
+        dup_chars = F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("ln")).otherwise(0))
+        return per_unit.groupBy(id_col).agg(
+            F.sum("c").cast("bigint").alias(f"__{prefix}_n"),
+            F.count(F.lit(1)).cast("bigint").alias(f"__{prefix}_distinct"),
+            F.sum(F.col("c") * F.col("ln")).cast("bigint").alias(f"__{prefix}_chars"),
+            dup_chars.cast("bigint").alias(f"__{prefix}_dup_chars"),
+        )
+
+    lines = unit_stats("__lines", "l")
+    paras = unit_stats("__paras", "p")
+
+    # all requested n in ONE tagged explode: gram rows carry their n.
+    # n is bound via a factory, NOT a lambda default arg — a 2-parameter
+    # lambda makes F.transform pass (element, index) and the "n" silently
+    # becomes the position column.
+    def _gram_array(n: int):
+        return F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda j: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice("__toks", j + 1, n)).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    gram_arrays = [_gram_array(n) for n in ngram_ns]
+    ng = base.select(
+        id_col,
+        F.length(F.concat_ws(" ", "__toks")).cast("bigint").alias("__tok_chars"),
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("gr"),
+    )
+    per_gram = ng.groupBy(
+        id_col, "__tok_chars", F.col("gr.n").alias("n"), F.col("gr.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = per_gram.groupBy(id_col, "__tok_chars").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("c") * F.length("g"))
+            ).cast("bigint").alias(f"__top{n}_chars")
+            for n in ngram_ns
+        ]
+    )
+
+    out = (
+        base.select(id_col)
+        .join(lines, id_col, "left")
+        .join(paras, id_col, "left")
+        .join(top, id_col, "left")
+    )
+    r6 = lambda num, den: round_half_up(  # noqa: E731
+        num.cast("double") / den.cast("double"), 6
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("__l_n"), F.lit(0)).cast("bigint").alias("n_lines"),
+        r6(F.col("__l_n") - F.col("__l_distinct"), F.col("__l_n")).alias(
+            "dup_line_frac"
+        ),
+        r6(F.col("__l_dup_chars"), F.col("__l_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        r6(F.col("__p_n") - F.col("__p_distinct"), F.col("__p_n")).alias(
+            "dup_para_frac"
+        ),
+        r6(F.col("__p_dup_chars"), F.col("__p_chars")).alias(
+            "dup_para_char_frac"
+        ),
+        *[
+            r6(F.col(f"__top{n}_chars"), F.col("__tok_chars")).alias(
+                f"top{n}_frac"
+            )
+            for n in ngram_ns
+        ],
+    )

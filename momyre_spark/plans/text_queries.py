@@ -1011,3 +1011,245 @@ def text_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return strip_boilerplate_lines(docs, min_df_pct=20).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PII detection / scrubbing (operators/pii.py): emails, SSN-shaped ids,
+# phone numbers, IPv4 addresses — the release-safety pass every public
+# training corpus runs. The fixture documents are PII-free (verified), so
+# the queries run over a synthetic corpus GENERATED IDENTICALLY in both
+# engines (id-mod planting over range(N)) — every count, every scrubbed
+# byte, and the corpus rollup carry full value-hash oracles. The patterns
+# use only the Java-regex/RE2 shared syntax, so the oracle is exact.
+# --------------------------------------------------------------------------
+_PII_N = 10_000
+
+_DUCK_PII_CORPUS = f"""
+    pii_docs AS (
+        SELECT i AS doc_id,
+               'doc ' || i || ' reach us at '
+               || CASE WHEN i % 3 = 0
+                       THEN 'user' || i || '@example.com ' ELSE '' END
+               || CASE WHEN i % 5 = 0
+                       THEN 'call 415-555-'
+                            || lpad(CAST(i % 10000 AS VARCHAR), 4, '0')
+                            || ' ' ELSE '' END
+               || CASE WHEN i % 7 = 0
+                       THEN 'ssn 219-09-'
+                            || lpad(CAST(i % 10000 AS VARCHAR), 4, '0')
+                            || ' ' ELSE '' END
+               || CASE WHEN i % 11 = 0
+                       THEN 'host 10.0.' || (i % 256) || '.'
+                            || ((i * 7) % 256) || ' ' ELSE '' END
+               || 'thanks' AS text
+        FROM range({_PII_N}) t(i)
+    )
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_PHONE = "\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def _pii_corpus(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+
+    def part(mod: int, body) -> F.Column:
+        return F.when(i % mod == 0, body).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.lit("doc "), i.cast("string"), F.lit(" reach us at "),
+        part(3, F.concat(F.lit("user"), i.cast("string"),
+                         F.lit("@example.com "))),
+        part(5, F.concat(F.lit("call 415-555-"),
+                         F.lpad((i % 10000).cast("string"), 4, "0"),
+                         F.lit(" "))),
+        part(7, F.concat(F.lit("ssn 219-09-"),
+                         F.lpad((i % 10000).cast("string"), 4, "0"),
+                         F.lit(" "))),
+        part(11, F.concat(F.lit("host 10.0."), (i % 256).cast("string"),
+                          F.lit("."), ((i * 7) % 256).cast("string"),
+                          F.lit(" "))),
+        F.lit("thanks"),
+    )
+    return spark.range(_PII_N).select(
+        i.alias("doc_id"), text.alias("text")
+    )
+
+
+@query(
+    "text_pii_report",
+    oracle=f"""
+    WITH {_DUCK_PII_CORPUS}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{_PII_SSN}'))
+                + len(regexp_extract_all(text, '{_PII_PHONE}'))
+                + len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_pii
+    FROM pii_docs ORDER BY doc_id
+    """,
+)
+def text_pii_report(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pii import pii_report
+
+    return pii_report(_pii_corpus(spark)).orderBy("doc_id")
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH {_DUCK_PII_CORPUS}
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS text
+    FROM pii_docs ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pii import scrub_pii
+
+    return scrub_pii(_pii_corpus(spark)).select("doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "text_pii_summary",
+    oracle=f"""
+    WITH {_DUCK_PII_CORPUS},
+    c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_PII_EMAIL}')) AS email,
+               len(regexp_extract_all(text, '{_PII_SSN}')) AS ssn,
+               len(regexp_extract_all(text, '{_PII_PHONE}')) AS phone,
+               len(regexp_extract_all(text, '{_PII_IP}')) AS ip
+        FROM pii_docs
+    ),
+    u AS (
+        SELECT 'email' AS kind, email AS n FROM c
+        UNION ALL SELECT 'ssn', ssn FROM c
+        UNION ALL SELECT 'phone', phone FROM c
+        UNION ALL SELECT 'ip', ip FROM c
+    )
+    SELECT kind, CAST(sum(n) AS BIGINT) AS n_matches,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM u GROUP BY kind ORDER BY kind
+    """,
+)
+def text_pii_summary(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.pii import pii_summary
+
+    return pii_summary(_pii_corpus(spark)).orderBy("kind")
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition metrics (operators/curate.repetition_report): duplicate
+# line/paragraph fractions (count + character) and top-n-gram character
+# fractions — the repetition half of the MassiveText battery (gopher_gates
+# covers the rule half). Fixture documents are single-line, so the query
+# derives a line structure IDENTICALLY in both engines first: ' slow ' /
+# ' fast ' become paragraph breaks, every remaining space a line break —
+# each word a line, so within-doc duplicate structure is real and varied.
+# Integer numerators + one rounded division per ratio = full value-hash
+# oracle for all 9 columns.
+# --------------------------------------------------------------------------
+@query(
+    "text_repetition_report",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, ' (slow|fast) ',
+                                             chr(10) || chr(10), 'g'),
+                              ' ', chr(10), 'g') AS text
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)),
+                           x -> trim(x) <> '') AS lines,
+               list_filter(string_split(text, chr(10) || chr(10)),
+                           x -> trim(x) <> '') AS paras,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        FROM d
+    ),
+    lg AS (SELECT doc_id, u, count(*) AS c
+           FROM base, UNNEST(lines) AS t(u) GROUP BY 1, 2),
+    lstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS dn,
+                     CAST(sum(c * len(u)) AS BIGINT) AS chars,
+                     CAST(sum(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END)
+                          AS BIGINT) AS dchars
+              FROM lg GROUP BY 1),
+    pg AS (SELECT doc_id, u, count(*) AS c
+           FROM base, UNNEST(paras) AS t(u) GROUP BY 1, 2),
+    pstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS dn,
+                     CAST(sum(c * len(u)) AS BIGINT) AS chars,
+                     CAST(sum(CASE WHEN c > 1 THEN c * len(u) ELSE 0 END)
+                          AS BIGINT) AS dchars
+              FROM pg GROUP BY 1),
+    tk AS (SELECT doc_id, CAST(len(array_to_string(toks, ' ')) AS BIGINT)
+                      AS tok_chars, toks
+           FROM base),
+    gr AS (SELECT tk.doc_id, tk.tok_chars, nn.n AS n,
+                  array_to_string(list_slice(tk.toks, j.j, j.j + nn.n - 1),
+                                  ' ') AS g
+           FROM tk,
+                (SELECT unnest([2, 3, 4]) AS n) nn,
+                UNNEST(range(1, greatest(len(tk.toks) - nn.n + 2, 1)))
+                    AS j(j)),
+    gc AS (SELECT doc_id, tok_chars, n, g, count(*) AS c
+           FROM gr GROUP BY 1, 2, 3, 4),
+    gtop AS (SELECT doc_id, tok_chars,
+                    CAST(max(CASE WHEN n = 2 THEN c * len(g) END) AS BIGINT)
+                        AS t2,
+                    CAST(max(CASE WHEN n = 3 THEN c * len(g) END) AS BIGINT)
+                        AS t3,
+                    CAST(max(CASE WHEN n = 4 THEN c * len(g) END) AS BIGINT)
+                        AS t4
+             FROM gc GROUP BY 1, 2)
+    SELECT b.doc_id,
+           COALESCE(l.n, 0) AS n_lines,
+           floor(CAST(l.n - l.dn AS DOUBLE) / CAST(l.n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS dup_line_frac,
+           floor(CAST(l.dchars AS DOUBLE) / CAST(l.chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS dup_line_char_frac,
+           floor(CAST(p.n - p.dn AS DOUBLE) / CAST(p.n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS dup_para_frac,
+           floor(CAST(p.dchars AS DOUBLE) / CAST(p.chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS dup_para_char_frac,
+           floor(CAST(g.t2 AS DOUBLE) / CAST(g.tok_chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS top2_frac,
+           floor(CAST(g.t3 AS DOUBLE) / CAST(g.tok_chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS top3_frac,
+           floor(CAST(g.t4 AS DOUBLE) / CAST(g.tok_chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS top4_frac
+    FROM base b
+    LEFT JOIN lstat l USING (doc_id)
+    LEFT JOIN pstat p USING (doc_id)
+    LEFT JOIN gtop g USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.curate import repetition_report
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), " (slow|fast) ", "\n\n"),
+            " ", "\n",
+        ).alias("text"),
+    )
+    return repetition_report(docs).orderBy("doc_id")

@@ -115,3 +115,41 @@ def test_gopher_gates_planted_failures(spark):
     assert not got[9]["gate_stopwords"]  # 30x "the" is only 1 DISTINCT stop
     for d in (2, 3, 4, 5, 6, 7, 8, 9):
         assert not got[d]["passes"]
+
+
+def test_repetition_report_hand_computed(spark):
+    """Gopher repetition metrics against hand-computed values: duplicate
+    lines/paragraphs by count and by character mass, top-n-gram character
+    fraction (overlap-correct), NULL (never 0) for empty docs."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.curate import repetition_report
+
+    docs = spark.createDataFrame(
+        [
+            # lines: [a b, a b, c d, a b, a b] -> 5 lines, 3 distinct,
+            # dup chars 4*3=12 of 15; paras: [a b\na b\nc d, a b\na b]
+            Row(doc_id=0, text="a b\na b\nc d\n\na b\na b"),
+            # tokens x y z x3: top2 'x y'x3*3=9/17, top3 'x y z'x3*5=15/17,
+            # top4 'x y z x'x2*7=14/17
+            Row(doc_id=1, text="x y z x y z x y z"),
+            Row(doc_id=2, text=""),
+        ]
+    )
+    rep = {r["doc_id"]: r for r in repetition_report(docs).collect()}
+    r0 = rep[0]
+    assert r0["n_lines"] == 5
+    assert r0["dup_line_frac"] == 0.6            # (5-3)/5
+    assert r0["dup_line_char_frac"] == 0.8       # 12/15
+    assert r0["dup_para_frac"] == 0.0
+    assert r0["top2_frac"] == 0.631579           # 'a b'x4*3 / 19
+    r1 = rep[1]
+    assert r1["top2_frac"] == 0.529412
+    assert r1["top3_frac"] == 0.882353
+    assert r1["top4_frac"] == 0.823529           # 2 overlap-free of 3 windows
+    r2 = rep[2]
+    assert r2["n_lines"] == 0
+    assert all(
+        r2[c] is None
+        for c in ("dup_line_frac", "dup_para_frac", "top2_frac", "top4_frac")
+    )

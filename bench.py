@@ -112,6 +112,10 @@ HEADLINE = [
     # doc-keyed)
     "text_pii_scrub",
     "text_repetition_report",
+    # round-6 third wave: asymmetric containment dedup (contained-side
+    # prefix filter) and blocked-edit-distance record linkage
+    "dedup_containment",
+    "dedup_record_linkage",
 ]
 
 

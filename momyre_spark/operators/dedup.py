@@ -1400,3 +1400,77 @@ def cross_source_fuzzy_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("neardup_pairs"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-CONTAINMENT pairs: ``(a_id, b_id, containment)`` where
+    C(a→b) = |S(a) ∩ S(b)| / |S(a)| >= threshold — the ASYMMETRIC near-dup
+    relation Jaccard misses: a short document quoted wholesale inside a
+    longer one (press-release reposts, boilerplate-wrapped articles) has
+    high containment but low Jaccard, because the union is dominated by the
+    container. Both directions are reported independently (near-identical
+    docs qualify both ways); a_id is always the CONTAINED side.
+
+    Candidates are exact/lossless by prefix filtering on the CONTAINED
+    side only: a needs |S(a)∩S(b)| >= ceil(t·|S(a)|), so missing all of
+    a's |S(a)| − ceil(t·|S(a)|) + 1 rarest shingles is impossible — a
+    indexes just that prefix. The CONTAINER side cannot be pruned (its
+    required overlap is not a fraction of ITS size), so it carries the
+    full inverted index — but every join key is one of a's RARE prefix
+    shingles, so posting lists stay short exactly where they are joined:
+    candidate count is Σ_s pref(s)·df(s) with pref mass concentrated on
+    low-df shingles. Verify is the exact array intersection over
+    candidates only."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from momyre_spark.functions.numeric import round_half_up
+
+    sh = _shingled(docs, id_col, text_col, n)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select(
+        "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("s")
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select("__id", "s")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            ex.select("__id", "s").alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("a_id"), F.col("b.__id").alias("b_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sa"))
+    sb = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sb"))
+    cont = (
+        F.size(F.array_intersect("__sa", "__sb"))
+        / F.size("__sa").cast("double")
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "a_id", "b_id",
+            round_half_up(F.col("containment"), 4).alias("containment"),
+        )
+    )

@@ -1145,3 +1145,120 @@ def dedup_cross_source_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     return cross_source_fuzzy_overlap(docs, threshold=0.8).orderBy(
         "source_a", "source_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle containment (operators/dedup.containment_pairs): the ASYMMETRIC
+# near-dup relation — a short document quoted inside a longer one reads
+# high containment, low Jaccard. The fixture plants no proper containments,
+# so the corpus is augmented IDENTICALLY in both engines: every 10th doc
+# (with >= 8 tokens) contributes a half-length truncation under id+100000;
+# each truncation is fully contained in its source (containment 1.0), and
+# the planted J>=0.9 near-dup pairs qualify in both directions. Exact
+# verify => full value-hash oracle (brute-force pair scan in DuckDB).
+# --------------------------------------------------------------------------
+_DUCK_CONTAIN = """
+    WITH d0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    aug AS (
+        SELECT doc_id, w FROM d0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, w[1 : CAST(floor(len(w) / 2) AS BIGINT)] AS w
+        FROM d0 WHERE doc_id % 10 = 0 AND len(w) >= 8
+    ),
+    g AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        )) AS sh
+        FROM aug WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM g),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id,
+           floor((inter / CAST(sa.n AS DOUBLE)) * 10000 + 0.5) / 10000.0
+               AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.a_id = sa.doc_id
+    WHERE inter / CAST(sa.n AS DOUBLE) >= 0.9
+    ORDER BY a_id, b_id
+"""
+
+
+@query("dedup_containment", oracle=_DUCK_CONTAIN)
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import tokens
+    from momyre_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = tokens(F.col("text"))
+    halves = (
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.size(w) >= 8))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(w, 1, F.floor(F.size(w) / 2).cast("int"))
+            ).alias("text"),
+        )
+    )
+    return (
+        containment_pairs(docs.unionByName(halves), threshold=0.9)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Record linkage (operators/linkage.blocked_edit_pairs): blocked
+# edit-distance entity matching over customer names, with TYPO TWINS
+# planted identically in both engines (every 7th customer contributes a
+# last-char-dropped copy under key+1000000 — edit distance exactly 1).
+# Names "Customer#NNNNNNNNN" also form natural distance-1 pairs (single
+# differing digit), so the match set is rich. Blocking (16-char prefix +
+# 2-char suffix) is mirrored in the oracle; levenshtein verify is exact,
+# so the full pair set value-hashes.
+# --------------------------------------------------------------------------
+_DUCK_LINKAGE = """
+    WITH names AS (
+        SELECT c_custkey AS id, c_name AS t FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000 AS id,
+               substr(c_name, 1, len(c_name) - 1) AS t
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    keyed AS (
+        SELECT id, t, substr(t, 1, 16) AS k FROM names
+        UNION ALL
+        SELECT id, t, 'sfx:' || substr(t, len(t) - 1, 2) AS k FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a_id, a.t AS ta, b.id AS b_id, b.t AS tb
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
+    )
+    SELECT a_id, b_id, CAST(levenshtein(ta, tb) AS INT) AS distance
+    FROM cand WHERE levenshtein(ta, tb) <= 1
+    ORDER BY a_id, b_id
+"""
+
+
+@query("dedup_record_linkage", oracle=_DUCK_LINKAGE)
+def dedup_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.linkage import blocked_edit_pairs
+
+    cust = load_table(spark, sf, "customer")
+    names = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("t")
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.expr("substr(c_name, 1, length(c_name) - 1)").alias("t"),
+        )
+    )
+    return blocked_edit_pairs(
+        names, text_col="t", id_col="id", max_distance=1
+    ).orderBy("a_id", "b_id")

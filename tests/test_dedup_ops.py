@@ -437,3 +437,34 @@ def test_component_survivors_keeps_best_quality(spark):
     assert best == {2, 10, 99}  # 2 beats 1/3 on quality; 10 ties-to-min; 99 solo
     default = {r["doc_id"] for r in component_survivors(docs, comp).collect()}
     assert default == {1, 10, 99}  # min-id rule
+
+
+def test_containment_pairs_asymmetric_and_lossless(spark):
+    """Containment catches doc-inside-doc that Jaccard misses; the
+    contained-side prefix filter is lossless vs brute force; both
+    directions report independently for near-identical docs."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    short = "alpha beta gamma delta epsilon zeta eta theta"  # prefix quote
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long),
+            Row(doc_id=2, text=short),
+            Row(doc_id=3, text="totally different words entirely here okay"),
+            Row(doc_id=4, text=long),  # exact dup of 1 -> both directions
+        ]
+    )
+    got = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert got[(2, 1)] == 1.0           # short fully contained in long
+    assert (1, 2) not in got            # container direction fails t
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0
+    assert not any(3 in p for p in got)
+    # Jaccard at the same threshold misses the quote (union-dominated)
+    jac = {(r["a_id"], r["b_id"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert (2, 1) not in jac and (1, 2) not in jac

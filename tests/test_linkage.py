@@ -1,0 +1,50 @@
+"""Record linkage (operators/linkage.py): blocking recall contract and
+exact verify."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from momyre_spark.operators.linkage import blocked_edit_pairs
+
+
+def _names(spark, rows):
+    return spark.createDataFrame([Row(id=i, name=n) for i, n in rows])
+
+
+def test_single_region_typos_caught_everywhere(spark):
+    df = _names(
+        spark,
+        [
+            (1, "jonathan smith"),
+            (2, "jonathan smitt"),   # end typo -> prefix block
+            (3, "ronathan smith"),   # start typo -> suffix block
+            (4, "jonathan_smith"),   # middle typo -> both blocks
+            (5, "completely other"),
+        ],
+    )
+    got = {(r["a_id"], r["b_id"]): r["distance"]
+           for r in blocked_edit_pairs(df, text_col="name",
+                                       max_distance=1,
+                                       prefix_len=8).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert not any(5 in p for p in got)
+    # distance is exact, pairs are a<b, no duplicates
+    assert all(a < b for a, b in got)
+
+
+def test_verify_is_exact_distance_bound(spark):
+    df = _names(spark, [(1, "alpha beta"), (2, "alpha bexx")])  # distance 2
+    assert blocked_edit_pairs(df, text_col="name", max_distance=1,
+                              prefix_len=8).count() == 0
+    out = blocked_edit_pairs(df, text_col="name", max_distance=2,
+                             prefix_len=8).collect()
+    assert [(r["a_id"], r["b_id"], r["distance"]) for r in out] == [(1, 2, 2)]
+
+
+def test_no_cartesian_in_plan(spark):
+    df = _names(spark, [(i, f"name {i:04d}") for i in range(50)])
+    out = blocked_edit_pairs(df, text_col="name")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

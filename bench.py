@@ -116,6 +116,11 @@ HEADLINE = [
     # prefix filter) and blocked-edit-distance record linkage
     "dedup_containment",
     "dedup_record_linkage",
+    # round-6 fourth wave: k-core peel (iterative degree agg + semi-join
+    # rounds) and full entity resolution (blocked pairs -> min-label
+    # components -> labeled records)
+    "graph_kcore",
+    "dedup_entity_groups",
 ]
 
 

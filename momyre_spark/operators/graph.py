@@ -332,6 +332,95 @@ def triangle_counts(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal induced
+    subgraph in which every node has degree >= k. Returns ``(node,
+    degree)`` — the degree WITHIN the core — for every core member
+    (empty frame if the core is empty).
+
+    Why in an LLM-data engine: the dense core of a link graph is where
+    spam farms and mirror rings live; crawl curation gates or down-weights
+    hosts by coreness the same way it uses PageRank (graph.pagerank) and
+    clustering (clustering_coefficients). This is the classic peeling
+    algorithm expressed Spark-first: each round is ONE degree aggregation
+    (explode both endpoints, hash agg) and one semi-join of the edge list
+    against the surviving nodes — no driver-side graph, the only driver
+    value per round is the survivor COUNT (the fixpoint test). Rounds are
+    bounded by the peeling depth (<= longest degeneracy chain, typically
+    << 30); lineage is cut every round so the plan never grows.
+
+    Determinism: pure set operations on integer-keyed rows — no floats
+    anywhere — so the fixpoint is engine-exact and the registered query
+    (plans/graph_queries.py) carries a full value-hash oracle with the
+    peel UNROLLED as chained CTEs.
+    """
+    if k < 1:
+        raise ValueError("momyre: k must be >= 1")
+    spark = edges.sparkSession
+
+    def _persistent():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+
+    # block ownership, same rationale as pagerank: release only blocks our
+    # eager cuts created, never an entry-diff
+    owned: set[int] = set()
+    last_ids: set[int] = set()
+
+    def _cut(df: DataFrame) -> DataFrame:
+        nonlocal last_ids
+        before = set(_persistent())
+        out = df.localCheckpoint(eager=True)
+        last_ids = set(_persistent()) - before
+        owned.update(last_ids)
+        return out
+
+    e = _cut(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_n: int | None = None
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        survivors = deg.filter(F.col("__deg") >= k).select("node")
+        n = survivors.count()
+        if n == prev_n:
+            break  # nobody dropped: every remaining node has degree >= k
+        prev_n = n
+        if n == 0:
+            e = e.limit(0)
+            break
+        e = _cut(
+            e.join(survivors.withColumnRenamed("node", "a"), "a")
+            .join(survivors.withColumnRenamed("node", "b"), "b")
+            .select("a", "b")
+        )
+    for rid, j in _persistent().items():
+        if rid in owned and rid not in last_ids:
+            j.unpersist(False)
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
 def clustering_coefficients(
     edges: DataFrame,
     src_col: str = "src",

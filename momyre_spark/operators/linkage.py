@@ -77,3 +77,49 @@ def blocked_edit_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("a_id", "b_id", "distance")
     )
+
+
+def entity_groups(
+    df: DataFrame,
+    text_col: str = "name",
+    id_col: str = "id",
+    max_distance: int = 1,
+    prefix_len: int = 16,
+    suffix_len: int = 2,
+) -> DataFrame:
+    """Full entity resolution: every record labeled with its entity —
+    ``(id, entity, n_members)`` where ``entity`` is the smallest id in the
+    record's match cluster (transitive closure of
+    :func:`blocked_edit_pairs`) and singletons are their own entity of
+    size 1.
+
+    Composition, not a new algorithm: blocked candidate pairs -> min-label
+    connected components (``dedup.duplicate_components``, two hash-aggs
+    per round, no driver-side graph) -> one left join back to the full id
+    list + one entity-keyed count. Transitivity is deliberate and
+    documented: A~B and B~C place A and C in one entity even at
+    ``levenshtein(A, C) > max_distance`` — match clusters are closure
+    classes, the standard ER semantics.
+    """
+    from momyre_spark.operators.dedup import duplicate_components
+
+    pairs = blocked_edit_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        max_distance=max_distance,
+        prefix_len=prefix_len,
+        suffix_len=suffix_len,
+    )
+    comp = duplicate_components(pairs)
+    labeled = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("component"), F.col("id")).alias("entity")
+        )
+    )
+    sizes = labeled.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return labeled.join(sizes, "entity").select("id", "entity", "n_members")

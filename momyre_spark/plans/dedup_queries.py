@@ -1262,3 +1262,76 @@ def dedup_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     return blocked_edit_pairs(
         names, text_col="t", id_col="id", max_distance=1
     ).orderBy("a_id", "b_id")
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end (operators/linkage.entity_groups): the
+# linkage pair set above closed into ENTITIES — min-label connected
+# components over the match graph, every record labeled, singletons their
+# own entity of size 1. Same planted-typo fixture as dedup_record_linkage;
+# the oracle closes the identical pair set with a RECURSIVE min-reachable
+# CTE (set-semantics UNION terminates) and joins back to the full id
+# list. Transitive closure semantics are shared by construction.
+# --------------------------------------------------------------------------
+_DUCK_ENTITY = """
+    WITH RECURSIVE names AS (
+        SELECT c_custkey AS id, c_name AS t FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000 AS id,
+               substr(c_name, 1, len(c_name) - 1) AS t
+        FROM customer WHERE c_custkey % 7 = 0
+    ),
+    keyed AS (
+        SELECT id, t, substr(t, 1, 16) AS k FROM names
+        UNION ALL
+        SELECT id, t, 'sfx:' || substr(t, len(t) - 1, 2) AS k FROM names
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a_id, a.t AS ta, b.id AS b_id, b.t AS tb
+        FROM keyed a JOIN keyed b ON a.k = b.k AND a.id < b.id
+    ),
+    p AS MATERIALIZED (
+        SELECT a_id, b_id FROM cand WHERE levenshtein(ta, tb) <= 1
+    ),
+    ue AS MATERIALIZED (
+        SELECT a_id AS s, b_id AS d FROM p UNION SELECT b_id, a_id FROM p
+    ),
+    pn AS (SELECT DISTINCT s AS node FROM ue),
+    reach AS (
+        SELECT node, node AS label FROM pn
+        UNION
+        SELECT ue.d AS node, r.label FROM reach r JOIN ue ON ue.s = r.node
+    ),
+    lab AS MATERIALIZED (
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    ),
+    ent AS MATERIALIZED (
+        SELECT names.id AS id, COALESCE(lab.component, names.id) AS entity
+        FROM names LEFT JOIN lab ON names.id = lab.node
+    ),
+    sz AS (
+        SELECT entity, CAST(count(*) AS BIGINT) AS n_members
+        FROM ent GROUP BY entity
+    )
+    SELECT ent.id, ent.entity, sz.n_members
+    FROM ent JOIN sz USING (entity)
+    ORDER BY id
+"""
+
+
+@query("dedup_entity_groups", oracle=_DUCK_ENTITY)
+def dedup_entity_groups(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.linkage import entity_groups
+
+    cust = load_table(spark, sf, "customer")
+    names = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("t")
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("id"),
+            F.expr("substr(c_name, 1, length(c_name) - 1)").alias("t"),
+        )
+    )
+    return entity_groups(
+        names, text_col="t", id_col="id", max_distance=1
+    ).orderBy("id")

@@ -226,6 +226,81 @@ def graph_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# K-core decomposition (operators/graph.kcore): iterative peel — drop
+# nodes with degree < k, re-induce, repeat to fixpoint. A MEDIUM-density
+# slice of the host graph (220 seeds over 100 hosts, avg degree ~4) so
+# the 3-core peel actually removes several waves of nodes. The oracle
+# UNROLLS 12 peel rounds as chained MATERIALIZED CTEs — peeling is
+# monotone, so once the fixpoint is reached further rounds are no-ops and
+# any unroll depth >= the convergence depth (asserted < 12 in
+# tests/test_graph.py) yields the identical core. Pure integer set
+# algebra: full value-hash oracle despite the iterative algorithm.
+# --------------------------------------------------------------------------
+_N_KCORE_SEEDS = 220
+_KCORE_K = 3
+_KCORE_UNROLL = 12
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_KCORE_SEEDS}) t(i)
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )"""
+    steps = []
+    for i in range(1, _KCORE_UNROLL + 1):
+        p = f"e{i - 1}"
+        steps.append(f"""
+    n{i} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT a AS node FROM {p} UNION ALL SELECT b FROM {p})
+        GROUP BY node HAVING count(*) >= {_KCORE_K}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT a, b FROM {p}
+        JOIN n{i} na ON {p}.a = na.node
+        JOIN n{i} nb ON {p}.b = nb.node
+    )""")
+    last = f"e{_KCORE_UNROLL}"
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last})
+    GROUP BY node ORDER BY node"""
+    )
+
+
+def _kcore_edges(spark: SparkSession) -> DataFrame:
+    return (
+        spark.range(_N_KCORE_SEEDS)
+        .selectExpr(
+            "pmod(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT), {_N_HOSTS}) AS src",
+            "pmod(CAST(conv(substr(md5(concat('e', CAST(id AS STRING))), 1, 15),"
+            f" 16, 10) AS BIGINT), {_N_HOSTS}) AS dst",
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import kcore
+
+    return kcore(_kcore_edges(spark), k=_KCORE_K).orderBy("node")
+
+
+# --------------------------------------------------------------------------
 # Local clustering coefficient (operators/graph.clustering_coefficients):
 # triangles + degrees composed — 2*tri/(deg*(deg-1)), degree-1 nodes 0.
 # Full SQL oracle over the same host graph.

@@ -187,3 +187,75 @@ def test_clustering_coefficients_known_graph(spark):
     assert out[1]["clustering"] == 1.0 and out[2]["clustering"] == 1.0
     assert out[3]["clustering"] == 0.3333 and out[3]["degree"] == 3
     assert out[4]["clustering"] == 0.0 and out[4]["n_triangles"] == 0
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle 1-2-3 plus tail 3-4-5: the 2-core is exactly the
+    triangle (peeling removes 5, then 4), each member at degree 2."""
+    from momyre_spark.operators.graph import kcore
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    got = {r["node"]: r["degree"]
+           for r in kcore(_edges(spark, pairs), k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_core_and_validation(spark):
+    from momyre_spark.operators.graph import kcore
+
+    # a path has no 2-core
+    out = kcore(_edges(spark, [(1, 2), (2, 3)]), k=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "degree"]
+    with pytest.raises(ValueError):
+        kcore(_edges(spark, [(1, 2)]), k=0)
+
+
+def test_kcore_direction_and_duplicates_ignored(spark):
+    """Directed duplicates of one undirected edge collapse; a 4-clique
+    with doubled edges is still the whole 3-core."""
+    from momyre_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {r["node"]: r["degree"]
+           for r in kcore(_edges(spark, clique), k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_fixture_peel_depth_below_oracle_unroll(spark):
+    """The registered graph_kcore oracle unrolls 12 peel rounds; a
+    driver-side reference peel over the (100-node) fixture graph must
+    converge strictly below that — and produce the same core the Spark
+    operator finds."""
+    from momyre_spark.operators.graph import kcore
+    from momyre_spark.plans.graph_queries import (
+        _KCORE_K,
+        _KCORE_UNROLL,
+        _kcore_edges,
+    )
+
+    edges = {(r["src"], r["dst"]) for r in _kcore_edges(spark).collect()}
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    rounds = 0
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        rounds += 1
+        if nxt == und:
+            break
+        und = nxt
+    assert rounds < _KCORE_UNROLL, rounds
+    ref = {}
+    for a, b in und:
+        ref[a] = ref.get(a, 0) + 1
+        ref[b] = ref.get(b, 0) + 1
+    got = {r["node"]: r["degree"]
+           for r in kcore(_kcore_edges(spark), k=_KCORE_K).collect()}
+    assert got == ref

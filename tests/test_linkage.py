@@ -48,3 +48,39 @@ def test_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------- entity_groups
+
+
+def test_entity_groups_transitive_closure_and_singletons(spark):
+    """abcdexxxxxxxxxxxxxxxxQ ~ ...QX ~ ...QXY chain: one entity via
+    closure even though ends are distance 2 apart; unrelated record is
+    its own singleton entity."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.linkage import entity_groups
+
+    base = "abcdexxxxxxxxxxxxxxxxQ"  # > prefix_len so blocking fires
+    rows = [
+        Row(id=1, name=base),
+        Row(id=2, name=base + "X"),
+        Row(id=3, name=base + "XY"),
+        Row(id=9, name="completely different entity zz"),
+    ]
+    out = {r["id"]: (r["entity"], r["n_members"])
+           for r in entity_groups(spark.createDataFrame(rows)).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    assert out[9] == (9, 1)
+
+
+def test_entity_groups_all_singletons(spark):
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.linkage import entity_groups
+
+    rows = [Row(id=i, name=f"wholly distinct entity number {i * 7919}")
+            for i in range(1, 5)]
+    out = entity_groups(spark.createDataFrame(rows)).collect()
+    assert {r["id"] for r in out} == {1, 2, 3, 4}
+    assert all(r["entity"] == r["id"] and r["n_members"] == 1 for r in out)

@@ -121,6 +121,11 @@ HEADLINE = [
     # components -> labeled records)
     "graph_kcore",
     "dedup_entity_groups",
+    # round-6 fifth wave: point-in-time SCD2 lookup (one key-equi join,
+    # interval as post-join filter) and signed feature hashing (explode +
+    # one map-side-combinable agg, all codegen)
+    "cdc_point_in_time_join",
+    "pipe_feature_hash",
 ]
 
 

@@ -59,3 +59,52 @@ def scd2_history(
             F.col("__next").isNull().alias("is_current"),
         )
     )
+
+
+def point_in_time_join(
+    probe: DataFrame,
+    history: DataFrame,
+    key: str = "_id",
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from_ts",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each probe row to the dimension version valid AT its
+    timestamp: ``valid_from <= probe.ts < valid_to`` (open versions have
+    ``valid_to`` NULL) — "what did this row look like when the event
+    happened", the time-travel lookup the latest-state replica cannot
+    answer.
+
+    Input ``history`` is :func:`scd2_history` output (or any frame with
+    half-open validity intervals per key). Because a key's intervals
+    partition its timeline (SCD2 closes each version at the next op's
+    position; equal-position duplicates produce zero-length intervals
+    that match nothing), every probe row matches AT MOST one version —
+    probes inside a delete gap match none (dropped under ``how='inner'``,
+    NULL-padded under ``'left'``).
+
+    Plan shape at 100 TB: ONE hash equi-join keyed on ``key`` — the
+    interval predicate is a post-join filter, so per-probe fan-out before
+    filtering is that key's version count (bounded by change frequency,
+    not corpus size). No range/BNLJ join anywhere; both sides shuffle on
+    the same key, so pre-bucketing either table by ``key`` co-locates the
+    join. Output: every probe column plus the history's value columns
+    (its key column dropped).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("momyre: how must be 'inner' or 'left'")
+    p = probe.alias("__p")
+    h = history.alias("__h")
+    pk, hk = F.col(f"__p.{key}"), F.col(f"__h.{key}")
+    pts = F.col(f"__p.{ts_col}")
+    vfrom, vto = F.col(f"__h.{valid_from_col}"), F.col(f"__h.{valid_to_col}")
+    cond = (
+        (pk == hk)
+        & (vfrom <= pts)
+        & (vto.isNull() | (pts < vto))
+    )
+    keep = [F.col(f"__p.{c}") for c in probe.columns] + [
+        F.col(f"__h.{c}") for c in history.columns if c != key
+    ]
+    return p.join(h, cond, how).select(*keep)

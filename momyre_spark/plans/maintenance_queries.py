@@ -1031,3 +1031,69 @@ def stats_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey", "orderkey"
     )
     return join_cardinality_estimate(orders, li, "orderkey")
+
+
+# --------------------------------------------------------------------------
+# Point-in-time join (operators/scd.point_in_time_join): every event
+# probed 30 minutes later against the SCD2 history derived from the SAME
+# ops stream — "what was this user's k when the probe fired". One hash
+# equi-join on the key; the half-open interval test is a post-join filter
+# (per-probe fan-out = that key's version count, never corpus-sized).
+# Probes landing in a delete gap drop out (inner join) — the oracle
+# reproduces exactly that via the identical interval predicate.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_point_in_time_join",
+    oracle=f"""
+    WITH ops AS ({_OPS_SQL}),
+    v AS (
+        SELECT _id, k, op, ts, event_id,
+               lead(ts) OVER (PARTITION BY _id ORDER BY ts, event_id) AS valid_to
+        FROM ops
+    ),
+    hist AS (
+        SELECT _id, k, ts AS valid_from, valid_to FROM v WHERE op <> 'delete'
+    ),
+    probe AS (
+        SELECT _id, ts + INTERVAL 30 MINUTE AS pts, event_id FROM ops
+    )
+    SELECT probe._id AS _id, probe.event_id AS probe_event_id,
+           epoch_us(probe.pts) AS probe_ts_us, hist.k AS k,
+           epoch_us(hist.valid_from) AS valid_from_us
+    FROM probe JOIN hist
+      ON probe._id = hist._id
+     AND hist.valid_from <= probe.pts
+     AND (hist.valid_to IS NULL OR probe.pts < hist.valid_to)
+    ORDER BY _id, probe_ts_us, probe_event_id
+    """,
+)
+def cdc_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.scd import point_in_time_join, scd2_history
+
+    ev = load_table(spark, sf, "events")
+    ops = ev.select(
+        F.col("user_id").alias("_id"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    hist = scd2_history(
+        ops, key="_id", order=("ts", "event_id"), value_cols=("k",)
+    ).select("_id", "k", "valid_from_ts", "valid_to")
+    probe = ops.select(
+        "_id",
+        F.expr("ts + INTERVAL 30 MINUTES").alias("ts"),
+        "event_id",
+    )
+    joined = point_in_time_join(probe, hist, key="_id", ts_col="ts")
+    return joined.select(
+        "_id",
+        F.col("event_id").alias("probe_event_id"),
+        F.unix_micros("ts").alias("probe_ts_us"),
+        "k",
+        F.unix_micros("valid_from_ts").alias("valid_from_us"),
+    ).orderBy("_id", "probe_ts_us", "probe_event_id")

@@ -889,3 +889,42 @@ def pipe_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("by_group").alias("strategy"), "*"
     )
     return r1.unionByName(r2).orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# Signed feature hashing (operators/features.feature_hash): the stateless
+# fastText-style featurizer — bucket/sign from the engine-neutral md5
+# recipe, ONE explode + one map-side-combinable hash agg, sparse
+# (doc, bucket, weight) rows, exact-cancellation buckets dropped. Every
+# bucket id and weight value-hashes against the identical DuckDB
+# arithmetic. Restricted to doc_id % 5 = 0 to keep the oracle-side
+# explode proportionate; the operator itself takes the full frame.
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 256
+
+@query(
+    "pipe_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           (('0x' || substr(md5(t), 1, 15))::BIGINT % {_FH_BUCKETS}) AS bucket,
+           CAST(SUM(CASE WHEN substr(md5(t), 16, 1) <= '7'
+                         THEN 1 ELSE -1 END) AS BIGINT) AS weight
+    FROM tok
+    GROUP BY doc_id, bucket
+    HAVING SUM(CASE WHEN substr(md5(t), 16, 1) <= '7' THEN 1 ELSE -1 END) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def pipe_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.features import feature_hash
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return feature_hash(docs, n_buckets=_FH_BUCKETS).orderBy(
+        "doc_id", "bucket"
+    )

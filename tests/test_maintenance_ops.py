@@ -380,3 +380,43 @@ def test_refresh_star_join_from_cdf_mixed_surfaces(spark):
         None, "fid",
     )
     assert sorted(map(tuple, same.collect())) == sorted(map(tuple, mat.collect()))
+
+
+def test_point_in_time_join_versions_gaps_and_open(spark):
+    """Probes hit the version covering their ts; a probe inside the
+    delete gap matches nothing (inner) / NULL-pads (left); a probe at a
+    version boundary belongs to the NEWER version (half-open)."""
+    from momyre_spark.operators.scd import point_in_time_join
+
+    ops = spark.createDataFrame(
+        [
+            ("a", 1, 0, "insert", 10),
+            ("a", 2, 0, "update", 11),
+            ("a", 3, 0, "delete", None),
+            ("a", 4, 0, "insert", 12),
+        ],
+        "_id string, ts long, seq long, op string, k int",
+    )
+    hist = scd2_history(
+        ops, key="_id", order=("ts", "seq"), value_cols=("k",)
+    ).select("_id", "k", "valid_from_ts", "valid_to")
+    probe = spark.createDataFrame(
+        [("a", 1, "p1"), ("a", 2, "p2"), ("a", 3, "p3"), ("a", 9, "p9"),
+         ("zz", 5, "pz")],
+        "_id string, ts long, pid string",
+    )
+    inner = {(r["pid"], r["k"]) for r in
+             point_in_time_join(probe, hist, key="_id", ts_col="ts").collect()}
+    # p1 -> k=10; p2 -> boundary, newer version k=11; p3 -> delete gap
+    # (no match); p9 -> open version k=12; pz -> unknown key (no match)
+    assert inner == {("p1", 10), ("p2", 11), ("p9", 12)}
+    left = point_in_time_join(
+        probe, hist, key="_id", ts_col="ts", how="left"
+    )
+    got = {r["pid"]: r["k"] for r in left.collect()}
+    assert got == {"p1": 10, "p2": 11, "p3": None, "p9": 12, "pz": None}
+    assert left.count() == 5  # at-most-one match: no fan-out ever
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        point_in_time_join(probe, hist, how="full")

@@ -69,6 +69,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)`` with
     ``rank`` as double (internally exact integer units, 1e-10 by default —
@@ -102,6 +104,16 @@ def pagerank(
     only a graph too large for even 1e-4 units raises. Within the active
     scale ranks are bit-identical under any partitioning and across
     engines.
+
+    ``seeds`` (optional) personalizes the walk: teleport mass — the
+    ``(1-d)`` restart AND the dangling redistribution — lands uniformly
+    on the SEED nodes only instead of all nodes, i.e. personalized
+    PageRank over the seed set (seed-proximity authority: rank hosts by
+    link distance to a trusted allowlist, the crawl-curation use). Seeds
+    outside the graph's node set are ignored; an empty effective seed
+    set raises. State still initializes uniform (fixed-iteration results
+    stay engine-reproducible); total mass remains ~|V|. ``seeds=None``
+    is the classic uniform walk, bit-identical to previous behavior.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("momyre: damping must be in (0, 1)")
@@ -178,6 +190,32 @@ def pagerank(
     # 1e-4 units would overflow (~9e16 nodes — beyond any driver count).
     scale = _resolve_scale(n_nodes)
     base_units = (1.0 - d) * float(scale)
+    seed_flagged = None
+    seed_base = 0.0
+    n_seeds = 0
+    if seeds is not None:
+        seed_set = _cut(
+            seeds.select(F.col(seed_col).alias("node")).distinct().join(
+                nodes, "node"
+            )
+        )
+        n_seeds = seed_set.count()
+        if n_seeds == 0:
+            raise ValueError(
+                "momyre: no seed node intersects the graph's node set"
+            )
+        seed_flagged = _cut(
+            nodes.join(
+                seed_set.withColumn("__isseed", F.lit(True)), "node", "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("__isseed"), F.lit(False)).alias("__isseed"),
+            )
+        )
+        # teleport share 1/|S| of the total mass |V|*scale — the double
+        # op order ((1-d) * M) / S is the determinism contract the
+        # unrolled oracle mirrors
+        seed_base = (1.0 - d) * float(n_nodes * scale) / float(n_seeds)
     deg = _cut(
         e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("__deg")
@@ -208,21 +246,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
+        coal_in = F.coalesce(F.col("__in"), F.lit(0)).cast("double")
+        if seeds is None:
+            anchor = nodes
+            upd = F.lit(base_units) + F.lit(d) * (
+                coal_in
+                + F.col("__dang").cast("double") / F.lit(float(n_nodes))
+            )
+        else:
+            anchor = seed_flagged
+            upd = F.when(F.col("__isseed"), F.lit(seed_base)).otherwise(
+                F.lit(0.0)
+            ) + F.lit(d) * (
+                coal_in
+                + F.when(
+                    F.col("__isseed"),
+                    F.col("__dang").cast("double")
+                    / F.lit(float(n_seeds)),
+                ).otherwise(F.lit(0.0))
+            )
         new_state = (
-            nodes.join(contribs, "node", "left")
+            anchor.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang_frame))
             .select(
                 "node",
-                F.floor(
-                    F.lit(base_units)
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0)).cast("double")
-                        + F.col("__dang").cast("double")
-                        / F.lit(float(n_nodes))
-                    )
-                    + F.lit(0.5)
-                ).cast("bigint").alias("units"),
+                F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
             )
         )
         if tol is not None:

@@ -271,3 +271,60 @@ def join_cardinality_estimate(
             "actual_rows",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier report via median absolute deviation:
+    ``(*group_cols, med, mad, n, n_outliers)`` where an outlier is
+    ``|x - median| > k * MAD``. The robust twin of the rolling-zscore
+    family — mean/stddev move with the outliers they are supposed to
+    flag; median/MAD do not (breakdown point 50%), which is what makes
+    this the standard gate for heavy-tailed corpus metrics (doc lengths,
+    token counts, scores).
+
+    Shape: ONE grouped-map pandas pass (``applyInPandas``) — per group,
+    median, MAD and the outlier count come out of a single in-memory
+    sort, Arrow-batched, no second shuffle. Contract (same as the
+    grouped-median query this generalizes): a GROUP's rows fit in
+    executor memory — group count is unbounded, group size is not. For
+    groups too large for that, use ``profile_columns``'s approx
+    percentiles to the same effect at sketch precision.
+
+    Exact medians (mean of the two middle doubles — numpy and DuckDB
+    agree bit-for-bit), so the registered query carries a full value-hash
+    oracle. An all-identical group reads MAD 0.0 and flags nothing
+    (|x - med| = 0 is never > 0)."""
+    import numpy as np
+    import pandas as pd
+
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    kk = float(k)
+    gcols = list(group_cols)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype="float64")
+        med = float(np.median(v))
+        ad = np.abs(v - med)
+        mad = float(np.median(ad))
+        out = {c: [pdf[c].iloc[0]] for c in gcols}
+        out.update(
+            med=[med],
+            mad=[mad],
+            n=[len(v)],
+            n_outliers=[int((ad > kk * mad).sum())],
+        )
+        return pd.DataFrame(out)
+
+    gschema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in gcols
+    )
+    return df.select(*gcols, value_col).groupBy(*gcols).applyInPandas(
+        stats,
+        schema=f"{gschema}, med double, mad double, n long, n_outliers long",
+    )

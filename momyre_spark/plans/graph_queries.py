@@ -350,3 +350,99 @@ def graph_clustering_coefficients(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.graph import clustering_coefficients
 
     return clustering_coefficients(_host_edges(spark)).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Personalized (seeded) PageRank (operators/graph.pagerank seeds=...):
+# teleport mass AND dangling redistribution land uniformly on a trusted
+# seed set only — the crawl-curation "distance from allowlist" authority
+# signal. Seeds = hosts 0..9 of the same synthetic graph. The oracle
+# unrolls the seeded update rule with the EXACT float op order of the
+# operator: seed base (1-d) * (|V|*scale as double) / |S|, the 0/seed
+# CASE split, then the single floor(+0.5) to integer units — so all 10
+# iterations value-hash bit-for-bit like the classic walk.
+# --------------------------------------------------------------------------
+_N_SEED_HOSTS = 10
+
+
+def _seed_pr_oracle() -> str:
+    head = f"""
+    edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e2 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    seeds AS MATERIALIZED (
+        SELECT node FROM nodes WHERE node < {_N_SEED_HOSTS}),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    sf AS MATERIALIZED (
+        SELECT nodes.node, (s.node IS NOT NULL) AS isseed
+        FROM nodes LEFT JOIN seeds s ON nodes.node = s.node
+    ),
+    deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS dg FROM e2 GROUP BY 1),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST({_SCALE} AS BIGINT) AS units FROM nodes)"""
+    # seed teleport share: ((1-d) * (|V|*scale)) / |S| — left-assoc,
+    # matching Python's (1.0-d) * float(n*scale) / float(n_seeds)
+    sb = (
+        f"(1.0 - {_DAMP}) * CAST((SELECT n FROM nn) * {_SCALE} AS DOUBLE)"
+        f" / CAST((SELECT n FROM ns) AS DOUBLE)"
+    )
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        p = f"r{i - 1}"
+        contrib = (
+            f"CAST(floor(CAST({p}.units AS DOUBLE) / deg.dg + 0.5) AS BIGINT)"
+        )
+        upd = (
+            f"CAST(floor((CASE WHEN sf.isseed THEN {sb} ELSE 0.0 END)"
+            f" + {_DAMP} * (CAST(COALESCE(c{i}.s, 0) AS DOUBLE)"
+            f" + (CASE WHEN sf.isseed"
+            f"         THEN CAST((SELECT m FROM dang{i}) AS DOUBLE)"
+            f"              / CAST((SELECT n FROM ns) AS DOUBLE)"
+            f"         ELSE 0.0 END))"
+            f" + 0.5) AS BIGINT)"
+        )
+        steps.append(f"""
+    dang{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(units), 0) AS m
+        FROM {p} LEFT JOIN deg USING (node) WHERE deg.dg IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT e2.dst AS node, SUM({contrib}) AS s
+        FROM e2
+        JOIN {p} ON e2.src = {p}.node
+        JOIN deg ON deg.node = e2.src
+        GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT sf.node, {upd} AS units
+        FROM sf LEFT JOIN c{i} ON sf.node = c{i}.node
+    )""")
+    return (
+        "WITH" + head + "," + ",".join(steps)
+        + f"""
+    SELECT node, CAST(units AS DOUBLE) / {_SCALE}.0 AS rank
+    FROM r{_PR_ITERS} ORDER BY node"""
+    )
+
+
+@query("graph_seed_pagerank", oracle=_seed_pr_oracle())
+def graph_seed_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.graph import pagerank
+
+    seeds = spark.range(_N_SEED_HOSTS).select(F.col("id").alias("node"))
+    return pagerank(
+        _host_edges(spark), damping=_DAMP, max_iter=_PR_ITERS, seeds=seeds
+    ).orderBy("node")

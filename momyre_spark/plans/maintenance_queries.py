@@ -1097,3 +1097,38 @@ def cdc_point_in_time_join(spark: SparkSession, sf: str) -> DataFrame:
         "k",
         F.unix_micros("valid_from_ts").alias("valid_from_us"),
     ).orderBy("_id", "probe_ts_us", "probe_event_id")
+
+
+# --------------------------------------------------------------------------
+# Robust outlier report (operators/profile.mad_outliers): per-user median
+# / MAD / |x-med| > 3*MAD count over event values in ONE grouped-map
+# pandas pass. Medians are exactly determined (mean of the two middle
+# doubles — numpy and DuckDB bit-agree, the q35 precedent), deviations
+# and the 3*MAD threshold are single exact double ops, so the whole
+# report value-hashes.
+# --------------------------------------------------------------------------
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, median(value) AS med, count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT e.user_id, abs(e.value - m.med) AS ad
+        FROM events e JOIN m USING (user_id)
+    ),
+    md AS (SELECT user_id, median(ad) AS mad FROM d GROUP BY user_id)
+    SELECT m.user_id, m.med, md.mad, m.n,
+           CAST(sum(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN m USING (user_id) JOIN md USING (user_id)
+    GROUP BY m.user_id, m.med, md.mad, m.n
+    ORDER BY m.user_id
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf, "events").select("user_id", "value")
+    return mad_outliers(ev, "value", ["user_id"], k=3.0).orderBy("user_id")

@@ -259,3 +259,70 @@ def test_kcore_fixture_peel_depth_below_oracle_unroll(spark):
     got = {r["node"]: r["degree"]
            for r in kcore(_kcore_edges(spark), k=_KCORE_K).collect()}
     assert got == ref
+
+
+def test_seeded_pagerank_chain_fixpoint_and_zero_nonseeds(spark):
+    """1->2->3 chain (3 dangling), seed {1}: teleport AND dangling mass
+    land only on the seed. Closed form (mass-|V| units): r1 = 0.45 +
+    d*r3, r2 = d*r1, r3 = d*r2 -> r1 = 0.45/(1-d^3)."""
+    ranks = {r["node"]: float(r["rank"])
+             for r in pagerank(
+                 _edges(spark, [(1, 2), (2, 3)]),
+                 seeds=spark.createDataFrame([Row(node=1)]),
+                 max_iter=60,
+             ).collect()}
+    d = 0.85
+    r1 = (1 - d) * 3 / (1 - d ** 3)
+    # convergence factor ~d per iteration: 0.85^60 ~ 6e-5 residual, same
+    # tolerance as test_matches_hand_computed_fixpoint
+    assert ranks[1] == pytest.approx(r1, abs=1e-4)
+    assert ranks[2] == pytest.approx(d * r1, abs=1e-4)
+    assert ranks[3] == pytest.approx(d * d * r1, abs=1e-4)
+    assert sum(ranks.values()) == pytest.approx(3.0, abs=1e-6)
+    # a non-seed source node (out-edges only, no in-links) gets NO
+    # teleport mass at all -> rank exactly 0
+    ranks2 = {r["node"]: float(r["rank"])
+              for r in pagerank(
+                  _edges(spark, [(1, 2), (4, 2)]),
+                  seeds=spark.createDataFrame([Row(node=1)]),
+                  max_iter=20,
+              ).collect()}
+    assert ranks2[4] == 0.0
+
+
+def test_seeded_all_nodes_matches_classic(spark):
+    """Seeding EVERY node degenerates to the uniform walk — same teleport
+    share (1-d)*M/|V| per node, same dangling split. Float op order
+    differs by one reassociation, so equality is approx, not bitwise."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 1)]
+    classic = {r["node"]: float(r["rank"])
+               for r in pagerank(_edges(spark, pairs), max_iter=30).collect()}
+    seeded = {r["node"]: float(r["rank"])
+              for r in pagerank(
+                  _edges(spark, pairs),
+                  seeds=spark.createDataFrame(
+                      [Row(node=n) for n in (1, 2, 3, 4)]),
+                  max_iter=30,
+              ).collect()}
+    for n in classic:
+        assert seeded[n] == pytest.approx(classic[n], abs=1e-6)
+
+
+def test_seeded_pagerank_validation_and_outside_seeds_ignored(spark):
+    e = _edges(spark, [(1, 2)])
+    # seeds entirely outside the graph: empty effective set -> raise
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(e, seeds=spark.createDataFrame([Row(node=99)]))
+    # a mixed set silently drops the outside node: behaves as seed {1}
+    mixed = {r["node"]: float(r["rank"])
+             for r in pagerank(
+                 e, seeds=spark.createDataFrame(
+                     [Row(node=1), Row(node=99)]),
+                 max_iter=15,
+             ).collect()}
+    only1 = {r["node"]: float(r["rank"])
+             for r in pagerank(
+                 e, seeds=spark.createDataFrame([Row(node=1)]),
+                 max_iter=15,
+             ).collect()}
+    assert mixed == only1

@@ -420,3 +420,23 @@ def test_point_in_time_join_versions_gaps_and_open(spark):
 
     with _pytest.raises(ValueError):
         point_in_time_join(probe, hist, how="full")
+
+
+def test_mad_outliers_known_values_and_identical_group(spark):
+    from momyre_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+         ("b", 7.0), ("b", 7.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in mad_outliers(df, "v", ["g"], k=3.0).collect()}
+    # a: med 2.5, deviations [1.5,.5,.5,97.5] -> mad 1.0, one point > 3.0
+    assert got["a"]["med"] == 2.5 and got["a"]["mad"] == 1.0
+    assert got["a"]["n"] == 4 and got["a"]["n_outliers"] == 1
+    # identical group: MAD 0, |x-med|=0 is never > 0 -> nothing flagged
+    assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mad_outliers(df, "v", [])

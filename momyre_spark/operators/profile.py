@@ -328,3 +328,162 @@ def mad_outliers(
         stats,
         schema=f"{gschema}, med double, mad double, n long, n_outliers long",
     )
+
+
+def wilson_bounds(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.96,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group success rate with a Wilson score interval:
+    ``(*group_cols, n, successes, rate, wilson_low, wilson_high)``.
+
+    THE interval for curation dashboards ranking sources/domains by a
+    pass rate: the naive normal interval lies badly at small n or
+    extreme p (a 3/3 domain reads as "100% ± 0%"); Wilson stays inside
+    [0,1] and pulls small samples toward 1/2, so sorting by
+    ``wilson_low`` is a principled small-sample-safe ranking.
+
+    Shape: ONE hash aggregation (count + conditional sum), float math on
+    the two exact integers per group — engine-reproducible because the
+    expression tree is mirrored literally in the oracle SQL and outputs
+    round at ``digits``. NULL successes count as failures is NOT assumed:
+    NULL rows are excluded from n (visible in the count, never silently
+    a failure).
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    zz = float(z)
+    z2 = zz * zz
+    agg = (
+        df.filter(F.col(success_col).isNotNull())
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(success_col), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("successes"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s = F.col("successes").cast("double")
+    p = s / n
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(zz)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(z2) / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "successes",
+        round_half_up(p, digits).alias("rate"),
+        round_half_up(center - half, digits).alias("wilson_low"),
+        round_half_up(center + half, digits).alias("wilson_high"),
+    )
+
+
+def welch_ab_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Welch two-sample comparison between arms ``arm_a`` and
+    ``arm_b``: ``(*group_cols, n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, df_welch)`` — the unequal-variance t statistic plus its
+    Welch–Satterthwaite degrees of freedom, the standard A/B readout.
+
+    Shape: one (group, arm) hash aggregation, one tiny group re-agg that
+    pairs the arms via conditional max — two shuffles total, the second
+    over |groups| rows. Groups missing either arm, or with fewer than 2
+    rows in an arm, are dropped (a variance needs n >= 2; absent arms
+    have no comparison) — visible in the row count, never NULL-filled.
+
+    Determinism (house integer-units recipe): values fix to ``1/scale``
+    units, per-arm sum and sum-of-squares are exact BIGINT arithmetic,
+    and every downstream float op consumes exactly-converted integers in
+    an expression tree mirrored literally by the oracle SQL, rounded at
+    ``digits``. Keep ``(|x|*scale)^2 * rows_per_arm < 2^63`` (ANSI mode
+    raises on overflow rather than wrapping) — coarsen ``scale`` for
+    large-magnitude metrics.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "__u",
+            F.floor(
+                F.col(value_col).cast("double") * F.lit(float(scale))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy(*[F.col(c) for c in group_cols], F.col(arm_col))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__u").alias("__su"),
+            F.sum(F.col("__u") * F.col("__u")).alias("__ssq"),
+        )
+    )
+
+    def side(tag, arm):
+        cond = F.col(arm_col) == F.lit(arm)
+        return [
+            F.max(F.when(cond, F.col("__n"))).alias(f"__n_{tag}"),
+            F.max(F.when(cond, F.col("__su"))).alias(f"__su_{tag}"),
+            F.max(F.when(cond, F.col("__ssq"))).alias(f"__ssq_{tag}"),
+        ]
+
+    paired = (
+        per.groupBy(*group_cols)
+        .agg(*(side("a", arm_a) + side("b", arm_b)))
+        .filter(
+            (F.col("__n_a") >= 2) & (F.col("__n_b") >= 2)
+        )
+    )
+    sc2 = float(scale) * float(scale)
+
+    def stats(tag):
+        nd = F.col(f"__n_{tag}").cast("double")
+        su = F.col(f"__su_{tag}").cast("double")
+        ssq = F.col(f"__ssq_{tag}").cast("double")
+        mean = su / nd / F.lit(float(scale))
+        var = (ssq - su * su / nd) / (nd - F.lit(1.0)) / F.lit(sc2)
+        return nd, mean, var
+
+    nd_a, mean_a, var_a = stats("a")
+    nd_b, mean_b, var_b = stats("b")
+    se2 = var_a / nd_a + var_b / nd_b
+    t = (mean_a - mean_b) / F.sqrt(se2)
+    dfw = (
+        se2
+        * se2
+        / (
+            (var_a / nd_a) * (var_a / nd_a) / (nd_a - F.lit(1.0))
+            + (var_b / nd_b) * (var_b / nd_b) / (nd_b - F.lit(1.0))
+        )
+    )
+    return paired.select(
+        *group_cols,
+        F.col("__n_a").alias("n_a"),
+        F.col("__n_b").alias("n_b"),
+        round_half_up(mean_a, digits).alias("mean_a"),
+        round_half_up(mean_b, digits).alias("mean_b"),
+        round_half_up(var_a, digits).alias("var_a"),
+        round_half_up(var_b, digits).alias("var_b"),
+        round_half_up(t, digits).alias("t_stat"),
+        round_half_up(dfw, digits).alias("df_welch"),
+    )

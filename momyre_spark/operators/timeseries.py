@@ -220,3 +220,112 @@ def ewma_bounded(
     # a row whose value and every lookback lag are NULL has nothing to
     # smooth: emit NULL, not 0.0/0.0 = NaN (NaN sorts above every value)
     return df.withColumn(out_col, F.when(den > 0, num / den))
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    allowance: float,
+    threshold: float,
+    target: float | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key: appends ``cusum_pos`` /
+    ``cusum_neg`` (the one-sided cumulative-sum statistics) and
+    ``is_change`` (either side above ``threshold``). The standard
+    sequential drift detector — an EWMA/zscore flags single outliers, a
+    CUSUM accumulates SMALL persistent shifts (a metric that drifted 2%
+    and stayed there), which is the corpus-monitoring failure mode
+    batch-level stats miss.
+
+    ``target`` is the in-control level (per-key mean when None),
+    ``allowance`` the slack per observation (drift smaller than this is
+    ignored), both in value units. Recurrences
+    ``S+ = max(0, S+ + (x - target - allowance))`` and
+    ``S- = max(0, S- + (target - allowance - x))`` are NOT window
+    primitives, but reduce to one: ``S_i = P_i - min(0, min_{j<=i} P_j)``
+    where ``P`` is the plain running sum of the increments — so the whole
+    detector is ONE shuffle on the key and four running-frame window
+    expressions, no UDF, no iteration.
+
+    Determinism contract (the house integer-units recipe): values are
+    fixed to integer ``1/scale`` units via ``floor(x*scale+0.5)`` first,
+    so every running sum is exact integer arithmetic — bit-identical
+    under any partitioning and across engines. Keep
+    ``|x|*scale*rows_per_key < 2^53`` (at the default micro-units: ~9e9
+    value-rows per key — coarsen ``scale`` for hotter keys). Rows with a
+    NULL value carry no evidence and are DROPPED (visible in the row
+    count, never silently zero-filled).
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("momyre: key_cols and order_cols must be non-empty")
+    if allowance < 0 or threshold <= 0:
+        raise ValueError(
+            "momyre: allowance must be >= 0 and threshold > 0"
+        )
+    import math
+
+    keys = [F.col(c) for c in key_cols]
+    orders = [F.col(c) for c in order_cols]
+    k_units = int(math.floor(allowance * scale + 0.5))
+    h_units = int(math.floor(threshold * scale + 0.5))
+
+    out = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__u",
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    if target is None:
+        # in-control level = per-key mean, as a full-frame window agg so
+        # the detector stays ONE shuffle (no groupBy+join round trip);
+        # floor(sum/count + 0.5) on exactly-converted integers < 2^53
+        wk = Window.partitionBy(*keys)
+        mu = F.floor(
+            F.sum("__u").over(wk).cast("double")
+            / F.count(F.lit(1)).over(wk).cast("double")
+            + F.lit(0.5)
+        ).cast("bigint")
+    else:
+        mu = F.lit(int(math.floor(target * scale + 0.5))).cast("bigint")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*orders)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        out.withColumn("__mu", mu)
+        .withColumn(
+            "__pp",
+            F.sum(F.col("__u") - F.col("__mu") - F.lit(k_units)).over(w),
+        )
+        .withColumn(
+            "__qq",
+            F.sum(F.col("__mu") - F.lit(k_units) - F.col("__u")).over(w),
+        )
+        .withColumn(
+            "__sp",
+            F.col("__pp")
+            - F.least(F.lit(0).cast("bigint"), F.min("__pp").over(w)),
+        )
+        .withColumn(
+            "__sn",
+            F.col("__qq")
+            - F.least(F.lit(0).cast("bigint"), F.min("__qq").over(w)),
+        )
+    )
+    return (
+        out.withColumn(
+            "cusum_pos", F.col("__sp").cast("double") / F.lit(float(scale))
+        )
+        .withColumn(
+            "cusum_neg", F.col("__sn").cast("double") / F.lit(float(scale))
+        )
+        .withColumn(
+            "is_change",
+            (F.col("__sp") > F.lit(h_units)) | (F.col("__sn") > F.lit(h_units)),
+        )
+        .drop("__u", "__mu", "__pp", "__qq", "__sp", "__sn")
+    )

@@ -1662,3 +1662,61 @@ def ts_ewma_bounded(spark: SparkSession, sf: str) -> DataFrame:
         "event_id",
         round_half_up(F.col("ewma"), 4).alias("ewma"),
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Two-sided CUSUM drift detection (operators/timeseries.cusum_changepoints):
+# the sequential detector that catches small PERSISTENT shifts a rolling
+# zscore (q56) misses. max(0, S+y) recurrences reduce to prefix-sum minus
+# running-min — four running-frame window expressions over ONE key
+# shuffle. Exact integer micro-units end-to-end (the graph/quantile
+# recipe), so every statistic value-hashes bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "ts_cusum_changepoints",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT *, CAST(floor(CAST(SUM(uu) OVER pk AS DOUBLE)
+                   / CAST(COUNT(*) OVER pk AS DOUBLE) + 0.5) AS BIGINT) AS mu
+        FROM u WINDOW pk AS (PARTITION BY user_id)
+    ),
+    p AS (
+        SELECT user_id, event_id, ts,
+               SUM(uu - mu - 5000000) OVER w AS pp,
+               SUM(mu - 5000000 - uu) OVER w AS qq
+        FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT user_id, event_id,
+               pp - LEAST(CAST(0 AS BIGINT), MIN(pp) OVER w) AS sp,
+               qq - LEAST(CAST(0 AS BIGINT), MIN(qq) OVER w) AS sn
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           CAST(sp AS DOUBLE) / 1000000.0 AS cusum_pos,
+           CAST(sn AS DOUBLE) / 1000000.0 AS cusum_neg,
+           (sp > 50000000 OR sn > 50000000) AS is_change
+    FROM s ORDER BY user_id, event_id
+""",
+)
+def ts_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import cusum_changepoints
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = cusum_changepoints(
+        ev, "value", ["user_id"], ["ts", "event_id"],
+        allowance=5.0, threshold=50.0,
+    )
+    return out.select(
+        "user_id", "event_id", "cusum_pos", "cusum_neg", "is_change"
+    ).orderBy("user_id", "event_id")

@@ -1132,3 +1132,129 @@ def stats_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load_table(spark, sf, "events").select("user_id", "value")
     return mad_outliers(ev, "value", ["user_id"], k=3.0).orderBy("user_id")
+
+
+def _r6(expr: str) -> str:
+    """DuckDB twin of round_half_up(col, 6)."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+
+
+# --------------------------------------------------------------------------
+# Wilson score intervals (operators/profile.wilson_bounds): per-event-type
+# pass rate for value > 250 with small-sample-safe bounds. ONE hash agg;
+# the interval expression tree is mirrored literally below (shared z^2
+# literal via repr), outputs rounded at 6dp on both sides.
+# --------------------------------------------------------------------------
+_WZ = 1.96
+_WZ2 = repr(_WZ * _WZ)
+
+
+def _wilson_oracle() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    sd = "CAST(successes AS DOUBLE)"
+    p = f"({sd} / {nd})"
+    denom = f"(1.0 + {_WZ2} / {nd})"
+    center = f"(({p} + {_WZ2} / (2.0 * {nd})) / {denom})"
+    half = (
+        f"({_WZ} * sqrt({p} * (1.0 - {p}) / {nd}"
+        f" + {_WZ2} / (4.0 * {nd} * {nd})) / {denom})"
+    )
+    return f"""
+    WITH a AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS successes
+        FROM events WHERE (value > 250.0) IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n, successes,
+           {_r6(p)} AS rate,
+           {_r6(f"{center} - {half}")} AS wilson_low,
+           {_r6(f"{center} + {half}")} AS wilson_high
+    FROM a ORDER BY event_type
+"""
+
+
+@query("stats_wilson_bounds", oracle=_wilson_oracle())
+def stats_wilson_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import wilson_bounds
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", (F.col("value") > F.lit(250.0)).alias("ok")
+    )
+    return wilson_bounds(ev, ["event_type"], "ok", z=_WZ).orderBy(
+        "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch A/B report (operators/profile.welch_ab_report): unequal-variance
+# t + Welch–Satterthwaite df per event_type between user_id-parity arms.
+# Exact BIGINT centi-unit sums/sum-of-squares, conditional-max arm
+# pairing (two shuffles, the second over |groups| rows), float tree
+# mirrored literally, 6dp rounding.
+# --------------------------------------------------------------------------
+def _welch_oracle() -> str:
+    def stats(tag):
+        nd = f"CAST(n_{tag} AS DOUBLE)"
+        su = f"CAST(su_{tag} AS DOUBLE)"
+        ssq = f"CAST(ssq_{tag} AS DOUBLE)"
+        mean = f"({su} / {nd} / 100.0)"
+        var = f"(({ssq} - {su} * {su} / {nd}) / ({nd} - 1.0) / 10000.0)"
+        return nd, mean, var
+
+    nd_a, mean_a, var_a = stats("a")
+    nd_b, mean_b, var_b = stats("b")
+    se2 = f"({var_a} / {nd_a} + {var_b} / {nd_b})"
+    t = f"(({mean_a} - {mean_b}) / sqrt({se2}))"
+    dfw = (
+        f"({se2} * {se2} / (({var_a} / {nd_a}) * ({var_a} / {nd_a})"
+        f" / ({nd_a} - 1.0) + ({var_b} / {nd_b}) * ({var_b} / {nd_b})"
+        f" / ({nd_b} - 1.0)))"
+    )
+    return f"""
+    WITH u AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT event_type, arm, COUNT(*) AS n,
+               SUM(uu) AS su, SUM(uu * uu) AS ssq
+        FROM u WHERE arm IN (0, 1) GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT event_type,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN arm = 0 THEN su END) AS su_a,
+               MAX(CASE WHEN arm = 0 THEN ssq END) AS ssq_a,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN arm = 1 THEN su END) AS su_b,
+               MAX(CASE WHEN arm = 1 THEN ssq END) AS ssq_b
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {_r6(mean_a)} AS mean_a,
+           {_r6(mean_b)} AS mean_b,
+           {_r6(var_a)} AS var_a,
+           {_r6(var_b)} AS var_b,
+           {_r6(t)} AS t_stat,
+           {_r6(dfw)} AS df_welch
+    FROM paired WHERE n_a >= 2 AND n_b >= 2
+    ORDER BY event_type
+"""
+
+
+@query("stats_ab_welch", oracle=_welch_oracle())
+def stats_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import welch_ab_report
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        "value",
+    )
+    return welch_ab_report(
+        ev, ["event_type"], "arm", "value", 0, 1, scale=100
+    ).orderBy("event_type")

@@ -440,3 +440,60 @@ def test_mad_outliers_known_values_and_identical_group(spark):
 
     with _pytest.raises(ValueError):
         mad_outliers(df, "v", [])
+
+
+def test_wilson_bounds_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import wilson_bounds
+
+    df = spark.createDataFrame(
+        [("a", i < 8) for i in range(10)] + [("b", True)] * 3
+        + [("c", None)] * 2 + [("c", True)],
+        "g string, ok boolean",
+    )
+    got = {r["g"]: r for r in wilson_bounds(df, ["g"], "ok").collect()}
+    # a: 8/10 — the classic Wilson example
+    z = 1.96
+    p, n = 0.8, 10.0
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2.0 * n)) / denom
+    half = (z * ((p * (1.0 - p) / n + z * z / (4.0 * n * n)) ** 0.5)
+            / denom)
+    assert got["a"]["n"] == 10 and got["a"]["successes"] == 8
+    assert got["a"]["wilson_low"] == _pytest.approx(center - half, abs=1e-6)
+    assert got["a"]["wilson_high"] == _pytest.approx(center + half, abs=1e-6)
+    # b: 3/3 — Wilson pulls away from the degenerate [1, 1]
+    assert got["b"]["rate"] == 1.0
+    assert 0.3 < got["b"]["wilson_low"] < 1.0
+    assert got["b"]["wilson_high"] == 1.0
+    # c: NULLs excluded from n, not counted as failures
+    assert got["c"]["n"] == 1 and got["c"]["successes"] == 1
+    with _pytest.raises(ValueError):
+        wilson_bounds(df, [], "ok")
+
+
+def test_welch_ab_report_known_values_and_drops(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import welch_ab_report
+
+    rows = ([("g", "A", v) for v in (1.0, 2.0, 3.0, 4.0)]
+            + [("g", "B", v) for v in (2.0, 4.0, 6.0, 8.0)]
+            + [("one_arm", "A", 1.0), ("one_arm", "A", 2.0)]
+            + [("tiny", "A", 1.0), ("tiny", "B", 5.0)])
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    out = welch_ab_report(df, ["g"], "arm", "v", "A", "B").collect()
+    # one_arm lacks B; tiny has n=1 per arm: both dropped
+    assert [r["g"] for r in out] == ["g"]
+    r = out[0]
+    va, vb = 5.0 / 3.0, 20.0 / 3.0
+    se2 = va / 4.0 + vb / 4.0
+    t = (2.5 - 5.0) / se2 ** 0.5
+    dfw = se2 * se2 / ((va / 4.0) ** 2 / 3.0 + (vb / 4.0) ** 2 / 3.0)
+    assert r["n_a"] == 4 and r["n_b"] == 4
+    assert r["mean_a"] == 2.5 and r["mean_b"] == 5.0
+    assert r["var_a"] == _pytest.approx(va, abs=1e-6)
+    assert r["var_b"] == _pytest.approx(vb, abs=1e-6)
+    assert r["t_stat"] == _pytest.approx(t, abs=1e-6)
+    assert r["df_welch"] == _pytest.approx(dfw, abs=1e-6)

@@ -43,3 +43,60 @@ def test_ewma_all_null_window_is_null_not_nan(spark):
            for r in ewma_bounded(df, ["k"], ["t"], "v", lookback=2).collect()}
     assert out[0] is None and out[1] is None
     assert out[2] == 4.0 and not math.isnan(out[2])
+
+
+def test_cusum_known_sequence_and_reduction_identity(spark):
+    """Hand-computed two-sided CUSUM vs the window reduction: values
+    step from 0 to 10 at position 3; target fixed at 0, allowance 1,
+    threshold 15 -> S+ = [0,0,9,18,27,26,25] flags from the 4th row."""
+    from momyre_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("a", i, v) for i, v in enumerate([0.0, 0.0, 10.0, 10.0,
+                                               10.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = cusum_changepoints(
+        df, "v", ["k"], ["i"], allowance=1.0, threshold=15.0, target=0.0
+    ).orderBy("i").collect()
+    assert [r["cusum_pos"] for r in out] == [0.0, 0.0, 9.0, 18.0, 27.0,
+                                             26.0, 25.0]
+    assert all(r["cusum_neg"] == 0.0 for r in out)
+    assert [r["is_change"] for r in out] == [False, False, False, True,
+                                             True, True, True]
+
+
+def test_cusum_negative_side_and_mean_target(spark):
+    from momyre_spark.operators.timeseries import cusum_changepoints
+
+    # symmetric values around mean 5; a downward run trips the negative
+    # side only. target=None -> per-key mean (= 5 exactly here)
+    vals = [5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 10.0, 10.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "k string, i long, v double",
+    )
+    out = cusum_changepoints(
+        df, "v", ["k"], ["i"], allowance=1.0, threshold=7.0
+    ).orderBy("i").collect()
+    # downward run: y- = 5-1-0 = 4 per step -> S- = 4, 8, 12
+    assert [r["cusum_neg"] for r in out][6:9] == [4.0, 8.0, 12.0]
+    assert out[7]["is_change"] and not out[6]["is_change"]
+    # NULL values are dropped, not zero-filled
+    df2 = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 3.0)],
+        "k string, i long, v double",
+    )
+    assert cusum_changepoints(
+        df2, "v", ["k"], ["i"], allowance=0.0, threshold=1.0, target=2.0
+    ).count() == 2
+
+
+def test_cusum_validation(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.timeseries import cusum_changepoints
+
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, i long, v double")
+    with _pytest.raises(ValueError, match="key_cols"):
+        cusum_changepoints(df, "v", [], ["i"], 1.0, 1.0)
+    with _pytest.raises(ValueError, match="threshold"):
+        cusum_changepoints(df, "v", ["k"], ["i"], 1.0, 0.0)

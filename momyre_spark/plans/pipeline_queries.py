@@ -928,3 +928,112 @@ def pipe_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
     return feature_hash(docs, n_buckets=_FH_BUCKETS).orderBy(
         "doc_id", "bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# Annotation QA (operators/annotate.py): majority vote + Fleiss kappa
+# over a synthetic 300-item x 5-rater table (engine-neutral md5-prefix
+# noise at ~30% over a planted item%3 ground truth). Vote counts are
+# exact integers; every reported fraction is a division of exactly-
+# converted integers (kappa's three divisions mirrored literally), so
+# both queries carry full value-hash oracles.
+# --------------------------------------------------------------------------
+_ANN_ITEMS = 300
+_ANN_RATERS = 5
+
+_ANN_SQL_SPARK = f"""
+    SELECT id DIV {_ANN_RATERS} AS item,
+           CASE WHEN pmod(CAST(conv(substr(md5(concat('n',
+                    CAST(id DIV {_ANN_RATERS} AS STRING), '_',
+                    CAST(pmod(id, {_ANN_RATERS}) AS STRING))), 1, 15),
+                    16, 10) AS BIGINT), 10) < 3
+                THEN pmod(CAST(conv(substr(md5(concat('l',
+                    CAST(id DIV {_ANN_RATERS} AS STRING), '_',
+                    CAST(pmod(id, {_ANN_RATERS}) AS STRING))), 1, 15),
+                    16, 10) AS BIGINT), 3)
+                ELSE pmod(id DIV {_ANN_RATERS}, 3) END AS label
+    FROM range({_ANN_ITEMS * _ANN_RATERS})
+"""
+
+_ANN_SQL_DUCK = f"""
+    ann AS (
+        SELECT (i // {_ANN_RATERS}) AS item,
+               CASE WHEN (('0x' || substr(md5('n'
+                        || CAST((i // {_ANN_RATERS}) AS VARCHAR) || '_'
+                        || CAST((i % {_ANN_RATERS}) AS VARCHAR)), 1, 15)
+                        )::BIGINT % 10) < 3
+                    THEN (('0x' || substr(md5('l'
+                        || CAST((i // {_ANN_RATERS}) AS VARCHAR) || '_'
+                        || CAST((i % {_ANN_RATERS}) AS VARCHAR)), 1, 15)
+                        )::BIGINT % 3)
+                    ELSE (i // {_ANN_RATERS}) % 3 END AS label
+        FROM range({_ANN_ITEMS * _ANN_RATERS}) t(i)
+    )
+"""
+
+
+def _annotations(spark: SparkSession) -> DataFrame:
+    return spark.sql(_ANN_SQL_SPARK)
+
+
+@query(
+    "pipe_label_agreement",
+    oracle=f"""
+    WITH {_ANN_SQL_DUCK},
+    c AS (SELECT item, label, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+    w AS (
+        SELECT item, label, c,
+               CAST(SUM(c) OVER (PARTITION BY item)
+                    AS BIGINT) AS n_votes,
+               SUM(c * c) OVER (PARTITION BY item) AS s,
+               ROW_NUMBER() OVER (PARTITION BY item
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c)
+    SELECT item, n_votes, label AS majority_label, c AS majority_votes,
+           CASE WHEN n_votes >= 2 THEN
+               floor(((CAST(s AS DOUBLE) - CAST(n_votes AS DOUBLE))
+                      / (CAST(n_votes AS DOUBLE)
+                         * (CAST(n_votes AS DOUBLE) - 1.0)))
+                     * 1000000 + 0.5) / 1000000.0 END AS agreement
+    FROM w WHERE rn = 1 ORDER BY item
+""",
+)
+def pipe_label_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.annotate import majority_labels
+
+    return majority_labels(_annotations(spark), "item", "label").orderBy(
+        "item"
+    )
+
+
+@query(
+    "pipe_fleiss_kappa",
+    oracle=f"""
+    WITH {_ANN_SQL_DUCK},
+    c AS (SELECT item, label, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+    it AS (SELECT item, SUM(c) AS n, SUM(c * c) AS s FROM c GROUP BY 1),
+    itot AS (SELECT COUNT(*) AS i, SUM(s) AS ss,
+                  CAST(MIN(n) AS BIGINT) AS nr FROM it),
+    lt AS (SELECT label, SUM(c) AS cj FROM c GROUP BY 1),
+    ltot AS (SELECT SUM(cj * cj) AS sc FROM lt)
+    SELECT i AS n_items, nr AS n_raters,
+           floor((CAST(ss - i * nr AS DOUBLE)
+                  / CAST((i * nr) * (nr - 1) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS p_bar,
+           floor((CAST(sc AS DOUBLE)
+                  / CAST((i * nr) * (i * nr) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS p_e,
+           floor((((CAST(ss - i * nr AS DOUBLE)
+                    / CAST((i * nr) * (nr - 1) AS DOUBLE))
+                   - (CAST(sc AS DOUBLE)
+                      / CAST((i * nr) * (i * nr) AS DOUBLE)))
+                  / (1.0 - (CAST(sc AS DOUBLE)
+                            / CAST((i * nr) * (i * nr) AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000.0 AS kappa
+    FROM itot, ltot
+""",
+)
+def pipe_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.annotate import fleiss_kappa
+
+    return fleiss_kappa(_annotations(spark), "item", "label")

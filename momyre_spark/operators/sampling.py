@@ -596,3 +596,53 @@ def split_leakage_report(
             4,
         ).alias("leak_frac"),
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    tiebreak_cols: Sequence[str],
+    out_col: str = "calibrated",
+    buckets: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group quantile calibration of a score column: appends
+    ``out_col`` (the score's percent-rank WITHIN its group, [0,1]) and
+    ``{out_col}_bucket`` (its ntile bucket, 1..buckets).
+
+    The cross-source mixing fix: quality scores from different
+    classifiers/sources live on incomparable scales, so one global
+    threshold over-prunes some sources and under-prunes others.
+    Calibrating each source onto its own quantile scale makes "keep the
+    top 30%" mean the same thing everywhere — the standard move before
+    `materialize_mixture` blends sources.
+
+    Shape: ONE window shuffle keyed on the group; percent_rank is
+    ``(rank-1)/(n-1)`` — a single division of two exact integers, so the
+    output value-hashes across engines (ties share a rank by
+    definition; a single-row group calibrates to 0.0). Rows with a NULL
+    score are DROPPED — engines disagree on NULL ordering, and a NULL
+    score has no rank (visible in the row count, never a silent
+    extreme).
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    if buckets < 1:
+        raise ValueError("momyre: buckets must be >= 1")
+    if not tiebreak_cols:
+        # ntile assigns by row POSITION: equal scores land in different
+        # buckets depending on arrival order, which is partitioning-
+        # dependent — a unique tiebreak makes the buckets a function of
+        # the data. (percent_rank needs no tiebreak: ties share a rank.)
+        raise ValueError("momyre: tiebreak_cols must be non-empty")
+    groups = [F.col(c) for c in group_cols]
+    wq = Window.partitionBy(*groups).orderBy(F.col(score_col))
+    wt = Window.partitionBy(*groups).orderBy(
+        F.col(score_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn(out_col, round_half_up(F.percent_rank().over(wq), digits))
+        .withColumn(f"{out_col}_bucket", F.ntile(buckets).over(wt))
+    )

@@ -1037,3 +1037,34 @@ def pipe_fleiss_kappa(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.annotate import fleiss_kappa
 
     return fleiss_kappa(_annotations(spark), "item", "label")
+
+
+# --------------------------------------------------------------------------
+# Cross-source score calibration (operators/sampling.calibrate_scores):
+# per-source percent-rank + ntile decile of n_chars — one global quality
+# threshold means the same quantile in every source. percent_rank is one
+# exact-integer division; ntile is deterministic under the doc_id
+# tiebreak; ONE window shuffle keyed on source.
+# --------------------------------------------------------------------------
+@query(
+    "pipe_score_calibrate",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           floor(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+                 * 1000000 + 0.5) / 1000000.0 AS calibrated,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id)
+                AS INTEGER) AS calibrated_bucket
+    FROM documents WHERE n_chars IS NOT NULL
+    ORDER BY doc_id
+""",
+)
+def pipe_score_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import calibrate_scores
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return calibrate_scores(
+        docs, ["source"], "n_chars", ["doc_id"], buckets=10
+    ).orderBy("doc_id")

@@ -337,3 +337,32 @@ def test_bigram_lm_short_docs_excluded(spark):
     got = {r["doc_id"]: r for r in score_documents_bigram(docs).collect()}
     assert 1 not in got          # a 1-token doc has no transitions
     assert got[2]["n_bigrams"] == 1
+
+
+def test_calibrate_scores_quantiles_and_buckets(spark):
+    from momyre_spark.operators.sampling import calibrate_scores
+
+    rows = ([("s1", i, float(i)) for i in range(1, 6)]          # 1..5
+            + [("s2", i, 100.0 * i) for i in range(1, 3)]       # wild scale
+            + [("s3", 1, 7.0)]                                  # single row
+            + [("s1", 99, None)])                               # NULL dropped
+    df = spark.createDataFrame(rows, "source string, id long, score double")
+    out = calibrate_scores(df, ["source"], "score", ["id"], buckets=2)
+    got = {(r["source"], r["id"]): r for r in out.collect()}
+    assert len(got) == 8  # NULL-score row dropped
+    # percent_rank = (rank-1)/(n-1) inside each source
+    assert got[("s1", 1)]["calibrated"] == 0.0
+    assert got[("s1", 3)]["calibrated"] == 0.5
+    assert got[("s1", 5)]["calibrated"] == 1.0
+    # scale-free: s2's top item calibrates to 1.0 like s1's
+    assert got[("s2", 2)]["calibrated"] == 1.0
+    # single-row group -> 0.0, bucket 1
+    assert got[("s3", 1)]["calibrated"] == 0.0
+    assert got[("s3", 1)]["calibrated_bucket"] == 1
+    # ntile(2) over 5 rows: first bucket gets the extra row
+    assert [got[("s1", i)]["calibrated_bucket"] for i in (1, 2, 3, 4, 5)] \
+        == [1, 1, 1, 2, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tiebreak"):
+        calibrate_scores(df, ["source"], "score", [])

@@ -487,3 +487,76 @@ def welch_ab_report(
         round_half_up(t, digits).alias("t_stat"),
         round_half_up(dfw, digits).alias("df_welch"),
     )
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    y_scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group least-squares trend of ``y`` against ``x``:
+    ``(*group_cols, n, slope, intercept, r2)``. The metric-drift readout
+    — "is this source's quality score trending down over time, and how
+    fast" — computed for every group in ONE pass.
+
+    ``x_col`` must already be integer-valued at a resolution whose sums
+    stay small (epoch DAYS, batch indexes — not raw micros: the closed
+    form multiplies second moments, so keep
+    ``(|x| * |y| * y_scale * rows_per_group) < 2^63``; ANSI mode raises
+    on overflow rather than wrapping). ``y`` fixes to ``1/y_scale``
+    units. All five moment sums (x, y, xy, x², y²) are then exact BIGINT
+    arithmetic; the closed-form numerators/denominators are exact BIGINT
+    products; and slope/intercept/r² are a handful of mirrored float ops
+    over their single-rounded double conversions — deterministic across
+    engines and partitionings.
+
+    Shape: one hash aggregation keyed on the group (map-side partials,
+    no window, no second pass). Rows with NULL x or y are dropped;
+    groups need n >= 2 and non-constant x (zero x-variance has no
+    slope) — both dropped visibly, never NULL-filled.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    x = F.col(x_col).cast("bigint")
+    y = F.floor(
+        F.col(y_col).cast("double") * F.lit(float(y_scale)) + F.lit(0.5)
+    ).cast("bigint")
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(*group_cols, x.alias("__x"), y.alias("__y"))
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+            F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        )
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    numd = num.cast("double")
+    denxd = denx.cast("double")
+    denyd = deny.cast("double")
+    nd = F.col("__n").cast("double")
+    ys = F.lit(float(y_scale))
+    slope = numd / denxd / ys
+    intercept = (
+        (F.col("__sy").cast("double") / nd - numd / denxd
+         * (F.col("__sx").cast("double") / nd)) / ys
+    )
+    r2 = F.when(
+        deny != 0, numd * numd / (denxd * denyd)
+    )
+    return agg.filter((F.col("__n") >= 2) & (denx != 0)).select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        round_half_up(slope, digits).alias("slope"),
+        round_half_up(intercept, digits).alias("intercept"),
+        round_half_up(r2, digits).alias("r2"),
+    )

@@ -1258,3 +1258,64 @@ def stats_ab_welch(spark: SparkSession, sf: str) -> DataFrame:
     return welch_ab_report(
         ev, ["event_type"], "arm", "value", 0, 1, scale=100
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Per-group OLS trend (operators/profile.group_ols_trend): slope /
+# intercept / r² of event value vs epoch day, per event_type — the
+# metric-drift readout in ONE hash agg. Exact BIGINT moment sums,
+# exact BIGINT closed-form numerators, mirrored float tail, 6dp.
+# --------------------------------------------------------------------------
+def _ols_oracle() -> str:
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    denx = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    deny = "CAST(n * syy - sy * sy AS DOUBLE)"
+    nd = "CAST(n AS DOUBLE)"
+    slope = f"({num} / {denx} / 100.0)"
+    intercept = (
+        f"((CAST(sy AS DOUBLE) / {nd} - {num} / {denx}"
+        f" * (CAST(sx AS DOUBLE) / {nd})) / 100.0)"
+    )
+    r2 = (
+        f"(CASE WHEN (n * syy - sy * sy) != 0"
+        f" THEN {num} * {num} / ({denx} * {deny}) END)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT event_type,
+               (epoch_us(ts) // 86400000000) AS x,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    a AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM b GROUP BY 1
+    )
+    SELECT event_type, n,
+           {_r6(slope)} AS slope,
+           {_r6(intercept)} AS intercept,
+           {_r6(r2)} AS r2
+    FROM a WHERE n >= 2 AND (n * sxx - sx * sx) != 0
+    ORDER BY event_type
+"""
+
+
+@query("stats_group_ols", oracle=_ols_oracle())
+def stats_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import group_ols_trend
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            "value",
+        )
+    )
+    return group_ols_trend(
+        ev, ["event_type"], "day", "value", y_scale=100
+    ).orderBy("event_type")

@@ -497,3 +497,32 @@ def test_welch_ab_report_known_values_and_drops(spark):
     assert r["var_b"] == _pytest.approx(vb, abs=1e-6)
     assert r["t_stat"] == _pytest.approx(t, abs=1e-6)
     assert r["df_welch"] == _pytest.approx(dfw, abs=1e-6)
+
+
+def test_group_ols_trend_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import group_ols_trend
+
+    rows = ([("exact", x, 1.0 + 2.0 * x) for x in range(3)]
+            + [("noisy", 0, 0.0), ("noisy", 1, 2.0), ("noisy", 2, 1.0),
+               ("noisy", 3, 3.0)]
+            + [("flat_y", 0, 5.0), ("flat_y", 1, 5.0)]
+            + [("const_x", 7, 1.0), ("const_x", 7, 2.0)]
+            + [("single", 0, 1.0)]
+            + [("nulls", 0, None), ("nulls", None, 1.0)])
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r["g"]: r for r in group_ols_trend(df, ["g"], "x", "y").collect()}
+    # const_x has no x variance, single has n=1, nulls has no valid rows
+    assert set(got) == {"exact", "noisy", "flat_y"}
+    assert got["exact"]["slope"] == 2.0
+    assert got["exact"]["intercept"] == 1.0
+    assert got["exact"]["r2"] == 1.0
+    # hand-computed: slope 16/20, intercept 0.3, r2 0.64
+    assert got["noisy"]["slope"] == _pytest.approx(0.8, abs=1e-6)
+    assert got["noisy"]["intercept"] == _pytest.approx(0.3, abs=1e-6)
+    assert got["noisy"]["r2"] == _pytest.approx(0.64, abs=1e-6)
+    # constant y: zero y-variance -> r2 undefined (NULL), slope 0
+    assert got["flat_y"]["slope"] == 0.0 and got["flat_y"]["r2"] is None
+    with _pytest.raises(ValueError):
+        group_ols_trend(df, [], "x", "y")

@@ -126,6 +126,15 @@ HEADLINE = [
     # one map-side-combinable agg, all codegen)
     "cdc_point_in_time_join",
     "pipe_feature_hash",
+    # round-6 sixth wave: CUSUM drift detection (one key shuffle, four
+    # running-frame windows over integer units), seeded PageRank
+    # (personalized teleport, same exact-integer iteration), per-group
+    # OLS trend (one hash agg over five moment sums), and cross-source
+    # quantile calibration (one window shuffle)
+    "ts_cusum_changepoints",
+    "graph_seed_pagerank",
+    "stats_group_ols",
+    "pipe_score_calibrate",
 ]
 
 

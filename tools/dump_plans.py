@@ -45,6 +45,10 @@ SHOWCASE = [
     ("pipe_split_leakage", "leakage audit: one fingerprint groupBy + 1-row rollups, map-side splits"),
     ("text_boilerplate_strip", "boilerplate strip: line-df agg, broadcast anti-join, ordered reassembly"),
     ("ts_ewma_bounded", "EWMA: one window, fixed-order lag chains, no aggregation ordering"),
+    # round 6
+    ("ts_cusum_changepoints", "CUSUM: ONE key exchange feeds all five window exprs (mean + 2 sums + 2 mins)"),
+    ("stats_group_ols", "OLS trend: one partial+final hash agg over five moment sums, no window"),
+    ("pipe_score_calibrate", "calibration: one source exchange, percent_rank + ntile share the sort"),
 ]
 
 

@@ -329,3 +329,135 @@ def cusum_changepoints(
         )
         .drop("__u", "__mu", "__pp", "__qq", "__sp", "__sn")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    tiebreak_cols: Sequence[str],
+) -> DataFrame:
+    """Open/high/low/close resampling: per key and fixed time bucket,
+    ``(keys, bucket_start, open, high, low, close, n, volume)`` — the
+    standard downsampled view of a high-frequency metric (first/last
+    need ORDER, which plain groupBy aggregation cannot see; this is the
+    canonical window+agg composition for it).
+
+    ``open``/``close`` are the first/last values in ``(ts, *tiebreaks)``
+    order — the tiebreak makes them a function of the data, not of row
+    arrival (required; same contract as ``calibrate_scores``). ``high``/
+    ``low``/``volume`` are order-free. ``volume`` is the exact
+    centi-unit sum of values, reported in value units.
+
+    Shape: one shuffle on (key, bucket): the rank window and the final
+    aggregation share the same hash partitioning, so Catalyst plans a
+    single Exchange. Values pass through untouched (no float
+    arithmetic), so the whole frame value-hashes.
+    """
+    if not tiebreak_cols:
+        raise ValueError("momyre: tiebreak_cols must be non-empty")
+    keys = [F.col(c) for c in key_cols]
+    bucket = (
+        F.expr(f"unix_micros({ts_col})")
+        / F.lit(bucket_seconds * 1_000_000)
+    )
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).withColumn("__b", F.floor(bucket).cast("bigint"))
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
+    wf = Window.partitionBy(*keys, F.col("__b")).orderBy(*order)
+    wl = Window.partitionBy(*keys, F.col("__b")).orderBy(
+        *[o.desc() for o in order]
+    )
+    v = F.col(value_col)
+    cu = F.floor(v.cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        base.withColumn("__rf", F.row_number().over(wf))
+        .withColumn("__rl", F.row_number().over(wl))
+        .groupBy(*keys, F.col("__b").alias("bucket_start"))
+        .agg(
+            F.max(F.when(F.col("__rf") == 1, v)).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(F.when(F.col("__rl") == 1, v)).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cu).cast("double") / F.lit(100.0)).alias("volume"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key time-weighted average: ``(keys, n, span_seconds, twap)``
+    where each value is weighted by how LONG it held (until the next
+    observation) — the correct mean for irregularly-sampled state
+    (config values, prices, gauge metrics), where the row-mean
+    over-weights chatty periods.
+
+    Step-function (LOCF) semantics over ``[t_0, t_n]``: the last
+    observation closes the span with weight 0. Keys with fewer than 2
+    observations have no span and are dropped (visible, never a
+    fabricated row-mean).
+
+    Determinism: durations are exact integer microseconds (one lead
+    window), values fix to exact centi-units; each duration*value
+    product is exact DECIMAL(38,0) arithmetic and their sum is exact,
+    leaving ONE mirrored float division chain. Equal timestamps need
+    ``tiebreak_cols`` to pair deterministically: the step function reads
+    "the later row in tiebreak order supersedes instantly" (the earlier
+    one holds for zero time) — WITHOUT a tiebreak, which of two
+    different values gets the following interval's duration depends on
+    arrival order, so pass one whenever timestamps can tie.
+    Shape: one key shuffle (window + agg co-partitioned).
+    """
+    keys = [F.col(c) for c in key_cols]
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).withColumn("__t", F.expr(f"unix_micros({ts_col})"))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__t"), *[F.col(c) for c in tiebreak_cols]
+    )
+    cu = F.floor(
+        F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    out = (
+        base.withColumn("__next", F.lead("__t").over(w))
+        .withColumn(
+            "__dur", F.coalesce(F.col("__next") - F.col("__t"), F.lit(0))
+        )
+        .withColumn(
+            "__wv",
+            (cu.cast("decimal(38,0)") * F.col("__dur").cast("decimal(38,0)")),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__dur").alias("__span"),
+            F.sum("__wv").alias("__num"),
+        )
+        .filter(F.col("__span") > 0)
+    )
+    twap = (
+        F.col("__num").cast("double")
+        / F.col("__span").cast("double")
+        / F.lit(100.0)
+    )
+    from momyre_spark.functions.numeric import round_half_up
+
+    return out.select(
+        *key_cols,
+        "n",
+        (F.col("__span").cast("double") / F.lit(1_000_000.0)).alias(
+            "span_seconds"
+        ),
+        round_half_up(twap, 6).alias("twap"),
+    )

@@ -1720,3 +1720,94 @@ def ts_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", "cusum_pos", "cusum_neg", "is_change"
     ).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------------
+# OHLC resampling (operators/timeseries.ohlc_bars): per-event-type daily
+# bars. The rank window and the aggregation share one (key,bucket)
+# partitioning — a single Exchange; values pass through untouched, the
+# volume sum is exact centi-units.
+# --------------------------------------------------------------------------
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, event_id, value, epoch_us(ts) AS t,
+               (epoch_us(ts) // 86400000000) AS bucket_start
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY t, event_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY t DESC, event_id DESC) AS rl
+        FROM b
+    )
+    SELECT event_type, bucket_start,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS volume
+    FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_start
+""",
+)
+def ts_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import ohlc_bars
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    return ohlc_bars(
+        ev, ["event_type"], "ts", "value", 86400, ["event_id"]
+    ).orderBy("event_type", "bucket_start")
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (operators/timeseries.time_weighted_avg): per-user
+# TWAP of the event value — the correct mean for irregular sampling.
+# Exact integer-microsecond durations, exact DECIMAL(38,0) weighted sums,
+# one mirrored division chain.
+# --------------------------------------------------------------------------
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS cu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    l AS (
+        SELECT user_id, cu,
+               COALESCE(LEAD(t) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id) - t,
+                        0) AS dur
+        FROM b
+    ),
+    a AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(dur) AS BIGINT) AS span,
+               SUM(CAST(cu AS DECIMAL(38,0))
+                   * CAST(dur AS DECIMAL(38,0))) AS num
+        FROM l GROUP BY 1
+    )
+    SELECT user_id, n,
+           CAST(span AS DOUBLE) / 1000000.0 AS span_seconds,
+           floor((CAST(num AS DOUBLE) / CAST(span AS DOUBLE) / 100.0)
+                 * 1000000 + 0.5) / 1000000.0 AS twap
+    FROM a WHERE span > 0 ORDER BY user_id
+""",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return time_weighted_avg(
+        ev, ["user_id"], "ts", "value", ["event_id"]
+    ).orderBy("user_id")

@@ -100,3 +100,76 @@ def test_cusum_validation(spark):
         cusum_changepoints(df, "v", [], ["i"], 1.0, 1.0)
     with _pytest.raises(ValueError, match="threshold"):
         cusum_changepoints(df, "v", ["k"], ["i"], 1.0, 0.0)
+
+
+def test_ohlc_bars_known_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        ("k", "2024-01-01 00:00:01", 1, 10.0),
+        ("k", "2024-01-01 00:00:30", 2, 30.0),
+        ("k", "2024-01-01 00:00:59", 3, 20.0),   # bucket 0: o=10 c=20
+        ("k", "2024-01-01 00:01:10", 4, 5.0),    # bucket 1: single row
+        ("k2", "2024-01-01 00:00:10", 5, 7.0),
+        ("k", None, 9, 1.0), ("k", "2024-01-01 00:00:02", 10, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, event_id long, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ohlc_bars(df, ["k"], "ts", "v", 60, ["event_id"]).collect()
+    got = {(r["k"], r["bucket_start"]): r for r in out}
+    b0 = int(1704067200 / 60)  # 2024-01-01 00:00 UTC epoch minute
+    r = got[("k", b0)]
+    assert (r["open"], r["high"], r["low"], r["close"]) == (10.0, 30.0,
+                                                            10.0, 20.0)
+    assert r["n"] == 3 and r["volume"] == 60.0
+    r1 = got[("k", b0 + 1)]
+    assert (r1["open"], r1["close"], r1["n"]) == (5.0, 5.0, 1)
+    assert got[("k2", b0)]["open"] == 7.0
+    assert len(got) == 3  # NULL ts / NULL value rows dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tiebreak"):
+        ohlc_bars(df, ["k"], "ts", "v", 60, [])
+
+
+def test_time_weighted_avg_step_function(spark):
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.timeseries import time_weighted_avg
+
+    # value 10 holds 30s, value 20 holds 10s, final value closes span:
+    # twap = (10*30 + 20*10) / 40 = 12.5  (row mean would be 40/3)
+    rows = [
+        ("k", "2024-01-01 00:00:00", 10.0),
+        ("k", "2024-01-01 00:00:30", 20.0),
+        ("k", "2024-01-01 00:00:40", 99.0),
+        ("single", "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["k"]: r for r in time_weighted_avg(df, ["k"], "ts", "v").collect()}
+    assert set(out) == {"k"}  # single-observation key dropped
+    assert out["k"]["twap"] == 12.5
+    assert out["k"]["span_seconds"] == 40.0
+    assert out["k"]["n"] == 3
+
+
+def test_time_weighted_avg_tie_pairing_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.timeseries import time_weighted_avg
+
+    # two observations at the SAME instant: with the id tiebreak the
+    # later id (v=100) supersedes instantly and holds the 10s interval
+    rows = [
+        ("k", "2024-01-01 00:00:00", 1, 0.0),
+        ("k", "2024-01-01 00:00:00", 2, 100.0),
+        ("k", "2024-01-01 00:00:10", 3, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, id long, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = time_weighted_avg(df, ["k"], "ts", "v", ["id"]).collect()[0]
+    assert out["twap"] == 100.0 and out["span_seconds"] == 10.0

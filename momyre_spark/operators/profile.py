@@ -560,3 +560,83 @@ def group_ols_trend(
         round_half_up(intercept, digits).alias("intercept"),
         round_half_up(r2, digits).alias("r2"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns:
+    ONE row ``(n, n_a, n_b, dof, chi2, cramers_v)`` — are language and
+    source independent, does quality-gate pass rate depend on domain?
+    Cramér's V normalizes chi² to [0,1] so effect sizes compare across
+    tables.
+
+    Contract: both columns are CATEGORICAL with bounded cardinality —
+    the expected-count grid materializes all r x c cells (including
+    unobserved ones, which contribute their full expected count; a
+    sparse-only sum understates chi²). Rows where either column is NULL
+    are excluded.
+
+    Shape: one (a,b) count aggregation, two tiny marginal aggs, the
+    r x c grid built by crossing the marginals (broadcast — both are
+    category-sized), one broadcast join back to the observed counts.
+    Determinism: all counts exact integers; each cell's term
+    ``(o-e)²/e`` is a mirrored float expression rounded half-up at 6dp
+    and fixed to DECIMAL(38,6) BEFORE summation, so the sum is exact and
+    order-free (the temperature-mixture recipe); chi² and V are then a
+    mirrored float tail.
+    """
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    counts = base.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__o"))
+    rowt = base.groupBy("__a").agg(F.count(F.lit(1)).alias("__ra"))
+    colt = base.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    grid = rowt.crossJoin(F.broadcast(colt))
+    cells = grid.join(F.broadcast(counts), ["__a", "__b"], "left").select(
+        "__a",
+        "__b",
+        "__ra",
+        "__cb",
+        F.coalesce(F.col("__o"), F.lit(0)).cast("bigint").alias("__o"),
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("__n"))
+    cells = cells.crossJoin(F.broadcast(tot))
+    od = F.col("__o").cast("double")
+    e = (F.col("__ra") * F.col("__cb")).cast("double") / F.col(
+        "__n"
+    ).cast("double")
+    term = (od - e) * (od - e) / e
+    summed = (
+        cells.select(
+            F.col("__n"),
+            round_half_up(term, digits).cast("decimal(38,6)").alias("__t"),
+        )
+        .groupBy("__n")
+        .agg(F.sum("__t").alias("__chi2d"), F.count(F.lit(1)).alias("__rc"))
+    )
+    shape = rowt.agg(F.count(F.lit(1)).alias("__nr")).crossJoin(
+        F.broadcast(colt.agg(F.count(F.lit(1)).alias("__nc")))
+    )
+    out = summed.crossJoin(F.broadcast(shape))
+    chi2 = F.col("__chi2d").cast("double")
+    mindim = F.least(
+        F.col("__nr") - F.lit(1), F.col("__nc") - F.lit(1)
+    )
+    v = F.when(
+        mindim > 0,
+        F.sqrt(chi2 / (F.col("__n") * mindim).cast("double")),
+    )
+    return out.select(
+        F.col("__n").alias("n"),
+        F.col("__nr").alias("n_a"),
+        F.col("__nc").alias("n_b"),
+        ((F.col("__nr") - F.lit(1)) * (F.col("__nc") - F.lit(1))).alias(
+            "dof"
+        ),
+        round_half_up(chi2, digits).alias("chi2"),
+        round_half_up(v, digits).alias("cramers_v"),
+    )

@@ -1319,3 +1319,59 @@ def stats_group_ols(spark: SparkSession, sf: str) -> DataFrame:
     return group_ols_trend(
         ev, ["event_type"], "day", "value", y_scale=100
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Chi-squared independence (operators/profile.chi2_independence): is
+# document language independent of source? Full r x c grid (unobserved
+# cells contribute their expected count), terms 6dp-fixed to
+# DECIMAL(38,6) before the exact sum, mirrored float tail.
+# --------------------------------------------------------------------------
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH base AS (
+        SELECT lang AS a, source AS b FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS o FROM base GROUP BY 1, 2),
+    rowt AS (SELECT a, COUNT(*) AS ra FROM base GROUP BY 1),
+    colt AS (SELECT b, COUNT(*) AS cb FROM base GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM base),
+    cells AS (
+        SELECT rowt.a, colt.b, ra, cb,
+               CAST(COALESCE(o, 0) AS BIGINT) AS o
+        FROM rowt CROSS JOIN colt
+        LEFT JOIN counts ON counts.a = rowt.a AND counts.b = colt.b
+    ),
+    terms AS (
+        SELECT CAST(floor(((CAST(o AS DOUBLE)
+                    - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                    - CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(ra * cb AS DOUBLE) / CAST(n AS DOUBLE)))
+                  * 1000000 + 0.5) / 1000000.0 AS DECIMAL(38,6)) AS t,
+               n
+        FROM cells, tot
+    ),
+    s AS (SELECT n, SUM(t) AS chi2d FROM terms GROUP BY n),
+    shape AS (
+        SELECT (SELECT COUNT(*) FROM rowt) AS nr,
+               (SELECT COUNT(*) FROM colt) AS nc
+    )
+    SELECT n, nr AS n_a, nc AS n_b,
+           (nr - 1) * (nc - 1) AS dof,
+           floor(CAST(chi2d AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+               AS chi2,
+           CASE WHEN least(nr - 1, nc - 1) > 0 THEN
+               floor(sqrt(CAST(chi2d AS DOUBLE)
+                          / CAST(n * least(nr - 1, nc - 1) AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000.0 END AS cramers_v
+    FROM s, shape
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import chi2_independence
+
+    docs = load_table(spark, sf, "documents").select("lang", "source")
+    return chi2_independence(docs, "lang", "source")

@@ -526,3 +526,31 @@ def test_group_ols_trend_known_values(spark):
     assert got["flat_y"]["slope"] == 0.0 and got["flat_y"]["r2"] is None
     with _pytest.raises(ValueError):
         group_ols_trend(df, [], "x", "y")
+
+
+def test_chi2_independence_known_table(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import chi2_independence
+
+    # classic 2x2: a/x 10, a/y 20, b/x 20, b/y 10 -> chi2 = 60/9*... hand:
+    # N=60, rows a=30 b=30, cols x=30 y=30, e=15 each, (o-e)^2/e = 25/15
+    # per cell -> chi2 = 4 * 5/3 = 20/3; V = sqrt((20/3)/60) = 1/3
+    rows = ([("a", "x")] * 10 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 10
+            + [(None, "x"), ("a", None)])
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = chi2_independence(df, "u", "v").collect()[0]
+    assert r["n"] == 60 and r["dof"] == 1
+    assert r["chi2"] == _pytest.approx(20 / 3, abs=1e-5)
+    assert r["cramers_v"] == _pytest.approx(1 / 3, abs=1e-5)
+    # unobserved cell contributes its full expected count
+    df2 = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 3 + [("b", "y")] * 3,
+        "u string, v string",
+    )
+    r2 = chi2_independence(df2, "u", "v").collect()[0]
+    # e(b,x) = 3*6/12 = 1.5; its term is 1.5 even though o=0
+    # full chi2: cells (a,x):(6-4.5)^2/4.5=.5 (a,y):(3-4.5)^2/4.5=.5
+    #            (b,x):1.5  (b,y):(3-1.5)^2/1.5=1.5  -> 4.0
+    assert r2["chi2"] == _pytest.approx(4.0, abs=1e-5)

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from momyre_spark.functions.numeric import round_half_up
 
@@ -639,4 +640,315 @@ def chi2_independence(
         ),
         round_half_up(chi2, digits).alias("chi2"),
         round_half_up(v, digits).alias("cramers_v"),
+    )
+
+
+def group_auc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of ``score_col`` predicting boolean ``label_col``
+    via the Mann-Whitney rank identity:
+    ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)`` where ``R_pos``
+    is the sum of the positives' mid-ranks (ties get the average rank, the
+    standard trapezoidal-ROC tie treatment). The classifier-quality readout
+    every model-scored corpus gate needs ("does this quality score actually
+    separate kept from dropped?") without materializing a single ROC point.
+
+    Shape: one hash aggregation keyed on (group, distinct score value),
+    then ONE window pass over the per-group distinct values (cumulative
+    counts), then a per-group re-agg. Work scales with the number of
+    DISTINCT scores per group — not rows — after the first agg, so a
+    billion-row group with a 6-digit fixed-point score sorts at most 10^6
+    value rows. Never a per-row window.
+
+    Determinism: scores fix to ``1/scale`` units (ties are therefore
+    engine-independent), every rank quantity is exact BIGINT (mid-ranks
+    are half-integers, so the operator carries 2x the rank sum), and the
+    single final division is one mirrored float op rounded at ``digits``.
+    Groups without at least one positive AND one negative are dropped
+    (AUC undefined) — visible in the row count, never NULL-filled.
+    Keep ``rows_per_group^2 * 2 < 2^63`` (the rank-sum bound; ANSI mode
+    raises on overflow rather than wrapping).
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    u = F.floor(
+        F.col(score_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    per = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            *group_cols,
+            u.alias("__u"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+        .groupBy(*[F.col(c) for c in group_cols], F.col("__u"))
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("__pos"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.withColumn(
+        "__cum", F.sum("__cnt").over(w)
+    ).withColumn("__cb", F.col("__cum") - F.col("__cnt"))
+    # 2 * sum of positives' mid-ranks: each of the __pos positives at this
+    # value has mid-rank (__cb + (__cnt + 1) / 2); doubled stays integral.
+    contrib = F.col("__pos") * (
+        F.lit(2) * F.col("__cb") + F.col("__cnt") + F.lit(1)
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("__cnt").alias("__n"),
+        F.sum("__pos").alias("__npos"),
+        F.sum(contrib).alias("__r2"),
+    )
+    npos = F.col("__npos")
+    nneg = F.col("__n") - npos
+    # AUC = (R_pos - npos(npos+1)/2) / (npos*nneg) with R_pos = __r2/2
+    num = F.col("__r2") - npos * (npos + F.lit(1))
+    auc = num.cast("double") / (
+        (F.lit(2) * npos * nneg).cast("double")
+    )
+    return agg.filter((npos >= 1) & (nneg >= 1)).select(
+        *group_cols,
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+        round_half_up(auc, digits).alias("auc"),
+    )
+
+
+def ks_2sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic between arms
+    ``arm_a`` and ``arm_b``: ``D = max_v |ECDF_a(v) - ECDF_b(v)|`` — the
+    distribution-shift test behind "did this release change the metric's
+    whole shape, not just its mean" (the readout Welch's t cannot give).
+
+    Shape: one hash aggregation keyed on (group, distinct value), ONE
+    window pass over per-group distinct values (cumulative arm counts +
+    per-group totals in the same pass), then a per-group max. Post-agg
+    work scales with DISTINCT values per group, never rows.
+
+    Determinism: the statistic is computed as an exact BIGINT maximum of
+    ``|cum_a * n_b - cum_b * n_a|`` (cross-multiplied ECDFs — no float
+    until the single final division, mirrored and rounded at ``digits``).
+    Values fix to ``1/scale`` units so tie structure is engine-exact.
+    Groups missing either arm are dropped visibly. Keep
+    ``n_a * n_b < 2^63`` (ANSI mode raises on overflow, never wraps).
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    isa = F.col(arm_col) == F.lit(arm_a)
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .select(*group_cols, u.alias("__u"), isa.alias("__isa"))
+        .groupBy(*[F.col(c) for c in group_cols], F.col("__u"))
+        .agg(
+            F.sum(F.when(F.col("__isa"), 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(F.col("__isa"), 0).otherwise(1)).alias("__cb"),
+        )
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("__u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = (
+        per.withColumn("__cuma", F.sum("__ca").over(wcum))
+        .withColumn("__cumb", F.sum("__cb").over(wcum))
+        .withColumn("__na", F.sum("__ca").over(wall))
+        .withColumn("__nb", F.sum("__cb").over(wall))
+    )
+    diff = F.abs(
+        F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max(diff).alias("__d"),
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+    )
+    ks = F.col("__d").cast("double") / (
+        (F.col("__na") * F.col("__nb")).cast("double")
+    )
+    return agg.filter((F.col("__na") >= 1) & (F.col("__nb") >= 1)).select(
+        *group_cols,
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        round_half_up(ks, digits).alias("ks_stat"),
+    )
+
+
+def psi_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    boundaries: Sequence[float],
+    ref_group,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution in every
+    ``group_col`` population against the ``ref_group`` population, over the
+    fixed histogram ``boundaries`` (k edges -> k+1 bins, upper-unbounded
+    last bin): ``PSI = sum_bins (p_g - p_ref) * ln(p_g / p_ref)`` — the
+    standard drift score (rule of thumb: <0.1 stable, >0.25 shifted) for
+    "has this source's length/score distribution moved since the reference
+    snapshot". Bin probabilities are Laplace-smoothed
+    ``(cnt + 0.5) / (n + 0.5 * n_bins)`` so empty bins contribute finitely
+    instead of blowing up the log.
+
+    Shape: one hash aggregation keyed on (group, bin), a broadcast of the
+    per-group totals and of the tiny dense (group x bin) grid, and a
+    per-group re-agg of k+1 term rows — post-agg work is
+    ``|groups| * n_bins`` whatever the row count.
+
+    Determinism: values and edges fix to ``1/scale`` units (bin membership
+    is integer comparison, engine-exact); each PSI term is rounded at
+    ``digits`` and fixed to DECIMAL(38,6) BEFORE the sum, so the total is
+    an exact decimal sum of identically-rounded terms (the chi2_independence
+    recipe) — associativity of the float sum never matters.
+    """
+    if not boundaries or list(boundaries) != sorted(set(boundaries)):
+        raise ValueError("momyre: boundaries must be sorted and distinct")
+    edges = [
+        int(__import__("math").floor(float(b) * scale + 0.5))
+        for b in boundaries
+    ]
+    n_bins = len(edges) + 1
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    bin_expr = sum(
+        (F.when(F.col("__u") >= F.lit(e), 1).otherwise(0) for e in edges),
+        F.lit(0),
+    ).cast("int")
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("__g"), u.alias("__u"))
+        .select("__g", bin_expr.alias("__b"))
+    )
+    counts = base.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    # dense (group x bin) grid via a map-side explode of the literal bin
+    # list — never a join (a cross join would plan as a nested-loop join,
+    # which the plan auditor bans even when harmless)
+    grid = (
+        totals.withColumn(
+            "__b",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(n_bins)])
+            ),
+        )
+        .join(counts, ["__g", "__b"], "left")
+        .select(
+            "__g",
+            "__b",
+            "__n",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    p = (F.col("__c").cast("double") + F.lit(0.5)) / (
+        F.col("__n").cast("double") + F.lit(0.5 * n_bins)
+    )
+    cells = grid.select("__g", "__b", "__n", p.alias("__p"))
+    ref = (
+        cells.filter(F.col("__g") == F.lit(ref_group))
+        .select(F.col("__b"), F.col("__p").alias("__pr"))
+    )
+    joined = cells.join(F.broadcast(ref), "__b")
+    term = (F.col("__p") - F.col("__pr")) * F.log(
+        F.col("__p") / F.col("__pr")
+    )
+    out = (
+        joined.select(
+            "__g",
+            "__n",
+            round_half_up(term, digits).cast("decimal(38,6)").alias("__t"),
+        )
+        .groupBy("__g", "__n")
+        .agg(F.sum("__t").alias("__psi"))
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__psi").cast("double").alias("psi"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of non-negative integer ``value_col``
+    (sizes, token counts, byte counts): the concentration readout —
+    "is 1% of this source's documents carrying 90% of its tokens?" —
+    via the sorted-rank closed form
+    ``G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))`` with
+    ``x_1 <= ... <= x_n``.
+
+    Shape: ONE window sort per group (row_number over value order) plus
+    one hash agg. Tied values make row_number's tie-break arbitrary, but
+    the statistic is invariant under permuting equal values, so the
+    result is still engine-exact. The per-group sort is the cost: groups
+    here are sources/types (bounded cardinality, heavy rows per group) —
+    for a truly unsorted 100 TB column prefer the mergeable quantile
+    state (operators/sketches.py) and read concentration off the CDF.
+
+    Determinism: all three terms are exact BIGINT (requires
+    ``n * max|x| * n < 2^63``; ANSI mode raises on overflow); the single
+    final division is one mirrored float op rounded at ``digits``.
+    Rows with NULL value are dropped; groups with zero total are dropped
+    (Gini undefined) — both visible in the row count.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    x = F.col(value_col).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, x.alias("__x")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__x")
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+    )
+    num = F.lit(2) * F.col("__six") - (F.col("__n") + F.lit(1)) * F.col(
+        "__sx"
+    )
+    den = F.col("__n") * F.col("__sx")
+    gini = num.cast("double") / den.cast("double")
+    return agg.filter(F.col("__sx") > 0).select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.col("__sx").alias("total"),
+        round_half_up(gini, digits).alias("gini"),
     )

@@ -461,3 +461,105 @@ def time_weighted_avg(
         ),
         round_half_up(twap, 6).alias("twap"),
     )
+
+
+def acf_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group sample autocorrelation of integer-valued ``value_col`` at
+    each requested lag — the seasonality/persistence readout ("does
+    yesterday's volume predict today's?") for a keyed series:
+
+        r_l = sum_{t>l} (x_t - mean)(x_{t-l} - mean) / sum_t (x_t - mean)^2
+
+    the standard estimator (global mean and global denominator, so
+    ``r_0 = 1`` and ``|r_l| <= 1``). Lags are in OBSERVATION steps along
+    ``order_col``'s sort order — resample to a regular grid first
+    (``resample_locf``) when calendar-lag semantics are required across
+    gaps.
+
+    Shape: ONE window sort per group producing all lag columns in the
+    same pass, then one hash aggregation per group carrying the 3+2L
+    moment sums; output is |groups| x |lags| rows via an inline stack —
+    no per-lag rescan.
+
+    Determinism: ``value_col`` must already be integer-valued (fix floats
+    to units upstream, e.g. ``floor(x*100+0.5)``); expanding the estimator
+    around the exact rational mean ``S/n`` gives numerator
+    ``n^2*Sxy - n*S*(Sa+Sb) + m*S^2`` and denominator ``n*(n*Sxx - S^2)``
+    — every term an exact BIGINT product (keep
+    ``n^2 * max|x|^2 * n < 2^63``; ANSI raises on overflow), and the
+    single final division is one mirrored float op rounded at ``digits``.
+    Groups with zero variance or fewer than ``lag+1`` rows drop that
+    lag's row visibly, never NULL-fill.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    if not lags or any(int(ll) < 1 for ll in lags):
+        raise ValueError("momyre: lags must be positive")
+    lags = [int(ll) for ll in lags]
+    x = F.col(value_col).cast("bigint")
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, F.col(order_col).alias("__t"), x.alias("__x"))
+    w = Window.partitionBy(*group_cols).orderBy("__t")
+    lagged = base
+    for ll in lags:
+        lagged = lagged.withColumn(f"__x{ll}", F.lag("__x", ll).over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    ]
+    for ll in lags:
+        pair = F.col(f"__x{ll}").isNotNull()
+        aggs += [
+            F.sum(F.when(pair, 1).otherwise(0)).alias(f"__m{ll}"),
+            F.sum(F.when(pair, F.col("__x") * F.col(f"__x{ll}"))).alias(
+                f"__sxy{ll}"
+            ),
+            F.sum(F.when(pair, F.col("__x"))).alias(f"__sa{ll}"),
+            F.sum(F.when(pair, F.col(f"__x{ll}"))).alias(f"__sb{ll}"),
+        ]
+    agg = lagged.groupBy(*group_cols).agg(*aggs)
+    n = F.col("__n")
+    s = F.col("__s")
+    den = n * (n * F.col("__sxx") - s * s)
+    rows = []
+    for ll in lags:
+        num = (
+            n * n * F.col(f"__sxy{ll}")
+            - n * s * (F.col(f"__sa{ll}") + F.col(f"__sb{ll}"))
+            + F.col(f"__m{ll}") * s * s
+        )
+        rows.append(
+            F.struct(
+                F.lit(ll).alias("lag"),
+                F.col(f"__m{ll}").alias("n_pairs"),
+                F.when(
+                    (den != 0) & (F.col(f"__m{ll}") >= 1),
+                    round_half_up(
+                        num.cast("double") / den.cast("double"), digits
+                    ),
+                ).alias("acf"),
+            )
+        )
+    out = agg.select(
+        *group_cols,
+        n.alias("n"),
+        F.explode(F.array(*rows)).alias("__r"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.col("__r.lag").alias("lag"),
+        F.col("__r.n_pairs").alias("n_pairs"),
+        F.col("__r.acf").alias("acf"),
+    ).filter(F.col("acf").isNotNull())

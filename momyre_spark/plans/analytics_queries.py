@@ -1811,3 +1811,96 @@ def ts_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     return time_weighted_avg(
         ev, ["user_id"], "ts", "value", ["event_id"]
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Daily-series autocorrelation (operators/timeseries.acf_report): does
+# yesterday's per-type mean value predict today's, at lags 1-3? The
+# series is the per-(type, day) mean fixed to centi-units (one exact
+# BIGINT sum/count then a single mirrored division+floor), the ACF is
+# the standard global-mean estimator expanded to exact BIGINT moment
+# products — one window sort per type computes all lags in one pass.
+# --------------------------------------------------------------------------
+def _acf_oracle() -> str:
+    den = "(n * (n * sxx - s * s))"
+
+    def lag_select(ll: int) -> str:
+        num = (
+            f"(n * n * sxy{ll} - n * s * (sa{ll} + sb{ll})"
+            f" + m{ll} * s * s)"
+        )
+        acf = f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        return f"""
+        SELECT event_type, n, {ll} AS lag, m{ll} AS n_pairs,
+               floor(({acf}) * 1000000 + 0.5) / 1000000.0 AS acf
+        FROM a WHERE {den} != 0 AND m{ll} >= 1"""
+
+    sides = " UNION ALL ".join(lag_select(ll) for ll in (1, 2, 3))
+    lag_aggs = ", ".join(
+        f"CAST(COUNT(x{ll}) AS BIGINT) AS m{ll},"
+        f" CAST(SUM(x * x{ll}) AS BIGINT) AS sxy{ll},"
+        f" CAST(SUM(CASE WHEN x{ll} IS NOT NULL THEN x END)"
+        f" AS BIGINT) AS sa{ll},"
+        f" CAST(SUM(x{ll}) AS BIGINT) AS sb{ll}"
+        for ll in (1, 2, 3)
+    )
+    lag_cols = ", ".join(
+        f"lag(x, {ll}) OVER w AS x{ll}" for ll in (1, 2, 3)
+    )
+    return f"""
+    WITH u AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    d AS (
+        SELECT event_type, day,
+               CAST(floor(CAST(SUM(uu) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM u GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, x, {lag_cols}
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    a AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               {lag_aggs}
+        FROM l GROUP BY 1
+    )
+    SELECT * FROM ({sides}) ORDER BY event_type, lag
+"""
+
+
+@query("ts_acf_daily", oracle=_acf_oracle())
+def ts_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import acf_report
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(
+                F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+            ).cast("bigint").alias("uu"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("uu").alias("su"), F.count(F.lit(1)).alias("cnt")
+    )
+    series = daily.select(
+        "event_type",
+        "day",
+        F.floor(
+            F.col("su").cast("double") / F.col("cnt").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint").alias("x"),
+    )
+    return acf_report(
+        series, ["event_type"], "day", "x", lags=(1, 2, 3)
+    ).orderBy("event_type", "lag")

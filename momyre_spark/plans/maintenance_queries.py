@@ -1375,3 +1375,222 @@ def stats_chi2_independence(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("lang", "source")
     return chi2_independence(docs, "lang", "source")
+
+
+# --------------------------------------------------------------------------
+# Per-group ROC AUC (operators/profile.group_auc): does document length
+# separate English from non-English, per source? Mann-Whitney mid-rank
+# identity over DISTINCT score values (one agg + one distinct-value
+# window + one re-agg) — never a per-row rank. Exact BIGINT rank sums
+# (2x mid-rank stays integral), single mirrored final division, 6dp.
+# --------------------------------------------------------------------------
+def _auc_oracle() -> str:
+    auc = (
+        "CAST(r2 - npos * (npos + 1) AS DOUBLE)"
+        " / CAST(2 * npos * (n - npos) AS DOUBLE)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT source, (lang = 'en') AS y,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS u
+        FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    per AS (
+        SELECT source, u, COUNT(*) AS cnt,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        FROM b GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT source, cnt, pos,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY u
+                              ROWS UNBOUNDED PRECEDING) - cnt AS cb
+        FROM per
+    ),
+    a AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS npos,
+               CAST(SUM(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2
+        FROM r GROUP BY 1
+    )
+    SELECT source, npos AS n_pos, n - npos AS n_neg,
+           {_r6(auc)} AS auc
+    FROM a WHERE npos >= 1 AND n - npos >= 1
+    ORDER BY source
+"""
+
+
+@query("stats_group_auc", oracle=_auc_oracle())
+def stats_group_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import group_auc
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", (F.col("lang") == F.lit("en")).alias("is_en"), "n_chars"
+    )
+    return group_auc(docs, ["source"], "is_en", "n_chars").orderBy(
+        "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (operators/profile.ks_2sample): did the
+# B arm change the metric's SHAPE, not just its mean (the readout
+# stats_ab_welch cannot give)? Exact BIGINT cross-multiplied ECDF max
+# over distinct values; one mirrored final division, 6dp.
+# --------------------------------------------------------------------------
+def _ks_oracle() -> str:
+    return f"""
+    WITH b AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS u
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT event_type, u,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM b WHERE arm IN (0, 1) GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY u
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY u
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb,
+               CAST(SUM(ca) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS na,
+               CAST(SUM(cb) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS nb
+        FROM per
+    ),
+    a AS (
+        SELECT event_type,
+               CAST(MAX(abs(cuma * nb - cumb * na)) AS BIGINT) AS d,
+               MAX(na) AS na, MAX(nb) AS nb
+        FROM s GROUP BY 1
+    )
+    SELECT event_type, na AS n_a, nb AS n_b,
+           {_r6('CAST(d AS DOUBLE) / CAST(na * nb AS DOUBLE)')} AS ks_stat
+    FROM a WHERE na >= 1 AND nb >= 1
+    ORDER BY event_type
+"""
+
+
+@query("stats_ks_2sample", oracle=_ks_oracle())
+def stats_ks_2sample(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import ks_2sample
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        "value",
+    )
+    return ks_2sample(ev, ["event_type"], "arm", "value", 0, 1).orderBy(
+        "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index (operators/profile.psi_report): length-
+# distribution drift of every source against the src0 reference over
+# fixed bins — the standard <0.1 / >0.25 drift gate. Laplace-smoothed
+# bin probabilities; each term 6dp-fixed to DECIMAL(38,6) BEFORE the
+# exact sum (the chi2 recipe).
+# --------------------------------------------------------------------------
+_PSI_EDGES = [150.0, 250.0, 350.0, 450.0]
+
+
+def _psi_oracle() -> str:
+    edges = [int(e * 100) for e in _PSI_EDGES]
+    n_bins = len(edges) + 1
+    bin_expr = " + ".join(
+        f"(CASE WHEN u >= {e} THEN 1 ELSE 0 END)" for e in edges
+    )
+    return f"""
+    WITH b AS (
+        SELECT source AS g,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS u
+        FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ),
+    binned AS (SELECT g, ({bin_expr}) AS bin FROM b),
+    counts AS (SELECT g, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    totals AS (SELECT g, COUNT(*) AS n FROM binned GROUP BY 1),
+    bins AS (SELECT CAST(range AS INT) AS bin FROM range({n_bins})),
+    grid AS (
+        SELECT totals.g, bins.bin, totals.n,
+               COALESCE(counts.c, 0) AS c
+        FROM totals CROSS JOIN bins
+        LEFT JOIN counts ON counts.g = totals.g AND counts.bin = bins.bin
+    ),
+    p AS (
+        SELECT g, bin, n,
+               (CAST(c AS DOUBLE) + 0.5)
+               / (CAST(n AS DOUBLE) + {0.5 * n_bins}) AS p
+        FROM grid
+    ),
+    ref AS (SELECT bin, p AS pr FROM p WHERE g = 'src0'),
+    terms AS (
+        SELECT g, n,
+               CAST(floor(((p.p - ref.pr) * ln(p.p / ref.pr))
+                    * 1000000 + 0.5) / 1000000.0 AS DECIMAL(38,6)) AS t
+        FROM p JOIN ref ON p.bin = ref.bin
+    )
+    SELECT g AS source, n, CAST(SUM(t) AS DOUBLE) AS psi
+    FROM terms GROUP BY 1, 2
+    ORDER BY source
+"""
+
+
+@query("stats_psi_report", oracle=_psi_oracle())
+def stats_psi_report(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import psi_report
+
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    return psi_report(
+        docs, "source", "n_chars", _PSI_EDGES, "src0"
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Gini concentration (operators/profile.gini_concentration): is one
+# source's char mass concentrated in a few huge documents? Sorted-rank
+# closed form — exact BIGINT terms, one window sort per source, one
+# mirrored final division, 6dp.
+# --------------------------------------------------------------------------
+def _gini_oracle() -> str:
+    gini = (
+        "CAST(2 * six - (n + 1) * sx AS DOUBLE)"
+        " / CAST(n * sx AS DOUBLE)"
+    )
+    return f"""
+    WITH b AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    r AS (
+        SELECT source, x,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS i
+        FROM b
+    ),
+    a AS (
+        SELECT source, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(i * x) AS BIGINT) AS six
+        FROM r GROUP BY 1
+    )
+    SELECT source, n, sx AS total, {_r6(gini)} AS gini
+    FROM a WHERE sx > 0 ORDER BY source
+"""
+
+
+@query("stats_gini_concentration", oracle=_gini_oracle())
+def stats_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import gini_concentration
+
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    return gini_concentration(docs, ["source"], "n_chars").orderBy(
+        "source"
+    )

@@ -554,3 +554,112 @@ def test_chi2_independence_known_table(spark):
     # full chi2: cells (a,x):(6-4.5)^2/4.5=.5 (a,y):(3-4.5)^2/4.5=.5
     #            (b,x):1.5  (b,y):(3-1.5)^2/1.5=1.5  -> 4.0
     assert r2["chi2"] == _pytest.approx(4.0, abs=1e-5)
+
+
+def test_group_auc_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import group_auc
+
+    # perfect: all positives score above all negatives -> AUC 1
+    # random-ish: hand-computed mid-rank Mann-Whitney
+    rows = (
+        [("perfect", True, v) for v in (3.0, 4.0)]
+        + [("perfect", False, v) for v in (1.0, 2.0)]
+        + [("mixed", True, 3.0), ("mixed", False, 3.0),
+           ("mixed", True, 1.0), ("mixed", False, 2.0)]
+        + [("all_pos", True, 1.0), ("all_pos", True, 2.0)]
+        + [("nullish", None, 1.0), ("nullish", True, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    got = {r["g"]: r for r in group_auc(df, ["g"], "y", "s").collect()}
+    # all_pos lacks negatives; nullish has no scored labeled rows
+    assert set(got) == {"perfect", "mixed"}
+    assert got["perfect"]["auc"] == 1.0
+    assert got["perfect"]["n_pos"] == 2 and got["perfect"]["n_neg"] == 2
+    # mixed: values 1(+), 2(-), 3(+), 3(-); mid-ranks 1, 2, 3.5, 3.5
+    # R_pos = 1 + 3.5 = 4.5; AUC = (4.5 - 3) / 4 = 0.375
+    assert got["mixed"]["auc"] == _pytest.approx(0.375, abs=1e-6)
+    with _pytest.raises(ValueError):
+        group_auc(df, [], "y", "s")
+
+
+def test_ks_2sample_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import ks_2sample
+
+    # disjoint supports -> D = 1; identical samples -> D = 0
+    rows = (
+        [("disjoint", "A", v) for v in (1.0, 2.0)]
+        + [("disjoint", "B", v) for v in (3.0, 4.0)]
+        + [("same", "A", 1.0), ("same", "A", 2.0),
+           ("same", "B", 1.0), ("same", "B", 2.0)]
+        + [("shift", "A", 1.0), ("shift", "A", 2.0), ("shift", "A", 3.0),
+           ("shift", "B", 2.0), ("shift", "B", 3.0), ("shift", "B", 4.0)]
+        + [("one_arm", "A", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    got = {r["g"]: r for r in
+           ks_2sample(df, ["g"], "arm", "v", "A", "B").collect()}
+    assert set(got) == {"disjoint", "same", "shift"}
+    assert got["disjoint"]["ks_stat"] == 1.0
+    assert got["same"]["ks_stat"] == 0.0
+    # shift by one step of 3: ECDFs differ by 1/3 at v in {1, 3}
+    assert got["shift"]["ks_stat"] == _pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert got["shift"]["n_a"] == 3 and got["shift"]["n_b"] == 3
+
+
+def test_psi_report_known_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import psi_report
+
+    rows = (
+        [("ref", v) for v in (1.0, 1.0, 5.0, 5.0)]
+        + [("same", v) for v in (1.0, 1.0, 5.0, 5.0)]
+        + [("shifted", v) for v in (5.0, 5.0, 5.0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {r["src"]: r for r in
+           psi_report(df, "src", "v", [3.0], "ref").collect()}
+    assert set(out) == {"ref", "same", "shifted"}
+    assert out["ref"]["psi"] == 0.0
+    assert out["same"]["psi"] == 0.0
+    # bins of ref: [2, 2] smoothed (2.5/5, 2.5/5); shifted: (0.5/5, 4.5/5)
+    def term(pg, pr):
+        t = (pg - pr) * math.log(pg / pr)
+        return math.floor(t * 1e6 + 0.5) / 1e6
+
+    want = term(0.1, 0.5) + term(0.9, 0.5)
+    assert out["shifted"]["psi"] == _pytest.approx(want, abs=1e-6)
+    with _pytest.raises(ValueError):
+        psi_report(df, "src", "v", [3.0, 1.0], "ref")
+
+
+def test_gini_concentration_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import gini_concentration
+
+    rows = (
+        [("equal", 5), ("equal", 5), ("equal", 5), ("equal", 5)]
+        + [("concentrated", 0), ("concentrated", 0),
+           ("concentrated", 0), ("concentrated", 10)]
+        + [("pair", 1), ("pair", 3)]
+        + [("zero", 0), ("zero", 0)]
+        + [("nullv", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in
+           gini_concentration(df, ["g"], "x").collect()}
+    # zero total and all-null groups dropped
+    assert set(got) == {"equal", "concentrated", "pair"}
+    assert got["equal"]["gini"] == 0.0
+    # one holder of everything among 4: G = (n-1)/n = 0.75
+    assert got["concentrated"]["gini"] == _pytest.approx(0.75, abs=1e-6)
+    # x = [1, 3]: G = (2*(1*1 + 2*3) - 3*4) / (2*4) = 2/8 = 0.25
+    assert got["pair"]["gini"] == _pytest.approx(0.25, abs=1e-6)
+    assert got["pair"]["total"] == 4 and got["pair"]["n"] == 2

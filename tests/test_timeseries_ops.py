@@ -173,3 +173,43 @@ def test_time_weighted_avg_tie_pairing_deterministic(spark):
         .withColumn("ts", F.to_timestamp("ts"))
     out = time_weighted_avg(df, ["k"], "ts", "v", ["id"]).collect()[0]
     assert out["twap"] == 100.0 and out["span_seconds"] == 10.0
+
+
+def test_acf_report_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.timeseries import acf_report
+
+    # alternating series: acf(1) strongly negative, acf(2) positive
+    alt = [("alt", t, 10 if t % 2 == 0 else 0) for t in range(8)]
+    # linear ramp: acf(1) high positive
+    ramp = [("ramp", t, t) for t in range(10)]
+    # constant: zero variance -> dropped
+    flat = [("flat", t, 7) for t in range(5)]
+    df = spark.createDataFrame(
+        alt + ramp + flat, "g string, t long, x long"
+    )
+    out = acf_report(df, ["g"], "t", "x", lags=(1, 2))
+    got = {(r["g"], r["lag"]): r for r in out.collect()}
+    assert ("flat", 1) not in got and ("flat", 2) not in got
+
+    def ref_acf(xs, lag):
+        n = len(xs)
+        mean = sum(xs) / n
+        num = sum(
+            (xs[t] - mean) * (xs[t - lag] - mean) for t in range(lag, n)
+        )
+        den = sum((v - mean) ** 2 for v in xs)
+        return num / den
+
+    for g, xs in (("alt", [10, 0] * 4), ("ramp", list(range(10)))):
+        for lag in (1, 2):
+            assert got[(g, lag)]["acf"] == _pytest.approx(
+                ref_acf(xs, lag), abs=1e-6
+            ), (g, lag)
+    assert got[("alt", 1)]["acf"] < -0.8
+    assert got[("alt", 2)]["acf"] > 0.6
+    assert got[("ramp", 1)]["acf"] > 0.5
+    assert got[("ramp", 1)]["n_pairs"] == 9
+    with _pytest.raises(ValueError):
+        acf_report(df, ["g"], "t", "x", lags=(0,))

@@ -511,3 +511,92 @@ def clustering_coefficients(
         ),
         round_half_up(cc, 4).alias("clustering"),
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_degree: int | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Structural node similarity / link prediction: for every node pair
+    sharing at least ``min_common`` neighbors in the UNDIRECTED graph,
+    ``jaccard = |N(a) n N(b)| / |N(a) u N(b)|`` — "these two domains are
+    linked from the same places" without requiring an edge between them.
+    Output: ``(node_a, node_b, common, deg_a, deg_b, jaccard)`` with
+    ``node_a < node_b`` (each unordered pair once).
+
+    Shape: symmetrize+distinct (one shuffle), then candidate pairs come
+    from a WEDGE self-join through the shared neighbor — cost is
+    ``sum_c deg(c)^2`` over center nodes, the standard bounded
+    co-occurrence plan, NEVER all-pairs. At 100 TB the quadratic term is
+    controlled the same way the dedup buckets are: ``max_degree`` drops
+    hub centers (a celebrity node pairs everyone through itself) — the
+    recall contract is explicit: pairs whose ONLY common neighbors are
+    dropped hubs are missed, and degrees (computed before the cap) stay
+    exact so reported Jaccard values are never inflated by the cap.
+
+    Determinism: counts are exact BIGINT; the single final division is
+    one mirrored float op rounded at ``digits``.
+    """
+    if min_common < 1:
+        raise ValueError("momyre: min_common must be >= 1")
+    sym = (
+        edges.select(
+            F.col(src_col).alias("c"), F.col(dst_col).alias("v")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("c"), F.col(src_col).alias("v")
+            )
+        )
+        .filter(F.col("c") != F.col("v"))
+        .distinct()
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym
+    if max_degree is not None:
+        cdeg = sym.groupBy("c").agg(F.count(F.lit(1)).alias("__cd"))
+        centers = (
+            sym.join(
+                F.broadcast(
+                    cdeg.filter(F.col("__cd") > max_degree).select("c")
+                ),
+                "c",
+                "left_anti",
+            )
+        )
+    a = centers.select(F.col("c"), F.col("v").alias("a"))
+    b = centers.select(F.col("c"), F.col("v").alias("b"))
+    common = (
+        a.join(b, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    out = (
+        common.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b")),
+            "b",
+        )
+    )
+    union = F.col("deg_a") + F.col("deg_b") - F.col("common")
+    from momyre_spark.functions.numeric import round_half_up
+
+    return out.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "common",
+        "deg_a",
+        "deg_b",
+        round_half_up(
+            F.col("common").cast("double") / union.cast("double"), digits
+        ).alias("jaccard"),
+    )

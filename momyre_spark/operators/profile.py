@@ -952,3 +952,62 @@ def gini_concentration(
         F.col("__sx").alias("total"),
         round_half_up(gini, digits).alias("gini"),
     )
+
+
+def entropy_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Shannon entropy of ``label_col``'s distribution —
+    "how language-diverse is each source?" — plus the normalized form
+    ``H / ln(k)`` (1 = uniform over the group's k observed labels,
+    NULL when k = 1 since a one-label group has no normalizable
+    diversity): ``(group, n, n_labels, entropy, entropy_norm)``.
+
+    Shape: one (group, label) hash agg, one per-group re-agg — post-agg
+    work is the number of distinct (group, label) cells, never rows.
+
+    Determinism: each ``-p*ln(p)`` term is rounded at ``digits`` and
+    fixed to DECIMAL(38,6) BEFORE the exact sum (the chi2/PSI recipe);
+    the normalized form divides the exact decimal sum by one mirrored
+    ``ln(k)``. NULL labels are dropped visibly.
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"), F.col(label_col).alias("__l")
+    )
+    counts = base.groupBy("__g", "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wall = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = counts.withColumn("__n", F.sum("__c").over(wall))
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = -(p * F.log(p))
+    agg = (
+        cells.select(
+            "__g",
+            "__n",
+            round_half_up(term, digits).cast("decimal(38,6)").alias("__t"),
+        )
+        .groupBy("__g", "__n")
+        .agg(
+            F.sum("__t").alias("__h"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+    )
+    h = F.col("__h").cast("double")
+    norm = F.when(
+        F.col("__k") > 1, h / F.log(F.col("__k").cast("double"))
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__k").alias("n_labels"),
+        h.alias("entropy"),
+        round_half_up(norm, digits).alias("entropy_norm"),
+    )

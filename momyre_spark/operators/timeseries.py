@@ -563,3 +563,83 @@ def acf_report(
         F.col("__r.n_pairs").alias("n_pairs"),
         F.col("__r.acf").alias("acf"),
     ).filter(F.col("acf").isNotNull())
+
+
+def seasonal_naive_error(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    season: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group forecast-baseline error of the SEASONAL NAIVE predictor
+    (forecast ``x_t = x_{t-season}``) — the floor any real forecasting
+    model must beat, and by itself the cheapest seasonality-strength
+    readout (low error = strongly weekly-periodic series):
+    ``(group, n, n_pairs, mae, bias, mape)`` where bias is the mean
+    signed error (forecast drift direction) and MAPE skips zero actuals
+    (reported over ``n_pairs`` nonzero pairs only — visible via the
+    count, never a fabricated 0).
+
+    Lags are OBSERVATION steps along ``order_col`` (resample to a
+    regular grid first for calendar semantics across gaps — the
+    acf_report contract).
+
+    Shape: ONE window sort per group + one hash agg.
+
+    Determinism: ``value_col`` must be integer-valued (fix floats to
+    units upstream); MAE/bias are exact BIGINT sums with one mirrored
+    final division; each MAPE term ``|e|/|x|`` is rounded at ``digits``
+    and fixed to DECIMAL(38,6) before the exact sum, then one mirrored
+    division by the pair count (the chi2/PSI recipe).
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    if season < 1:
+        raise ValueError("momyre: season must be >= 1")
+    x = F.col(value_col).cast("bigint")
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*group_cols, F.col(order_col).alias("__t"), x.alias("__x"))
+    w = Window.partitionBy(*group_cols).orderBy("__t")
+    lagged = base.withColumn("__f", F.lag("__x", season).over(w))
+    err = F.col("__x") - F.col("__f")
+    pair = F.col("__f").isNotNull()
+    nz = pair & (F.col("__x") != 0)
+    ape = F.abs(err).cast("double") / F.abs(F.col("__x")).cast("double")
+    agg = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(pair, 1).otherwise(0)).alias("__m"),
+        F.sum(F.when(pair, F.abs(err))).alias("__sae"),
+        F.sum(F.when(pair, err)).alias("__se"),
+        F.sum(F.when(nz, 1).otherwise(0)).alias("__mnz"),
+        F.sum(
+            F.when(
+                nz,
+                round_half_up(ape, digits).cast("decimal(38,6)"),
+            )
+        ).alias("__sape"),
+    )
+    md = F.col("__m").cast("double")
+    return agg.filter(F.col("__m") >= 1).select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.col("__m").alias("n_pairs"),
+        round_half_up(F.col("__sae").cast("double") / md, digits).alias(
+            "mae"
+        ),
+        round_half_up(F.col("__se").cast("double") / md, digits).alias(
+            "bias"
+        ),
+        F.when(
+            F.col("__mnz") >= 1,
+            round_half_up(
+                F.col("__sape").cast("double")
+                / F.col("__mnz").cast("double"),
+                digits,
+            ),
+        ).alias("mape"),
+    )

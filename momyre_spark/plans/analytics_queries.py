@@ -1904,3 +1904,154 @@ def ts_acf_daily(spark: SparkSession, sf: str) -> DataFrame:
     return acf_report(
         series, ["event_type"], "day", "x", lags=(1, 2, 3)
     ).orderBy("event_type", "lag")
+
+
+# --------------------------------------------------------------------------
+# Pairwise association rules (operators/assoc.association_rules): which
+# event types co-occur within a (user, day) session basket, with
+# support/confidence/lift. Rare items pruned BEFORE the quadratic
+# per-basket pair join (Apriori bound); jumbo baskets droppable via
+# max_basket_items. Exact BIGINT basket counts, mirrored divisions, 6dp.
+# --------------------------------------------------------------------------
+def _assoc_r6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0"
+
+
+def _assoc_oracle() -> str:
+    nb = "CAST((SELECT n FROM nb) AS BIGINT)"
+    cabd = "CAST(cab AS DOUBLE)"
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) AS day,
+               event_type AS i
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    nb AS (
+        SELECT COUNT(*) AS n
+        FROM (SELECT DISTINCT user_id, day FROM items)
+    ),
+    ic AS (SELECT i, COUNT(*) AS c FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.i AS ia, b.i AS ib, COUNT(*) AS cab
+        FROM items a
+        JOIN items b ON a.user_id = b.user_id AND a.day = b.day
+                    AND a.i < b.i
+        GROUP BY 1, 2
+    )
+    SELECT ia AS item_a, ib AS item_b, {nb} AS n_baskets,
+           ca.c AS cnt_a, cb.c AS cnt_b, cab AS cnt_ab,
+           {_assoc_r6(f"{cabd} / CAST((SELECT n FROM nb) AS DOUBLE)")}
+               AS support,
+           {_assoc_r6(f"{cabd} / CAST(ca.c AS DOUBLE)")} AS conf_a_b,
+           {_assoc_r6(f"{cabd} / CAST(cb.c AS DOUBLE)")} AS conf_b_a,
+           {_assoc_r6(
+               f"CAST({nb} * cab AS DOUBLE)"
+               f" / CAST(ca.c * cb.c AS DOUBLE)"
+           )} AS lift
+    FROM pairs
+    JOIN ic ca ON ca.i = pairs.ia
+    JOIN ic cb ON cb.i = pairs.ib
+    ORDER BY item_a, item_b
+"""
+
+
+@query("q80_assoc_rules", oracle=_assoc_oracle())
+def q80_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.assoc import association_rules
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            "event_type",
+        )
+    )
+    return association_rules(ev, ["user_id", "day"], "event_type").orderBy(
+        "item_a", "item_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast baseline (operators/timeseries.
+# seasonal_naive_error): per-type error of "this day = same day last
+# week" over the daily mean series — the floor a real model must beat
+# and the cheapest weekly-seasonality strength readout. Exact BIGINT
+# MAE/bias; MAPE terms 6dp-fixed to DECIMAL before the exact sum.
+# --------------------------------------------------------------------------
+def _snaive_oracle() -> str:
+    r6 = _assoc_r6
+    return f"""
+    WITH u AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    d AS (
+        SELECT event_type, day,
+               CAST(floor(CAST(SUM(uu) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM u GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT event_type, x,
+               lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        FROM d
+    ),
+    a AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m,
+               CAST(SUM(CASE WHEN f IS NOT NULL THEN abs(x - f) END)
+                    AS BIGINT) AS sae,
+               CAST(SUM(CASE WHEN f IS NOT NULL THEN x - f END)
+                    AS BIGINT) AS se,
+               CAST(SUM(CASE WHEN f IS NOT NULL AND x != 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS mnz,
+               SUM(CASE WHEN f IS NOT NULL AND x != 0 THEN
+                   CAST(floor(CAST(abs(x - f) AS DOUBLE)
+                        / CAST(abs(x) AS DOUBLE) * 1000000 + 0.5)
+                        / 1000000.0 AS DECIMAL(38,6)) END) AS sape
+        FROM l GROUP BY 1
+    )
+    SELECT event_type, n, m AS n_pairs,
+           {r6('CAST(sae AS DOUBLE) / CAST(m AS DOUBLE)')} AS mae,
+           {r6('CAST(se AS DOUBLE) / CAST(m AS DOUBLE)')} AS bias,
+           CASE WHEN mnz >= 1 THEN
+               {r6('CAST(sape AS DOUBLE) / CAST(mnz AS DOUBLE)')}
+           END AS mape
+    FROM a WHERE m >= 1 ORDER BY event_type
+"""
+
+
+@query("ts_seasonal_naive", oracle=_snaive_oracle())
+def ts_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import seasonal_naive_error
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(
+                F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+            ).cast("bigint").alias("uu"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("uu").alias("su"), F.count(F.lit(1)).alias("cnt")
+    )
+    series = daily.select(
+        "event_type",
+        "day",
+        F.floor(
+            F.col("su").cast("double") / F.col("cnt").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint").alias("x"),
+    )
+    return seasonal_naive_error(
+        series, ["event_type"], "day", "x", season=7
+    ).orderBy("event_type")

@@ -446,3 +446,53 @@ def graph_seed_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(
         _host_edges(spark), damping=_DAMP, max_iter=_PR_ITERS, seeds=seeds
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Neighbor-Jaccard link prediction (operators/graph.neighbor_jaccard):
+# which host pairs are linked from the same places? Candidates from a
+# wedge self-join through the shared neighbor (sum_c deg(c)^2, never
+# all-pairs; max_degree hub cap is the 100 TB control). Exact BIGINT
+# counts, one mirrored division, 6dp.
+# --------------------------------------------------------------------------
+def _nj_oracle() -> str:
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+    sym AS (
+        SELECT DISTINCT c, v FROM (
+            SELECT src AS c, dst AS v FROM e2
+            UNION ALL SELECT dst, src FROM e2)
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY 1),
+    cm AS (
+        SELECT a.v AS na, b.v AS nb, COUNT(*) AS common
+        FROM sym a JOIN sym b ON a.c = b.c AND a.v < b.v
+        GROUP BY 1, 2
+    )
+    SELECT na AS node_a, nb AS node_b, common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           floor(CAST(common AS DOUBLE)
+                 / CAST(da.deg + db.deg - common AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS jaccard
+    FROM cm
+    JOIN deg da ON da.v = cm.na
+    JOIN deg db ON db.v = cm.nb
+    ORDER BY node_a, node_b
+"""
+
+
+@query("graph_neighbor_jaccard", oracle=_nj_oracle())
+def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_host_edges(spark)).orderBy(
+        "node_a", "node_b"
+    )

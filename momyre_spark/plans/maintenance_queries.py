@@ -1594,3 +1594,49 @@ def stats_gini_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return gini_concentration(docs, ["source"], "n_chars").orderBy(
         "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source label entropy (operators/profile.entropy_report): how
+# language-diverse is each source? Terms 6dp-fixed to DECIMAL before
+# the exact sum (chi2/PSI recipe); normalized form NULL for one-label
+# groups.
+# --------------------------------------------------------------------------
+def _entropy_oracle() -> str:
+    p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    return f"""
+    WITH b AS (
+        SELECT source AS g, lang AS l FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    c AS (SELECT g, l, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    w AS (
+        SELECT g, c, CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM c
+    ),
+    t AS (
+        SELECT g, n,
+               CAST(floor((-({p}) * ln({p})) * 1000000 + 0.5)
+                    / 1000000.0 AS DECIMAL(38,6)) AS t
+        FROM w
+    ),
+    a AS (
+        SELECT g, n, SUM(t) AS h, CAST(COUNT(*) AS BIGINT) AS k
+        FROM t GROUP BY 1, 2
+    )
+    SELECT g AS source, n, k AS n_labels,
+           CAST(h AS DOUBLE) AS entropy,
+           CASE WHEN k > 1 THEN
+               floor(CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE))
+                     * 1000000 + 0.5) / 1000000.0
+           END AS entropy_norm
+    FROM a ORDER BY source
+"""
+
+
+@query("stats_entropy_report", oracle=_entropy_oracle())
+def stats_entropy_report(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import entropy_report
+
+    docs = load_table(spark, sf, "documents").select("source", "lang")
+    return entropy_report(docs, "source", "lang").orderBy("source")

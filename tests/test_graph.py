@@ -326,3 +326,44 @@ def test_seeded_pagerank_validation_and_outside_seeds_ignored(spark):
                  max_iter=15,
              ).collect()}
     assert mixed == only1
+
+
+def test_neighbor_jaccard_known_graph(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in neighbor_jaccard(edges).collect()
+    }
+    # N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    want = {
+        (1, 2): (1, 2, 2, 1.0 / 3.0),
+        (1, 3): (1, 2, 3, 0.25),
+        (2, 3): (1, 2, 3, 0.25),
+        (1, 4): (1, 2, 1, 0.5),
+        (2, 4): (1, 2, 1, 0.5),
+    }
+    assert set(got) == set(want)
+    for k, (common, da, db, j) in want.items():
+        r = got[k]
+        assert r["common"] == common and r["deg_a"] == da and r["deg_b"] == db
+        assert r["jaccard"] == _pytest.approx(j, abs=1e-6)
+    # hub cap: center 3 (degree 3) dropped -> only wedges through 1 and 2
+    capped = {
+        (r["node_a"], r["node_b"])
+        for r in neighbor_jaccard(edges, max_degree=2).collect()
+    }
+    assert capped == {(2, 3), (1, 3)}
+    # degrees reported stay UNcapped (jaccard never inflated)
+    r13 = {
+        (r["node_a"], r["node_b"]): r
+        for r in neighbor_jaccard(edges, max_degree=2).collect()
+    }[(1, 3)]
+    assert r13["deg_b"] == 3
+    with _pytest.raises(ValueError):
+        neighbor_jaccard(edges, min_common=0)

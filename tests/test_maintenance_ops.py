@@ -663,3 +663,30 @@ def test_gini_concentration_known_values(spark):
     # x = [1, 3]: G = (2*(1*1 + 2*3) - 3*4) / (2*4) = 2/8 = 0.25
     assert got["pair"]["gini"] == _pytest.approx(0.25, abs=1e-6)
     assert got["pair"]["total"] == 4 and got["pair"]["n"] == 2
+
+
+def test_entropy_report_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import entropy_report
+
+    rows = (
+        [("even", "a"), ("even", "a"), ("even", "b"), ("even", "b")]
+        + [("single", "a"), ("single", "a")]
+        + [("skew", "a"), ("skew", "a"), ("skew", "a"), ("skew", "b")]
+        + [("nulls", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, l string")
+    got = {r["g"]: r for r in entropy_report(df, "g", "l").collect()}
+    assert set(got) == {"even", "single", "skew"}
+    import math
+
+    assert got["even"]["entropy"] == _pytest.approx(
+        math.log(2), abs=2e-6
+    )
+    assert got["even"]["entropy_norm"] == _pytest.approx(1.0, abs=2e-6)
+    assert got["even"]["n_labels"] == 2 and got["even"]["n"] == 4
+    assert got["single"]["entropy"] == 0.0
+    assert got["single"]["entropy_norm"] is None
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got["skew"]["entropy"] == _pytest.approx(want, abs=2e-6)

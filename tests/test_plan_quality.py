@@ -339,3 +339,14 @@ def test_audit_plan_reports_shape_facts(spark):
 
     crossed = li.crossJoin(o.limit(1))
     assert audit_plan(crossed)["bnlj"] + audit_plan(crossed)["cartesian"] >= 1
+
+
+def test_assoc_rules_broadcasts_dims_single_bnlj(spark):
+    """Association rules: item counts and the 1-row grand total broadcast
+    (the rare-item prune + final stats joins are BroadcastHashJoins); the
+    only nested-loop join is the dimension-sized grand-total cross join
+    (the text_source_divergence pattern), and never a CartesianProduct."""
+    plan = plan_of(q(spark, "q80_assoc_rules"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan

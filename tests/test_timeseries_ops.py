@@ -213,3 +213,32 @@ def test_acf_report_known_values(spark):
     assert got[("ramp", 1)]["n_pairs"] == 9
     with _pytest.raises(ValueError):
         acf_report(df, ["g"], "t", "x", lags=(0,))
+
+
+def test_seasonal_naive_error_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.timeseries import seasonal_naive_error
+
+    ramp = [("ramp", t, t + 1) for t in range(6)]  # 1..6, season 2
+    withzero = [("z", 0, 0), ("z", 1, 2), ("z", 2, 0), ("z", 3, 4)]
+    short = [("short", 0, 5)]
+    df = spark.createDataFrame(
+        ramp + withzero + short, "g string, t long, x long"
+    )
+    got = {r["g"]: r for r in
+           seasonal_naive_error(df, ["g"], "t", "x", season=2).collect()}
+    assert set(got) == {"ramp", "z"}  # short has no lag-2 pair
+    r = got["ramp"]
+    assert r["n"] == 6 and r["n_pairs"] == 4
+    assert r["mae"] == 2.0 and r["bias"] == 2.0
+    # APE terms: 2/3, 2/4, 2/5, 2/6 (6dp-rounded each)
+    want = (0.666667 + 0.5 + 0.4 + 0.333333) / 4.0
+    assert r["mape"] == _pytest.approx(want, abs=1e-6)
+    z = got["z"]
+    # pairs: x=0 (skipped for MAPE), x=4 -> |4-2|/4 = 0.5
+    assert z["n_pairs"] == 2
+    assert z["mae"] == _pytest.approx(1.0, abs=1e-6)  # |0-0|=0, |4-2|=2
+    assert z["mape"] == _pytest.approx(0.5, abs=1e-6)
+    with _pytest.raises(ValueError):
+        seasonal_naive_error(df, ["g"], "t", "x", season=0)

@@ -1011,3 +1011,209 @@ def entropy_report(
         h.alias("entropy"),
         round_half_up(norm, digits).alias("entropy_norm"),
     )
+
+
+def cuped_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    unit_col: str,
+    arm_col: str,
+    is_post_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced A/B comparison (Deng et al., WSDM'13
+    "Improving the Sensitivity of Online Controlled Experiments"): per
+    group, the experiment readout using each unit's PRE-period metric as
+    the control covariate — ``y_adj = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)`` pooled across arms. Output one row
+    per group: ``(*group_cols, n_a, n_b, theta, diff_raw, diff_cuped,
+    var_reduction)`` where diff_cuped = diff_raw - theta * (x̄_b - x̄_a)
+    (the adjusted-means identity — no per-unit adjusted column is ever
+    materialized) and var_reduction = corr(x, y)^2, the fraction of
+    outcome variance the covariate removes.
+
+    Input rows: one observation per (group, unit) with the unit's arm,
+    an ``is_post_col`` boolean (False = pre-period), and the metric.
+    Units need >= 1 pre and >= 1 post observation (x and y are the
+    unit's pre/post MEANS); one-sided units are dropped visibly. The
+    arm must be constant per unit (it is read via max — pass a
+    unit-derived arm, e.g. a hash parity, as the CDC queries do).
+
+    Shape: one (group, unit) hash aggregation (the data-proportional
+    pass), then ONE group re-agg carrying 6 pooled + 4 per-arm exact
+    BIGINT moment sums. Unit means fix to ``1/scale`` units via a
+    single mirrored division+floor; every downstream float op consumes
+    exactly-converted integers in a tree the oracle mirrors literally,
+    rounded at ``digits``. Keep ``(|x|*scale)^2 * units_per_group
+    < 2^63`` (ANSI raises on overflow).
+
+    Groups are dropped when either arm is empty or pooled var(x) is 0
+    (theta undefined); var_reduction is NULL when var(y) = 0.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    post = F.col(is_post_col).cast("boolean")
+    per_unit = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(is_post_col).isNotNull()
+        )
+        .filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy(*[F.col(c) for c in group_cols], F.col(unit_col))
+        .agg(
+            F.max(arm_col).alias("__arm"),
+            F.sum(F.when(~post, u)).alias("__su_pre"),
+            F.sum(F.when(~post, 1).otherwise(0)).alias("__c_pre"),
+            F.sum(F.when(post, u)).alias("__su_post"),
+            F.sum(F.when(post, 1).otherwise(0)).alias("__c_post"),
+        )
+        .filter((F.col("__c_pre") >= 1) & (F.col("__c_post") >= 1))
+    )
+
+    def mean_units(su, c):
+        return F.floor(
+            F.col(su).cast("double") / F.col(c).cast("double") + F.lit(0.5)
+        ).cast("bigint")
+
+    units = per_unit.select(
+        *group_cols,
+        F.col("__arm"),
+        mean_units("__su_pre", "__c_pre").alias("__x"),
+        mean_units("__su_post", "__c_post").alias("__y"),
+    )
+    isb = F.col("__arm") == F.lit(arm_b)
+    x, y = F.col("__x"), F.col("__y")
+    agg = units.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(F.when(~isb, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(~isb, x)).alias("__sxa"),
+        F.sum(F.when(~isb, y)).alias("__sya"),
+        F.sum(F.when(isb, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(isb, x)).alias("__sxb"),
+        F.sum(F.when(isb, y)).alias("__syb"),
+    )
+    nd = F.col("__n").cast("double")
+    sxd, syd = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    covn = nd * F.col("__sxy").cast("double") - sxd * syd
+    varxn = nd * F.col("__sxx").cast("double") - sxd * sxd
+    varyn = nd * F.col("__syy").cast("double") - syd * syd
+    theta = covn / varxn
+    sc = F.lit(float(scale))
+    nad, nbd = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    diff_raw = (
+        F.col("__syb").cast("double") / nbd
+        - F.col("__sya").cast("double") / nad
+    ) / sc
+    diff_x = (
+        F.col("__sxb").cast("double") / nbd
+        - F.col("__sxa").cast("double") / nad
+    ) / sc
+    rho2 = F.when(varyn != 0, covn * covn / (varxn * varyn))
+    return agg.filter(
+        (F.col("__na") >= 1) & (F.col("__nb") >= 1) & (varxn != 0)
+    ).select(
+        *group_cols,
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        round_half_up(theta, digits).alias("theta"),
+        round_half_up(diff_raw, digits).alias("diff_raw"),
+        round_half_up(diff_raw - theta * diff_x, digits).alias(
+            "diff_cuped"
+        ),
+        round_half_up(rho2, digits).alias("var_reduction"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 50,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Hill estimator of the power-law tail exponent of a
+    positive metric (document sizes, degree counts, token frequencies):
+    ``H = (1/k) * sum_{i=1..k} ln(x_(i) / x_(k+1))`` over the k+1 largest
+    values (descending order statistics), ``alpha = 1/H`` — the standard
+    "how heavy is this tail" readout that decides whether a mean is even
+    meaningful and what the skew-join salt factor must absorb.
+
+    Output: ``(*group_cols, n_top, k_used, x_ref, hill, alpha)``. Groups
+    with fewer than k+1 values use all they have (``k_used = m - 1``,
+    reference = the group minimum) — visible via k_used; groups with a
+    single positive value are dropped. ``alpha`` is NULL when H = 0
+    (all top values tied — no measurable tail).
+
+    Shape: ONE window sort per group truncated at rank k+1, then a hash
+    agg over <= k+1 rows per group. The sort is the cost at scale; the
+    documented 100 TB path pre-filters with the mergeable quantile
+    state's CDF (only values above the ~(1 - (k+1)/n) quantile can reach
+    the top set), making the window input k-proportional. Tied values
+    make row_number's tie-break arbitrary but the estimator depends only
+    on the VALUE multiset, so the result is engine-exact.
+
+    Determinism: ``value_col`` must be integer-valued (fix floats to
+    units upstream; the ratio x/ref is scale-invariant so the unit
+    cancels); each ``ln(x/ref)`` term is rounded at ``digits`` and fixed
+    to DECIMAL(38,6) before the exact sum; the final ``/k`` and ``1/H``
+    are mirrored float ops.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    if k < 1:
+        raise ValueError("momyre: k must be >= 1")
+    x = F.col(value_col).cast("bigint")
+    base = df.filter(F.col(value_col).isNotNull() & (x > 0)).select(
+        *group_cols, x.alias("__x")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x").desc())
+    top = base.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k + 1
+    )
+    wall = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marked = top.withColumn("__ref", F.min("__x").over(wall)).withColumn(
+        "__m", F.count(F.lit(1)).over(wall)
+    )
+    is_term = F.col("__rn") < F.col("__m")
+    term = F.log(
+        F.col("__x").cast("double") / F.col("__ref").cast("double")
+    )
+    agg = (
+        marked.groupBy(*group_cols)
+        .agg(
+            F.max("__m").alias("__m"),
+            F.max("__ref").alias("__ref"),
+            F.sum(
+                F.when(
+                    is_term,
+                    round_half_up(term, digits).cast("decimal(38,6)"),
+                )
+            ).alias("__s"),
+        )
+        .filter(F.col("__m") >= 2)
+    )
+    kg = F.col("__m") - F.lit(1)
+    h = F.col("__s").cast("double") / kg.cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("__m").alias("n_top"),
+        kg.alias("k_used"),
+        F.col("__ref").alias("x_ref"),
+        round_half_up(h, digits).alias("hill"),
+        F.when(h != 0, round_half_up(F.lit(1.0) / h, digits)).alias(
+            "alpha"
+        ),
+    )

@@ -1640,3 +1640,163 @@ def stats_entropy_report(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("source", "lang")
     return entropy_report(docs, "source", "lang").orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B (operators/profile.cuped_report): the
+# experiment readout with each user's pre-period (even-day) mean as the
+# control covariate — theta, raw vs adjusted lift, and the variance
+# fraction removed. Exact BIGINT unit means and moment sums; the whole
+# float tail is one mirrored tree, 6dp.
+# --------------------------------------------------------------------------
+def _cuped_oracle() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    sxd, syd = "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    covn = f"({nd} * CAST(sxy AS DOUBLE) - {sxd} * {syd})"
+    varxn = f"({nd} * CAST(sxx AS DOUBLE) - {sxd} * {sxd})"
+    varyn = f"({nd} * CAST(syy AS DOUBLE) - {syd} * {syd})"
+    theta = f"({covn} / {varxn})"
+    diff_raw = (
+        "((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0)"
+    )
+    diff_x = (
+        "((CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)"
+        " - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0)"
+    )
+    rho2 = (
+        f"(CASE WHEN {varyn} != 0"
+        f" THEN {covn} * {covn} / ({varxn} * {varyn}) END)"
+    )
+    return f"""
+    WITH u AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               ((epoch_us(ts) // 86400000000) % 2 = 1) AS post,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    pu AS (
+        SELECT event_type, user_id, MAX(arm) AS arm,
+               CAST(SUM(CASE WHEN NOT post THEN uu END) AS BIGINT)
+                   AS su_pre,
+               CAST(SUM(CASE WHEN NOT post THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c_pre,
+               CAST(SUM(CASE WHEN post THEN uu END) AS BIGINT)
+                   AS su_post,
+               CAST(SUM(CASE WHEN post THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c_post
+        FROM u WHERE arm IN (0, 1) GROUP BY 1, 2
+    ),
+    un AS (
+        SELECT event_type, arm,
+               CAST(floor(CAST(su_pre AS DOUBLE)
+                    / CAST(c_pre AS DOUBLE) + 0.5) AS BIGINT) AS x,
+               CAST(floor(CAST(su_post AS DOUBLE)
+                    / CAST(c_post AS DOUBLE) + 0.5) AS BIGINT) AS y
+        FROM pu WHERE c_pre >= 1 AND c_post >= 1
+    ),
+    a AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS sxa,
+               CAST(SUM(CASE WHEN arm = 0 THEN y END) AS BIGINT) AS sya,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS sxb,
+               CAST(SUM(CASE WHEN arm = 1 THEN y END) AS BIGINT) AS syb
+        FROM un GROUP BY 1
+    )
+    SELECT event_type, na AS n_a, nb AS n_b,
+           {_r6(theta)} AS theta,
+           {_r6(diff_raw)} AS diff_raw,
+           {_r6(f"({diff_raw} - {theta} * {diff_x})")} AS diff_cuped,
+           {_r6(rho2)} AS var_reduction
+    FROM a WHERE na >= 1 AND nb >= 1 AND {varxn} != 0
+    ORDER BY event_type
+"""
+
+
+@query("stats_ab_cuped", oracle=_cuped_oracle())
+def stats_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import cuped_report
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            (
+                F.pmod(
+                    F.expr("unix_micros(ts) DIV 86400000000"), F.lit(2)
+                )
+                == F.lit(1)
+            ).alias("post"),
+            "value",
+        )
+    )
+    return cuped_report(
+        ev, ["event_type"], "user_id", "arm", "post", "value", 0, 1
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index (operators/profile.hill_tail_index): how heavy is
+# each source's document-size tail? Top-(k+1) order statistics only —
+# the window truncates at rank k+1; at 100 TB pre-filter via the
+# quantile-state CDF. Terms 6dp-fixed to DECIMAL before the exact sum.
+# --------------------------------------------------------------------------
+_HILL_K = 10
+
+
+def _hill_oracle() -> str:
+    h = "(CAST(s AS DOUBLE) / CAST(mm - 1 AS DOUBLE))"
+    return f"""
+    WITH b AS (
+        SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    r AS (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+        FROM b
+    ),
+    top AS (SELECT * FROM r WHERE rn <= {_HILL_K + 1}),
+    m AS (
+        SELECT g, x, rn,
+               MIN(x) OVER (PARTITION BY g) AS ref,
+               COUNT(*) OVER (PARTITION BY g) AS mm
+        FROM top
+    ),
+    a AS (
+        SELECT g, CAST(MAX(mm) AS BIGINT) AS mm,
+               CAST(MAX(ref) AS BIGINT) AS ref,
+               SUM(CASE WHEN rn < mm THEN
+                   CAST(floor(ln(CAST(x AS DOUBLE) / CAST(ref AS DOUBLE))
+                        * 1000000 + 0.5) / 1000000.0 AS DECIMAL(38,6))
+               END) AS s
+        FROM m GROUP BY 1
+    )
+    SELECT g AS source, mm AS n_top, mm - 1 AS k_used, ref AS x_ref,
+           {_r6(h)} AS hill,
+           CASE WHEN {h} != 0 THEN {_r6(f"(1.0 / {h})")} END AS alpha
+    FROM a WHERE mm >= 2 ORDER BY source
+"""
+
+
+@query("stats_hill_tail", oracle=_hill_oracle())
+def stats_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import hill_tail_index
+
+    docs = load_table(spark, sf, "documents").select("source", "n_chars")
+    return hill_tail_index(docs, ["source"], "n_chars", k=_HILL_K).orderBy(
+        "source"
+    )

@@ -690,3 +690,104 @@ def test_entropy_report_known_values(spark):
     assert got["single"]["entropy_norm"] is None
     want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert got["skew"]["entropy"] == _pytest.approx(want, abs=2e-6)
+
+
+def test_cuped_report_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import cuped_report
+
+    # 6 units, arm balanced across x, y = 2x + 5*(arm=b):
+    # theta = 2 exactly, diff_raw = 5, x-means equal -> diff_cuped = 5
+    rows = []
+    for i, xv in enumerate([1, 1, 2, 2, 3, 3]):
+        arm = "a" if i % 2 == 0 else "b"
+        yv = 2 * xv + (5 if arm == "b" else 0)
+        rows.append(("g", f"u{i}", arm, False, float(xv)))
+        rows.append(("g", f"u{i}", arm, True, float(yv)))
+    # a unit with only a pre period: dropped
+    rows.append(("g", "pre_only", "a", False, 9.0))
+    # one-arm group: dropped
+    rows += [("one_arm", "u0", "a", False, 1.0),
+             ("one_arm", "u0", "a", True, 2.0)]
+    # zero x-variance group: dropped
+    rows += [("flat_x", "u0", "a", False, 1.0),
+             ("flat_x", "u0", "a", True, 2.0),
+             ("flat_x", "u1", "b", False, 1.0),
+             ("flat_x", "u1", "b", True, 9.0)]
+    df = spark.createDataFrame(
+        rows, "g string, unit string, arm string, is_post boolean, v double"
+    )
+    out = cuped_report(
+        df, ["g"], "unit", "arm", "is_post", "v", "a", "b"
+    ).collect()
+    assert [r["g"] for r in out] == ["g"]
+    r = out[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["theta"] == _pytest.approx(2.0, abs=1e-6)
+    assert r["diff_raw"] == _pytest.approx(5.0, abs=1e-6)
+    assert r["diff_cuped"] == _pytest.approx(5.0, abs=1e-6)
+    assert r["var_reduction"] == _pytest.approx(
+        2304.0 / 7704.0, abs=1e-6
+    )
+    with _pytest.raises(ValueError):
+        cuped_report(df, [], "unit", "arm", "is_post", "v", "a", "b")
+
+
+def test_cuped_covariate_removes_known_noise(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import cuped_report
+
+    # y = x + 1 exactly (no arm effect): theta = 1, diff_cuped = 0 even
+    # though the arms have different x mixes (raw diff is nonzero)
+    rows = []
+    xs = {"a": [1, 2, 3], "b": [4, 5, 6]}
+    i = 0
+    for arm, vals in xs.items():
+        for xv in vals:
+            rows.append(("g", f"u{i}", arm, False, float(xv)))
+            rows.append(("g", f"u{i}", arm, True, float(xv + 1)))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "g string, unit string, arm string, is_post boolean, v double"
+    )
+    r = cuped_report(
+        df, ["g"], "unit", "arm", "is_post", "v", "a", "b"
+    ).collect()[0]
+    assert r["theta"] == _pytest.approx(1.0, abs=1e-6)
+    assert r["diff_raw"] == _pytest.approx(3.0, abs=1e-6)
+    assert r["diff_cuped"] == _pytest.approx(0.0, abs=1e-6)
+    assert r["var_reduction"] == _pytest.approx(1.0, abs=1e-6)
+
+
+def test_hill_tail_index_known_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import hill_tail_index
+
+    rows = ([("pareto", v) for v in (1000, 100, 10, 1, 1)]
+            + [("tied", 5), ("tied", 5), ("tied", 5)]
+            + [("single", 7)]
+            + [("small", 8), ("small", 2)]
+            + [("nonpos", 0), ("nonpos", -3)])
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in
+           hill_tail_index(df, ["g"], "x", k=2).collect()}
+    assert set(got) == {"pareto", "tied", "small"}
+    p = got["pareto"]
+    # top-3 = [1000, 100, 10]; ref = 10; terms ln(100), ln(10)
+    want_h = (math.floor(math.log(100.0) * 1e6 + 0.5) / 1e6
+              + math.floor(math.log(10.0) * 1e6 + 0.5) / 1e6) / 2.0
+    assert p["x_ref"] == 10 and p["k_used"] == 2 and p["n_top"] == 3
+    assert p["hill"] == _pytest.approx(want_h, abs=1e-6)
+    assert p["alpha"] == _pytest.approx(1.0 / want_h, abs=1e-6)
+    t = got["tied"]
+    assert t["hill"] == 0.0 and t["alpha"] is None
+    s = got["small"]
+    assert s["k_used"] == 1 and s["x_ref"] == 2
+    assert s["hill"] == _pytest.approx(math.log(4.0), abs=1e-6)
+    with _pytest.raises(ValueError):
+        hill_tail_index(df, ["g"], "x", k=0)

@@ -298,3 +298,64 @@ def score_documents_bigram(
             ).alias("mean_logprob"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations over the corpus bigram
+    table: ``pmi(a, b) = ln(N * c_ab / (c_a * c_b))`` with the left/right
+    bigram-table marginals, plus the normalized form
+    ``npmi = pmi / -ln(c_ab / N)`` (1 = perfect association, 0 =
+    independent) — the standard multi-word-expression / collocation
+    extraction signal ("new york" vs "new the"). Output one row per
+    surviving distinct bigram: ``(prev, cur, count, pmi, npmi)``.
+
+    ``min_count`` prunes rare bigrams from the OUTPUT only — marginals
+    are computed over the full table first (a PMI against truncated
+    marginals would be inflated), then the filter cuts the join input,
+    so the expensive joins touch only candidates.
+
+    Shape: one explode + three hash aggregations (identical skeleton to
+    train_bigram_lm); marginals broadcast onto the distinct-bigram frame
+    (vocab-sized, never corpus-sized).
+
+    Determinism: all counts exact BIGINT (keep ``N * max(c) < 2^63``);
+    pmi/npmi are mirrored float trees over exactly-converted integers,
+    rounded at ``digits``. npmi is NULL when ``c_ab = N`` (single
+    distinct bigram — the normalizer is 0).
+    """
+    if min_count < 1:
+        raise ValueError("momyre: min_count must be >= 1")
+    bg = _bigrams(docs, text_col, "doc_id") if "doc_id" in docs.columns else (
+        _bigrams(docs.withColumn("__id", F.monotonically_increasing_id()),
+                 text_col, "__id")
+    )
+    c_pc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("count"))
+    c_p = c_pc.groupBy("prev").agg(F.sum("count").alias("__cp"))
+    c_c = c_pc.groupBy("cur").agg(F.sum("count").alias("__cc"))
+    tot = c_pc.agg(F.sum("count").alias("__t"))
+    cand = (
+        c_pc.filter(F.col("count") >= min_count)
+        .join(F.broadcast(c_p), "prev")
+        .join(F.broadcast(c_c), "cur")
+        .join(F.broadcast(tot))
+    )
+    c = F.col("count")
+    ratio = (F.col("__t") * c).cast("double") / (
+        F.col("__cp") * F.col("__cc")
+    ).cast("double")
+    pmi_raw = F.log(ratio)
+    denom = -F.log(c.cast("double") / F.col("__t").cast("double"))
+    return cand.select(
+        "prev",
+        "cur",
+        "count",
+        _round6(pmi_raw).cast("double").alias("pmi"),
+        F.when(denom != 0, _round6(pmi_raw / denom))
+        .cast("double")
+        .alias("npmi"),
+    )

@@ -1217,3 +1217,176 @@ def hill_tail_index(
             "alpha"
         ),
     )
+
+
+_BENFORD_E = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]  # log10(1 + 1/d), d = 1..9 — embed the SAME literals in any oracle
+
+
+def benford_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Benford first-digit conformance of a positive metric —
+    the classic fabricated-data / broken-upstream detector (organic
+    magnitudes follow ``P(d) = log10(1 + 1/d)``; a synthesized or
+    clipped feed does not). Output: ``(group, n, chi2, mad)`` — the
+    9-cell chi-squared statistic against the Benford expectation and
+    the mean absolute deviation of the digit proportions (Nigrini's
+    conformance bands: MAD < 0.006 close, > 0.015 nonconforming).
+
+    Shape: one (group, digit) hash agg, a map-side explode of the
+    literal 9-digit grid onto per-group totals (missing digits count 0
+    but still contribute their expected mass), one per-group re-agg.
+
+    Determinism: values fix to ``1/scale`` units and the first digit is
+    taken from the BIGINT's decimal string — integer-exact in any
+    engine, no float log10. Non-positive fixed values are dropped
+    visibly. Each chi2/MAD term is rounded at ``digits`` and fixed to
+    DECIMAL(38,6) before the exact sum; the expected-probability
+    literals above must be embedded verbatim by any oracle.
+    """
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    base = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(F.col(group_col).alias("__g"), u.alias("__u"))
+        .filter(F.col("__u") > 0)
+        .select(
+            "__g",
+            F.substring(F.col("__u").cast("string"), 1, 1)
+            .cast("int")
+            .alias("__d"),
+        )
+    )
+    counts = base.groupBy("__g", "__d").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    totals = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    grid = (
+        totals.withColumn(
+            "__d",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(1, 10)])
+            ),
+        )
+        .join(counts, ["__g", "__d"], "left")
+        .select(
+            "__g",
+            "__d",
+            "__n",
+            F.coalesce(F.col("__c"), F.lit(0)).alias("__c"),
+        )
+    )
+    e = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_E]), F.col("__d")
+    )
+    od = F.col("__c").cast("double")
+    nd = F.col("__n").cast("double")
+    ed = nd * e
+    chi_term = (od - ed) * (od - ed) / ed
+    mad_term = F.abs(od / nd - e)
+    agg = (
+        grid.select(
+            "__g",
+            "__n",
+            round_half_up(chi_term, digits)
+            .cast("decimal(38,6)")
+            .alias("__tc"),
+            round_half_up(mad_term, digits)
+            .cast("decimal(38,6)")
+            .alias("__tm"),
+        )
+        .groupBy("__g", "__n")
+        .agg(F.sum("__tc").alias("__chi2"), F.sum("__tm").alias("__mad"))
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").alias("n"),
+        F.col("__chi2").cast("double").alias("chi2"),
+        round_half_up(
+            F.col("__mad").cast("double") / F.lit(9.0), digits
+        ).alias("mad"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of two INTEGER-VALUED columns
+    (fix floats to units upstream) — the monotonic-association readout
+    that survives outliers and nonlinearity where Pearson does not.
+    Ties get mid-ranks (the standard tie treatment), computed per
+    DISTINCT value so no per-row window ever runs: one hash agg + one
+    distinct-value window per variable, two co-partitioned equi-joins
+    back to the rows, one moment agg.
+
+    Determinism: mid-ranks are half-integers carried DOUBLED so every
+    rank and moment sum is exact BIGINT (keep ``4 * n^3 < 2^63`` per
+    group — n up to ~1.3e6; coarsen by pre-bucketing values beyond
+    that); the correlation is one mirrored float tree over
+    exactly-converted sums, rounded at ``digits``. Groups with zero
+    variance in either variable are dropped visibly.
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        per = base.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        w = Window.partitionBy(*group_cols).orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return per.withColumn("__cum", F.sum("__cnt").over(w)).select(
+            *group_cols,
+            col,
+            (
+                F.lit(2) * (F.col("__cum") - F.col("__cnt"))
+                + F.col("__cnt")
+                + F.lit(1)
+            ).alias(out),
+        )
+    ranked = base.join(
+        rank2("__x", "__rx"), [*group_cols, "__x"]
+    ).join(rank2("__y", "__ry"), [*group_cols, "__y"])
+    rx, ry = F.col("__rx"), F.col("__ry")
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(rx).alias("__s1"),
+        F.sum(ry).alias("__s2"),
+        F.sum(rx * ry).alias("__s12"),
+        F.sum(rx * rx).alias("__s11"),
+        F.sum(ry * ry).alias("__s22"),
+    )
+    nd = F.col("__n").cast("double")
+    s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    covn = nd * F.col("__s12").cast("double") - s1d * s2d
+    varx = nd * F.col("__s11").cast("double") - s1d * s1d
+    vary = nd * F.col("__s22").cast("double") - s2d * s2d
+    rho = covn / F.sqrt(varx * vary)
+    return agg.filter((varx != 0) & (vary != 0)).select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        round_half_up(rho, digits).alias("spearman"),
+    )

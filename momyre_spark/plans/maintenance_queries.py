@@ -1800,3 +1800,148 @@ def stats_hill_tail(spark: SparkSession, sf: str) -> DataFrame:
     return hill_tail_index(docs, ["source"], "n_chars", k=_HILL_K).orderBy(
         "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit conformance (operators/profile.benford_report):
+# is each event type's value feed organically distributed? First digit
+# from the fixed-point BIGINT's decimal string (no float log10); the
+# 9-digit grid is a map-side explode; chi2/MAD terms 6dp-fixed before
+# the exact sum. Expected-probability literals embedded verbatim.
+# --------------------------------------------------------------------------
+def _benford_oracle() -> str:
+    from momyre_spark.operators.profile import _BENFORD_E
+
+    e_case = " ".join(
+        f"WHEN {d} THEN {v!r}" for d, v in enumerate(_BENFORD_E, start=1)
+    )
+    return f"""
+    WITH b AS (
+        SELECT event_type AS g,
+               CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INT) AS d
+        FROM (
+            SELECT event_type,
+                   CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                        AS BIGINT) AS u
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ) WHERE u > 0
+    ),
+    counts AS (SELECT g, d, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    totals AS (SELECT g, COUNT(*) AS n FROM b GROUP BY 1),
+    digits AS (SELECT CAST(range AS INT) AS d FROM range(1, 10)),
+    grid AS (
+        SELECT totals.g, digits.d, totals.n, COALESCE(counts.c, 0) AS c
+        FROM totals CROSS JOIN digits
+        LEFT JOIN counts ON counts.g = totals.g AND counts.d = digits.d
+    ),
+    terms AS (
+        SELECT g, n,
+               (CASE d {e_case} END) AS e,
+               CAST(c AS DOUBLE) AS od, CAST(n AS DOUBLE) AS nd
+        FROM grid
+    ),
+    fixed AS (
+        SELECT g, n,
+               CAST(floor(((od - nd * e) * (od - nd * e) / (nd * e))
+                    * 1000000 + 0.5) / 1000000.0 AS DECIMAL(38,6)) AS tc,
+               CAST(floor(abs(od / nd - e) * 1000000 + 0.5)
+                    / 1000000.0 AS DECIMAL(38,6)) AS tm
+        FROM terms
+    ),
+    a AS (
+        SELECT g, n, SUM(tc) AS chi2, SUM(tm) AS madsum
+        FROM fixed GROUP BY 1, 2
+    )
+    SELECT g AS event_type, n, CAST(chi2 AS DOUBLE) AS chi2,
+           {_r6('(CAST(madsum AS DOUBLE) / 9.0)')} AS mad
+    FROM a ORDER BY event_type
+"""
+
+
+@query("stats_benford", oracle=_benford_oracle())
+def stats_benford(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import benford_report
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    return benford_report(ev, "event_type", "value").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Spearman trend (operators/profile.spearman_corr): rank correlation of
+# event value against epoch day — the outlier-proof monotonic-trend twin
+# of stats_group_ols. Mid-ranks per DISTINCT value (doubled, exact
+# BIGINT), never a per-row window; one mirrored float tree, 6dp.
+# --------------------------------------------------------------------------
+def _spearman_oracle() -> str:
+    covn = (
+        "(CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    )
+    varx = (
+        "(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    )
+    vary = (
+        "(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))"
+    )
+    return f"""
+    WITH b AS (
+        SELECT event_type AS g,
+               (epoch_us(ts) // 86400000000) AS x,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    rx AS (
+        SELECT g, x,
+               2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                    ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS rx
+        FROM (SELECT g, x, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+    ),
+    ry AS (
+        SELECT g, y,
+               2 * (SUM(cnt) OVER (PARTITION BY g ORDER BY y
+                    ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS ry
+        FROM (SELECT g, y, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+    ),
+    r AS (
+        SELECT b.g, rx.rx, ry.ry
+        FROM b JOIN rx ON rx.g = b.g AND rx.x = b.x
+               JOIN ry ON ry.g = b.g AND ry.y = b.y
+    ),
+    a AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS BIGINT) AS s1,
+               CAST(SUM(ry) AS BIGINT) AS s2,
+               CAST(SUM(rx * ry) AS BIGINT) AS s12,
+               CAST(SUM(rx * rx) AS BIGINT) AS s11,
+               CAST(SUM(ry * ry) AS BIGINT) AS s22
+        FROM r GROUP BY 1
+    )
+    SELECT g AS event_type, n,
+           {_r6(f"({covn} / sqrt({varx} * {vary}))")} AS spearman
+    FROM a WHERE {varx} != 0 AND {vary} != 0
+    ORDER BY event_type
+"""
+
+
+@query("stats_spearman", oracle=_spearman_oracle())
+def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import spearman_corr
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(
+                F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+            ).cast("bigint").alias("v"),
+        )
+    )
+    return spearman_corr(ev, ["event_type"], "day", "v").orderBy(
+        "event_type"
+    )

@@ -1253,3 +1253,58 @@ def text_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return repetition_report(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (operators/lm.pmi_collocations): corpus multi-word-
+# expression extraction. Marginals over the FULL bigram table, min_count
+# prunes output only; pmi/npmi are mirrored float trees over exact
+# BIGINT counts, DECIMAL(18,6)-fixed like the bigram LM.
+# --------------------------------------------------------------------------
+_PMI_MIN = 5
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK} AS w FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+        SELECT w[i] AS prev, w[i + 1] AS cur
+        FROM d, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c_pc AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2
+    ),
+    c_p AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM c_pc GROUP BY 1),
+    c_c AS (SELECT cur, CAST(sum(c) AS BIGINT) AS cc FROM c_pc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c_pc),
+    cand AS (
+        SELECT prev, cur, c, cp, cc, (SELECT t FROM tot) AS t
+        FROM c_pc JOIN c_p USING (prev) JOIN c_c USING (cur)
+        WHERE c >= {_PMI_MIN}
+    )
+    SELECT prev, cur, c AS count,
+           CAST(CAST(floor(ln(CAST(t * c AS DOUBLE)
+                / CAST(cp * cc AS DOUBLE))
+                * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+                AS DOUBLE) AS pmi,
+           CAST(CASE WHEN -ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) != 0
+               THEN CAST(floor(ln(CAST(t * c AS DOUBLE)
+                    / CAST(cp * cc AS DOUBLE))
+                    / (-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+                    * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+           END AS DOUBLE) AS npmi
+    FROM cand ORDER BY prev, cur
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.lm import pmi_collocations
+
+    docs = load_table(spark, sf, "documents")
+    return pmi_collocations(docs, min_count=_PMI_MIN).orderBy(
+        "prev", "cur"
+    )

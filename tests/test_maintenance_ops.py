@@ -791,3 +791,85 @@ def test_hill_tail_index_known_values(spark):
     assert s["hill"] == _pytest.approx(math.log(4.0), abs=1e-6)
     with _pytest.raises(ValueError):
         hill_tail_index(df, ["g"], "x", k=0)
+
+
+def test_benford_report_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import (
+        _BENFORD_E,
+        benford_report,
+    )
+
+    def r6(v):
+        import math
+
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    rows = ([("uniform", float(d)) for d in range(1, 10)]
+            + [("ones", 1.0)] * 4
+            + [("ones", -5.0), ("ones", 0.001)])  # dropped: <= 0 fixed
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in benford_report(df, "g", "v").collect()}
+    assert set(got) == {"uniform", "ones"}
+    u = got["uniform"]
+    assert u["n"] == 9
+    want_chi = sum(
+        r6((1.0 - 9.0 * e) ** 2 / (9.0 * e)) for e in _BENFORD_E
+    )
+    want_mad = r6(sum(r6(abs(1.0 / 9.0 - e)) for e in _BENFORD_E) / 9.0)
+    assert u["chi2"] == _pytest.approx(want_chi, abs=1e-6)
+    assert u["mad"] == _pytest.approx(want_mad, abs=1e-6)
+    o = got["ones"]
+    assert o["n"] == 4  # negatives and zero-fixed values excluded
+    want_chi_o = r6((4.0 - 4.0 * _BENFORD_E[0]) ** 2
+                    / (4.0 * _BENFORD_E[0])) + sum(
+        r6((0.0 - 4.0 * e) ** 2 / (4.0 * e)) for e in _BENFORD_E[1:]
+    )
+    assert o["chi2"] == _pytest.approx(want_chi_o, abs=1e-6)
+
+
+def test_spearman_corr_known_values(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import spearman_corr
+
+    def ref_spearman(xs, ys):
+        def midranks(v):
+            v = np.asarray(v, dtype=float)
+            order = v.argsort(kind="mergesort")
+            r = np.empty(len(v))
+            i = 0
+            sv = v[order]
+            while i < len(v):
+                j = i
+                while j < len(v) and sv[j] == sv[i]:
+                    j += 1
+                r[order[i:j]] = (i + j + 1) / 2.0
+                i = j
+            return r
+        rx, ry = midranks(xs), midranks(ys)
+        return np.corrcoef(rx, ry)[0, 1]
+
+    cases = {
+        "mono": ([1, 2, 3, 4], [1, 4, 9, 16]),
+        "inv": ([1, 2, 3, 4], [16, 9, 4, 1]),
+        "tied": ([1, 1, 2, 2, 3], [1, 2, 3, 4, 4]),
+        "noisy": ([1, 2, 3, 4, 5, 6], [2, 1, 4, 3, 6, 5]),
+    }
+    rows = []
+    for g, (xs, ys) in cases.items():
+        rows += [(g, x, y) for x, y in zip(xs, ys)]
+    rows += [("flat_x", 1, 1), ("flat_x", 1, 2)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert set(got) == set(cases)  # flat_x dropped (zero x variance)
+    assert got["mono"]["spearman"] == 1.0
+    assert got["inv"]["spearman"] == -1.0
+    for g, (xs, ys) in cases.items():
+        assert got[g]["spearman"] == _pytest.approx(
+            ref_spearman(xs, ys), abs=1e-6
+        ), g
+    with _pytest.raises(ValueError):
+        spearman_corr(df, [], "x", "y")

@@ -40,3 +40,43 @@ def test_strip_boilerplate_null_text_stays_visible(spark):
         spark.createDataFrame(rows, "doc_id long, text string")).collect()}
     assert 9 in out  # the NULL-text doc did not vanish
     assert out[9]["clean_text"] == "" or out[9]["n_lines"] >= 0
+
+
+def test_pmi_collocations_known_corpus(spark):
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.lm import pmi_collocations
+
+    # corpus bigrams: "a b" x3, "b c" x1 (from "a b c"), plus "d d" x2
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b c"), (4, "d d d")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["prev"], r["cur"]): r
+        for r in pmi_collocations(docs, min_count=1).collect()
+    }
+    # bigram table: (a,b):3 (b,c):1 (d,d):2 -> N=6
+    assert set(out) == {("a", "b"), ("b", "c"), ("d", "d")}
+    ab = out[("a", "b")]
+    # prev-marginal a=3, cur-marginal b=3: pmi = ln(6*3/(3*3))
+    want = math.log(6.0 * 3.0 / 9.0)
+    assert float(ab["pmi"]) == _pytest.approx(want, abs=1e-6)
+    want_npmi = want / -math.log(3.0 / 6.0)
+    assert float(ab["npmi"]) == _pytest.approx(want_npmi, abs=1e-6)
+    dd = out[("d", "d")]
+    # prev d=2, cur d=2: pmi = ln(6*2/4) = ln(3)
+    assert float(dd["pmi"]) == _pytest.approx(math.log(3.0), abs=1e-6)
+    # min_count prunes output but NOT the marginals
+    pruned = {
+        (r["prev"], r["cur"]): r
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    assert set(pruned) == {("a", "b"), ("d", "d")}
+    assert float(pruned[("a", "b")]["pmi"]) == _pytest.approx(
+        want, abs=1e-6
+    )
+    with _pytest.raises(ValueError):
+        pmi_collocations(docs, min_count=0)

@@ -643,3 +643,161 @@ def seasonal_naive_error(
             ),
         ).alias("mape"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    max_points: int = 2000,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` over ``x_i < x_j`` — the slope
+    estimate with a 29% breakdown point (one broken day cannot bend it,
+    unlike OLS; the trend twin of stats_mad_outliers), as
+    ``(*group_cols, n_points, n_pairs, slope)``.
+
+    INPUT CONTRACT: a pre-aggregated series — one row per (group, x) on
+    a bounded grid (days, batch indexes), integer x and y. The pair
+    join is quadratic in the GRID (n_points^2 / 2 pairs per group),
+    which is exactly why the operator demands grid input: a year of
+    daily points is ~66k pairs, nothing, at any corpus size. A
+    limit-probe guard fail-stops when any group exceeds ``max_points``
+    (cost O(cap) IO, never a full count) rather than silently launching
+    a quadratic job over raw rows.
+
+    Determinism: slope doubles come from exact integer differences via
+    one mirrored division; the median is position-based (middle one or
+    mean of the middle two), and duplicate slope values make the
+    tie-order irrelevant by value. Zero x-gaps cannot occur (grid rows
+    are distinct x). Rounded at ``digits``.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(x_col).cast("bigint").alias("__x"),
+        F.col(y_col).cast("bigint").alias("__y"),
+    )
+    probe = (
+        base.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") > max_points)
+        .limit(1)
+        .take(1)
+    )
+    if probe:
+        raise ValueError(
+            "momyre: theil_sen_trend input exceeds max_points="
+            f"{max_points} for group {probe[0]} — pre-aggregate to a"
+            " bounded grid (daily means) before calling"
+        )
+    a = base.select(
+        *group_cols, F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = base.select(
+        *group_cols, F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    pairs = a.join(b, list(group_cols)).filter(
+        F.col("__xa") < F.col("__xb")
+    )
+    slope = (F.col("__yb") - F.col("__ya")).cast("double") / (
+        F.col("__xb") - F.col("__xa")
+    ).cast("double")
+    sl = pairs.select(*group_cols, slope.alias("__s"))
+    w = Window.partitionBy(*group_cols).orderBy("__s")
+    wall = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = sl.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__m", F.count(F.lit(1)).over(wall)
+    )
+    lo = F.floor((F.col("__m") + 1) / 2)
+    hi = F.floor(F.col("__m") / 2) + 1
+    mid = ranked.filter(
+        (F.col("__rn") == lo) | (F.col("__rn") == hi)
+    )
+    npoints = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    agg = mid.groupBy(*group_cols).agg(
+        F.max("__m").alias("__m"),
+        (F.sum("__s") / F.count(F.lit(1))).alias("__med"),
+    )
+    return (
+        agg.join(npoints, list(group_cols))
+        .select(
+            *group_cols,
+            F.col("n_points"),
+            F.col("__m").alias("n_pairs"),
+            round_half_up(F.col("__med"), digits).alias("slope"),
+        )
+    )
+
+
+def weekday_seasonal_index(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    day_col: str,
+    value_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group weekday seasonal indices: each weekday's mean value as
+    a ratio to the group's overall mean (1.0 = no weekly effect) — the
+    cheapest seasonality profile, and the deseasonalizer input for any
+    weekly-periodic metric. Output: ``(*group_cols, weekday, n, mean,
+    index)`` with ``weekday`` 0=Monday..6=Sunday derived by pure integer
+    arithmetic from the epoch day (``(day + 3) mod 7`` — 1970-01-01 was
+    a Thursday; no timezone/calendar functions, engine-exact).
+
+    INPUT CONTRACT: integer epoch-day ``day_col``, integer-valued
+    ``value_col`` (fix floats to units upstream).
+
+    Shape: one (group, weekday) hash agg + full-frame window totals over
+    the <= 7 rows per group. Exact BIGINT sums; the index is the exact
+    cross-multiplied ratio ``(sw * N) / (nw * S)`` in one mirrored
+    division (keep ``sum|v| * rows < 2^63``), rounded at ``digits``.
+    Groups with zero total sum report NULL index (mean ratio of a zero
+    baseline is undefined), never a fabricated value.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    base = df.filter(
+        F.col(day_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.pmod(F.col(day_col).cast("bigint") + F.lit(3), F.lit(7)).alias(
+            "__wd"
+        ),
+        F.col(value_col).cast("bigint").alias("__v"),
+    )
+    per = base.groupBy(*group_cols, F.col("__wd")).agg(
+        F.count(F.lit(1)).alias("__nw"), F.sum("__v").alias("__sw")
+    )
+    wall = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = per.withColumn("__n", F.sum("__nw").over(wall)).withColumn(
+        "__s", F.sum("__sw").over(wall)
+    )
+    mean = F.col("__sw").cast("double") / F.col("__nw").cast("double")
+    index = F.when(
+        F.col("__s") != 0,
+        (F.col("__sw") * F.col("__n")).cast("double")
+        / (F.col("__nw") * F.col("__s")).cast("double"),
+    )
+    return tot.select(
+        *group_cols,
+        F.col("__wd").alias("weekday"),
+        F.col("__nw").alias("n"),
+        round_half_up(mean, digits).alias("mean"),
+        round_half_up(index, digits).alias("seasonal_index"),
+    )

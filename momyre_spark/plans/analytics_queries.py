@@ -2055,3 +2055,148 @@ def ts_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     return seasonal_naive_error(
         series, ["event_type"], "day", "x", season=7
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust trend (operators/timeseries.theil_sen_trend): median
+# of pairwise slopes over the daily grid — the 29%-breakdown trend twin
+# of stats_group_ols (one bad day cannot bend it). Quadratic ONLY in
+# the bounded grid (guarded by a limit-probe fail-stop); position-based
+# median, mirrored division, 6dp.
+# --------------------------------------------------------------------------
+def _theil_sen_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    d AS (
+        SELECT event_type, day,
+               CAST(floor(CAST(SUM(uu) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM u GROUP BY 1, 2
+    ),
+    np AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM d GROUP BY 1
+    ),
+    sl AS (
+        SELECT a.event_type,
+               CAST(b.x - a.x AS DOUBLE)
+               / CAST(b.day - a.day AS DOUBLE) AS s
+        FROM d a JOIN d b ON a.event_type = b.event_type
+                         AND a.day < b.day
+    ),
+    r AS (
+        SELECT event_type, s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS m
+        FROM sl
+    ),
+    mid AS (
+        SELECT event_type, MAX(m) AS m,
+               SUM(s) / COUNT(*) AS med
+        FROM r
+        WHERE rn = CAST(floor((m + 1) / 2) AS BIGINT)
+           OR rn = CAST(floor(m / 2) AS BIGINT) + 1
+        GROUP BY 1
+    )
+    SELECT mid.event_type AS event_type, np.n_points, mid.m AS n_pairs,
+           floor(med * 1000000 + 0.5) / 1000000.0 AS slope
+    FROM mid JOIN np ON np.event_type = mid.event_type
+    ORDER BY mid.event_type
+"""
+
+
+@query("ts_theil_sen", oracle=_theil_sen_oracle())
+def ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import theil_sen_trend
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(
+                F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+            ).cast("bigint").alias("uu"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("uu").alias("su"), F.count(F.lit(1)).alias("cnt")
+    )
+    series = daily.select(
+        "event_type",
+        "day",
+        F.floor(
+            F.col("su").cast("double") / F.col("cnt").cast("double")
+            + F.lit(0.5)
+        ).cast("bigint").alias("x"),
+    )
+    return theil_sen_trend(series, ["event_type"], "day", "x").orderBy(
+        "event_type"
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonal indices (operators/timeseries.weekday_seasonal_index):
+# each weekday's mean value vs the type's overall mean — the weekly
+# seasonality profile, weekday derived by pure integer arithmetic
+# ((day + 3) mod 7; 1970-01-01 = Thursday), no calendar functions.
+# Exact cross-multiplied ratio, 6dp.
+# --------------------------------------------------------------------------
+def _weekday_oracle() -> str:
+    r6 = _assoc_r6
+    return f"""
+    WITH u AS (
+        SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    b AS (SELECT event_type, (day + 3) % 7 AS wd, uu FROM u),
+    per AS (
+        SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(uu) AS BIGINT) AS sw
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, wd, nw, sw,
+               CAST(SUM(nw) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+               CAST(SUM(sw) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS s
+        FROM per
+    )
+    SELECT event_type, wd AS weekday, nw AS n,
+           {r6('CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)')} AS mean,
+           CASE WHEN s != 0 THEN
+               {r6('CAST(sw * n AS DOUBLE) / CAST(nw * s AS DOUBLE)')}
+           END AS seasonal_index
+    FROM tot ORDER BY event_type, weekday
+"""
+
+
+@query("ts_weekday_index", oracle=_weekday_oracle())
+def ts_weekday_index(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.timeseries import weekday_seasonal_index
+
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            F.floor(
+                F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+            ).cast("bigint").alias("uu"),
+        )
+    )
+    return weekday_seasonal_index(
+        ev, ["event_type"], "day", "uu"
+    ).orderBy("event_type", "weekday")

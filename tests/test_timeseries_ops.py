@@ -242,3 +242,62 @@ def test_seasonal_naive_error_known_values(spark):
     assert z["mape"] == _pytest.approx(0.5, abs=1e-6)
     with _pytest.raises(ValueError):
         seasonal_naive_error(df, ["g"], "t", "x", season=0)
+
+
+def test_theil_sen_trend_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.timeseries import theil_sen_trend
+
+    def ref_slope(pts):
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        )
+        m = len(slopes)
+        if m % 2:
+            return slopes[m // 2]
+        return (slopes[m // 2 - 1] + slopes[m // 2]) / 2.0
+
+    line = [(x, 3 * x + 1) for x in range(5)]
+    outlier = [(x, x if x != 3 else 100) for x in range(7)]
+    pair = [(0, 5), (2, 9)]
+    rows = ([("line", x, y) for x, y in line]
+            + [("outlier", x, y) for x, y in outlier]
+            + [("pair", x, y) for x, y in pair])
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in theil_sen_trend(df, ["g"], "x", "y").collect()}
+    assert got["line"]["slope"] == 3.0
+    assert got["line"]["n_points"] == 5 and got["line"]["n_pairs"] == 10
+    assert got["outlier"]["slope"] == _pytest.approx(
+        ref_slope(outlier), abs=1e-6
+    )
+    assert abs(got["outlier"]["slope"] - 1.0) < 0.2  # robust to the spike
+    assert got["pair"]["slope"] == 2.0
+    with _pytest.raises(ValueError, match="max_points"):
+        theil_sen_trend(df, ["g"], "x", "y", max_points=3)
+    with _pytest.raises(ValueError):
+        theil_sen_trend(df, [], "x", "y")
+
+
+def test_weekday_seasonal_index_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.timeseries import weekday_seasonal_index
+
+    # epoch day 0 = Thursday -> weekday 3; day 4 = Monday -> weekday 0
+    rows = [("g", 0, 10), ("g", 0, 30), ("g", 4, 20),
+            ("zero", 0, 5), ("zero", 1, -5)]
+    df = spark.createDataFrame(rows, "g string, day long, v long")
+    got = {(r["g"], r["weekday"]): r
+           for r in weekday_seasonal_index(df, ["g"], "day", "v").collect()}
+    assert set(got) == {("g", 3), ("g", 0), ("zero", 3), ("zero", 4)}
+    thu = got[("g", 3)]
+    assert thu["n"] == 2 and thu["mean"] == 20.0
+    # overall mean = 60/3 = 20 -> thursday index 1.0, monday 1.0
+    assert thu["seasonal_index"] == _pytest.approx(1.0, abs=1e-6)
+    assert got[("g", 0)]["seasonal_index"] == _pytest.approx(1.0, abs=1e-6)
+    # zero-total group: mean reported, index NULL
+    assert got[("zero", 3)]["seasonal_index"] is None
+    assert got[("zero", 3)]["mean"] == 5.0

@@ -49,6 +49,10 @@ SHOWCASE = [
     ("ts_cusum_changepoints", "CUSUM: ONE key exchange feeds all five window exprs (mean + 2 sums + 2 mins)"),
     ("stats_group_ols", "OLS trend: one partial+final hash agg over five moment sums, no window"),
     ("pipe_score_calibrate", "calibration: one source exchange, percent_rank + ntile share the sort"),
+    ("stats_group_auc", "AUC: rank work on DISTINCT scores only — agg, one value window, re-agg"),
+    ("q80_assoc_rules", "basket pairs: broadcast Apriori prune + broadcast stats joins, no cartesian"),
+    ("graph_neighbor_jaccard", "wedge self-join through shared neighbor; degree joins stay equi-joins"),
+    ("stats_spearman", "Spearman: doubled mid-ranks join back co-partitioned; one moment agg"),
 ]
 
 

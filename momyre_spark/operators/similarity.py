@@ -1259,3 +1259,133 @@ def maxsim_topk(
             round_half_up(F.col("__score").cast("double"), 4).alias("score"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-``k_candidates`` cosine candidates,
+    greedily select ``k_select`` maximizing
+    ``lam * rel - (1 - lam) * max_{s in selected} cos(c, s)`` — relevant
+    results that are NOT near-duplicates of each other, the standard
+    retrieval-diversity fix for corpora full of boilerplate variants.
+    Output: ``(query_id, step, vec_id, rel, score)``, step 1..k_select
+    in selection order (an empty selected set penalizes 0).
+
+    Shape: candidate generation and ALL similarity arithmetic run in
+    Spark (brute_force_topk for rel; candidate-pair cosines via one
+    broadcast-filtered corpus scan and a per-query pair join bounded by
+    ``|q| * k_candidates^2``). Only the greedy LOOP runs on the driver —
+    it is k_select steps over a candidate table capped by the
+    ``max_queries`` limit-probe (the BPE-merge-loop precedent:
+    driver-iterative but bounded by construction, independent of corpus
+    size). Batch the query set when it exceeds the cap.
+
+    Determinism: rel is the 4dp-rounded candidate cosine; pair cosines
+    fix to DECIMAL(18,6) (the label_margin recipe); the score tree is
+    evaluated as ``lam * rel - (1.0 - lam) * pen`` in IEEE doubles
+    (an oracle must spell ``1.0 - lam``, never the folded literal);
+    ties break by ascending id. Scores round at 6dp for output only —
+    selection uses raw doubles.
+    """
+    import math
+
+    if k_select < 1 or k_candidates < k_select:
+        raise ValueError(
+            "momyre: need 1 <= k_select <= k_candidates"
+        )
+    from momyre_spark.functions.vectors import add_normalized, dot
+
+    cands = brute_force_topk(
+        corpus, queries, k=k_candidates, id_col=id_col, vec_col=vec_col
+    )
+    probe = cands.limit(max_queries * k_candidates + 1).take(
+        max_queries * k_candidates + 1
+    )
+    if len(probe) > max_queries * k_candidates:
+        raise ValueError(
+            f"momyre: mmr_rerank query set exceeds max_queries="
+            f"{max_queries} — batch the queries"
+        )
+    spark = corpus.sparkSession
+    cand_rows = [
+        (int(r["query_id"]), int(r["neighbor_id"]), float(r["cos"]))
+        for r in probe
+    ]
+    cand_df = spark.createDataFrame(
+        cand_rows, "query_id long, id long, rel double"
+    )
+    nv = add_normalized(corpus, vec_col, "__nv").select(
+        F.col(id_col).alias("id"), F.col("__nv").alias("__v")
+    )
+    cv = nv.join(
+        F.broadcast(cand_df.select("query_id", "id")), "id"
+    ).select("query_id", "id", "__v")
+    a = cv.select(
+        "query_id", F.col("id").alias("ia"), F.col("__v").alias("__va")
+    )
+    b = cv.select(
+        "query_id", F.col("id").alias("ib"), F.col("__v").alias("__vb")
+    )
+    pair_rows = (
+        a.join(b, "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id",
+            "ia",
+            "ib",
+            round_half_up(dot(F.col("__va"), F.col("__vb")), 6)
+            .cast("decimal(18,6)")
+            .alias("cosd"),
+        )
+        .collect()
+    )
+    pen_map: dict[tuple[int, int, int], float] = {
+        (int(r["query_id"]), int(r["ia"]), int(r["ib"])): float(r["cosd"])
+        for r in pair_rows
+    }
+    by_query: dict[int, list[tuple[int, float]]] = {}
+    for qid, cid, rel in cand_rows:
+        by_query.setdefault(qid, []).append((cid, rel))
+    lam_f = float(lam)
+    out_rows = []
+    for qid, clist in by_query.items():
+        remaining = dict(clist)
+        selected: list[int] = []
+        for step in range(1, k_select + 1):
+            if not remaining:
+                break
+            best = None
+            for cid, rel in remaining.items():
+                pen = max(
+                    (pen_map[(qid, s, cid)] for s in selected),
+                    default=0.0,
+                )
+                score = lam_f * rel - (1.0 - lam_f) * pen
+                key = (score, -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid, rel, score)
+            _, cid, rel, score = best
+            out_rows.append(
+                (
+                    qid,
+                    step,
+                    cid,
+                    rel,
+                    math.floor(score * 1_000_000 + 0.5) / 1_000_000.0,
+                )
+            )
+            selected.append(cid)
+            del remaining[cid]
+    return spark.createDataFrame(
+        out_rows,
+        "query_id long, step int, vec_id long, rel double, score double",
+    )

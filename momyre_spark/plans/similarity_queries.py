@@ -1131,3 +1131,110 @@ def sim_maxsim_token_pruned(spark: SparkSession, sf: str) -> DataFrame:
         toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
         candidates=cand,
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking (operators/similarity.mmr_rerank): greedy
+# relevance-vs-redundancy selection from each query's top-10. All
+# similarity arithmetic in Spark (4dp rel, DECIMAL(18,6) pair cosines);
+# only the k-step greedy loop is driver-side, capped by limit-probe.
+# The oracle UNROLLS the greedy steps as MATERIALIZED CTEs (the
+# pagerank recipe) with the identical `lam * rel - (1.0 - lam) * pen`
+# float tree and ascending-id tie-break — a full value-hash oracle for
+# an iterative algorithm.
+# --------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam = repr(_MMR_LAM)
+    score0 = f"{lam} * rel - (1.0 - {lam}) * 0.0"
+    head = f"""
+    WITH {_DUCK_NORM_CTE},
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="e", b="q")} AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id AS id,
+               floor(cos * 10000 + 0.5) / 10000.0 AS rel
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+              ) AS rank FROM scored) t
+        WHERE rank <= {TOP_K}
+    ),
+    cvv AS MATERIALIZED (
+        SELECT cand.query_id, cand.id, cand.rel, e.v
+        FROM cand JOIN e ON e.vec_id = cand.id
+    ),
+    pr AS MATERIALIZED (
+        SELECT a.query_id, a.id AS ia, b.id AS ib,
+               CAST(floor(({_DUCK_COS.format(a="a", b="b")})
+                    * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+                   AS cosd
+        FROM cvv a JOIN cvv b
+          ON a.query_id = b.query_id AND a.id <> b.id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, id, rel, {score0} AS score FROM (
+            SELECT query_id, id, rel, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY {score0} DESC, id) AS rn
+            FROM cvv) t WHERE rn = 1
+    ),
+    all1 AS MATERIALIZED (SELECT query_id, id FROM sel1)"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        sc = f"{lam} * c.rel - (1.0 - {lam}) * p.pen"
+        steps.append(f""",
+    sel{i} AS MATERIALIZED (
+        SELECT query_id, id, rel, score FROM (
+            SELECT c.query_id, c.id, c.rel, {sc} AS score,
+                   row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY {sc} DESC, c.id) AS rn
+            FROM cvv c
+            JOIN (SELECT pr.query_id, pr.ib AS id,
+                         MAX(CAST(pr.cosd AS DOUBLE)) AS pen
+                  FROM pr JOIN all{i - 1} s
+                    ON s.query_id = pr.query_id AND s.id = pr.ia
+                  GROUP BY 1, 2) p
+              ON p.query_id = c.query_id AND p.id = c.id
+            LEFT JOIN all{i - 1} s2
+              ON s2.query_id = c.query_id AND s2.id = c.id
+            WHERE s2.id IS NULL
+        ) t WHERE rn = 1
+    ),
+    all{i} AS MATERIALIZED (
+        SELECT query_id, id FROM all{i - 1}
+        UNION ALL SELECT query_id, id FROM sel{i}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT query_id, id, rel, score, {i} AS step FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT query_id, CAST(step AS INT) AS step, id AS vec_id, rel,
+           floor(score * 1000000 + 0.5) / 1000000.0 AS score
+    FROM ({union}) t
+    ORDER BY query_id, step"""
+    )
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf, "embeddings")
+    return mmr_rerank(
+        emb,
+        _queries_df(spark, sf),
+        k_candidates=TOP_K,
+        k_select=_MMR_K,
+        lam=_MMR_LAM,
+    ).orderBy("query_id", "step")

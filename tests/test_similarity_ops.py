@@ -1237,3 +1237,41 @@ def test_ivfpq_null_pq_code_tail_never_floods_shortlist(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_mmr_rerank_diversifies(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # query
+        (1, [0.99, 0.1, 0.0, 0.0]),    # most relevant
+        (2, [0.98, 0.12, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.6, 0.0, 0.8, 0.0]),     # less relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0")
+    # pure top-k order is 1, 2, 3; MMR at lam=0.5 demotes the near-dup
+    out = mmr_rerank(
+        emb, queries, k_candidates=3, k_select=3, lam=0.5
+    ).orderBy("step").collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert [r["step"] for r in out] == [1, 2, 3]
+    assert out[0]["rel"] > 0.99
+    # step-1 score = lam * rel (empty selected set penalizes 0)
+    assert out[0]["score"] == _pytest.approx(
+        0.5 * out[0]["rel"], abs=1e-6
+    )
+    # fewer candidates than k_select: stops early, no fabricated rows
+    short = mmr_rerank(
+        emb, queries, k_candidates=3, k_select=3, lam=0.5,
+    ).count()
+    assert short == 3
+    two = mmr_rerank(
+        emb.filter("vec_id <= 2"), queries, k_candidates=3, k_select=3,
+        lam=0.5,
+    ).count()
+    assert two == 2
+    with _pytest.raises(ValueError):
+        mmr_rerank(emb, queries, k_candidates=2, k_select=3)

@@ -600,3 +600,87 @@ def neighbor_jaccard(
             F.col("common").cast("double") / union.cast("double"), digits
         ).alias("jaccard"),
     )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "component",
+    digits: int = 6,
+) -> DataFrame:
+    """Newman modularity decomposition of a node partition over an
+    UNDIRECTED graph: per community ``c``,
+    ``q_term = L_c / m - (d_c / (2m))^2`` (intra-edge fraction minus the
+    degree-mass null model); the partition's modularity Q is the sum of
+    the terms. The quality readout for ANY node labeling — connected
+    components, LSH dedup clusters, a domain allowlist — "does this
+    grouping actually concentrate the link structure?".
+
+    Output: ``(component, n_nodes, intra_edges, degree_sum, q_term)``.
+    Edges are canonicalized to distinct unordered pairs (direction and
+    duplicates irrelevant, self-loops dropped); nodes missing from
+    ``labels`` fail the intra-edge join visibly (their edges count in m
+    and their degrees are absent from every community — pass a total
+    labeling, e.g. connected_components output, for a well-formed Q).
+
+    Shape: one distinct-pair shuffle, one degree agg, two label equi-
+    joins, one per-community agg — all equi-joins, never quadratic.
+
+    Determinism: m, L_c, d_c are exact BIGINT; each q_term is one
+    mirrored float tree (division and squared ratio as an explicit
+    product) rounded at ``digits``.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m_df = e.agg(F.count(F.lit(1)).alias("__m"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    lab = labels.select(
+        F.col(node_col).alias("v"), F.col(label_col).alias("__c")
+    )
+    intra = (
+        e.join(lab.select(F.col("v").alias("a"), F.col("__c").alias("__ca")), "a")
+        .join(lab.select(F.col("v").alias("b"), F.col("__c").alias("__cb")), "b")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    dsum = (
+        deg.join(lab, "v")
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).alias("__nn"),
+            F.sum("__deg").alias("__dc"),
+        )
+    )
+    joined = (
+        dsum.join(intra, "__c", "left")
+        .withColumn("__lc", F.coalesce(F.col("__lc"), F.lit(0)))
+        .crossJoin(F.broadcast(m_df))
+    )
+    ld = F.col("__lc").cast("double")
+    md = F.col("__m").cast("double")
+    ratio = F.col("__dc").cast("double") / (F.lit(2.0) * md)
+    q = ld / md - ratio * ratio
+    return joined.select(
+        F.col("__c").alias(label_col),
+        F.col("__nn").alias("n_nodes"),
+        F.col("__lc").alias("intra_edges"),
+        F.col("__dc").alias("degree_sum"),
+        round_half_up(q, digits).alias("q_term"),
+    )

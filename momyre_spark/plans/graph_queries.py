@@ -496,3 +496,95 @@ def graph_neighbor_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return neighbor_jaccard(_host_edges(spark)).orderBy(
         "node_a", "node_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Partition modularity (operators/graph.partition_modularity): does the
+# component labeling concentrate the link structure? Composed with
+# connected_components over the sparse CC slice; per-component
+# ``L_c/m - (d_c/2m)^2`` with exact BIGINT counts and one mirrored
+# float tree. Oracle reuses the recursive min-label CTE.
+# --------------------------------------------------------------------------
+def _modularity_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_CC_SEEDS}) t(i)
+    ),
+    e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+    ue AS (SELECT src, dst FROM e2 UNION SELECT dst, src FROM e2),
+    nodes AS (SELECT DISTINCT src AS node FROM ue),
+    reach AS (
+        SELECT node, node AS label FROM nodes
+        UNION
+        SELECT ue.dst AS node, r.label FROM reach r
+        JOIN ue ON ue.src = r.node
+    ),
+    lab AS MATERIALIZED (
+        SELECT node AS v, CAST(min(label) AS BIGINT) AS c
+        FROM reach GROUP BY node
+    ),
+    ce AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e2
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ce),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM ce UNION ALL SELECT b FROM ce
+        ) GROUP BY 1
+    ),
+    intra AS (
+        SELECT la.c AS c, CAST(COUNT(*) AS BIGINT) AS lc
+        FROM ce
+        JOIN lab la ON la.v = ce.a
+        JOIN lab lb ON lb.v = ce.b
+        WHERE la.c = lb.c GROUP BY 1
+    ),
+    dsum AS (
+        SELECT lab.c AS c, CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(deg.deg) AS BIGINT) AS dc
+        FROM deg JOIN lab ON lab.v = deg.v GROUP BY 1
+    )
+    SELECT dsum.c AS component, nn AS n_nodes,
+           CAST(COALESCE(intra.lc, 0) AS BIGINT) AS intra_edges,
+           dc AS degree_sum,
+           floor((CAST(COALESCE(intra.lc, 0) AS DOUBLE)
+                  / CAST((SELECT m FROM m) AS DOUBLE)
+                  - (CAST(dc AS DOUBLE)
+                     / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))
+                    * (CAST(dc AS DOUBLE)
+                     / (2.0 * CAST((SELECT m FROM m) AS DOUBLE))))
+                 * 1000000 + 0.5) / 1000000.0 AS q_term
+    FROM dsum LEFT JOIN intra ON intra.c = dsum.c
+    ORDER BY component
+"""
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.graph import (
+        connected_components,
+        partition_modularity,
+    )
+
+    edges = (
+        spark.range(_N_CC_SEEDS)
+        .selectExpr(
+            "pmod(CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT), {_N_HOSTS}) AS src",
+            "pmod(CAST(conv(substr(md5(concat('e', CAST(id AS STRING))), 1,"
+            f" 15), 16, 10) AS BIGINT), {_N_HOSTS}) AS dst",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = connected_components(edges)
+    return partition_modularity(edges, labels).orderBy("component")

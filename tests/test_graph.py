@@ -367,3 +367,37 @@ def test_neighbor_jaccard_known_graph(spark):
     assert r13["deg_b"] == 3
     with _pytest.raises(ValueError):
         neighbor_jaccard(edges, min_common=0)
+
+
+def test_partition_modularity_known_graph(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.graph import partition_modularity
+
+    # two triangles joined by one bridge edge: m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4),
+         (2, 1)],  # duplicate reversed edge: canonicalization dedups
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, component long",
+    )
+    got = {r["component"]: r
+           for r in partition_modularity(edges, labels).collect()}
+    assert set(got) == {1, 4}
+    c1 = got[1]
+    assert c1["n_nodes"] == 3 and c1["intra_edges"] == 3
+    assert c1["degree_sum"] == 7  # degrees 2,2,3
+    # q = 3/7 - (7/14)^2 = 3/7 - 1/4
+    assert c1["q_term"] == _pytest.approx(3.0 / 7.0 - 0.25, abs=1e-6)
+    assert got[4]["q_term"] == _pytest.approx(3.0 / 7.0 - 0.25, abs=1e-6)
+    # Q of this partition = 2 * (3/7 - 1/4) ~ 0.357: strongly modular
+    # all-one-community partition: Q = 7/7 - 1 = 0
+    one = spark.createDataFrame(
+        [(n, 0) for n in range(1, 7)], "node long, component long"
+    )
+    rows = partition_modularity(edges, one).collect()
+    assert len(rows) == 1
+    assert rows[0]["q_term"] == _pytest.approx(0.0, abs=1e-6)

@@ -1390,3 +1390,108 @@ def spearman_corr(
         F.col("__n").alias("n"),
         round_half_up(rho, digits).alias("spearman"),
     )
+
+
+_Z_ALPHA_2 = 1.959963984540054   # Phi^-1(0.975): two-sided alpha = 0.05
+_Z_BETA = 0.8416212335729143     # Phi^-1(0.80): power = 80%
+# embed these literals verbatim in any oracle
+
+
+def ab_power_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group A/B effect-size and power planning readout at the
+    standard alpha = 0.05 (two-sided) / power = 80% operating point:
+    ``(*group_cols, n_a, n_b, cohens_d, hedges_g, mde, n_required)``.
+
+    - ``cohens_d``: observed standardized effect (pooled SD);
+      ``hedges_g`` is its small-sample-corrected form.
+    - ``mde``: the smallest true difference the CURRENT sample sizes
+      detect at the operating point, ``(z_a + z_b) * sp *
+      sqrt(1/n_a + 1/n_b)`` — "was this experiment even big enough?".
+    - ``n_required``: per-arm n to detect the OBSERVED difference,
+      ``ceil(2 * sp^2 * (z_a + z_b)^2 / delta^2)`` — NULL when the
+      observed difference is 0 (nothing to power for), visible not
+      fabricated.
+
+    Shape and determinism: identical contract to welch_ab_report (same
+    exact BIGINT centi-unit moment pass, two shuffles, mirrored float
+    tree, ``digits`` rounding); the z literals above must be embedded
+    verbatim by any oracle. Groups missing an arm or with n < 2 per arm
+    are dropped; zero pooled variance drops the group (no scale to
+    standardize against).
+    """
+    if not group_cols:
+        raise ValueError("momyre: group_cols must be non-empty")
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .filter(F.col(arm_col).isin([arm_a, arm_b]))
+        .groupBy(*[F.col(c) for c in group_cols], F.col(arm_col))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(u).alias("__su"),
+            F.sum(u * u).alias("__ssq"),
+        )
+    )
+
+    def side(tag, arm):
+        cond = F.col(arm_col) == F.lit(arm)
+        return [
+            F.max(F.when(cond, F.col("__n"))).alias(f"__n_{tag}"),
+            F.max(F.when(cond, F.col("__su"))).alias(f"__su_{tag}"),
+            F.max(F.when(cond, F.col("__ssq"))).alias(f"__ssq_{tag}"),
+        ]
+
+    paired = (
+        per.groupBy(*group_cols)
+        .agg(*(side("a", arm_a) + side("b", arm_b)))
+        .filter((F.col("__n_a") >= 2) & (F.col("__n_b") >= 2))
+    )
+    sc = float(scale)
+
+    def stats(tag):
+        nd = F.col(f"__n_{tag}").cast("double")
+        su = F.col(f"__su_{tag}").cast("double")
+        ssq = F.col(f"__ssq_{tag}").cast("double")
+        mean = su / nd / F.lit(sc)
+        var = (ssq - su * su / nd) / (nd - F.lit(1.0)) / F.lit(sc * sc)
+        return nd, mean, var
+
+    na, mean_a, var_a = stats("a")
+    nb, mean_b, var_b = stats("b")
+    sp2 = ((na - F.lit(1.0)) * var_a + (nb - F.lit(1.0)) * var_b) / (
+        na + nb - F.lit(2.0)
+    )
+    sp = F.sqrt(sp2)
+    delta = mean_a - mean_b
+    d = delta / sp
+    g = d * (
+        F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    )
+    zz = F.lit(_Z_ALPHA_2) + F.lit(_Z_BETA)
+    mde = zz * sp * F.sqrt(F.lit(1.0) / na + F.lit(1.0) / nb)
+    n_req = F.when(
+        delta != 0,
+        F.ceil(
+            F.lit(2.0) * sp2 * zz * zz / (delta * delta)
+        ).cast("bigint"),
+    )
+    return paired.filter(sp2 != 0).select(
+        *group_cols,
+        F.col("__n_a").alias("n_a"),
+        F.col("__n_b").alias("n_b"),
+        round_half_up(d, digits).alias("cohens_d"),
+        round_half_up(g, digits).alias("hedges_g"),
+        round_half_up(mde, digits).alias("mde"),
+        n_req.alias("n_required"),
+    )

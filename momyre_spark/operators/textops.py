@@ -158,3 +158,138 @@ def strip_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+def source_vocab_jaccard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — "how much of these
+    two crawls is the same language surface?" — the corpus-redundancy
+    matrix that decides whether a new source is worth ingesting.
+    Output one row per unordered source pair (``source_a < source_b``
+    lexically): ``(source_a, source_b, vocab_a, vocab_b, inter,
+    jaccard)`` over DISTINCT whitespace tokens.
+
+    Shape: one (source, token) distinct shuffle, then pairs come from
+    the token-level inverted index — a token present in k sources
+    contributes k(k-1)/2 pair rows, so the join is bounded by
+    |vocab| * |sources|^2 in the worst case and far less in practice;
+    NEVER a vocab-by-vocab cross join. Per-source vocab sizes broadcast
+    back onto the pair frame.
+
+    Determinism: all counts exact BIGINT; one mirrored division,
+    ``digits`` rounding.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.text import tokens
+
+    base = (
+        docs.filter(
+            F.col(group_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .distinct()
+    )
+    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__v"))
+    a = base.select(F.col("__g").alias("__ga"), F.col("__t"))
+    b = base.select(F.col("__g").alias("__gb"), F.col("__t"))
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    out = inter.join(
+        F.broadcast(
+            sizes.select(F.col("__g").alias("__ga"), F.col("__v").alias("__va"))
+        ),
+        "__ga",
+    ).join(
+        F.broadcast(
+            sizes.select(F.col("__g").alias("__gb"), F.col("__v").alias("__vb"))
+        ),
+        "__gb",
+    )
+    union = F.col("__va") + F.col("__vb") - F.col("__i")
+    return out.select(
+        F.col("__ga").alias("source_a"),
+        F.col("__gb").alias("source_b"),
+        F.col("__va").alias("vocab_a"),
+        F.col("__vb").alias("vocab_b"),
+        F.col("__i").alias("inter"),
+        round_half_up(
+            F.col("__i").cast("double") / union.cast("double"), digits
+        ).alias("jaccard"),
+    )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document duplicate-ngram pressure: the fraction of a doc's
+    DISTINCT word n-grams that also occur in at least one OTHER document
+    — the Lee-et-al-style "how much of this page is corpus boilerplate"
+    signal that catches template families exact/near dedup both miss
+    (each page unique, every building block shared). Output:
+    ``(doc_id, n_shingles, n_shared, coverage)``; docs shorter than n
+    words are dropped visibly.
+
+    Shape: one (shingle, doc) distinct explode, one shingle-keyed
+    distinct-doc count (the inverted index), one equi-join back, one
+    doc agg — identical skeleton to the n-gram dedup candidate
+    generator, minus the pair expansion entirely: cost is linear in
+    total shingles at any corpus size.
+
+    Determinism: counts exact BIGINT; one mirrored division, ``digits``
+    rounding.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.functions.text import tokens
+
+    w = docs.withColumn("__w", tokens(F.col(text_col))).filter(
+        F.size("__w") >= n
+    )
+    parts = [
+        F.expr(f"slice(__w, {i + 1}, size(__w) - {n - 1})")
+        for i in range(n)
+    ]
+    sh = F.array_distinct(
+        F.zip_with(
+            F.zip_with(parts[0], parts[1], lambda x, y: F.concat_ws(" ", x, y)),
+            parts[2],
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    ) if n == 3 else None
+    if sh is None:
+        raise ValueError("momyre: dup_ngram_coverage supports n=3")
+    e = w.select(F.col(id_col), F.explode(sh).alias("__s"))
+    idx = e.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )  # e is (doc, shingle)-distinct already via array_distinct
+    joined = e.join(idx, "__s")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias(
+            "n_shared"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        round_half_up(
+            F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double"),
+            digits,
+        ).alias("coverage"),
+    )

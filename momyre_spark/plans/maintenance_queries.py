@@ -1945,3 +1945,84 @@ def stats_spearman(spark: SparkSession, sf: str) -> DataFrame:
     return spearman_corr(ev, ["event_type"], "day", "v").orderBy(
         "event_type"
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power planning (operators/profile.ab_power_report): effect size
+# (Cohen's d / Hedges g), minimum detectable effect at the current n,
+# and the per-arm n required for the observed difference at alpha=.05 /
+# power=80%. Same exact-BIGINT moment pass as stats_ab_welch; the z
+# literals are embedded verbatim.
+# --------------------------------------------------------------------------
+def _power_oracle() -> str:
+    from momyre_spark.operators.profile import _Z_ALPHA_2, _Z_BETA
+
+    def stats(tag):
+        nd = f"CAST(n_{tag} AS DOUBLE)"
+        su = f"CAST(su_{tag} AS DOUBLE)"
+        ssq = f"CAST(ssq_{tag} AS DOUBLE)"
+        mean = f"({su} / {nd} / 100.0)"
+        var = f"(({ssq} - {su} * {su} / {nd}) / ({nd} - 1.0) / 10000.0)"
+        return nd, mean, var
+
+    na, mean_a, var_a = stats("a")
+    nb, mean_b, var_b = stats("b")
+    sp2 = (
+        f"((({na} - 1.0) * {var_a} + ({nb} - 1.0) * {var_b})"
+        f" / ({na} + {nb} - 2.0))"
+    )
+    sp = f"sqrt({sp2})"
+    delta = f"({mean_a} - {mean_b})"
+    d = f"({delta} / {sp})"
+    g = f"({d} * (1.0 - 3.0 / (4.0 * ({na} + {nb}) - 9.0)))"
+    zz = f"({_Z_ALPHA_2!r} + {_Z_BETA!r})"
+    mde = f"({zz} * {sp} * sqrt(1.0 / {na} + 1.0 / {nb}))"
+    nreq = (
+        f"(CASE WHEN {delta} != 0 THEN CAST(ceil(2.0 * {sp2} * {zz} * {zz}"
+        f" / ({delta} * {delta})) AS BIGINT) END)"
+    )
+    return f"""
+    WITH u AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                    AS BIGINT) AS uu
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT event_type, arm, COUNT(*) AS n,
+               SUM(uu) AS su, SUM(uu * uu) AS ssq
+        FROM u WHERE arm IN (0, 1) GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT event_type,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN arm = 0 THEN su END) AS su_a,
+               MAX(CASE WHEN arm = 0 THEN ssq END) AS ssq_a,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN arm = 1 THEN su END) AS su_b,
+               MAX(CASE WHEN arm = 1 THEN ssq END) AS ssq_b
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {_r6(d)} AS cohens_d,
+           {_r6(g)} AS hedges_g,
+           {_r6(mde)} AS mde,
+           {nreq} AS n_required
+    FROM paired
+    WHERE n_a >= 2 AND n_b >= 2 AND {sp2} != 0
+    ORDER BY event_type
+"""
+
+
+@query("stats_ab_power", oracle=_power_oracle())
+def stats_ab_power(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import ab_power_report
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        "value",
+    )
+    return ab_power_report(
+        ev, ["event_type"], "arm", "value", 0, 1
+    ).orderBy("event_type")

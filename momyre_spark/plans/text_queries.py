@@ -1308,3 +1308,82 @@ def text_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return pmi_collocations(docs, min_count=_PMI_MIN).orderBy(
         "prev", "cur"
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary Jaccard (operators/textops.
+# source_vocab_jaccard): the corpus-redundancy matrix. Pairs from the
+# token-level inverted index (a token in k sources -> k(k-1)/2 rows),
+# never a vocab cross join; exact BIGINT counts, one mirrored division.
+# --------------------------------------------------------------------------
+@query(
+    "text_source_jaccard",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, {_TOK} AS w FROM documents
+        WHERE source IS NOT NULL AND trim(text) <> ''
+    ),
+    b AS (SELECT DISTINCT source AS g, unnest(w) AS t FROM d),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM b GROUP BY 1),
+    inter AS (
+        SELECT a.g AS ga, b2.g AS gb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM b a JOIN b b2 ON a.t = b2.t AND a.g < b2.g
+        GROUP BY 1, 2
+    )
+    SELECT ga AS source_a, gb AS source_b,
+           sa.v AS vocab_a, sb.v AS vocab_b, i AS inter,
+           {round4_sql("CAST(i AS DOUBLE) / CAST(sa.v + sb.v - i AS DOUBLE)").replace("10000", "1000000")}
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.g = inter.ga
+    JOIN sizes sb ON sb.g = inter.gb
+    ORDER BY source_a, source_b
+    """,
+)
+def text_source_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import source_vocab_jaccard
+
+    docs = load_table(spark, sf, "documents")
+    return source_vocab_jaccard(docs).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-ngram coverage (operators/textops.dup_ngram_coverage): the
+# per-document "corpus boilerplate fraction" — template families whose
+# pages are each unique but whose building blocks are all shared.
+# Linear in total shingles (inverted index + join back, NO pair
+# expansion); exact BIGINT counts, one mirrored division.
+# --------------------------------------------------------------------------
+@query(
+    "text_dup_ngram_coverage",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        )) AS sh
+        FROM d WHERE len(w) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    idx AS (SELECT s, CAST(count(*) AS BIGINT) AS docs FROM e GROUP BY 1),
+    j AS (SELECT e.doc_id, idx.docs FROM e JOIN idx USING (s)),
+    a AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+        FROM j GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           floor(CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS coverage
+    FROM a ORDER BY doc_id
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import dup_ngram_coverage
+
+    docs = load_table(spark, sf, "documents")
+    return dup_ngram_coverage(docs).orderBy("doc_id")

@@ -873,3 +873,38 @@ def test_spearman_corr_known_values(spark):
         ), g
     with _pytest.raises(ValueError):
         spearman_corr(df, [], "x", "y")
+
+
+def test_ab_power_report_known_values(spark):
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import (
+        _Z_ALPHA_2,
+        _Z_BETA,
+        ab_power_report,
+    )
+
+    rows = ([("g", "A", v) for v in (1.0, 2.0, 3.0, 4.0)]
+            + [("g", "B", v) for v in (2.0, 4.0, 6.0, 8.0)]
+            + [("flat", "A", 3.0), ("flat", "A", 3.0),
+               ("flat", "B", 3.0), ("flat", "B", 3.0)])
+    df = spark.createDataFrame(rows, "g string, arm string, v double")
+    out = ab_power_report(df, ["g"], "arm", "v", "A", "B").collect()
+    # flat: zero pooled variance -> dropped
+    assert [r["g"] for r in out] == ["g"]
+    r = out[0]
+    va, vb = 5.0 / 3.0, 20.0 / 3.0
+    sp2 = (3 * va + 3 * vb) / 6.0
+    sp = math.sqrt(sp2)
+    delta = 2.5 - 5.0
+    d = delta / sp
+    g = d * (1.0 - 3.0 / (4.0 * 8 - 9.0))
+    zz = _Z_ALPHA_2 + _Z_BETA
+    mde = zz * sp * math.sqrt(0.25 + 0.25)
+    n_req = math.ceil(2.0 * sp2 * zz * zz / (delta * delta))
+    assert r["cohens_d"] == _pytest.approx(d, abs=1e-6)
+    assert r["hedges_g"] == _pytest.approx(g, abs=1e-6)
+    assert r["mde"] == _pytest.approx(mde, abs=1e-6)
+    assert r["n_required"] == n_req

@@ -80,3 +80,47 @@ def test_pmi_collocations_known_corpus(spark):
     )
     with _pytest.raises(ValueError):
         pmi_collocations(docs, min_count=0)
+
+
+def test_source_vocab_jaccard_known(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.textops import source_vocab_jaccard
+
+    docs = spark.createDataFrame(
+        [("s1", "a b c"), ("s1", "a d"),
+         ("s2", "a b e"), ("s3", "x y"), ("s4", "  ")],
+        "source string, text string",
+    )
+    got = {(r["source_a"], r["source_b"]): r
+           for r in source_vocab_jaccard(docs).collect()}
+    # s3 shares nothing; s4 is blank (dropped); only (s1, s2) intersect
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    # V1 = {a,b,c,d} V2 = {a,b,e}: inter 2, union 5
+    assert r["vocab_a"] == 4 and r["vocab_b"] == 3 and r["inter"] == 2
+    assert r["jaccard"] == _pytest.approx(0.4, abs=1e-6)
+
+
+def test_dup_ngram_coverage_known(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.textops import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown cat sits"),
+         (3, "completely different text here"),
+         (4, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(docs).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has < 3 words
+    # doc1 trigrams: [the quick brown, quick brown fox, brown fox jumps]
+    # only "the quick brown" is shared (with doc 2)
+    assert got[1]["n_shingles"] == 3 and got[1]["n_shared"] == 1
+    assert got[1]["coverage"] == _pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert got[2]["n_shared"] == 1
+    assert got[3]["n_shared"] == 0 and got[3]["coverage"] == 0.0
+    with _pytest.raises(ValueError):
+        dup_ngram_coverage(docs, n=2)

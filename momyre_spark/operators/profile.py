@@ -881,6 +881,15 @@ def psi_report(
         cells.filter(F.col("__g") == F.lit(ref_group))
         .select(F.col("__b"), F.col("__p").alias("__pr"))
     )
+    # fail-stop on a missing/typo'd reference population: the inner join
+    # below would otherwise return an EMPTY report that reads as "no
+    # drift anywhere" — the opposite of visible. Limit-probe cost: one
+    # tiny job over the already-aggregated cells.
+    if not ref.limit(1).take(1):
+        raise ValueError(
+            f"momyre: psi_report reference group {ref_group!r} has no"
+            " rows — check the group value"
+        )
     joined = cells.join(F.broadcast(ref), "__b")
     term = (F.col("__p") - F.col("__pr")) * F.log(
         F.col("__p") / F.col("__pr")
@@ -940,12 +949,17 @@ def gini_concentration(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__x").alias("__sx"),
         F.sum(F.col("__i") * F.col("__x")).alias("__six"),
+        F.min("__x").alias("__minx"),
     )
     num = F.lit(2) * F.col("__six") - (F.col("__n") + F.lit(1)) * F.col(
         "__sx"
     )
     den = F.col("__n") * F.col("__sx")
-    gini = num.cast("double") / den.cast("double")
+    # a negative value makes the Lorenz construction invalid — report
+    # NULL for that group (visible) rather than a silently-wrong number
+    gini = F.when(
+        F.col("__minx") >= 0, num.cast("double") / den.cast("double")
+    )
     return agg.filter(F.col("__sx") > 0).select(
         *group_cols,
         F.col("__n").alias("n"),

@@ -1563,8 +1563,8 @@ def stats_psi_report(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _gini_oracle() -> str:
     gini = (
-        "CAST(2 * six - (n + 1) * sx AS DOUBLE)"
-        " / CAST(n * sx AS DOUBLE)"
+        "(CASE WHEN minx >= 0 THEN CAST(2 * six - (n + 1) * sx AS DOUBLE)"
+        " / CAST(n * sx AS DOUBLE) END)"
     )
     return f"""
     WITH b AS (
@@ -1578,7 +1578,8 @@ def _gini_oracle() -> str:
     ),
     a AS (
         SELECT source, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(i * x) AS BIGINT) AS six
+               CAST(SUM(i * x) AS BIGINT) AS six,
+               CAST(MIN(x) AS BIGINT) AS minx
         FROM r GROUP BY 1
     )
     SELECT source, n, sx AS total, {_r6(gini)} AS gini

@@ -908,3 +908,27 @@ def test_ab_power_report_known_values(spark):
     assert r["hedges_g"] == _pytest.approx(g, abs=1e-6)
     assert r["mde"] == _pytest.approx(mde, abs=1e-6)
     assert r["n_required"] == n_req
+
+
+def test_gini_negative_values_report_null(spark):
+    from momyre_spark.operators.profile import gini_concentration
+
+    df = spark.createDataFrame(
+        [("neg", -1), ("neg", 5), ("ok", 1), ("ok", 3)],
+        "g string, x long",
+    )
+    got = {r["g"]: r for r in gini_concentration(df, ["g"], "x").collect()}
+    assert got["neg"]["gini"] is None  # invalid Lorenz input: visible NULL
+    assert got["ok"]["gini"] is not None
+
+
+def test_psi_missing_reference_fail_stops(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import psi_report
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 5.0)], "src string, v double"
+    )
+    with _pytest.raises(ValueError, match="reference group"):
+        psi_report(df, "src", "v", [3.0], "nope")

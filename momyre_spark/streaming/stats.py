@@ -166,3 +166,80 @@ def compact_value_stats(
     if versions:
         fs.delete(P(f"{base_dir}/v={versions[0]}"), True)
     return len(to_fold)
+
+
+def psi_against_state(
+    spark: SparkSession,
+    root: str,
+    current: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    boundaries: list[str],
+    table: str = "_hist",
+    digits: int = 6,
+) -> DataFrame:
+    """Online drift monitor: PSI of ``current``'s value distribution
+    against the streaming-maintained histogram state (the reference =
+    everything the ingest loop has recorded so far), per group and over
+    the SAME fixed grid the state uses — so the comparison is exact and
+    the reference never has to be rescanned from raw data. Output:
+    ``(*group_cols, n_ref, n_cur, psi)`` — Laplace-smoothed
+    ``sum (p_cur - p_ref) * ln(p_cur / p_ref)`` over all grid bins
+    (0.1 / 0.25 conformance bands, as operators/profile.psi_report).
+    Groups absent from the reference are dropped visibly (no baseline =
+    no drift statement), not reported as 0.
+
+    Call from foreachBatch (alert before committing a drifted batch) or
+    on a cadence. Cost: one histogram agg over the batch + a read of the
+    |groups| x |bins| state — never the historical corpus.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+    from momyre_spark.operators.sketches import value_histogram
+
+    n_bins = len(boundaries) + 1
+    ref = read_value_stats(spark, root, group_cols, table=table)
+    cur = value_histogram(current, group_cols, value_col, boundaries)
+
+    def dense(counts: DataFrame, tag: str) -> DataFrame:
+        totals = counts.groupBy(*group_cols).agg(
+            F.sum("n").alias(f"__n_{tag}")
+        )
+        grid = totals.withColumn(
+            "bin",
+            F.explode(
+                F.array(*[F.lit(i).cast("int") for i in range(n_bins)])
+            ),
+        )
+        return grid.join(counts, [*group_cols, "bin"], "left").select(
+            *group_cols,
+            "bin",
+            f"__n_{tag}",
+            F.coalesce(F.col("n"), F.lit(0)).alias(f"__c_{tag}"),
+        )
+
+    joined = dense(ref, "ref").join(
+        dense(cur, "cur"), [*group_cols, "bin"]
+    )
+
+    def p(tag: str):
+        return (F.col(f"__c_{tag}").cast("double") + F.lit(0.5)) / (
+            F.col(f"__n_{tag}").cast("double") + F.lit(0.5 * n_bins)
+        )
+
+    term = (p("cur") - p("ref")) * F.log(p("cur") / p("ref"))
+    out = (
+        joined.select(
+            *group_cols,
+            "__n_ref",
+            "__n_cur",
+            round_half_up(term, digits).cast("decimal(38,6)").alias("__t"),
+        )
+        .groupBy(*group_cols, "__n_ref", "__n_cur")
+        .agg(F.sum("__t").alias("__psi"))
+    )
+    return out.select(
+        *group_cols,
+        F.col("__n_ref").alias("n_ref"),
+        F.col("__n_cur").alias("n_cur"),
+        F.col("__psi").cast("double").alias("psi"),
+    )

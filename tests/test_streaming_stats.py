@@ -100,3 +100,40 @@ def test_crash_partial_base_never_read_and_cleaned(spark, tmp_path):
     record_batch_stats(_batch(spark, 4), 4, root, ["g"], "v", BL)
     compact_value_stats(spark, root, ["g"], keep_tail=1)
     assert not os.path.exists(part)
+
+
+def test_psi_against_state_detects_shift(spark, tmp_path):
+    from momyre_spark.streaming.stats import (
+        psi_against_state,
+        record_batch_stats,
+    )
+
+    root = str(tmp_path / "state")
+    bounds = ["10.0", "100.0"]
+    ref_rows = [("a", float(v)) for v in (1, 5, 50, 50, 500, 500)] + [
+        ("b", 5.0), ("b", 50.0)
+    ]
+    ref = spark.createDataFrame(ref_rows, "g string, v double")
+    record_batch_stats(ref, 0, root, ["g"], "v", bounds)
+
+    # identical-batch PSI ~ 0; shifted batch large; unknown group dropped
+    same = spark.createDataFrame(ref_rows, "g string, v double")
+    got = {r["g"]: r for r in psi_against_state(
+        spark, root, same, ["g"], "v", bounds).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(got["a"]["psi"]) < 1e-9
+    assert got["a"]["n_ref"] == 6 and got["a"]["n_cur"] == 6
+
+    shifted = spark.createDataFrame(
+        [("a", 500.0)] * 6 + [("new_group", 1.0)], "g string, v double"
+    )
+    got2 = {r["g"]: r for r in psi_against_state(
+        spark, root, shifted, ["g"], "v", bounds).collect()}
+    assert set(got2) == {"a"}  # no reference for new_group: dropped
+    assert got2["a"]["psi"] > 0.25  # Nigrini "shifted" band
+
+    # replayed epoch is idempotent: same reference, same PSI
+    record_batch_stats(ref, 0, root, ["g"], "v", bounds)
+    got3 = {r["g"]: r for r in psi_against_state(
+        spark, root, same, ["g"], "v", bounds).collect()}
+    assert got3["a"]["n_ref"] == 6

@@ -30,6 +30,12 @@ QUERIES = [
     # (probe -> partition filter, ADC in codegen; cost tracks the probed
     # cells' population, not the corpus)
     "sim_topk_ivfpq",
+    # round 6 late waves: blocked entity resolution (cost = sum of
+    # bucket^2 over blocking keys — the quadratic term must track bucket
+    # sizes, not corpus size) and distinct-value rank statistics (AUC —
+    # post-agg work tracks distinct scores, not rows)
+    "dedup_entity_groups",
+    "stats_group_auc",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

@@ -18,10 +18,19 @@ recall/cost trade of blocking, stated rather than hidden; the verify step
 never wrong, only (rarely) incomplete.
 
 Scale shape: each blocking key is one equi-join over the key's bucket —
-cost Σ_k |bucket(k)|², bounded by choosing prefix_len deep enough that
-buckets stay small (the caller knows its key distribution; see
-stats_key_skew for measuring it). No all-pairs anywhere; Levenshtein
-(a JVM codegen expression) runs on candidates only.
+cost Σ_k |bucket(k)|², bounded two ways: choose prefix_len deep enough
+that PREFIX buckets stay small (the caller knows its key distribution;
+see stats_key_skew for measuring it), and — because a fixed-length
+SUFFIX key has bounded cardinality, so its buckets grow linearly with
+data and Σ bucket² goes quadratic no matter how the caller tunes it —
+blocks larger than ``max_block`` degrade to STAR candidates (hub = the
+block's smallest id), the same self-defense as the LSH dedup's
+MAX_FULL_BUCKET. Star recall contract: within an over-cap block, pairs
+are found only through the hub (A~hub and B~hub imply A, B land in one
+component; an A~B pair where NEITHER matches the hub is the documented
+miss). Below the cap, candidate generation is exhaustive per block.
+No all-pairs anywhere; Levenshtein (a JVM codegen expression) runs on
+candidates only.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ def blocked_edit_pairs(
     max_distance: int = 1,
     prefix_len: int = 16,
     suffix_len: int = 2,
+    max_block: int = 5000,
 ) -> DataFrame:
     """Matched pairs ``(a_id, b_id, distance)`` with
     ``levenshtein <= max_distance``, a_id < b_id, via prefix+suffix
@@ -55,7 +65,18 @@ def blocked_edit_pairs(
     keyed = base.select(
         "__id", "__t", F.explode(F.array(pref, sufx)).alias("__k")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # jumbo-block star defense (see module docstring): a fixed-cardinality
+    # blocking key's buckets grow with the data, so full pair expansion
+    # would be quadratic — above max_block, candidates go through the
+    # block's hub instead (n-1 candidates, recall contract documented)
+    big = (
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > max_block)
+        .select("__k")
+    )
+    small = keyed.join(F.broadcast(big), "__k", "left_anti")
+    a, b = small.alias("a"), small.alias("b")
     cand = (
         a.join(
             b,
@@ -68,8 +89,26 @@ def blocked_edit_pairs(
             F.col("b.__id").alias("b_id"),
             F.col("b.__t").alias("__tb"),
         )
-        .distinct()
     )
+    jumbo = keyed.join(F.broadcast(big), "__k")
+    hubs = jumbo.groupBy("__k").agg(
+        F.min_by(F.struct("__id", "__t"), F.col("__id")).alias("__h")
+    )
+    star = (
+        jumbo.join(hubs, "__k")
+        .filter(F.col("__id") != F.col("__h.__id"))
+        .select(
+            F.least(F.col("__id"), F.col("__h.__id")).alias("a_id"),
+            F.when(
+                F.col("__id") < F.col("__h.__id"), F.col("__t")
+            ).otherwise(F.col("__h.__t")).alias("__ta"),
+            F.greatest(F.col("__id"), F.col("__h.__id")).alias("b_id"),
+            F.when(
+                F.col("__id") < F.col("__h.__id"), F.col("__h.__t")
+            ).otherwise(F.col("__t")).alias("__tb"),
+        )
+    )
+    cand = cand.unionByName(star).distinct()
     return (
         cand.withColumn(
             "distance", F.levenshtein("__ta", "__tb").cast("int")
@@ -86,6 +125,7 @@ def entity_groups(
     max_distance: int = 1,
     prefix_len: int = 16,
     suffix_len: int = 2,
+    max_block: int = 5000,
 ) -> DataFrame:
     """Full entity resolution: every record labeled with its entity —
     ``(id, entity, n_members)`` where ``entity`` is the smallest id in the
@@ -110,6 +150,7 @@ def entity_groups(
         max_distance=max_distance,
         prefix_len=prefix_len,
         suffix_len=suffix_len,
+        max_block=max_block,
     )
     comp = duplicate_components(pairs)
     labeled = (

@@ -84,3 +84,49 @@ def test_entity_groups_all_singletons(spark):
     out = entity_groups(spark.createDataFrame(rows)).collect()
     assert {r["id"] for r in out} == {1, 2, 3, 4}
     assert all(r["entity"] == r["id"] and r["n_members"] == 1 for r in out)
+
+
+def test_blocked_edit_pairs_jumbo_block_star_defense(spark):
+    from momyre_spark.operators.linkage import (
+        blocked_edit_pairs,
+        entity_groups,
+    )
+
+    # 30 names sharing ONE degenerate suffix block ("sfx:XX" with a tiny
+    # cap): all within distance 1 of the hub "nameXX" variants
+    rows = [(i, f"base-{i:03d}-XX") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # prefix 5 groups "base-" -> also one jumbo prefix block
+    full = blocked_edit_pairs(
+        df, prefix_len=5, suffix_len=2, max_distance=2, max_block=100
+    )
+    star = blocked_edit_pairs(
+        df, prefix_len=5, suffix_len=2, max_distance=2, max_block=10
+    )
+    # candidate set under the cap is star-shaped: <= n-1 per block vs
+    # n(n-1)/2; verified pairs can only shrink
+    assert star.count() <= full.count()
+    # connectivity through the hub survives: records within distance 2 of
+    # the hub still cluster with it
+    close = spark.createDataFrame(
+        [(i, f"dup-name-{chr(65 + i)}") for i in range(12)],
+        "id long, name string",
+    )  # all pairwise distance <= 2, one char differs near the end
+    groups = {
+        r["id"]: r["entity"]
+        for r in entity_groups(
+            close, text_col="name", id_col="id", max_distance=2,
+            prefix_len=8, suffix_len=2,
+        ).collect()
+    }
+    star_groups = {
+        r["id"]: r["entity"]
+        for r in entity_groups(
+            close, text_col="name", id_col="id", max_distance=2,
+            prefix_len=8, suffix_len=2, max_block=5,
+        ).collect()
+    }
+    # with every member within distance of the hub, the component is
+    # identical under the cap
+    assert groups == star_groups
+    assert len(set(groups.values())) == 1

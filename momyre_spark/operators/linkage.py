@@ -108,13 +108,20 @@ def blocked_edit_pairs(
             ).otherwise(F.col("__t")).alias("__tb"),
         )
     )
-    cand = cand.unionByName(star).distinct()
+    cand = cand.unionByName(star)
+    # verify BEFORE deduplicating: levenshtein runs map-side on the join
+    # output (a pair reached through both keys costs at most one extra
+    # codegen'd distance eval), and the distinct then shuffles only the
+    # MATCHED pairs — three narrow columns — instead of every candidate
+    # with both text payloads attached. Same result set: the distance is
+    # a pure function of the pair.
     return (
         cand.withColumn(
             "distance", F.levenshtein("__ta", "__tb").cast("int")
         )
         .filter(F.col("distance") <= max_distance)
         .select("a_id", "b_id", "distance")
+        .distinct()
     )
 
 

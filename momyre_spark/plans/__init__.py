@@ -183,6 +183,30 @@ CONTRACT_FIRST = [
     "cdc_apply_synthetic_1m",
     "cdc_flatten_project",
     "pipe_pretrain_prep",
+    # --- round-6 waves 7-14: cheap oracled rows first so a time-capped
+    # driver run records the most hash signals; the heavy compositions
+    # (MMR's unrolled greedy oracle, modularity's recursive CTE) last ---
+    "stats_group_auc",
+    "stats_ks_2sample",
+    "stats_psi_report",
+    "stats_gini_concentration",
+    "stats_entropy_report",
+    "stats_benford",
+    "stats_spearman",
+    "stats_ab_cuped",
+    "stats_ab_power",
+    "stats_hill_tail",
+    "ts_acf_daily",
+    "ts_seasonal_naive",
+    "ts_weekday_index",
+    "ts_theil_sen",
+    "q80_assoc_rules",
+    "graph_neighbor_jaccard",
+    "text_pmi_collocations",
+    "text_source_jaccard",
+    "text_dup_ngram_coverage",
+    "sim_mmr_rerank",
+    "graph_modularity",
 ]
 
 

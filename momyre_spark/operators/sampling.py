@@ -646,3 +646,80 @@ def calibrate_scores(
         .withColumn(out_col, round_half_up(F.percent_rank().over(wq), digits))
         .withColumn(f"{out_col}_bucket", F.ntile(buckets).over(wt))
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    spm_rate: float = 0.5,
+    min_chars: int = 32,
+    prefix_tok: str = "<fim_prefix>",
+    middle_tok: str = "<fim_middle>",
+    suffix_tok: str = "<fim_suffix>",
+    out_col: str = "fim_text",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"): a
+    hash-chosen ``rate`` of eligible documents are split at two
+    hash-chosen character positions into (prefix, middle, suffix) and
+    re-serialized in PSM order — or SPM for a hash-chosen ``spm_rate``
+    of the transformed docs — with the untouched remainder passing
+    through verbatim. Output adds ``out_col`` plus a ``fim_mode``
+    column (``'psm' | 'spm' | 'none'``).
+
+    Everything is derived from md5 of the document id (the house
+    60-bit-hash recipe): WHICH docs transform, WHERE the cuts fall, and
+    WHICH format — so the corpus re-serializes identically on any
+    cluster layout, any partitioning, any rerun, and adding documents
+    never changes existing ones (the shard/split stability contract).
+    Docs shorter than ``min_chars`` never transform (a 3-char middle
+    teaches nothing and the sentinel overhead dominates).
+
+    Cut construction: with L = length, cut1 in [1, L-1] and cut2 in
+    [cut1+1, L] from two salted hashes — prefix = chars [1, cut1],
+    middle = (cut1, cut2], suffix = (cut2, L]; middle is always >= 1
+    char, prefix >= 1, suffix >= 0 (an end-anchored middle is valid
+    FIM).
+
+    Shape: map-only — pure codegen string/hash expressions fused into
+    the scan; zero shuffles at any corpus size.
+    """
+    if not (0.0 <= rate <= 1.0 and 0.0 <= spm_rate <= 1.0):
+        raise ValueError("momyre: rate/spm_rate must be in [0, 1]")
+    text = F.col(text_col)
+    length = F.length(text)
+    pick = F.pmod(_salted_hash60(id_col, "fim:pick"), F.lit(resolution))
+    spm = F.pmod(_salted_hash60(id_col, "fim:spm"), F.lit(resolution))
+    transform = (
+        (length >= F.lit(int(min_chars)))
+        & (pick < F.lit(int(rate * resolution)))
+    )
+    # cut1 in [1, L-1]; cut2 in [cut1+1, L] — both from independent salts
+    cut1 = F.lit(1) + F.pmod(
+        _salted_hash60(id_col, "fim:c1"), (length - F.lit(1))
+    )
+    cut2 = cut1 + F.lit(1) + F.pmod(
+        _salted_hash60(id_col, "fim:c2"), (length - cut1)
+    )
+    pre = F.substring(text, F.lit(1), cut1)
+    mid = F.substring(text, cut1 + F.lit(1), cut2 - cut1)
+    suf = F.substring(text, cut2 + F.lit(1), length - cut2)
+    psm = F.concat(
+        F.lit(prefix_tok), pre, F.lit(suffix_tok), suf,
+        F.lit(middle_tok), mid,
+    )
+    spm_text = F.concat(
+        F.lit(suffix_tok), suf, F.lit(prefix_tok), pre,
+        F.lit(middle_tok), mid,
+    )
+    use_spm = spm < F.lit(int(spm_rate * resolution))
+    mode = F.when(~transform, F.lit("none")).otherwise(
+        F.when(use_spm, F.lit("spm")).otherwise(F.lit("psm"))
+    )
+    out = F.when(~transform, text).otherwise(
+        F.when(use_spm, spm_text).otherwise(psm)
+    )
+    return df.withColumn(out_col, out).withColumn("fim_mode", mode)

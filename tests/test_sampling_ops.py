@@ -213,3 +213,66 @@ def test_split_leakage_report_counts_and_group_split_is_leakproof(spark):
     # while the doc-id split at the same fraction does leak on shared fps
     leaky = train_val_split(df, 0.4, id_col="doc_id")
     assert split_leakage_report(leaky, "fp").collect()[0]["n_leaky_groups"] > 0
+
+
+def test_fim_transform_reassembles_and_is_stable(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.sampling import fim_transform
+
+    docs = spark.createDataFrame(
+        [(i, f"doc-{i:04d}-" + "abcdefghij" * 8) for i in range(40)]
+        + [(999, "tiny")],
+        "doc_id long, text string",
+    )
+    out = fim_transform(docs, rate=0.6, spm_rate=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # short doc never transforms
+    assert by_id[999]["fim_mode"] == "none"
+    assert by_id[999]["fim_text"] == "tiny"
+    modes = {m: sum(1 for r in out if r["fim_mode"] == m)
+             for m in ("psm", "spm", "none")}
+    assert modes["psm"] > 0 and modes["spm"] > 0 and modes["none"] > 0
+    # every transformed doc reassembles to the original text exactly
+    for r in out:
+        t = r["fim_text"]
+        if r["fim_mode"] == "psm":
+            body = t[len("<fim_prefix>"):]
+            pre, rest = body.split("<fim_suffix>", 1)
+            suf, mid = rest.split("<fim_middle>", 1)
+        elif r["fim_mode"] == "spm":
+            body = t[len("<fim_suffix>"):]
+            suf, rest = body.split("<fim_prefix>", 1)
+            pre, mid = rest.split("<fim_middle>", 1)
+        else:
+            continue
+        original = docs.filter(f"doc_id = {r['doc_id']}").collect()[0]["text"]
+        assert pre + mid + suf == original, r["doc_id"]
+        assert len(mid) >= 1 and len(pre) >= 1
+    # layout-invariance: repartitioned input gives byte-identical output
+    again = {
+        r["doc_id"]: (r["fim_text"], r["fim_mode"])
+        for r in fim_transform(
+            docs.repartition(7), rate=0.6, spm_rate=0.5
+        ).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["fim_text"], r["fim_mode"]) for r in out
+    }
+    with _pytest.raises(ValueError):
+        fim_transform(docs, rate=1.5)
+
+
+def test_fim_transform_is_map_only(spark):
+    from momyre_spark.operators.sampling import fim_transform
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 64)], "doc_id long, text string"
+    )
+    plan = (
+        fim_transform(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

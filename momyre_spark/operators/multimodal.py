@@ -816,3 +816,86 @@ def with_am_wav_payload(
         docs, render, "payload", id_col=id_col, text_col=text_col,
         extra_cols=(chars_col,),
     )
+
+
+FRAME_LUMA_SCHEMA = "doc_id long, frame_idx int, luma_centi long"
+
+
+def frame_luma(
+    df: DataFrame,
+    every_n_bytes: int = 100,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Per-frame mean intensity for 'video' payloads: one row per frame
+    window with the window's mean byte value in exact centi-units
+    (``floor(sum * 100 / n + 0.5)`` over integer byte sums — partition-
+    layout deterministic). Same fake frame model as ``sample_frames``
+    (one frame per ``every_n_bytes`` window; a real decoder swaps in at
+    the same mapInPandas seam with the same output schema).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lumas: list[int] = []
+            for did, payload in zip(pdf[id_col], pdf[data_col]):
+                b = bytes(payload)
+                n_frames = len(b) // every_n_bytes
+                for fi in range(n_frames):
+                    window = b[fi * every_n_bytes:(fi + 1) * every_n_bytes]
+                    s = sum(window)
+                    lumas.append((s * 100 + len(window) // 2) // len(window))
+                    ids.append(int(did))
+                    idxs.append(fi)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "luma_centi": pd.Series(lumas, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_LUMA_SCHEMA)
+
+
+def scene_changes(
+    df: DataFrame,
+    threshold_centi: int = 1500,
+    every_n_bytes: int = 100,
+    id_col: str = "doc_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Shot-boundary detection over the per-frame intensity track: a cut
+    is a frame whose mean intensity jumps more than ``threshold_centi``
+    (centi-units) from its predecessor — the classical luma-delta
+    detector, and the shape (decode fan-out -> per-frame feature ->
+    per-video temporal window) any real histogram/SSIM detector keeps.
+    Output: ``(doc_id, frame_idx, luma_centi, delta_centi, is_cut)``
+    with frame 0's delta NULL (no predecessor — visible, never a
+    fabricated 0).
+
+    Shape: one Arrow fan-out pass (frame rows, never whole videos in one
+    task's memory beyond the payload) + ONE window shuffle keyed on the
+    video id. Integer deltas — exact at any partitioning.
+    """
+    from pyspark.sql.window import Window as _W
+
+    frames = frame_luma(
+        df, every_n_bytes=every_n_bytes, id_col=id_col, data_col=data_col
+    )
+    w = _W.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("luma_centi") - F.lag("luma_centi", 1).over(w)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "luma_centi",
+        delta.alias("delta_centi"),
+    ).withColumn(
+        "is_cut",
+        F.when(
+            F.col("delta_centi").isNotNull(),
+            F.abs(F.col("delta_centi")) > F.lit(int(threshold_centi)),
+        ),
+    )

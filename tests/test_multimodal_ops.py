@@ -436,3 +436,40 @@ def test_audio_neardup_pairs_reencoded_copy(spark):
     assert "CartesianProduct" not in plan
     got = {(r["a_id"], r["b_id"]): r["hamming"] for r in pairs.collect()}
     assert got.get((3, 100)) is not None and got[(3, 100)] <= 1
+
+
+def test_scene_changes_detects_planted_cut(spark):
+    from momyre_spark.operators.multimodal import scene_changes
+
+    # 3 "frames" of 100 bytes: dark, dark, bright -> one cut at frame 2
+    payload = bytes([10] * 200 + [200] * 100)
+    steady = bytes([50] * 300)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(steady))],
+        "doc_id long, data binary",
+    )
+    out = {(r["doc_id"], r["frame_idx"]): r
+           for r in scene_changes(df, threshold_centi=1500).collect()}
+    assert out[(1, 0)]["delta_centi"] is None  # no predecessor: visible
+    assert out[(1, 0)]["is_cut"] is None
+    assert out[(1, 1)]["is_cut"] is False
+    assert out[(1, 2)]["is_cut"] is True
+    assert out[(1, 2)]["delta_centi"] == (200 - 10) * 100
+    assert all(not out[(2, i)]["is_cut"] for i in (1, 2))
+    # exact centi means
+    assert out[(1, 0)]["luma_centi"] == 1000
+
+
+def test_scene_changes_layout_invariant(spark):
+    from momyre_spark.operators.multimodal import scene_changes
+
+    import hashlib as _h
+
+    payloads = [
+        (i, bytearray(_h.md5(str(i).encode()).digest() * 50))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, data binary")
+    a = sorted(map(tuple, scene_changes(df).collect()))
+    b = sorted(map(tuple, scene_changes(df.repartition(5)).collect()))
+    assert a == b

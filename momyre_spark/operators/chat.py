@@ -184,3 +184,59 @@ def build_preference_pairs(
         )
         .filter(F.col("margin") > F.lit(float(min_margin)))
     )
+
+
+def chat_loss_mask(
+    df: DataFrame,
+    json_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serialize each conversation to its training string and emit the
+    character spans that receive loss — assistant turn CONTENTS only,
+    never the role headers, user turns, or end sentinels (the standard
+    SFT masking rule; a trainer multiplies token loss by membership in
+    these spans after tokenizer offset-mapping). Output:
+    ``(id_col, train_text, loss_spans)`` with ``loss_spans`` an array of
+    ``(start, end)`` 0-based half-open char offsets into ``train_text``.
+
+    Template per turn: ``<|role|>\\n`` + content + ``<|end|>\\n``.
+
+    Shape: ONE ``aggregate`` higher-order fold over the parsed turn
+    array — the serialized text and the span offsets accumulate in the
+    same pass, entirely in codegen (no explode, no window, no Python),
+    so the op fuses into the scan like chat_stats does. Malformed JSON
+    parses to NULL and is dropped visibly.
+    """
+    parsed = F.from_json(F.col(json_col), TURN_SCHEMA)
+    init = F.struct(
+        F.lit("").alias("t"),
+        F.expr(
+            "CAST(array() AS array<struct<start:int,end:int>>)"
+        ).alias("spans"),
+    )
+
+    def merge(acc, x):
+        header = F.concat(F.lit("<|"), x["role"], F.lit("|>\n"))
+        start = F.length(acc["t"]) + F.length(header)
+        end = start + F.length(x["content"])
+        newt = F.concat(
+            acc["t"], header, x["content"], F.lit("<|end|>\n")
+        )
+        span = F.struct(
+            start.cast("int").alias("start"), end.cast("int").alias("end")
+        )
+        newspans = F.when(
+            x["role"] == F.lit("assistant"),
+            F.array_append(acc["spans"], span),
+        ).otherwise(acc["spans"])
+        return F.struct(newt.alias("t"), newspans.alias("spans"))
+
+    folded = F.aggregate(parsed, init, merge)
+    return (
+        df.filter(parsed.isNotNull())
+        .select(
+            id_col,
+            folded["t"].alias("train_text"),
+            folded["spans"].alias("loss_spans"),
+        )
+    )

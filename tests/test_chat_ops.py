@@ -159,3 +159,52 @@ def test_preference_pairs_null_scores_excluded(spark):
     # the NULL row neither consumes a slot nor nulls the widest pair:
     # ranking runs over the 3 scored docs -> one pair (best, worst)
     assert [(r["chosen_id"], r["rejected_id"]) for r in out] == [(1, 3)]
+
+
+def test_chat_loss_mask_spans_slice_assistant_contents(spark):
+    import json as _json
+
+    from momyre_spark.operators.chat import chat_loss_mask
+
+    convo = [
+        {"role": "user", "content": "hi there"},
+        {"role": "assistant", "content": "hello!"},
+        {"role": "user", "content": "bye"},
+        {"role": "assistant", "content": "see ya"},
+    ]
+    no_assistant = [{"role": "user", "content": "just me"}]
+    rows = [
+        (1, _json.dumps(convo)),
+        (2, _json.dumps(no_assistant)),
+        (3, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chat_loss_mask(df).collect()}
+    assert set(got) == {1, 2}  # malformed JSON dropped visibly
+    r = got[1]
+    spans = [(s["start"], s["end"]) for s in r["loss_spans"]]
+    assert len(spans) == 2
+    sliced = [r["train_text"][a:b] for a, b in spans]
+    assert sliced == ["hello!", "see ya"]
+    # headers/sentinels are outside every span
+    for a, b in spans:
+        assert "<|" not in r["train_text"][a:b]
+    # full reassembly: the template is exactly role-header+content+end
+    expect = "".join(
+        f"<|{t['role']}|>\n{t['content']}<|end|>\n" for t in convo
+    )
+    assert r["train_text"] == expect
+    assert got[2]["loss_spans"] == []
+
+
+def test_chat_loss_mask_is_map_only(spark):
+    from momyre_spark.operators.chat import chat_loss_mask
+
+    df = spark.createDataFrame(
+        [(1, '[{"role":"user","content":"x"}]')], "doc_id long, text string"
+    )
+    plan = (
+        chat_loss_mask(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert "Generate" not in plan  # HOF fold, no explode

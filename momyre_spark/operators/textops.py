@@ -273,10 +273,16 @@ def dup_ngram_coverage(
     if sh is None:
         raise ValueError("momyre: dup_ngram_coverage supports n=3")
     e = w.select(F.col(id_col), F.explode(sh).alias("__s"))
-    idx = e.groupBy("__s").agg(
-        F.count(F.lit(1)).alias("__docs")
-    )  # e is (doc, shingle)-distinct already via array_distinct
-    joined = e.join(idx, "__s")
+    # docs-per-shingle via a shingle-partitioned window COUNT instead of
+    # a groupBy + join-back: identical values (e is (doc, shingle)-
+    # distinct via array_distinct), but the corpus is scanned and
+    # exploded ONCE — the join-back formulation re-reads the source for
+    # the index branch, doubling the dominant cost at corpus scale.
+    from pyspark.sql.window import Window as _W
+
+    joined = e.withColumn(
+        "__docs", F.count(F.lit(1)).over(_W.partitionBy("__s"))
+    )
     agg = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias(

@@ -319,9 +319,12 @@ def pmi_collocations(
     marginals would be inflated), then the filter cuts the join input,
     so the expensive joins touch only candidates.
 
-    Shape: one explode + three hash aggregations (identical skeleton to
-    train_bigram_lm); marginals broadcast onto the distinct-bigram frame
-    (vocab-sized, never corpus-sized).
+    Shape: TWO corpus passes total — one builds the distinct-bigram
+    counts and chains both marginals as windows over that vocab-sized
+    frame (no join-back, so the dominant explode never re-runs per
+    marginal); the second computes the 1-row grand total, broadcast on.
+    (The join formulation re-scans the corpus once per marginal — 4x
+    the dominant cost.)
 
     Determinism: all counts exact BIGINT (keep ``N * max(c) < 2^63``);
     pmi/npmi are mirrored float trees over exactly-converted integers,
@@ -330,19 +333,21 @@ def pmi_collocations(
     """
     if min_count < 1:
         raise ValueError("momyre: min_count must be >= 1")
+    from pyspark.sql.window import Window as _W
+
     bg = _bigrams(docs, text_col, "doc_id") if "doc_id" in docs.columns else (
         _bigrams(docs.withColumn("__id", F.monotonically_increasing_id()),
                  text_col, "__id")
     )
     c_pc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("count"))
-    c_p = c_pc.groupBy("prev").agg(F.sum("count").alias("__cp"))
-    c_c = c_pc.groupBy("cur").agg(F.sum("count").alias("__cc"))
     tot = c_pc.agg(F.sum("count").alias("__t"))
     cand = (
-        c_pc.filter(F.col("count") >= min_count)
-        .join(F.broadcast(c_p), "prev")
-        .join(F.broadcast(c_c), "cur")
-        .join(F.broadcast(tot))
+        c_pc.withColumn(
+            "__cp", F.sum("count").over(_W.partitionBy("prev"))
+        )
+        .withColumn("__cc", F.sum("count").over(_W.partitionBy("cur")))
+        .filter(F.col("count") >= min_count)
+        .crossJoin(F.broadcast(tot))
     )
     c = F.col("count")
     ratio = (F.col("__t") * c).cast("double") / (

@@ -173,18 +173,23 @@ def source_vocab_jaccard(
     lexically): ``(source_a, source_b, vocab_a, vocab_b, inter,
     jaccard)`` over DISTINCT whitespace tokens.
 
-    Shape: one (source, token) distinct shuffle, then pairs come from
-    the token-level inverted index — a token present in k sources
-    contributes k(k-1)/2 pair rows, so the join is bounded by
-    |vocab| * |sources|^2 in the worst case and far less in practice;
-    NEVER a vocab-by-vocab cross join. Per-source vocab sizes broadcast
-    back onto the pair frame.
+    Shape: ONE corpus scan. The (source, token) distinct shuffle feeds
+    a source-partitioned window (vocab sizes ride along on every row),
+    then a token-keyed aggregation collects each token's (source, size)
+    set and pairs expand IN-ROW (sorted, k(k-1)/2 structs for a token in
+    k sources — inherently bounded by |sources|^2 per token, never a
+    vocab-by-vocab cross join) — no join-back, so the expensive
+    tokenize+explode pipeline runs exactly once (the join formulation
+    re-scans the corpus once per consumer).
 
-    Determinism: all counts exact BIGINT; one mirrored division,
+    Determinism: all counts exact BIGINT; the in-row pair order is
+    pinned by sorting the collected set; one mirrored division,
     ``digits`` rounding.
     """
     from momyre_spark.functions.numeric import round_half_up
     from momyre_spark.functions.text import tokens
+
+    from pyspark.sql.window import Window as _W
 
     base = (
         docs.filter(
@@ -196,28 +201,42 @@ def source_vocab_jaccard(
         )
         .distinct()
     )
-    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__v"))
-    a = base.select(F.col("__g").alias("__ga"), F.col("__t"))
-    b = base.select(F.col("__g").alias("__gb"), F.col("__t"))
-    inter = (
-        a.join(b, "__t")
-        .filter(F.col("__ga") < F.col("__gb"))
-        .groupBy("__ga", "__gb")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    sized = base.withColumn(
+        "__v", F.count(F.lit(1)).over(_W.partitionBy("__g"))
     )
-    out = inter.join(
-        F.broadcast(
-            sizes.select(F.col("__g").alias("__ga"), F.col("__v").alias("__va"))
-        ),
-        "__ga",
-    ).join(
-        F.broadcast(
-            sizes.select(F.col("__g").alias("__gb"), F.col("__v").alias("__vb"))
-        ),
-        "__gb",
+    by_tok = (
+        sized.groupBy("__t")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("__g"), F.col("__v")))
+            ).alias("__gs")
+        )
+        .filter(F.size("__gs") >= 2)
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__gs"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("__gs"), i + 2, F.size(F.col("__gs"))
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    )
+    pairs = by_tok.select(pair_expr.alias("__p")).select(
+        F.col("__p.a.__g").alias("__ga"),
+        F.col("__p.a.__v").alias("__va"),
+        F.col("__p.b.__g").alias("__gb"),
+        F.col("__p.b.__v").alias("__vb"),
+    )
+    inter = pairs.groupBy("__ga", "__va", "__gb", "__vb").agg(
+        F.count(F.lit(1)).alias("__i")
     )
     union = F.col("__va") + F.col("__vb") - F.col("__i")
-    return out.select(
+    return inter.select(
         F.col("__ga").alias("source_a"),
         F.col("__gb").alias("source_b"),
         F.col("__va").alias("vocab_a"),

@@ -236,23 +236,27 @@ def train_bigram_lm(
     one the same way (``1.0 - 0.7``, never the literal ``0.3``, which is a
     DIFFERENT double).
 
-    Scale: one explode + three hash aggregations; marginals broadcast onto
-    the distinct-bigram frame (vocab-sized, not corpus-sized)."""
+    Scale: TWO corpus passes — one builds the distinct-bigram counts and
+    chains both marginals as windows over that vocab-sized frame (the
+    join-back formulation re-ran the dominant explode once per marginal
+    — 4 passes); the second computes the broadcast 1-row grand total."""
+    from pyspark.sql.window import Window as _W
+
     bg = _bigrams(docs, text_col, "doc_id") if "doc_id" in docs.columns else (
         _bigrams(docs.withColumn("__id", F.monotonically_increasing_id()),
                  text_col, "__id")
     )
     c_pc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("count"))
-    c_p = c_pc.groupBy("prev").agg(F.sum("count").alias("__cp"))
-    c_c = c_pc.groupBy("cur").agg(F.sum("count").alias("__cc"))
     tot = c_pc.agg(F.sum("count").alias("__t"))
     mix = F.lit(float(lam)) * (F.col("count") / F.col("__cp")) + (
         F.lit(1.0) - F.lit(float(lam))
     ) * (F.col("__cc") / F.col("__t"))
     return (
-        c_pc.join(F.broadcast(c_p), "prev")
-        .join(F.broadcast(c_c), "cur")
-        .join(F.broadcast(tot))
+        c_pc.withColumn(
+            "__cp", F.sum("count").over(_W.partitionBy("prev"))
+        )
+        .withColumn("__cc", F.sum("count").over(_W.partitionBy("cur")))
+        .crossJoin(F.broadcast(tot))
         .select("prev", "cur", "count", _round6(F.log(mix)).alias("logprob"))
     )
 

@@ -125,6 +125,19 @@ def main() -> None:
     print(f"global shuffle positions assigned: {order.count()} "
           "(dense, layout-independent)")
 
+    # 7. round-6 additions: corpus-boilerplate pressure and FIM prep
+    from momyre_spark.operators.sampling import fim_transform
+    from momyre_spark.operators.textops import dup_ngram_coverage
+
+    cov = dup_ngram_coverage(curated)
+    heavy = cov.filter(F.col("coverage") > 0.5).count()
+    print(f"dup-ngram coverage: {heavy} docs are >50% shared trigrams "
+          "(template-family pressure exact dedup misses)")
+    fim = fim_transform(curated, rate=0.5)
+    mix = {r["fim_mode"]: r["count"]
+           for r in fim.groupBy("fim_mode").count().collect()}
+    print(f"FIM re-serialization mix: {mix} (hash-chosen, map-only)")
+
     print("\nDONE — every artifact above is reproducible bit-for-bit on any "
           "partitioning: the pipeline is a pure function of the corpus.")
 

@@ -138,7 +138,7 @@ HEADLINE = [
     # round-6 seventh..tenth waves: rank statistics over DISTINCT values
     # (AUC's agg+window+re-agg — never a per-row rank), basket pair join
     # with Apriori prune, wedge-join neighbor Jaccard, bigram-table PMI
-    # (explode + three aggs, broadcast marginals), Spearman via doubled
+    # (explode once + window marginals), Spearman via doubled
     # mid-ranks (two co-partitioned rank joins)
     "stats_group_auc",
     "q80_assoc_rules",

@@ -36,6 +36,7 @@ def association_rules(
     min_item_count: int = 1,
     max_basket_items: int | None = None,
     digits: int = 6,
+    min_pair_count: int = 1,
 ) -> DataFrame:
     """Pairwise association rules over baskets keyed by ``basket_cols``.
 
@@ -45,6 +46,11 @@ def association_rules(
     conf_a_b = P(b|a) = cnt_ab/cnt_a, lift = n*cnt_ab/(cnt_a*cnt_b)
     (>1: positively associated).
 
+    ``min_item_count`` prunes rare ITEMS before the quadratic pair join
+    (the Apriori bound); ``min_pair_count`` separately prunes output
+    PAIRS by co-occurrence count (default 1 — a pair of two frequent
+    items is kept even if it co-occurs only once).
+
     Counts are BASKET counts (distinct-basket semantics — an item seen
     twice in one basket counts once), the standard formulation.
     """
@@ -52,6 +58,8 @@ def association_rules(
         raise ValueError("momyre: basket_cols must be non-empty")
     if min_item_count < 1:
         raise ValueError("momyre: min_item_count must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("momyre: min_pair_count must be >= 1")
     items = (
         df.filter(F.col(item_col).isNotNull())
         .select(*basket_cols, F.col(item_col).alias("__i"))
@@ -91,7 +99,7 @@ def association_rules(
         .filter(F.col("__a") < F.col("__b"))
         .groupBy("__a", "__b")
         .agg(F.count(F.lit(1)).alias("__cab"))
-        .filter(F.col("__cab") >= min_item_count)
+        .filter(F.col("__cab") >= min_pair_count)
     )
     out = (
         pairs.join(

@@ -205,9 +205,15 @@ def chat_loss_mask(
     array — the serialized text and the span offsets accumulate in the
     same pass, entirely in codegen (no explode, no window, no Python),
     so the op fuses into the scan like chat_stats does. Malformed JSON
-    parses to NULL and is dropped visibly.
+    parses to NULL and is dropped visibly; so is any conversation with
+    a turn missing ``role`` or ``content`` (a NULL in either would
+    otherwise NULL the whole concat fold and poison the spans).
     """
     parsed = F.from_json(F.col(json_col), TURN_SCHEMA)
+    well_formed = F.forall(
+        parsed,
+        lambda x: x["role"].isNotNull() & x["content"].isNotNull(),
+    )
     init = F.struct(
         F.lit("").alias("t"),
         F.expr(
@@ -233,7 +239,7 @@ def chat_loss_mask(
 
     folded = F.aggregate(parsed, init, merge)
     return (
-        df.filter(parsed.isNotNull())
+        df.filter(parsed.isNotNull() & well_formed)
         .select(
             id_col,
             folded["t"].alias("train_text"),

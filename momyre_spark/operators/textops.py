@@ -174,13 +174,18 @@ def source_vocab_jaccard(
     jaccard)`` over DISTINCT whitespace tokens.
 
     Shape: ONE corpus scan. The (source, token) distinct shuffle feeds
-    a source-partitioned window (vocab sizes ride along on every row),
-    then a token-keyed aggregation collects each token's (source, size)
-    set and pairs expand IN-ROW (sorted, k(k-1)/2 structs for a token in
-    k sources — inherently bounded by |sources|^2 per token, never a
-    vocab-by-vocab cross join) — no join-back, so the expensive
-    tokenize+explode pipeline runs exactly once (the join formulation
-    re-scans the corpus once per consumer).
+    BOTH consumers — a token-keyed aggregation that collects each
+    token's sorted source set and expands pairs IN-ROW (k(k-1)/2
+    structs for a token in k sources — inherently bounded by
+    |sources|^2 per token, never a vocab-by-vocab cross join), and a
+    source-keyed vocab-size count (map-side combinable, |sources| rows)
+    that is broadcast-joined onto the pair counts at the very end. The
+    two branches share the distinct exchange (ReusedExchange), so the
+    expensive tokenize+explode pipeline still runs exactly once. No
+    window: a per-source window would force every distinct token of a
+    source into ONE task — an unsplittable straggler once a single
+    source's vocabulary reaches 10^8 tokens — whereas the groupBy gets
+    map-side partial aggregation.
 
     Determinism: all counts exact BIGINT; the in-row pair order is
     pinned by sorting the collected set; one mirrored division,
@@ -188,8 +193,6 @@ def source_vocab_jaccard(
     """
     from momyre_spark.functions.numeric import round_half_up
     from momyre_spark.functions.text import tokens
-
-    from pyspark.sql.window import Window as _W
 
     base = (
         docs.filter(
@@ -201,16 +204,10 @@ def source_vocab_jaccard(
         )
         .distinct()
     )
-    sized = base.withColumn(
-        "__v", F.count(F.lit(1)).over(_W.partitionBy("__g"))
-    )
+    sizes = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__v"))
     by_tok = (
-        sized.groupBy("__t")
-        .agg(
-            F.sort_array(
-                F.collect_set(F.struct(F.col("__g"), F.col("__v")))
-            ).alias("__gs")
-        )
+        base.groupBy("__t")
+        .agg(F.sort_array(F.collect_set(F.col("__g"))).alias("__gs"))
         .filter(F.size("__gs") >= 2)
     )
     pair_expr = F.explode(
@@ -227,16 +224,29 @@ def source_vocab_jaccard(
         )
     )
     pairs = by_tok.select(pair_expr.alias("__p")).select(
-        F.col("__p.a.__g").alias("__ga"),
-        F.col("__p.a.__v").alias("__va"),
-        F.col("__p.b.__g").alias("__gb"),
-        F.col("__p.b.__v").alias("__vb"),
+        F.col("__p.a").alias("__ga"),
+        F.col("__p.b").alias("__gb"),
     )
-    inter = pairs.groupBy("__ga", "__va", "__gb", "__vb").agg(
+    inter = pairs.groupBy("__ga", "__gb").agg(
         F.count(F.lit(1)).alias("__i")
     )
+    sized = inter.join(
+        F.broadcast(
+            sizes.select(
+                F.col("__g").alias("__ga"), F.col("__v").alias("__va")
+            )
+        ),
+        "__ga",
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col("__g").alias("__gb"), F.col("__v").alias("__vb")
+            )
+        ),
+        "__gb",
+    )
     union = F.col("__va") + F.col("__vb") - F.col("__i")
-    return inter.select(
+    return sized.select(
         F.col("__ga").alias("source_a"),
         F.col("__gb").alias("source_b"),
         F.col("__va").alias("vocab_a"),
@@ -291,17 +301,19 @@ def dup_ngram_coverage(
     ) if n == 3 else None
     if sh is None:
         raise ValueError("momyre: dup_ngram_coverage supports n=3")
+    # docs-per-shingle via the inverted-index groupBy + equi-join-back,
+    # NOT a shingle-partitioned window: a boilerplate shingle present in
+    # millions of documents (exactly the high-df shingles this operator
+    # exists to find) would force all its rows into ONE unsplittable
+    # window task. The groupBy shuffles only (shingle, partial_count)
+    # pairs (map-side combine), and the join probe shuffle gets AQE
+    # skew splitting — so the price of the second map-only explode scan
+    # buys away the straggler/OOM cliff. `e` is (doc, shingle)-distinct
+    # via array_distinct, so the row count per shingle IS its document
+    # frequency.
     e = w.select(F.col(id_col), F.explode(sh).alias("__s"))
-    # docs-per-shingle via a shingle-partitioned window COUNT instead of
-    # a groupBy + join-back: identical values (e is (doc, shingle)-
-    # distinct via array_distinct), but the corpus is scanned and
-    # exploded ONCE — the join-back formulation re-reads the source for
-    # the index branch, doubling the dominant cost at corpus scale.
-    from pyspark.sql.window import Window as _W
-
-    joined = e.withColumn(
-        "__docs", F.count(F.lit(1)).over(_W.partitionBy("__s"))
-    )
+    idx = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__docs"))
+    joined = e.join(idx, "__s")
     agg = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0)).alias(

@@ -752,7 +752,7 @@ def weekday_seasonal_index(
     a ratio to the group's overall mean (1.0 = no weekly effect) — the
     cheapest seasonality profile, and the deseasonalizer input for any
     weekly-periodic metric. Output: ``(*group_cols, weekday, n, mean,
-    index)`` with ``weekday`` 0=Monday..6=Sunday derived by pure integer
+    seasonal_index)`` with ``weekday`` 0=Monday..6=Sunday derived by pure integer
     arithmetic from the epoch day (``(day + 3) mod 7`` — 1970-01-01 was
     a Thursday; no timezone/calendar functions, engine-exact).
 

@@ -197,6 +197,25 @@ def test_chat_loss_mask_spans_slice_assistant_contents(spark):
     assert got[2]["loss_spans"] == []
 
 
+def test_chat_loss_mask_drops_null_role_or_content(spark):
+    # a well-formed JSON turn MISSING role or content would NULL the
+    # concat fold and poison the spans — the conversation must be
+    # dropped visibly, same contract as malformed JSON
+    from momyre_spark.operators.chat import chat_loss_mask
+
+    rows = [
+        (1, '[{"role":"user","content":"ok"},'
+            '{"role":"assistant","content":"fine"}]'),
+        (2, '[{"role":"user"}]'),  # no content
+        (3, '[{"content":"orphan"}]'),  # no role
+        (4, '[{"role":"user","content":"a"},{"role":"assistant"}]'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chat_loss_mask(df).collect()}
+    assert set(got) == {1}
+    assert got[1]["train_text"] is not None
+
+
 def test_chat_loss_mask_is_map_only(spark):
     from momyre_spark.operators.chat import chat_loss_mask
 

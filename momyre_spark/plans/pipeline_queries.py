@@ -690,6 +690,160 @@ def chat_training_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SFT loss masking (operators/chat.chat_loss_mask): serialize each synthetic
+# transcript to its training string and emit the char spans receiving loss
+# (assistant contents only). Spans are flattened to a "start:end;start:end"
+# string so the compared value is engine-neutral scalars, not a nested
+# array<struct> whose formatting differs between engines. The oracle
+# recomputes the offsets with a running window over per-turn serialized
+# lengths: header '<|user|>\n' = 9 chars, '<|assistant|>\n' = 14,
+# '<|end|>\n' = 8.
+# --------------------------------------------------------------------------
+_LOSS_MASK_ORACLE = """
+    WITH c AS (
+        SELECT doc_id,
+               unnest(range(0, (length(text) + 119) // 120)) AS i,
+               text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, i,
+               CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               substring(text, CAST(i * 120 + 1 AS INT), 120) AS content
+        FROM c
+    ),
+    seg AS (
+        SELECT doc_id, i, role, content,
+               CASE WHEN role = 'user' THEN 9 ELSE 14 END AS hlen,
+               length(content) AS clen
+        FROM t
+    ),
+    off AS (
+        SELECT *,
+               COALESCE(SUM(hlen + clen + 8) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prior
+        FROM seg
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg('<|' || role || '|>' || chr(10) || content
+                          || '<|end|>' || chr(10), '' ORDER BY i)
+                   AS train_text,
+               CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                   AS n_spans,
+               COALESCE(string_agg(
+                   CASE WHEN role = 'assistant'
+                        THEN CAST(prior + hlen AS VARCHAR) || ':'
+                             || CAST(prior + hlen + clen AS VARCHAR) END,
+                   ';' ORDER BY i), '') AS loss_spans
+        FROM off GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.train_text, '') AS train_text,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.loss_spans, '') AS loss_spans
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query("chat_loss_mask", oracle=_LOSS_MASK_ORACLE)
+def chat_loss_mask_q(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.chat import chat_loss_mask
+
+    docs = load_table(spark, sf, "documents")
+    convo = docs.select(
+        "doc_id", F.to_json(F.expr(_CHAT_SYNTH)).alias("convo")
+    )
+    out = chat_loss_mask(convo, "convo")
+    spans_str = F.concat_ws(
+        ";",
+        F.transform(
+            F.col("loss_spans"),
+            lambda s: F.concat_ws(
+                ":", s["start"].cast("string"), s["end"].cast("string")
+            ),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "train_text",
+        F.size("loss_spans").cast("bigint").alias("n_spans"),
+        spans_str.alias("loss_spans"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Fill-in-the-middle pretraining transform (operators/sampling.
+# fim_transform, Bavarian et al. 2022): a hash-chosen half of eligible
+# documents re-serialize as PSM/SPM around two hash-chosen cut points —
+# everything md5(doc_id)-derived, so the oracle mirrors the exact same
+# substring arithmetic. Map-only, zero shuffles at any corpus size.
+# --------------------------------------------------------------------------
+_FIM_ORACLE = """
+    WITH p AS (
+        SELECT doc_id, text, length(text) AS L,
+               (length(text) >= 32 AND
+                ('0x' || substr(md5('fim:pick' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 1000000 < 500000) AS tf,
+               (('0x' || substr(md5('fim:spm' || CAST(doc_id AS VARCHAR)),
+                 1, 15))::BIGINT % 1000000 < 500000) AS use_spm
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c1 AS (
+        SELECT *,
+               CASE WHEN tf THEN 1 +
+                   ('0x' || substr(md5('fim:c1' || CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT % (L - 1) END AS cut1
+        FROM p
+    ),
+    c2 AS (
+        SELECT *,
+               CASE WHEN tf THEN cut1 + 1 +
+                   ('0x' || substr(md5('fim:c2' || CAST(doc_id AS VARCHAR)),
+                    1, 15))::BIGINT % (L - cut1) END AS cut2
+        FROM c1
+    )
+    SELECT doc_id,
+           CASE WHEN NOT tf THEN 'none'
+                WHEN use_spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+           CASE WHEN NOT tf THEN text
+                WHEN use_spm THEN
+                    '<fim_suffix>'
+                    || substr(text, CAST(cut2 + 1 AS INT), CAST(L - cut2 AS INT))
+                    || '<fim_prefix>' || substr(text, 1, CAST(cut1 AS INT))
+                    || '<fim_middle>'
+                    || substr(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT))
+                ELSE
+                    '<fim_prefix>' || substr(text, 1, CAST(cut1 AS INT))
+                    || '<fim_suffix>'
+                    || substr(text, CAST(cut2 + 1 AS INT), CAST(L - cut2 AS INT))
+                    || '<fim_middle>'
+                    || substr(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT))
+           END AS fim_text
+    FROM c2 ORDER BY doc_id
+"""
+
+
+@query("pipe_fim_transform", oracle=_FIM_ORACLE)
+def pipe_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.sampling import fim_transform
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return (
+        fim_transform(docs)
+        .select("doc_id", "fim_mode", "fim_text")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Length-bucketed batching report (operators/sampling.length_batches):
 # within each hash shard, docs sort by length and chunk into fixed-size
 # batches — the collator-padding minimization every trainer wants. The

@@ -351,6 +351,46 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # ---- linkage star-cap path bench (VERDICT r06 item #5) -------------
+    # No registered query crosses max_block at sf<=0.1, so the star
+    # degrade had no recorded timing. 5,100 synthetic records each insert
+    # one char into the same varied 90-char stub at a (position, char)
+    # derived bijectively from the id — so every record shares the stub
+    # as a deletion variant (one 5,100-row jumbo block, just over the
+    # default cap of 5000) and shares almost nothing else: a star-path
+    # measurement. The star defense must keep candidates O(block) — full
+    # expansion would be ~13M pairs; star emits 5,099 candidates and a
+    # few hundred verified pairs (hub pairs + adjacent-insert twins).
+    from pyspark.sql import functions as SF2
+
+    from momyre_spark.operators.linkage import blocked_edit_pairs
+
+    _alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    _stub = "".join(_alpha[(i * 7 + 3) % 62] for i in range(90))  # no runs
+    _pos = (SF2.col("id") / SF2.lit(62)).cast("bigint")  # 0..82
+    _ch = SF2.substring(
+        SF2.lit(_alpha), (SF2.pmod(SF2.col("id"), SF2.lit(62)) + 1).cast("int"), 1
+    )
+    _jdf = spark.range(5_100).select(
+        SF2.col("id"),
+        SF2.concat(
+            SF2.substring(SF2.lit(_stub), SF2.lit(1), _pos),
+            _ch,
+            SF2.substring(
+                SF2.lit(_stub), (_pos + 1).cast("int"), SF2.lit(len(_stub))
+            ),
+        ).alias("name"),
+    )
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        blocked_edit_pairs(_jdf, max_distance=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(time.perf_counter() - t0)
+    timings["dedup_linkage_jumbo_synthetic"] = round(min(runs), 3)
+    spark.catalog.clearCache()
+
     # ---- second-window corroboration (VERDICT r04 item #2) -------------
     # Sub-second fixture-bound queries are the ones a SUSTAINED host burst
     # can distort even through min-of-N: every sample of a 0.3s query fits

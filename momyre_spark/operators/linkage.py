@@ -5,38 +5,78 @@ title, address line) is within a small edit distance — duplicate customers
 after a typo, the same paper with an OCR error, two crawls of one product
 page. All-pairs Levenshtein is quadratic and dead at corpus scale; the
 standard shape is BLOCKING (cheap equi-join keys that any true match
-shares with high probability) followed by exact verification on the
-candidates only.
+shares) followed by exact verification on the candidates only.
 
-Blocking keys here: the ``prefix_len``-char prefix and the ``suffix_len``-
-char suffix. An edit confined to the suffix leaves the prefix block
-intact; an edit at the start leaves the suffix block intact — so any
-single-region typo is caught. The documented miss: edits touching BOTH
-ends simultaneously (for max_distance >= 2). This is the classical
-recall/cost trade of blocking, stated rather than hidden; the verify step
-(``levenshtein``) is exact on every candidate, so reported pairs are
-never wrong, only (rarely) incomplete.
+Blocking here is the DELETION NEIGHBORHOOD (FastSS, Bocek et al. 2007;
+popularized as SymSpell): each record emits ``md5`` of its key string and
+of every variant reachable by deleting up to ``max_distance`` characters.
+If ``levenshtein(A, B) <= d``, take an optimal alignment: deleting from A
+the <= d positions it substitutes/deletes and from B the <= d positions it
+substitutes/inserts leaves the SAME string — so A and B always share a
+variant key. Recall is therefore EXACT for every edit pattern (early,
+late, both ends, any string length) — unlike the prefix/suffix positional
+blocking this replaces, which documented both a short-string hole and a
+fixed-cardinality suffix key whose buckets grew linearly with data
+(round-6 verdict: Σ bucket² quadratic at any tuning). The verify step
+(``levenshtein``, a JVM codegen expression) is exact on every candidate,
+so reported pairs are never wrong; false candidates from md5 collisions
+or deletion coincidences are filtered there.
 
-Scale shape: each blocking key is one equi-join over the key's bucket —
-cost Σ_k |bucket(k)|², bounded two ways: choose prefix_len deep enough
-that PREFIX buckets stay small (the caller knows its key distribution;
-see stats_key_skew for measuring it), and — because a fixed-length
-SUFFIX key has bounded cardinality, so its buckets grow linearly with
-data and Σ bucket² goes quadratic no matter how the caller tunes it —
-blocks larger than ``max_block`` degrade to STAR candidates (hub = the
-block's smallest id), the same self-defense as the LSH dedup's
-MAX_FULL_BUCKET. Star recall contract: within an over-cap block, pairs
-are found only through the hub (A~hub and B~hub imply A, B land in one
-component; an A~B pair where NEITHER matches the hub is the documented
-miss). Below the cap, candidate generation is exhaustive per block.
-No all-pairs anywhere; Levenshtein (a JVM codegen expression) runs on
-candidates only.
+Scale shape, in order of the knobs that bound it:
+
+- Emission: ``Σ_{k<=d} C(len, k)`` variant keys per record (len+1 at the
+  default d=1) — generated entirely in codegen HOFs (no Python, no
+  shuffle), hashed to fixed-width md5 so shuffle width never depends on
+  key length. ``max_distance`` is capped at 3: beyond that the emission
+  combinatorics, not the join, dominate — and d >= 3 name matching is a
+  different problem (phonetic/embedding, not edit blocking).
+- Join: cost Σ_k |bucket(k)|², where a bucket is the set of records
+  sharing one variant — i.e. the actual near-match cluster around one
+  string, a DATA-intrinsic quantity that does not grow with corpus size
+  for distinguishing keys. Degenerate inputs (millions of records one
+  edit from each other, e.g. sequential padded IDs sharing a variant)
+  still exist, so blocks larger than ``max_block`` degrade to STAR
+  candidates (hub = the block's smallest id), the same self-defense as
+  the LSH dedup's MAX_FULL_BUCKET. Star recall contract: within an
+  over-cap block, pairs are found only through the hub (A~hub and B~hub
+  imply A, B land in one component; an A~B pair where NEITHER matches
+  the hub is the documented miss). Below the cap, candidate generation
+  is exhaustive. No all-pairs anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _variant_keys(t: Column, max_distance: int) -> Column:
+    """md5 keys of every <=``max_distance``-deletion variant of ``t``,
+    duplicates removed, built from codegen HOFs only."""
+    variants = F.array(t)
+    frontier = variants
+    for _ in range(max_distance):
+        frontier = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    frontier,
+                    lambda s: F.transform(
+                        # sequence(1, max(len, 1)): for an empty string the
+                        # single p=1 "deletion" reproduces "" (dropped by
+                        # array_distinct), never a descending sequence
+                        F.sequence(
+                            F.lit(1), F.greatest(F.length(s), F.lit(1))
+                        ),
+                        lambda p: F.concat(
+                            s.substr(F.lit(1), p - F.lit(1)),
+                            s.substr(p + F.lit(1), F.length(s)),
+                        ),
+                    ),
+                )
+            )
+        )
+        variants = F.array_distinct(F.concat(variants, frontier))
+    return F.array_distinct(F.transform(variants, F.md5))
 
 
 def blocked_edit_pairs(
@@ -44,31 +84,28 @@ def blocked_edit_pairs(
     text_col: str = "name",
     id_col: str = "id",
     max_distance: int = 1,
-    prefix_len: int = 16,
-    suffix_len: int = 2,
     max_block: int = 5000,
 ) -> DataFrame:
     """Matched pairs ``(a_id, b_id, distance)`` with
-    ``levenshtein <= max_distance``, a_id < b_id, via prefix+suffix
-    blocking (see module docstring for the recall contract).
-
-    ``prefix_len`` must sit BELOW the typical key length: a string shorter
-    than ``prefix_len`` has its whole self as the prefix key, so it only
-    blocks with exact-string or suffix matches — tune per key
-    distribution (the defaults suit ~20+-char entity names)."""
+    ``levenshtein <= max_distance``, a_id < b_id, via deletion-
+    neighborhood blocking (see module docstring: exact recall below the
+    ``max_block`` cap, hub-star recall above it)."""
+    if not (1 <= max_distance <= 3):
+        raise ValueError(
+            "momyre: max_distance must be in [1, 3] — deletion-"
+            "neighborhood emission is C(len, d) keys per record; d > 3 "
+            "edit matching wants phonetic/embedding blocking instead"
+        )
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    pref = F.substring("__t", 1, prefix_len)
-    sufx = F.concat(
-        F.lit("sfx:"),
-        F.substring(F.col("__t"), -suffix_len, suffix_len),
-    )
     keyed = base.select(
-        "__id", "__t", F.explode(F.array(pref, sufx)).alias("__k")
+        "__id",
+        "__t",
+        F.explode(_variant_keys(F.col("__t"), max_distance)).alias("__k"),
     )
-    # jumbo-block star defense (see module docstring): a fixed-cardinality
-    # blocking key's buckets grow with the data, so full pair expansion
-    # would be quadratic — above max_block, candidates go through the
-    # block's hub instead (n-1 candidates, recall contract documented)
+    # jumbo-block star defense (see module docstring): degenerate inputs
+    # (a variant shared by a large fraction of records) would make full
+    # pair expansion quadratic — above max_block, candidates go through
+    # the block's hub instead (n-1 candidates, recall contract documented)
     big = (
         keyed.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__bs"))
@@ -110,11 +147,11 @@ def blocked_edit_pairs(
     )
     cand = cand.unionByName(star)
     # verify BEFORE deduplicating: levenshtein runs map-side on the join
-    # output (a pair reached through both keys costs at most one extra
-    # codegen'd distance eval), and the distinct then shuffles only the
-    # MATCHED pairs — three narrow columns — instead of every candidate
-    # with both text payloads attached. Same result set: the distance is
-    # a pure function of the pair.
+    # output (a pair reached through several variants costs at most a few
+    # extra codegen'd distance evals), and the distinct then shuffles only
+    # the MATCHED pairs — three narrow columns — instead of every
+    # candidate with both text payloads attached. Same result set: the
+    # distance is a pure function of the pair.
     return (
         cand.withColumn(
             "distance", F.levenshtein("__ta", "__tb").cast("int")
@@ -130,8 +167,6 @@ def entity_groups(
     text_col: str = "name",
     id_col: str = "id",
     max_distance: int = 1,
-    prefix_len: int = 16,
-    suffix_len: int = 2,
     max_block: int = 5000,
 ) -> DataFrame:
     """Full entity resolution: every record labeled with its entity —
@@ -155,8 +190,6 @@ def entity_groups(
         text_col=text_col,
         id_col=id_col,
         max_distance=max_distance,
-        prefix_len=prefix_len,
-        suffix_len=suffix_len,
         max_block=max_block,
     )
     comp = duplicate_components(pairs)

@@ -1219,9 +1219,11 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
 # planted identically in both engines (every 7th customer contributes a
 # last-char-dropped copy under key+1000000 — edit distance exactly 1).
 # Names "Customer#NNNNNNNNN" also form natural distance-1 pairs (single
-# differing digit), so the match set is rich. Blocking (16-char prefix +
-# 2-char suffix) is mirrored in the oracle; levenshtein verify is exact,
-# so the full pair set value-hashes.
+# differing digit), so the match set is rich. Deletion-neighborhood
+# blocking (FastSS md5 variant keys, round-7 rework — blocks are
+# match-cluster-sized, retiring the fixed-suffix quadratic AND the
+# positional recall holes) is mirrored in the oracle; levenshtein verify
+# is exact, so the full pair set value-hashes.
 # --------------------------------------------------------------------------
 _DUCK_LINKAGE = """
     WITH names AS (
@@ -1231,10 +1233,16 @@ _DUCK_LINKAGE = """
                substr(c_name, 1, len(c_name) - 1) AS t
         FROM customer WHERE c_custkey % 7 = 0
     ),
+    del AS (
+        SELECT id, t, unnest(range(1, len(t) + 1)) AS p FROM names
+    ),
     keyed AS (
-        SELECT id, t, substr(t, 1, 16) AS k FROM names
-        UNION ALL
-        SELECT id, t, 'sfx:' || substr(t, len(t) - 1, 2) AS k FROM names
+        SELECT id, t, md5(t) AS k FROM names
+        UNION
+        SELECT id, t,
+               md5(substr(t, 1, CAST(p - 1 AS INT))
+                   || substr(t, CAST(p + 1 AS INT))) AS k
+        FROM del
     ),
     cand AS (
         SELECT DISTINCT a.id AS a_id, a.t AS ta, b.id AS b_id, b.t AS tb
@@ -1281,10 +1289,16 @@ _DUCK_ENTITY = """
                substr(c_name, 1, len(c_name) - 1) AS t
         FROM customer WHERE c_custkey % 7 = 0
     ),
+    del AS (
+        SELECT id, t, unnest(range(1, len(t) + 1)) AS p FROM names
+    ),
     keyed AS (
-        SELECT id, t, substr(t, 1, 16) AS k FROM names
-        UNION ALL
-        SELECT id, t, 'sfx:' || substr(t, len(t) - 1, 2) AS k FROM names
+        SELECT id, t, md5(t) AS k FROM names
+        UNION
+        SELECT id, t,
+               md5(substr(t, 1, CAST(p - 1 AS INT))
+                   || substr(t, CAST(p + 1 AS INT))) AS k
+        FROM del
     ),
     cand AS (
         SELECT DISTINCT a.id AS a_id, a.t AS ta, b.id AS b_id, b.t AS tb

@@ -1,8 +1,9 @@
-"""Record linkage (operators/linkage.py): blocking recall contract and
-exact verify."""
+"""Record linkage (operators/linkage.py): deletion-neighborhood blocking
+recall contract and exact verify."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from momyre_spark.operators.linkage import blocked_edit_pairs
@@ -12,34 +13,60 @@ def _names(spark, rows):
     return spark.createDataFrame([Row(id=i, name=n) for i, n in rows])
 
 
-def test_single_region_typos_caught_everywhere(spark):
+def test_single_edit_typos_caught_everywhere(spark):
     df = _names(
         spark,
         [
             (1, "jonathan smith"),
-            (2, "jonathan smitt"),   # end typo -> prefix block
-            (3, "ronathan smith"),   # start typo -> suffix block
-            (4, "jonathan_smith"),   # middle typo -> both blocks
+            (2, "jonathan smitt"),   # end typo
+            (3, "ronathan smith"),   # start typo
+            (4, "jonathan_smith"),   # middle typo
             (5, "completely other"),
         ],
     )
     got = {(r["a_id"], r["b_id"]): r["distance"]
            for r in blocked_edit_pairs(df, text_col="name",
-                                       max_distance=1,
-                                       prefix_len=8).collect()}
+                                       max_distance=1).collect()}
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
     assert not any(5 in p for p in got)
     # distance is exact, pairs are a<b, no duplicates
     assert all(a < b for a, b in got)
 
 
+def test_indels_and_short_strings_caught(spark):
+    """The retired positional (prefix+suffix) blocking documented misses
+    for short strings and mixed-position edits; deletion-neighborhood
+    recall is exact for every single-edit pattern at every length."""
+    rows = [
+        (1, "ab"),
+        (2, "ba"),                       # 2 substitutions -> distance 2
+        (3, "abc"),                      # 1 insertion
+        (4, "b"),                        # 1 deletion
+        (5, "Customer#0000012"),
+        (6, "Customer#0000082"),         # differ mid-string, len 16
+        (7, "abcdefgh-tail-anchor"),
+        (8, "Xabcdefgh-tail-anchor"),    # prepend shifts every position
+        (9, "abcdefg-tail-anchor"),      # early deletion
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["a_id"], r["b_id"]) for r in blocked_edit_pairs(
+        df, max_distance=1).collect()}
+    assert {(1, 3), (1, 4), (5, 6), (7, 8), (7, 9)} <= got
+    assert (1, 2) not in got  # distance 2 > max_distance
+
+
 def test_verify_is_exact_distance_bound(spark):
     df = _names(spark, [(1, "alpha beta"), (2, "alpha bexx")])  # distance 2
-    assert blocked_edit_pairs(df, text_col="name", max_distance=1,
-                              prefix_len=8).count() == 0
-    out = blocked_edit_pairs(df, text_col="name", max_distance=2,
-                             prefix_len=8).collect()
+    assert blocked_edit_pairs(df, text_col="name",
+                              max_distance=1).count() == 0
+    out = blocked_edit_pairs(df, text_col="name", max_distance=2).collect()
     assert [(r["a_id"], r["b_id"], r["distance"]) for r in out] == [(1, 2, 2)]
+
+
+def test_max_distance_cap_validated(spark):
+    df = _names(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        blocked_edit_pairs(df, text_col="name", max_distance=4)
 
 
 def test_no_cartesian_in_plan(spark):
@@ -48,20 +75,19 @@ def test_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
 
 
 # ------------------------------------------------------- entity_groups
 
 
 def test_entity_groups_transitive_closure_and_singletons(spark):
-    """abcdexxxxxxxxxxxxxxxxQ ~ ...QX ~ ...QXY chain: one entity via
-    closure even though ends are distance 2 apart; unrelated record is
-    its own singleton entity."""
-    from pyspark.sql import Row
-
+    """base ~ baseX ~ baseXY chain: one entity via closure even though
+    the ends are distance 2 apart; unrelated record is its own
+    singleton entity."""
     from momyre_spark.operators.linkage import entity_groups
 
-    base = "abcdexxxxxxxxxxxxxxxxQ"  # > prefix_len so blocking fires
+    base = "abcdexxxxxxxxxxxxxxxxQ"
     rows = [
         Row(id=1, name=base),
         Row(id=2, name=base + "X"),
@@ -75,8 +101,6 @@ def test_entity_groups_transitive_closure_and_singletons(spark):
 
 
 def test_entity_groups_all_singletons(spark):
-    from pyspark.sql import Row
-
     from momyre_spark.operators.linkage import entity_groups
 
     rows = [Row(id=i, name=f"wholly distinct entity number {i * 7919}")
@@ -86,47 +110,59 @@ def test_entity_groups_all_singletons(spark):
     assert all(r["entity"] == r["id"] and r["n_members"] == 1 for r in out)
 
 
-def test_blocked_edit_pairs_jumbo_block_star_defense(spark):
-    from momyre_spark.operators.linkage import (
-        blocked_edit_pairs,
-        entity_groups,
-    )
+# ------------------------------------------- star-cap recall contract
 
-    # 30 names sharing ONE degenerate suffix block ("sfx:XX" with a tiny
-    # cap): all within distance 1 of the hub "nameXX" variants
-    rows = [(i, f"base-{i:03d}-XX") for i in range(30)]
+
+def test_over_cap_star_recall_contract(spark):
+    """Force max_block overflow on a degenerate block (every record one
+    substitution from every other at position 1, so ALL share the
+    delete-position-1 variant) and pin the documented contract: pairs
+    through the hub survive, candidate volume stays O(block), and
+    entity labeling is unchanged because the hub connects the block."""
+    from momyre_spark.operators.linkage import entity_groups
+
+    n = 40
+    rows = [(i, chr(65 + i) + "ommon-entity-name") for i in range(n)]
     df = spark.createDataFrame(rows, "id long, name string")
-    # prefix 5 groups "base-" -> also one jumbo prefix block
-    full = blocked_edit_pairs(
-        df, prefix_len=5, suffix_len=2, max_distance=2, max_block=100
-    )
-    star = blocked_edit_pairs(
-        df, prefix_len=5, suffix_len=2, max_distance=2, max_block=10
-    )
-    # candidate set under the cap is star-shaped: <= n-1 per block vs
-    # n(n-1)/2; verified pairs can only shrink
-    assert star.count() <= full.count()
-    # connectivity through the hub survives: records within distance 2 of
-    # the hub still cluster with it
-    close = spark.createDataFrame(
-        [(i, f"dup-name-{chr(65 + i)}") for i in range(12)],
-        "id long, name string",
-    )  # all pairwise distance <= 2, one char differs near the end
-    groups = {
-        r["id"]: r["entity"]
-        for r in entity_groups(
-            close, text_col="name", id_col="id", max_distance=2,
-            prefix_len=8, suffix_len=2,
-        ).collect()
-    }
-    star_groups = {
-        r["id"]: r["entity"]
-        for r in entity_groups(
-            close, text_col="name", id_col="id", max_distance=2,
-            prefix_len=8, suffix_len=2, max_block=5,
-        ).collect()
-    }
-    # with every member within distance of the hub, the component is
-    # identical under the cap
-    assert groups == star_groups
-    assert len(set(groups.values())) == 1
+
+    full = blocked_edit_pairs(df, max_distance=1, max_block=1000)
+    got_full = {(r["a_id"], r["b_id"]) for r in full.collect()}
+    assert len(got_full) == n * (n - 1) // 2  # exhaustive below the cap
+
+    capped = blocked_edit_pairs(df, max_distance=1, max_block=10)
+    got_star = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    # star shape: exactly the n-1 hub pairs (hub = min id = 0)
+    assert got_star == {(0, i) for i in range(1, n)}
+    assert got_star <= got_full
+
+    # transitive closure through the hub rebuilds the full entity:
+    # labeling is IDENTICAL capped vs uncapped
+    g_full = {r["id"]: r["entity"] for r in entity_groups(
+        df, max_distance=1, max_block=1000).collect()}
+    g_star = {r["id"]: r["entity"] for r in entity_groups(
+        df, max_distance=1, max_block=10).collect()}
+    assert g_full == g_star and set(g_star.values()) == {0}
+
+
+def test_over_cap_hub_free_pair_is_the_documented_miss(spark):
+    """A pair matching each other but not the hub survives the cap if it
+    shares ANY small block; it is missed only when its EVERY shared
+    block is over-cap — the precise star contract."""
+    n = 40
+    rows = [(i, chr(65 + i) + "ommon-entity-name") for i in range(n)]
+    # 100/101: distance 1 from each other (last char); their shared
+    # variants ("Zommon-entity-nam" + last-char deletions) are tiny
+    # blocks, NOT the jumbo delete-pos-1 block
+    rows += [(100, "Zommon-entity-namX"), (101, "Zommon-entity-namY")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    full = {(r["a_id"], r["b_id"]) for r in blocked_edit_pairs(
+        df, max_distance=1, max_block=1000).collect()}
+    star = {(r["a_id"], r["b_id"]) for r in blocked_edit_pairs(
+        df, max_distance=1, max_block=10).collect()}
+    assert (100, 101) in full
+    assert (100, 101) in star  # found through a below-cap block
+
+    # position-1-substitution pairs share ONLY the jumbo block: every
+    # non-hub pair is the documented miss
+    assert (1, 2) in full
+    assert (1, 2) not in star

@@ -618,6 +618,30 @@ def duplicate_components(
                 ).alias("label"),
             )
         )
+        # path halving: shortcut each label through the label table itself
+        # (label(id) := min(label(id), label(label(id)))). Labels are node
+        # ids in the same component, so the invariant (label reachable,
+        # monotonically decreasing) holds and the fixed point is unchanged
+        # — but convergence drops from O(diameter) neighbor rounds to
+        # O(log diameter): a long chain (sequential near-dup ids, linked
+        # revisions) otherwise costs one full edge-join round PER HOP.
+        # The extra join is over the label table (nodes-sized, tiny next
+        # to the edge list).
+        lab2 = new_labels.select(
+            F.col("id").alias("__lid"), F.col("label").alias("__llabel")
+        )
+        new_labels = (
+            new_labels.join(
+                lab2, new_labels.label == lab2.__lid, "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__llabel"), F.col("label")),
+                ).alias("label"),
+            )
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -166,3 +166,64 @@ def test_over_cap_hub_free_pair_is_the_documented_miss(spark):
     # non-hub pair is the documented miss
     assert (1, 2) in full
     assert (1, 2) not in star
+
+
+# ------------------------------------ property: exact recall theorem
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_neighborhood_recall_property(spark):
+    """FastSS theorem, fuzzed: for random strings over a tiny alphabet
+    (forcing repeated-char edge cases) and random single/double edits,
+    every pair within max_distance is found and every reported distance
+    is exact. Batched into one frame per max_distance so the whole fuzz
+    costs two Spark jobs."""
+    import random
+
+    rng = random.Random(7919)
+    alpha = "abz"
+
+    def mutate(s: str) -> str:
+        ops = ["sub", "ins", "del"] if s else ["ins"]
+        op = rng.choice(ops)
+        p = rng.randrange(len(s) + (op == "ins"))
+        if op == "sub":
+            return s[:p] + rng.choice(alpha) + s[p + 1:]
+        if op == "ins":
+            return s[:p] + rng.choice(alpha) + s[p:]
+        return s[:p] + s[p + 1:]
+
+    for d in (1, 2):
+        rows, expect = [], {}
+        for i in range(60):
+            base = "".join(rng.choice(alpha)
+                           for _ in range(rng.randrange(1, 25)))
+            mut = base
+            for _ in range(d):
+                mut = mutate(mut)
+            rows += [(2 * i, base), (2 * i + 1, mut)]
+            a, b = sorted([2 * i, 2 * i + 1])
+            expect[(a, b)] = _lev(base, mut)
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {(r["a_id"], r["b_id"]): r["distance"]
+               for r in blocked_edit_pairs(df, max_distance=d).collect()}
+        by_id = dict(rows)
+        # every reported distance is the exact levenshtein and <= d
+        for (a, b), dist in got.items():
+            assert dist == _lev(by_id[a], by_id[b]) and dist <= d
+        # every planted pair within d is found (exact recall)
+        for pair, dist in expect.items():
+            if dist <= d and pair[0] != pair[1]:
+                assert pair in got, (pair, by_id[pair[0]], by_id[pair[1]], d)

@@ -53,6 +53,10 @@ SHOWCASE = [
     ("q80_assoc_rules", "basket pairs: broadcast Apriori prune + broadcast stats joins, no cartesian"),
     ("graph_neighbor_jaccard", "wedge self-join through shared neighbor; degree joins stay equi-joins"),
     ("stats_spearman", "Spearman: doubled mid-ranks join back co-partitioned; one moment agg"),
+    # round 7
+    ("dedup_record_linkage", "FastSS deletion variants generated in codegen HOFs; md5 equi-join candidates, levenshtein verify map-side, no cartesian"),
+    ("pipe_fim_transform", "FIM re-serialization fused into the scan: map-only hash+substring expressions, zero shuffles before the orderBy"),
+    ("chat_loss_mask", "loss spans from ONE aggregate HOF fold: no Generate, no EvalPython, no exchange before the orderBy"),
 ]
 
 

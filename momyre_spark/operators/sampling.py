@@ -95,7 +95,11 @@ def stratified_sample(
     pseudo-random order) and the first ``ceil(frac * n)`` kept — so the
     sample size is exact, not binomial like ``DataFrame.sampleBy``, and the
     same rows are chosen on every run. Strata missing from ``fractions``
-    use ``default_fraction``. One window shuffle on the stratum key.
+    use ``default_fraction``. One window shuffle on the stratum key;
+    exact ranked selection inherently orders each stratum in one task, so
+    skew is bounded by the largest stratum — for a stratum that is most
+    of the corpus, use hash-threshold (binomial) sampling or salt the
+    strata upstream.
     """
     frac = F.lit(float(default_fraction))
     for k, v in fractions.items():

@@ -214,3 +214,60 @@ def dedup_multimodal_groups(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "component", "n_members")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Video scene-change detection (operators/multimodal.scene_changes): the
+# per-frame luma track with a lag-window cut detector, over the same
+# deterministic byte-window frame model as mm_frame_sample (payload =
+# UTF-8 text bytes, one frame per 100-byte window; the fixture corpus is
+# ASCII so the oracle can mirror byte sums as ascii(char) sums — the same
+# assumption mm_frame_sample's green oracle already relies on).
+#
+# NOT registered this round: round 7's ~50-row driver budget is exactly
+# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
+# Round 8: wrap with @query("mm_video_scenes", oracle=_MM_SCENES_ORACLE).
+# Pre-validated end-to-end by tests/test_multimodal_ops.py::
+# test_mm_video_scenes_oracle_parity (same compare as the driver).
+# --------------------------------------------------------------------------
+_MM_SCENES_ORACLE = """
+    WITH ch AS (
+        SELECT doc_id, text,
+               unnest(range(0, (length(text) // 100) * 100)) AS p
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, (p // 100) AS fi,
+               SUM(ascii(substr(text, CAST(p + 1 AS INT), 1))) AS s,
+               COUNT(*) AS n
+        FROM ch GROUP BY 1, 2
+    ),
+    luma AS (
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               CAST((s * 100 + n // 2) // n AS BIGINT) AS luma_centi
+        FROM f
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, luma_centi,
+               luma_centi - lag(luma_centi) OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx
+               ) AS delta_centi
+        FROM luma
+    )
+    SELECT doc_id, frame_idx, luma_centi, delta_centi,
+           CASE WHEN delta_centi IS NOT NULL
+                THEN abs(delta_centi) > 1500 END AS is_cut
+    FROM d ORDER BY doc_id, frame_idx
+"""
+
+
+def mm_video_scenes(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.multimodal import (
+        scene_changes,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return scene_changes(with_binary_payload(docs)).orderBy(
+        "doc_id", "frame_idx"
+    )

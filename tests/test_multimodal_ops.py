@@ -473,3 +473,34 @@ def test_scene_changes_layout_invariant(spark):
     a = sorted(map(tuple, scene_changes(df).collect()))
     b = sorted(map(tuple, scene_changes(df.repartition(5)).collect()))
     assert a == b
+
+
+def test_mm_video_scenes_oracle_parity(spark):
+    """Pre-validates the round-8 registration: run the (not yet
+    registered) mm_video_scenes query and its DuckDB oracle at sf0.001
+    and compare rows/schema/values exactly like the driver does."""
+    import os
+
+    import duckdb
+
+    from momyre_spark.plans.multimodal_queries import (
+        _MM_SCENES_ORACLE,
+        mm_video_scenes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("sf0.001 testdata absent")
+    got = mm_video_scenes(spark, sf).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    cur = con.execute(_MM_SCENES_ORACLE)
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(got) == len(orows) and len(got) > 0
+    assert [c for c in got[0].asDict()] == ocols
+    for g, o in zip(got, orows):
+        assert tuple(g) == tuple(o), (tuple(g), tuple(o))

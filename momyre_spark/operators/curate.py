@@ -247,11 +247,12 @@ def repetition_report(
     are space-joined word windows. Ratios are round-half-up to 6 dp with
     integer numerators, so a SQL oracle reproduces every bit.
 
-    Shape: one explode + hash-agg per surface (lines, paragraphs, one
-    tagged explode for ALL requested n), each keyed by (doc, unit) — the
-    per-key state is one count, the per-doc rollup is tiny, and the three
-    doc-keyed aggregates co-partition into the final joins. No window over
-    the corpus, no UDF; empty docs surface NULL fractions, never a
+    Shape: TWO tagged explodes + hash-aggs total — lines and paragraphs
+    share one (doc, kind, unit)-keyed pass, all requested n share one
+    (doc, n, gram)-keyed pass — so the corpus is scanned twice, not once
+    per surface. Per-key state is one count, the per-doc rollups are
+    tiny and co-partition into the final joins. No window over the
+    corpus, no UDF; empty docs surface NULL fractions, never a
     fabricated 0."""
     from momyre_spark.functions.numeric import round_half_up
     from momyre_spark.functions.text import tokens
@@ -267,23 +268,49 @@ def repetition_report(
         tokens(t).alias("__toks"),
     )
 
-    def unit_stats(arr_col: str, prefix: str) -> DataFrame:
-        ex = base.select(id_col, F.explode(arr_col).alias("u"))
-        per_unit = (
-            ex.groupBy(id_col, "u")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("ln", F.length("u"))
-        )
-        dup_chars = F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("ln")).otherwise(0))
-        return per_unit.groupBy(id_col).agg(
-            F.sum("c").cast("bigint").alias(f"__{prefix}_n"),
-            F.count(F.lit(1)).cast("bigint").alias(f"__{prefix}_distinct"),
-            F.sum(F.col("c") * F.col("ln")).cast("bigint").alias(f"__{prefix}_chars"),
-            dup_chars.cast("bigint").alias(f"__{prefix}_dup_chars"),
-        )
+    # lines AND paragraphs in ONE tagged explode (the same fusion the
+    # n-gram surface below uses): one corpus scan + one (doc, kind, unit)
+    # shuffle instead of one of each per surface. Conditional sums carry
+    # NO otherwise(0): a doc absent from a kind must read NULL (matching
+    # the old per-surface left joins), never a fabricated 0/0.
+    units = base.select(
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                F.transform(
+                    "__lines",
+                    lambda u: F.struct(F.lit("l").alias("k"), u.alias("u")),
+                ),
+                F.transform(
+                    "__paras",
+                    lambda u: F.struct(F.lit("p").alias("k"), u.alias("u")),
+                ),
+            )
+        ).alias("ku"),
+    ).select(id_col, F.col("ku.k").alias("k"), F.col("ku.u").alias("u"))
+    per_unit = (
+        units.groupBy(id_col, "k", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("ln", F.length("u"))
+    )
 
-    lines = unit_stats("__lines", "l")
-    paras = unit_stats("__paras", "p")
+    def _kind(prefix: str):
+        cond = F.col("k") == prefix
+        return [
+            F.sum(F.when(cond, F.col("c"))).cast("bigint").alias(f"__{prefix}_n"),
+            F.count(F.when(cond, F.lit(1))).cast("bigint").alias(
+                f"__{prefix}_distinct"
+            ),
+            F.sum(F.when(cond, F.col("c") * F.col("ln")))
+            .cast("bigint")
+            .alias(f"__{prefix}_chars"),
+            F.sum(
+                F.when(cond & (F.col("c") > 1), F.col("c") * F.col("ln"))
+                .otherwise(F.when(cond, F.lit(0)))
+            ).cast("bigint").alias(f"__{prefix}_dup_chars"),
+        ]
+
+    unit_rollup = per_unit.groupBy(id_col).agg(*_kind("l"), *_kind("p"))
 
     # all requested n in ONE tagged explode: gram rows carry their n.
     # n is bound via a factory, NOT a lambda default arg — a 2-parameter
@@ -321,8 +348,7 @@ def repetition_report(
 
     out = (
         base.select(id_col)
-        .join(lines, id_col, "left")
-        .join(paras, id_col, "left")
+        .join(unit_rollup, id_col, "left")
         .join(top, id_col, "left")
     )
     r6 = lambda num, den: round_half_up(  # noqa: E731

@@ -145,6 +145,11 @@ HEADLINE = [
     "graph_neighbor_jaccard",
     "text_pmi_collocations",
     "stats_spearman",
+    # round-7: the two new registered queries — FIM re-serialization
+    # (map-only hash+substring codegen) and SFT loss-mask spans (one
+    # aggregate-HOF fold, no explode)
+    "pipe_fim_transform",
+    "chat_loss_mask",
 ]
 
 

@@ -642,6 +642,11 @@ def duplicate_components(
                 ).alias("label"),
             )
         )
+        # materialize the round FIRST (also cuts lineage), THEN read the
+        # convergence check off the materialized block: counting before
+        # cutting computed the round's full join DAG twice — once for the
+        # changed probe, once again for the eager checkpoint
+        new_labels, _ = _cut(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -652,8 +657,6 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
-        # cut lineage so the iterative plan doesn't grow unboundedly
-        labels, _ = _cut(labels)
     # materialize the result into one self-contained block, then release
     # the edge cache and every intermediate per-round checkpoint (reachable
     # only through the JVM persistent-RDD map — DataFrame.localCheckpoint

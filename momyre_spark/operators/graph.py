@@ -417,19 +417,20 @@ def kcore(
         return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
 
     # block ownership, same rationale as pagerank: release only blocks our
-    # eager cuts created, never an entry-diff
+    # eager cuts created, never an entry-diff. e_ids tracks the blocks the
+    # RETURNED edge frame depends on (the last edge cut, not the last cut
+    # of any kind — survivor cuts interleave since round 7)
     owned: set[int] = set()
-    last_ids: set[int] = set()
+    e_ids: set[int] = set()
 
-    def _cut(df: DataFrame) -> DataFrame:
-        nonlocal last_ids
+    def _cut(df: DataFrame) -> tuple[DataFrame, set[int]]:
         before = set(_persistent())
         out = df.localCheckpoint(eager=True)
-        last_ids = set(_persistent()) - before
-        owned.update(last_ids)
-        return out
+        made = set(_persistent()) - before
+        owned.update(made)
+        return out, made
 
-    e = _cut(
+    e, e_ids = _cut(
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
@@ -445,7 +446,10 @@ def kcore(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("__deg"))
         )
-        survivors = deg.filter(F.col("__deg") >= k).select("node")
+        # materialize survivors (nodes-sized) BEFORE counting: the count
+        # and the edge-filter join below otherwise each recompute the
+        # degree aggregation — the round's dominant work — from scratch
+        survivors, _ = _cut(deg.filter(F.col("__deg") >= k).select("node"))
         n = survivors.count()
         if n == prev_n:
             break  # nobody dropped: every remaining node has degree >= k
@@ -453,13 +457,13 @@ def kcore(
         if n == 0:
             e = e.limit(0)
             break
-        e = _cut(
+        e, e_ids = _cut(
             e.join(survivors.withColumnRenamed("node", "a"), "a")
             .join(survivors.withColumnRenamed("node", "b"), "b")
             .select("a", "b")
         )
     for rid, j in _persistent().items():
-        if rid in owned and rid not in last_ids:
+        if rid in owned and rid not in e_ids:
             j.unpersist(False)
     return (
         e.select(F.col("a").alias("node"))

@@ -7,7 +7,7 @@ map-only job whose cost is the parquet scan itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from momyre_spark.functions import text as T
@@ -329,4 +329,92 @@ def dup_ngram_coverage(
             / F.col("n_shingles").cast("double"),
             digits,
         ).alias("coverage"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans, token level: for every document,
+    the maximal runs of consecutive word ``n``-grams that occur at least
+    ``min_occurrences`` times in the WHOLE corpus (counting repeats inside
+    one document) — the Lee-et-al "deduplicating training data" exact-
+    substring signal, reported as removable spans rather than a coverage
+    ratio (``dup_ngram_coverage`` gives the ratio; this gives the cut
+    list). A run of k consecutive duplicated n-grams marks a duplicated
+    token span of k + n - 1 tokens. Output one row per maximal span:
+    ``(doc_id, start_tok, end_tok, span_tokens, n_dup_shingles)`` with
+    0-based inclusive token offsets, ordered by (doc, start).
+
+    Shape: one positional explode (position must survive, so no
+    array_distinct), one shingle-keyed occurrence count via the
+    inverted-index groupBy + equi-join-back (map-side combine + AQE skew
+    splitting; NEVER a shingle-partitioned window — a boilerplate shingle
+    in millions of docs would pin one task), then a per-document window
+    to merge consecutive duplicated positions into maximal runs
+    (lag-gap flag + running sum — the sessionize idiom). The only
+    window is partitioned by document, so its worst task is the longest
+    single document, not the corpus.
+
+    Determinism: all counts and offsets are exact integers — no floats
+    anywhere, directly hash-oracle-able.
+    """
+    from momyre_spark.functions.text import tokens
+
+    if n < 2:
+        raise ValueError("momyre: duplicate_spans needs n >= 2")
+    w = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__w")
+    ).filter(F.size("__w") >= n)
+    # (doc, pos, shingle) with pos = 0-based start token index. slice() is
+    # 1-based; shingle at pos p covers tokens [p, p+n-1].
+    pe = w.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - F.lit(n)),
+                lambda p: F.concat_ws(
+                    " ", F.slice(F.col("__w"), p + F.lit(1), F.lit(n))
+                ),
+            )
+        ).alias("__p", "__s"),
+    )
+    idx = pe.groupBy("__s").agg(F.count(F.lit(1)).alias("__occ"))
+    dup = (
+        pe.join(idx, "__s")
+        .filter(F.col("__occ") >= min_occurrences)
+        .select(id_col, "__p")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("__p")
+    runs = dup.withColumn(
+        "__new",
+        F.when(
+            F.col("__p") - F.lag("__p").over(wdoc) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("__p").alias("start_tok"),
+            (F.max("__p") + F.lit(n - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select(
+            id_col,
+            F.col("start_tok").cast("bigint").alias("start_tok"),
+            F.col("end_tok").cast("bigint").alias("end_tok"),
+            (F.col("end_tok") - F.col("start_tok") + F.lit(1))
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.col("n_dup_shingles").cast("bigint").alias("n_dup_shingles"),
+        )
     )

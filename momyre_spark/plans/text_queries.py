@@ -1387,3 +1387,65 @@ def text_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return dup_ngram_coverage(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring spans (operators/textops.duplicate_spans): the
+# Lee-et-al exact-substring dedup signal as a per-document cut list —
+# maximal runs of corpus-duplicated word trigrams reported as token spans.
+# All-integer output (offsets + counts), directly hash-oracle-able.
+#
+# NOT registered this round: round 7's ~50-row driver budget is exactly
+# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
+# Round 8: wrap with @query("text_duplicate_spans", oracle=_DUP_SPANS_ORACLE).
+# Pre-validated end-to-end by tests/test_textops.py::
+# test_text_duplicate_spans_oracle_parity (same compare as the driver).
+# --------------------------------------------------------------------------
+_DUP_SPANS_ORACLE = r"""
+    WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+    ),
+    pe AS (
+        SELECT doc_id, p,
+               array_to_string(toks[p + 1 : p + 3], ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - 2)) AS p
+              FROM w)
+    ),
+    idx AS (SELECT s, count(*) AS occ FROM pe GROUP BY s),
+    dup AS (
+        SELECT pe.doc_id, pe.p FROM pe JOIN idx USING (s)
+        WHERE occ >= 2
+    ),
+    runs AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                    ) = 1 THEN 0 ELSE 1 END AS newf
+        FROM dup
+    ),
+    r2 AS (
+        SELECT doc_id, p,
+               SUM(newf) OVER (
+                   PARTITION BY doc_id ORDER BY p
+               ) AS run
+        FROM runs
+    )
+    SELECT doc_id,
+           CAST(MIN(p) AS BIGINT) AS start_tok,
+           CAST(MAX(p) + 2 AS BIGINT) AS end_tok,
+           CAST(MAX(p) + 2 - MIN(p) + 1 AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+    FROM r2 GROUP BY doc_id, run
+    ORDER BY doc_id, start_tok
+"""
+
+
+def text_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return duplicate_spans(docs).orderBy("doc_id", "start_tok")

@@ -124,3 +124,80 @@ def test_dup_ngram_coverage_known(spark):
     assert got[3]["n_shared"] == 0 and got[3]["coverage"] == 0.0
     with _pytest.raises(ValueError):
         dup_ngram_coverage(docs, n=2)
+
+
+def test_duplicate_spans_known(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.textops import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 5-token prefix "a b c d e":
+            # duplicated trigram positions 0,1,2 -> one maximal span
+            # covering tokens 0..4 (5 tokens, 3 shingles)
+            (1, "a b c d e x1 y1 z1 a b c"),
+            (2, "a b c d e x2 y2 z2"),
+            (3, "totally unrelated words here"),
+            (4, "no dup"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"]): r
+        for r in duplicate_spans(docs).collect()
+    }
+    # doc1: prefix span 0..4 AND the tail "a b c" repeats the corpus
+    # trigram "a b c" (occurs in doc1 twice + doc2) -> span at p=8
+    assert (1, 0) in got and (2, 0) in got and (1, 8) in got
+    s = got[(1, 0)]
+    assert s["end_tok"] == 4 and s["span_tokens"] == 5
+    assert s["n_dup_shingles"] == 3
+    tail = got[(1, 8)]
+    assert tail["end_tok"] == 10 and tail["span_tokens"] == 3
+    # doc3 has trigrams but none duplicated; doc4 too short
+    assert not any(d == 3 or d == 4 for d, _ in got)
+    with _pytest.raises(ValueError):
+        duplicate_spans(docs, n=1)
+
+
+def test_duplicate_spans_partition_invariant(spark):
+    from momyre_spark.operators.textops import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} w{(i + 1) % 3} w{(i + 2) % 3} tail{i} end{i}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, duplicate_spans(docs).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs.repartition(7)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_text_duplicate_spans_oracle_parity(spark):
+    """Pre-validates the round-8 registration: run the (not yet
+    registered) text_duplicate_spans query and its DuckDB oracle at
+    sf0.001 with the driver-mirror compare."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.text_queries import (
+        _DUP_SPANS_ORACLE,
+        text_duplicate_spans,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = text_duplicate_spans(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(_DUP_SPANS_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

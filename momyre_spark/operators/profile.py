@@ -1509,3 +1509,124 @@ def ab_power_report(
         round_half_up(mde, digits).alias("mde"),
         n_req.alias("n_required"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    observed_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (right-censored): for each group and
+    each distinct integer duration t, the at-risk count n_t, event count
+    d_t, censored count c_t, and the product-limit survival estimate
+    S(t) = prod_{s<=t} (1 - d_s/n_s) — the time-to-event readout
+    (conversion latency, churn, failure analysis) that handles censoring
+    correctly where a naive mean-of-converters does not. ``observed_col``
+    is 1 for an observed event, 0 for a censored subject; ``duration_col``
+    must be integer-valued (fix units upstream — hours, days).
+
+    Shape: one hash agg to distinct (group, t) rows (map-side combine —
+    subjects collapse before the shuffle), one distinct-TIME window per
+    group for the at-risk counts, then one ordered fold per group over
+    the distinct-time rows for the product (collect_list is bounded by
+    the number of DISTINCT durations per group — time resolution, not
+    subject count; coarsen units if a group would exceed ~1e6 distinct
+    times). Never a per-subject window or sort.
+
+    Determinism: d/c/n are exact BIGINT; each factor is one double
+    division and the product is a FIXED-ORDER ascending-time fold — the
+    same IEEE sequence in any engine and under any partitioning (the
+    list is sorted before folding) — rounded at ``digits``.
+    """
+    gcols = list(group_cols)
+    base = df.select(
+        *gcols,
+        F.col(duration_col).cast("bigint").alias("__t"),
+        F.when(F.col(observed_col).cast("int") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__e"),
+    ).filter(F.col("__t").isNotNull())
+    per = base.groupBy(*gcols, "__t").agg(
+        F.sum("__e").alias("__d"),
+        (F.count(F.lit(1)) - F.sum("__e")).alias("__c"),
+    )
+    wcum = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if gcols
+        else Window.partitionBy()
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        if gcols
+        else Window.partitionBy()
+    )
+    sized = per.withColumn(
+        "__n",
+        F.sum(F.col("__d") + F.col("__c")).over(wall)
+        - (
+            F.sum(F.col("__d") + F.col("__c")).over(wcum)
+            - (F.col("__d") + F.col("__c"))
+        ),
+    )
+    lst = sized.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("__t", "__d", "__c", "__n"))
+        ).alias("__l")
+    )
+    folded = lst.select(
+        *gcols,
+        F.aggregate(
+            F.col("__l"),
+            F.struct(
+                F.lit(1.0).alias("p"),
+                F.array().cast(
+                    "array<struct<t:bigint,d:bigint,c:bigint,"
+                    "n:bigint,s:double>>"
+                ).alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                (
+                    acc["p"]
+                    * (
+                        F.lit(1.0)
+                        - x["__d"].cast("double") / x["__n"].cast("double")
+                    )
+                ).alias("p"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["__t"].alias("t"),
+                            x["__d"].alias("d"),
+                            x["__c"].alias("c"),
+                            x["__n"].alias("n"),
+                            (
+                                acc["p"]
+                                * (
+                                    F.lit(1.0)
+                                    - x["__d"].cast("double")
+                                    / x["__n"].cast("double")
+                                )
+                            ).alias("s"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("__rows"),
+    )
+    ex = folded.select(*gcols, F.explode("__rows").alias("__r"))
+    return ex.select(
+        *gcols,
+        F.col("__r.t").alias("t"),
+        F.col("__r.n").alias("n_risk"),
+        F.col("__r.d").alias("d_events"),
+        F.col("__r.c").alias("c_censored"),
+        round_half_up(F.col("__r.s"), digits).alias("surv"),
+    )

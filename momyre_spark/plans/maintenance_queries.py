@@ -2027,3 +2027,86 @@ def stats_ab_power(spark: SparkSession, sf: str) -> DataFrame:
     return ab_power_report(
         ev, ["event_type"], "arm", "value", 0, 1
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (operators/profile.kaplan_meier): global
+# time-to-first-purchase curve over users, right-censored at each user's
+# last event — the conversion-latency readout that handles non-converters
+# correctly. Distinct-hour rows only; product via a fixed-order ascending
+# fold (engine-identical IEEE sequence), counts exact BIGINT.
+#
+# NOT registered this round: round 7's ~50-row driver budget is exactly
+# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
+# Round 8: wrap with @query("stats_kaplan_meier", oracle=_KM_ORACLE).
+# Pre-validated end-to-end by tests/test_maintenance_ops.py::
+# test_stats_kaplan_meier_oracle_parity (same compare as the driver).
+# --------------------------------------------------------------------------
+_KM_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               min(epoch(CAST(ts AS TIMESTAMP))) AS e0,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch(CAST(ts AS TIMESTAMP)) END) AS ep,
+               max(epoch(CAST(ts AS TIMESTAMP))) AS emax
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT CAST(floor((coalesce(ep, emax) - e0) / 3600) AS BIGINT)
+                   AS t,
+               CASE WHEN ep IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM u
+    ),
+    per AS (
+        SELECT t, CAST(SUM(e) AS BIGINT) AS d_events,
+               CAST(COUNT(*) - SUM(e) AS BIGINT) AS c_censored
+        FROM dur GROUP BY t
+    ),
+    w AS (
+        SELECT *, SUM(d_events + c_censored) OVER () AS total,
+               SUM(d_events + c_censored) OVER (ORDER BY t)
+                 - (d_events + c_censored) AS cumprev
+        FROM per
+    ),
+    l AS (
+        SELECT list(struct_pack(
+                   t := t, d := d_events, c := c_censored,
+                   n := CAST(total - cumprev AS BIGINT)
+               ) ORDER BY t) AS sl
+        FROM w
+    ),
+    ix AS (SELECT sl, unnest(range(1, len(sl) + 1)) AS i FROM l)
+    SELECT sl[i].t AS t, sl[i].n AS n_risk, sl[i].d AS d_events,
+           sl[i].c AS c_censored,
+           floor(list_reduce(
+               (list_transform(sl, x ->
+                   1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)))[1:i],
+               (a, b) -> a * b) * 1000000 + 0.5) / 1000000.0 AS surv
+    FROM ix ORDER BY t
+"""
+
+
+def stats_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import kaplan_meier
+
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+        F.max("ts").alias("tmax"),
+    )
+    d = u.select(
+        F.floor(
+            (
+                F.unix_timestamp(F.coalesce("tp", "tmax"))
+                - F.unix_timestamp("t0")
+            )
+            / F.lit(3600)
+        ).alias("dur_h"),
+        F.when(F.col("tp").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    return kaplan_meier(d, [], "dur_h", "observed").orderBy("t")

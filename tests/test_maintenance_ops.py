@@ -932,3 +932,74 @@ def test_psi_missing_reference_fail_stops(spark):
     )
     with _pytest.raises(ValueError, match="reference group"):
         psi_report(df, "src", "v", [3.0], "nope")
+
+
+def test_kaplan_meier_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import kaplan_meier
+
+    # classic textbook example: events at t=1 (2 of 10), t=3 (1 of 7),
+    # censored at t=2 (1) : S(1)=0.8, S(2)=0.8, S(3)=0.8*(1-1/7)
+    rows = (
+        [(1, 1)] * 2
+        + [(2, 0)]
+        + [(3, 1)]
+        + [(4, 0)] * 6
+    )
+    df = spark.createDataFrame(rows, "dur long, obs int")
+    got = {r["t"]: r for r in kaplan_meier(df, [], "dur", "obs").collect()}
+    assert got[1]["n_risk"] == 10 and got[1]["d_events"] == 2
+    assert got[1]["surv"] == _pytest.approx(0.8, abs=1e-6)
+    assert got[2]["n_risk"] == 8 and got[2]["c_censored"] == 1
+    assert got[2]["surv"] == _pytest.approx(0.8, abs=1e-6)  # censoring only
+    assert got[3]["n_risk"] == 7 and got[3]["d_events"] == 1
+    assert got[3]["surv"] == _pytest.approx(0.8 * (1 - 1 / 7), abs=1e-6)
+    assert got[4]["n_risk"] == 6 and got[4]["surv"] == got[3]["surv"]
+
+
+def test_kaplan_meier_grouped_and_partition_invariant(spark):
+    from momyre_spark.operators.profile import kaplan_meier
+
+    rows = [(g, t % 5 + 1, (t * 7 + gi) % 3 != 0)
+            for gi, g in enumerate(("a", "b")) for t in range(40)]
+    df = spark.createDataFrame(rows, "g string, dur long, obs boolean")
+    df = df.withColumn("obs", df.obs.cast("int"))
+    a = sorted(map(tuple, kaplan_meier(df, ["g"], "dur", "obs").collect()))
+    b = sorted(map(tuple,
+                   kaplan_meier(df.repartition(7), ["g"], "dur",
+                                "obs").collect()))
+    assert a == b and len(a) == 10  # 2 groups x 5 distinct times
+    # survival is non-increasing in t within each group
+    for g in ("a", "b"):
+        curve = [r[-1] for r in a if r[0] == g]
+        assert all(x >= y for x, y in zip(curve, curve[1:]))
+
+
+def test_stats_kaplan_meier_oracle_parity(spark):
+    """Pre-validates the round-8 registration: run the (not yet
+    registered) stats_kaplan_meier query and its DuckDB oracle at
+    sf0.001 with the driver-mirror compare."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.maintenance_queries import (
+        _KM_ORACLE,
+        stats_kaplan_meier,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/events.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = stats_kaplan_meier(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    ddf = con.execute(_KM_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

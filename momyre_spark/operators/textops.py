@@ -418,3 +418,68 @@ def duplicate_spans(
             F.col("n_dup_shingles").cast("bigint").alias("n_dup_shingles"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 25,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    lang: str = "en",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    algorithm): build the corpus word co-occurrence graph — lowercase
+    alphabetic tokens, stopwords removed, an undirected edge between
+    words ADJACENT in the filtered token sequence — and rank words with
+    PageRank; return the global ``top_k`` ``(word, rank)``. This is the
+    corpus-level "what is this collection about" signal next to the
+    per-doc tf-idf/BM25 term scores.
+
+    Shape: one map-only explode to (binary, distinct) edges, then
+    :func:`momyre_spark.operators.graph.pagerank` — fixed-iteration,
+    exact integer rank units, so the iterative part is bit-identical
+    under any partitioning and carries a full value-hash oracle (the
+    graph family's recipe). Edge count is bounded by total corpus
+    tokens; the vocabulary graph is orders of magnitude smaller than
+    the corpus, so the iterations run on a frame that FITS — rank
+    resolution auto-coarsens if the vocabulary is enormous.
+
+    The final top-k is an ``orderBy(rank DESC, word).limit(k)`` — a
+    TakeOrdered, never a full sort materialization.
+    """
+    from momyre_spark.functions.text import STOPWORDS, tokens
+    from momyre_spark.operators.graph import pagerank
+
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    filt = F.filter(
+        tokens(F.lower(F.col(text_col))),
+        lambda t: t.rlike("^[a-z]+$") & ~F.array_contains(stop_arr, t),
+    )
+    base = docs.select(filt.alias("__f")).filter(F.size("__f") >= 2)
+    pairs = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(__f, 1, size(__f) - 1)"),
+                    F.expr("slice(__f, 2, size(__f) - 1)"),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, damping=damping, max_iter=max_iter)
+    return (
+        pr.orderBy(F.desc("rank"), "node")
+        .limit(top_k)
+        .select(F.col("node").alias("word"), "rank")
+    )

@@ -1449,3 +1449,101 @@ def text_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return duplicate_spans(docs).orderBy("doc_id", "start_tok")
+
+
+# --------------------------------------------------------------------------
+# TextRank keywords (operators/textops.textrank_keywords): corpus-level
+# keyword extraction — PageRank over the stopword-filtered word adjacency
+# graph (Mihalcea & Tarau 2004). The oracle unrolls the same 10
+# fixed-point iterations as the graph family's _pr_oracle (BIGINT 1e-10
+# rank units, materialized CTE per level) over a word-edge head, so the
+# iterative part value-hashes bit-for-bit.
+#
+# NOT registered this round: round 7's ~50-row driver budget is exactly
+# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
+# Round 8: wrap with @query("text_textrank_keywords",
+# oracle=_textrank_oracle()). Pre-validated end-to-end by
+# tests/test_textops.py::test_textrank_oracle_parity (same compare as
+# the driver).
+# --------------------------------------------------------------------------
+_TR_ITERS = 10
+_TR_DAMP = 0.85
+_TR_SCALE = "10000000000"
+_TR_TOPK = 25
+
+
+def _textrank_oracle() -> str:
+    stop = "'the','a','of','and','to','in','is'"  # STOPWORDS["en"]
+    head = rf"""
+    tk AS (
+        SELECT list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   t -> regexp_matches(t, '^[a-z]+$')
+                        AND t NOT IN ({stop})
+               ) AS f
+        FROM documents
+    ),
+    pairs AS (
+        SELECT f[i] AS a, f[i + 1] AS b
+        FROM tk, unnest(range(1, len(f))) t(i)
+        WHERE len(f) >= 2
+    ),
+    e2 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM pairs WHERE a <> b
+            UNION ALL SELECT b, a FROM pairs WHERE a <> b)
+    ),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS MATERIALIZED (
+        SELECT src AS node, COUNT(*) AS dg FROM e2 GROUP BY 1),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST({_TR_SCALE} AS BIGINT) AS units FROM nodes)"""
+    steps = []
+    for i in range(1, _TR_ITERS + 1):
+        p = f"r{i - 1}"
+        contrib = (
+            f"CAST(floor(CAST({p}.units AS DOUBLE) / deg.dg + 0.5)"
+            " AS BIGINT)"
+        )
+        upd = (
+            f"CAST(floor((1.0 - {_TR_DAMP}) * {_TR_SCALE}.0"
+            f" + {_TR_DAMP} * (CAST(COALESCE(c{i}.s, 0) AS DOUBLE)"
+            f" + CAST((SELECT m FROM dang{i}) AS DOUBLE)"
+            f" / CAST((SELECT n FROM nn) AS DOUBLE))"
+            f" + 0.5) AS BIGINT)"
+        )
+        steps.append(f"""
+    dang{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(units), 0) AS m
+        FROM {p} LEFT JOIN deg USING (node) WHERE deg.dg IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT e2.dst AS node, SUM({contrib}) AS s
+        FROM e2
+        JOIN {p} ON e2.src = {p}.node
+        JOIN deg ON deg.node = e2.src
+        GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT nodes.node, {upd} AS units
+        FROM nodes LEFT JOIN c{i} USING (node)
+    )""")
+    return (
+        "WITH" + head + "," + ",".join(steps)
+        + f"""
+    SELECT node AS word, CAST(units AS DOUBLE) / {_TR_SCALE}.0 AS rank
+    FROM r{_TR_ITERS} ORDER BY units DESC, node LIMIT {_TR_TOPK}"""
+    )
+
+
+def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import textrank_keywords
+
+    docs = load_table(spark, sf, "documents")
+    return textrank_keywords(
+        docs, top_k=_TR_TOPK, damping=_TR_DAMP, max_iter=_TR_ITERS
+    )

@@ -201,3 +201,67 @@ def test_text_duplicate_spans_oracle_parity(spark):
     ddf = con.execute(_DUP_SPANS_ORACLE).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def test_textrank_keywords_hub_word_wins(spark):
+    from momyre_spark.operators.textops import textrank_keywords
+
+    # "spark" is adjacent to many distinct words; each "leafN" only to
+    # spark — the hub must outrank every leaf. Stopwords ("the") and
+    # non-alphabetic tokens must never appear.
+    leaf = "abcdefgh"
+    docs = spark.createDataFrame(
+        [(i, f"the spark leaf{leaf[i]} 42 spark extra{leaf[i]}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, top_k=5).collect()
+    assert rows[0]["word"] == "spark"
+    words = {r["word"] for r in rows}
+    assert "the" not in words and "42" not in words
+    leaf_ranks = [r["rank"] for r in rows if r["word"].startswith("leaf")]
+    assert all(rows[0]["rank"] > lr for lr in leaf_ranks)
+
+
+def test_textrank_keywords_partition_invariant(spark):
+    from momyre_spark.operators.textops import textrank_keywords
+
+    w = "abcdefg"
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{w[i % 5]} beta w{w[(i + 2) % 7]} gamma")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in textrank_keywords(docs, top_k=10).collect()]
+    b = [tuple(r) for r in
+         textrank_keywords(docs.repartition(9), top_k=10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_textrank_oracle_parity(spark):
+    """Pre-validates the round-8 registration: run the (not yet
+    registered) text_textrank_keywords query and its DuckDB oracle at
+    sf0.001 with the driver-mirror compare."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.text_queries import (
+        _textrank_oracle,
+        text_textrank_keywords,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = text_textrank_keywords(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(_textrank_oracle()).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

@@ -1630,3 +1630,84 @@ def kaplan_meier(
         F.col("__r.c").alias("c_censored"),
         round_half_up(F.col("__r.s"), digits).alias("surv"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim_pct: int = 5,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the ``trim_pct`` percent smallest and
+    largest observations (k = floor(n * pct / 100) from each tail, as a
+    sorted multiset) and average the rest — the robust location estimate
+    that survives fat tails and sensor glitches where the plain mean
+    does not. Values are fixed to ``1/scale`` units upstream-style
+    (floor(v * scale + 0.5)), so every sum is exact BIGINT.
+
+    Shape: one hash agg to distinct (group, value) rows with counts
+    (map-side combine — the corpus collapses before anything ordered
+    happens), one distinct-VALUE cumulative window per group, then a
+    closed-form per-distinct-value overlap with the kept index range
+    [k+1, n-k] — no per-row sort, no per-row window, no collect. The
+    distinct-value frame is bounded by value resolution, the same
+    contract as the quantile/histogram family.
+
+    Determinism: counts, cumulative indices, and the kept-mass sum are
+    exact BIGINT; the single division is mirrored and rounded at
+    ``digits``. Groups where n - 2k <= 0 are dropped visibly.
+    """
+    if not 0 <= trim_pct < 50:
+        raise ValueError("momyre: trim_pct must be in [0, 50)")
+    gcols = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.floor(F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__v"),
+    )
+    per = base.groupBy(*gcols, "__v").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
+    cum = per.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    k = F.floor(F.col("__n") * F.lit(int(trim_pct)) / F.lit(100)).cast(
+        "bigint"
+    )
+    lo = k + 1                      # first kept 1-based index
+    hi = F.col("__n") - k           # last kept 1-based index
+    first = F.col("__cum") - F.col("__c") + 1   # this value's index range
+    last = F.col("__cum")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(last, hi) - F.greatest(first, lo) + F.lit(1),
+    )
+    agg = (
+        cum.select(*gcols, "__v", "__n", kept.alias("__kept"), k.alias("__k"))
+        .groupBy(*gcols)
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__k").alias("k_trimmed"),
+            F.sum(F.col("__v") * F.col("__kept")).alias("__sum"),
+            F.sum("__kept").alias("__nk"),
+        )
+        .filter(F.col("__nk") > 0)
+    )
+    return agg.select(
+        *gcols,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k_trimmed").cast("bigint").alias("k_trimmed"),
+        round_half_up(
+            F.col("__sum").cast("double")
+            / F.col("__nk").cast("double")
+            / F.lit(float(scale)),
+            digits,
+        ).alias("trimmed_mean"),
+    )

@@ -2110,3 +2110,60 @@ def stats_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         .alias("observed"),
     )
     return kaplan_meier(d, [], "dur_h", "observed").orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean (operators/profile.trimmed_mean): robust per-event-type
+# location estimate — 5% of each tail dropped as a sorted multiset via
+# the distinct-value rank machinery; every sum exact BIGINT centi-units.
+#
+# NOT registered this round (same 50-row budget note as _KM_ORACLE).
+# Round 8: wrap with @query("stats_trimmed_mean", oracle=_TRIM_ORACLE).
+# Pre-validated by tests/test_maintenance_ops.py::
+# test_stats_trimmed_mean_oracle_parity.
+# --------------------------------------------------------------------------
+_TRIM_ORACLE = """
+    WITH base AS (
+        SELECT event_type AS g,
+               CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT g, v, c,
+               CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm,
+               CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM per
+    ),
+    kept AS (
+        SELECT g, v, n,
+               CAST(floor(n * 5 / 100) AS BIGINT) AS k,
+               GREATEST(CAST(0 AS BIGINT),
+                        LEAST(cm, n - CAST(floor(n * 5 / 100) AS BIGINT))
+                        - GREATEST(cm - c + 1,
+                                   CAST(floor(n * 5 / 100) AS BIGINT) + 1)
+                        + 1) AS kp
+        FROM cum
+    ),
+    a AS (
+        SELECT g AS event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(k) AS BIGINT) AS k_trimmed,
+               CAST(SUM(v * kp) AS BIGINT) AS s,
+               CAST(SUM(kp) AS BIGINT) AS nk
+        FROM kept GROUP BY 1 HAVING SUM(kp) > 0
+    )
+    SELECT event_type, n, k_trimmed,
+           floor(CAST(s AS DOUBLE) / CAST(nk AS DOUBLE) / 100.0
+                 * 1000000 + 0.5) / 1000000.0 AS trimmed_mean
+    FROM a ORDER BY event_type
+"""
+
+
+def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import trimmed_mean
+
+    ev = load_table(spark, sf, "events")
+    return trimmed_mean(
+        ev, ["event_type"], "value", trim_pct=5, scale=100
+    ).orderBy("event_type")

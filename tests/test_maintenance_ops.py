@@ -1003,3 +1003,71 @@ def test_stats_kaplan_meier_oracle_parity(spark):
     ddf = con.execute(_KM_ORACLE).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def test_trimmed_mean_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import trimmed_mean
+
+    # group a: values 0..19 plus outliers -1000 and +1000 (n=22, 5% ->
+    # k=1): exactly the two outliers fall, mean of 0..19 = 9.5
+    rows = [("a", float(v)) for v in range(20)] + [
+        ("a", -1000.0), ("a", 1000.0)
+    ]
+    # group b: too small to trim (n=4, k=0) -> plain mean
+    rows += [("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in trimmed_mean(df, ["g"], "v").collect()}
+    assert got["a"]["n"] == 22 and got["a"]["k_trimmed"] == 1
+    assert got["a"]["trimmed_mean"] == _pytest.approx(9.5, abs=1e-6)
+    assert got["b"]["k_trimmed"] == 0
+    assert got["b"]["trimmed_mean"] == _pytest.approx(4.0, abs=1e-6)
+    # ties across the cut boundary: multiset semantics — only k copies
+    # of the boundary value fall
+    ties = spark.createDataFrame(
+        [("t", 5.0)] * 30 + [("t", 0.0)] * 2,
+        "g string, v double",
+    )  # n=32, k=1: drop one 0.0 low, one 5.0 high -> (0 + 5*29)/30
+    r = trimmed_mean(ties, ["g"], "v").collect()[0]
+    assert r["trimmed_mean"] == _pytest.approx((0.0 + 5.0 * 29) / 30, abs=1e-6)
+    with _pytest.raises(ValueError):
+        trimmed_mean(df, ["g"], "v", trim_pct=50)
+
+
+def test_trimmed_mean_partition_invariant(spark):
+    from momyre_spark.operators.profile import trimmed_mean
+
+    rows = [("g" + str(i % 3), float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = sorted(map(tuple, trimmed_mean(df, ["g"], "v").collect()))
+    b = sorted(map(tuple,
+                   trimmed_mean(df.repartition(11), ["g"], "v").collect()))
+    assert a == b and len(a) == 3
+
+
+def test_stats_trimmed_mean_oracle_parity(spark):
+    """Pre-validates the round-8 registration (driver-mirror compare)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.maintenance_queries import (
+        _TRIM_ORACLE,
+        stats_trimmed_mean,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/events.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = stats_trimmed_mean(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    ddf = con.execute(_TRIM_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

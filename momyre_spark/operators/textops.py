@@ -483,3 +483,68 @@ def textrank_keywords(
         .limit(top_k)
         .select(F.col("node").alias("word"), "rank")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_occurrences: int = 2,
+    min_span_tokens: int = 4,
+) -> DataFrame:
+    """The executable cut for :func:`duplicate_spans`: remove every
+    duplicated token span of at least ``min_span_tokens`` tokens from
+    each document and reassemble the survivors — the Lee-et-al exact
+    substring dedup applied, not just reported. Spans shorter than the
+    threshold stay (cutting every 3-token echo shreds text; the
+    threshold is the precision/recall knob). Output one row per input
+    document: ``(id_col, clean_text, n_tokens, n_removed_tokens)`` —
+    clean_text is the kept tokens joined by single spaces (whitespace
+    is normalized; token content is untouched).
+
+    Shape: the span finder's plan (positional explode + occurrence
+    index + per-doc run merge), then one per-doc interval list joined
+    back to the corpus and applied as a positional array filter — a
+    second map-side corpus scan, inherent to any find-then-cut pattern
+    (persist the source between the two scans on a real cluster). The
+    interval list per doc is bounded by doc length; the in-row filter
+    is tokens x intervals per doc, never a shuffle.
+
+    Determinism: interval bounds are exact integers; the filter and
+    re-join are order-preserving by construction.
+    """
+    from momyre_spark.functions.text import tokens
+
+    spans = duplicate_spans(
+        docs, text_col, id_col, n, min_occurrences
+    ).filter(F.col("span_tokens") >= min_span_tokens)
+    ivs = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__ivs")
+    )
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    j = base.join(ivs, id_col, "left").withColumn(
+        "__ivs",
+        F.coalesce(
+            "__ivs",
+            F.array().cast(
+                "array<struct<start_tok:bigint,end_tok:bigint>>"
+            ),
+        ),
+    )
+    kept = F.filter(
+        F.col("__w"),
+        lambda x, i: ~F.exists(
+            F.col("__ivs"),
+            lambda iv: (i.cast("bigint") >= iv["start_tok"])
+            & (i.cast("bigint") <= iv["end_tok"]),
+        ),
+    )
+    return j.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("__w").cast("bigint").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("bigint").alias(
+            "n_removed_tokens"
+        ),
+    )

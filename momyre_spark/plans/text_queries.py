@@ -1547,3 +1547,82 @@ def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
     return textrank_keywords(
         docs, top_k=_TR_TOPK, damping=_TR_DAMP, max_iter=_TR_ITERS
     )
+
+
+# --------------------------------------------------------------------------
+# Applied duplicated-span removal (operators/textops.remove_duplicate_spans):
+# the executable Lee-et-al cut — duplicated token spans >= 4 tokens removed,
+# survivors reassembled. One row per input document, integer counts.
+#
+# NOT registered this round (same 50-row budget note as above).
+# Round 8: wrap with @query("text_remove_dup_spans",
+# oracle=_RM_SPANS_ORACLE). Pre-validated by tests/test_textops.py::
+# test_text_remove_dup_spans_oracle_parity.
+# --------------------------------------------------------------------------
+_RM_SPANS_ORACLE = r"""
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents
+    ),
+    pe AS (
+        SELECT doc_id, p,
+               array_to_string(toks[p + 1 : p + 3], ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - 2)) AS p
+              FROM w WHERE len(toks) >= 3)
+    ),
+    idx AS (SELECT s, count(*) AS occ FROM pe GROUP BY s),
+    dup AS (
+        SELECT pe.doc_id, pe.p FROM pe JOIN idx USING (s)
+        WHERE occ >= 2
+    ),
+    runs AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (
+                        PARTITION BY doc_id ORDER BY p
+                    ) = 1 THEN 0 ELSE 1 END AS newf
+        FROM dup
+    ),
+    r2 AS (
+        SELECT doc_id, p,
+               SUM(newf) OVER (PARTITION BY doc_id ORDER BY p) AS run
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_id, MIN(p) AS st, MAX(p) + 2 AS en
+        FROM r2 GROUP BY doc_id, run
+        HAVING MAX(p) + 2 - MIN(p) + 1 >= 4
+    ),
+    rem AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(range(st, en + 1)) AS p FROM spans)
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(0, len(toks))) AS p
+        FROM w
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok, t.p
+        FROM tokpos t ANTI JOIN rem USING (doc_id, p)
+    ),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM w)
+    SELECT tot.doc_id,
+           coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '')
+               AS clean_text,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - COUNT(kept.tok) AS BIGINT)
+               AS n_removed_tokens
+    FROM tot LEFT JOIN kept USING (doc_id)
+    GROUP BY tot.doc_id, tot.n_tokens
+    ORDER BY doc_id
+"""
+
+
+def text_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import remove_duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return remove_duplicate_spans(docs).orderBy("doc_id")

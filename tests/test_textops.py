@@ -265,3 +265,69 @@ def test_textrank_oracle_parity(spark):
     ddf = con.execute(_textrank_oracle()).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def test_remove_duplicate_spans_known(spark):
+    from momyre_spark.operators.textops import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            # 5-token shared prefix (span >= 4 -> cut); unique tails stay
+            (1, "a b c d e tailone tailtwo tailthree"),
+            (2, "a b c d e othera otherb otherc"),
+            # 3-token duplicated span is BELOW min_span_tokens=4 -> kept
+            (3, "x y z uniqueone uniquetwo uniquethree"),
+            (4, "x y z otherx othery otherz"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs).collect()}
+    assert got[1]["clean_text"] == "tailone tailtwo tailthree"
+    assert got[1]["n_tokens"] == 8 and got[1]["n_removed_tokens"] == 5
+    assert got[2]["clean_text"] == "othera otherb otherc"
+    # short duplicated span survives the threshold
+    assert got[3]["clean_text"].startswith("x y z")
+    assert got[3]["n_removed_tokens"] == 0
+    # empty doc survives visibly
+    assert got[5]["clean_text"] == "" and got[5]["n_tokens"] == 0
+
+
+def test_remove_duplicate_spans_partition_invariant(spark):
+    from momyre_spark.operators.textops import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"p q r s t u{i % 4} v{i % 7} w{i % 3}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, remove_duplicate_spans(docs).collect()))
+    b = sorted(map(tuple,
+                   remove_duplicate_spans(docs.repartition(5)).collect()))
+    assert a == b and len(a) == 24
+
+
+def test_text_remove_dup_spans_oracle_parity(spark):
+    """Pre-validates the round-8 registration (driver-mirror compare)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.text_queries import (
+        _RM_SPANS_ORACLE,
+        text_remove_dup_spans,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = text_remove_dup_spans(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(_RM_SPANS_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

@@ -396,6 +396,40 @@ def main() -> None:
     timings["dedup_linkage_jumbo_synthetic"] = round(min(runs), 3)
     spark.catalog.clearCache()
 
+    # ---- staged round-8 queries (pre-registration perf history) --------
+    # Written + oracle-pre-validated this round but deliberately NOT in
+    # the driver registry (round 7's ~50-row budget went to the r02
+    # refresh tier). Benching them now means each arrives in round 8 with
+    # a recorded baseline instead of an unexplained headline jump.
+    from momyre_spark.plans.maintenance_queries import (
+        stats_kaplan_meier,
+        stats_trimmed_mean,
+    )
+    from momyre_spark.plans.multimodal_queries import mm_video_scenes
+    from momyre_spark.plans.text_queries import (
+        text_duplicate_spans,
+        text_remove_dup_spans,
+        text_textrank_keywords,
+    )
+
+    for name, fn in [
+        ("text_duplicate_spans", text_duplicate_spans),
+        ("text_remove_dup_spans", text_remove_dup_spans),
+        ("text_textrank_keywords", text_textrank_keywords),
+        ("stats_kaplan_meier", stats_kaplan_meier),
+        ("stats_trimmed_mean", stats_trimmed_mean),
+        ("mm_video_scenes", mm_video_scenes),
+    ]:
+
+        def staged_run(f=fn) -> float:
+            t0 = time.perf_counter()
+            f(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        staged_run()
+        timings[name] = round(min(staged_run() for _ in range(3)), 3)
+        spark.catalog.clearCache()
+
     # ---- second-window corroboration (VERDICT r04 item #2) -------------
     # Sub-second fixture-bound queries are the ones a SUSTAINED host burst
     # can distort even through min-of-N: every sample of a 0.3s query fits

@@ -407,6 +407,7 @@ def main() -> None:
     )
     from momyre_spark.plans.multimodal_queries import mm_video_scenes
     from momyre_spark.plans.text_queries import (
+        text_cross_perplexity,
         text_duplicate_spans,
         text_remove_dup_spans,
         text_textrank_keywords,
@@ -416,6 +417,7 @@ def main() -> None:
         ("text_duplicate_spans", text_duplicate_spans),
         ("text_remove_dup_spans", text_remove_dup_spans),
         ("text_textrank_keywords", text_textrank_keywords),
+        ("text_cross_perplexity", text_cross_perplexity),
         ("stats_kaplan_meier", stats_kaplan_meier),
         ("stats_trimmed_mean", stats_trimmed_mean),
         ("mm_video_scenes", mm_video_scenes),

@@ -368,3 +368,93 @@ def pmi_collocations(
         .cast("double")
         .alias("npmi"),
     )
+
+
+def cross_score_bigram(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Cross-corpus bigram LM scoring — train on corpus A, score corpus B
+    (the CCNet/KenLM-style in-domain quality filter: score a crawl under
+    a trusted corpus's LM and keep what reads like the target domain).
+    Unlike :func:`score_documents_bigram`'s self-scoring inner join, an
+    UNSEEN transition is charged the add-one-smoothed unigram backoff
+    instead of silently vanishing from the sum:
+
+        logprob(prev, cur) = round6(ln(lam*P_big + (1-lam)*P_uni))
+        P_big = c_ab / c_a               (0.0 if prev or pair unseen)
+        P_uni = (c_cur + 1) / (T + V + 1)  (add-one; OOV cur -> 1/(T+V+1))
+
+    with c_* from the TRAIN bigram table, T its total count, V its
+    distinct-cur vocabulary. Output per eval doc with >= 2 tokens:
+    ``(id_col, n_bigrams, mean_logprob)``.
+
+    Shape: the train corpus collapses to its vocab-sized bigram/marginal
+    tables (the train_bigram_lm plan); the eval corpus is never
+    shuffled when ``broadcast_lm`` — three broadcast left joins onto the
+    per-doc bigram counts plus two broadcast 1-row totals. Set
+    ``broadcast_lm=False`` for a train vocabulary too large to ship,
+    which falls back to shuffle hash joins on the token keys.
+
+    Determinism: each distinct (prev, cur) logprob is one mirrored float
+    tree rounded once to DECIMAL(18,6); per-doc sums are exact decimal.
+    An oracle must spell the unigram weight as ``1.0 - lam`` (the
+    pre-folded literal is a different double).
+    """
+    bg_train = _bigrams(
+        train_docs, text_col, id_col
+    ) if id_col in train_docs.columns else _bigrams(
+        train_docs.withColumn("__id", F.monotonically_increasing_id()),
+        text_col,
+        "__id",
+    )
+    c_pc = bg_train.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    c_p = c_pc.groupBy("prev").agg(F.sum("__c").alias("__cp"))
+    c_c = c_pc.groupBy("cur").agg(F.sum("__c").alias("__cc"))
+    tot = c_pc.agg(F.sum("__c").cast("bigint").alias("__t"))
+    voc = c_c.agg(F.count(F.lit(1)).cast("bigint").alias("__v"))
+    if broadcast_lm:
+        c_pc, c_p, c_c = F.broadcast(c_pc), F.broadcast(c_p), F.broadcast(c_c)
+    pt = (
+        _bigrams(eval_docs, text_col, id_col)
+        .groupBy(id_col, "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p_big = F.when(
+        F.col("__c").isNotNull(),
+        F.col("__c").cast("double") / F.col("__cp").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("__cc"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / (F.col("__t") + F.col("__v") + F.lit(1)).cast("double")
+    mix = F.lit(float(lam)) * p_big + (F.lit(1.0) - F.lit(float(lam))) * p_uni
+    scored = (
+        pt.join(c_p, "prev", "left")
+        .join(c_pc, ["prev", "cur"], "left")
+        .join(c_c, "cur", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .withColumn("__lp", _round6(F.log(mix)))
+    )
+    from momyre_spark.functions.numeric import round_half_up
+
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__lp") * F.col("tf")).alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            round_half_up(
+                F.col("__s").cast("double") / F.col("n_bigrams"), 4
+            ).alias("mean_logprob"),
+        )
+    )

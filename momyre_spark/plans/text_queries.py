@@ -1626,3 +1626,81 @@ def text_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return remove_duplicate_spans(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus bigram perplexity (operators/lm.cross_score_bigram): train
+# the interpolated bigram LM on every source except src0 and score src0's
+# documents under it, charging unseen transitions the add-one unigram
+# backoff — the CCNet/KenLM in-domain quality-filter pattern. Constants:
+# the oracle spells the unigram weight as (1.0 - 0.7); P_uni's denominator
+# is (T + V + 1) computed in BIGINT then converted once.
+#
+# NOT registered this round (same 50-row budget note as above).
+# Round 8: wrap with @query("text_cross_perplexity",
+# oracle=_XPPL_ORACLE). Pre-validated by tests/test_chunking_lm_shuffle.py::
+# test_text_cross_perplexity_oracle_parity.
+# --------------------------------------------------------------------------
+_XPPL_ORACLE = f"""
+    WITH tr AS (
+        SELECT doc_id, {_TOK} AS w FROM documents
+        WHERE source <> 'src0' AND trim(text) <> ''
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+        FROM tr, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    c_pc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2),
+    c_p AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM c_pc GROUP BY 1),
+    c_c AS (SELECT cur, CAST(sum(c) AS BIGINT) AS cc FROM c_pc GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM c_pc),
+    voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c_c),
+    ev AS (
+        SELECT doc_id, {_TOK} AS w FROM documents
+        WHERE source = 'src0' AND trim(text) <> ''
+    ),
+    ebg AS (
+        SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+        FROM ev, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+    ),
+    pt AS (SELECT doc_id, prev, cur, CAST(count(*) AS BIGINT) AS tf
+           FROM ebg GROUP BY 1, 2, 3),
+    j AS (
+        SELECT pt.doc_id, pt.tf, c_pc.c, c_p.cp, c_c.cc
+        FROM pt
+        LEFT JOIN c_p USING (prev)
+        LEFT JOIN c_pc USING (prev, cur)
+        LEFT JOIN c_c USING (cur)
+    ),
+    lp AS (
+        SELECT doc_id, tf,
+               CAST(floor(ln(
+                   0.7 * (CASE WHEN c IS NOT NULL
+                               THEN CAST(c AS DOUBLE) / CAST(cp AS DOUBLE)
+                               ELSE 0.0 END)
+                   + (1.0 - 0.7)
+                     * (CAST(COALESCE(cc, 0) + 1 AS DOUBLE)
+                        / CAST((SELECT t FROM tot) + (SELECT v FROM voc)
+                               + 1 AS DOUBLE))
+               ) * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS lp
+        FROM j
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           {round4_sql("CAST(sum(lp * tf) AS DOUBLE) / sum(tf)")}
+               AS mean_logprob
+    FROM lp GROUP BY 1 ORDER BY 1
+"""
+
+
+def text_cross_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.lm import cross_score_bigram
+
+    docs = load_table(spark, sf, "documents")
+    return cross_score_bigram(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    ).orderBy("doc_id")

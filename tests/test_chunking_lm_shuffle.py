@@ -366,3 +366,94 @@ def test_calibrate_scores_quantiles_and_buckets(spark):
 
     with _pytest.raises(ValueError, match="tiebreak"):
         calibrate_scores(df, ["source"], "score", [])
+
+
+def test_cross_score_bigram_oov_backoff(spark):
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.lm import cross_score_bigram
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b c")], "doc_id long, text string"
+    )
+    # eval doc 10: seen pair (a b); doc 11: unseen pair with seen cur
+    # (c) and unseen prev; doc 12: fully OOV pair — must still score
+    ev = spark.createDataFrame(
+        [(10, "a b"), (11, "zz c"), (12, "qq ww")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cross_score_bigram(train, ev).collect()}
+    assert set(got) == {10, 11, 12}  # nothing vanished
+    # train bigram table: (a,b):2 (b,c):1 -> T=3, V(cur)={b,c} -> V=2
+    t, v = 3, 2
+    p_uni_b = (2 + 1) / (t + v + 1)
+    want10 = math.log(0.7 * (2 / 2) + (1.0 - 0.7) * p_uni_b)
+    assert float(got[10]["mean_logprob"]) == _pytest.approx(
+        want10, abs=1e-4
+    )
+    p_uni_c = (1 + 1) / (t + v + 1)
+    want11 = math.log(0.7 * 0.0 + (1.0 - 0.7) * p_uni_c)
+    assert float(got[11]["mean_logprob"]) == _pytest.approx(
+        want11, abs=1e-4
+    )
+    p_oov = (0 + 1) / (t + v + 1)
+    want12 = math.log((1.0 - 0.7) * p_oov)
+    assert float(got[12]["mean_logprob"]) == _pytest.approx(
+        want12, abs=1e-4
+    )
+    # in-domain text must outscore OOV salad
+    assert got[10]["mean_logprob"] > got[12]["mean_logprob"]
+
+
+def test_cross_score_bigram_partition_invariant_and_shuffle_path(spark):
+    from momyre_spark.operators.lm import cross_score_bigram
+
+    train = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7}")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, f"tok{i % 9} tok{(i + 3) % 9}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cross_score_bigram(train, ev).collect()))
+    b = sorted(
+        map(
+            tuple,
+            cross_score_bigram(
+                train.repartition(5), ev.repartition(3),
+                broadcast_lm=False,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 20
+
+
+def test_text_cross_perplexity_oracle_parity(spark):
+    """Pre-validates the round-8 registration (driver-mirror compare)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.text_queries import (
+        _XPPL_ORACLE,
+        text_cross_perplexity,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = text_cross_perplexity(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(_XPPL_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

@@ -411,6 +411,7 @@ def main() -> None:
         text_duplicate_spans,
         text_remove_dup_spans,
         text_textrank_keywords,
+        text_zipf_fit,
     )
 
     for name, fn in [
@@ -418,6 +419,7 @@ def main() -> None:
         ("text_remove_dup_spans", text_remove_dup_spans),
         ("text_textrank_keywords", text_textrank_keywords),
         ("text_cross_perplexity", text_cross_perplexity),
+        ("text_zipf_fit", text_zipf_fit),
         ("stats_kaplan_meier", stats_kaplan_meier),
         ("stats_trimmed_mean", stats_trimmed_mean),
         ("mm_video_scenes", mm_video_scenes),

@@ -548,3 +548,76 @@ def remove_duplicate_spans(
             "n_removed_tokens"
         ),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency head: OLS of ln(freq) on
+    ln(rank) for the ``top_k`` most frequent lowercase tokens — the
+    one-row corpus health readout (natural language sits near slope -1;
+    a much flatter slope says template soup, much steeper says tiny
+    effective vocabulary). Output:
+    ``(n_terms, slope, intercept, r2)``.
+
+    Shape: one token-keyed hash agg (map-side combine) over one corpus
+    scan, a TakeOrdered top-k (per-partition heaps, never a global
+    sort), then rank assignment + 5 moment sums over the K-row head —
+    K-bounded work regardless of corpus size. The rank window is a
+    single partition of exactly K rows by construction.
+
+    Determinism: ranks are exact; ln values are fixed-pointed to 1e-6
+    units (BIGINT) per distinct term so all five moment sums are exact
+    integers (K * (2.1e7)^2 stays < 2^63 up to K ~ 2e4); slope /
+    intercept / r2 are one mirrored float tree over exactly-converted
+    sums, rounded at ``digits``.
+    """
+    from momyre_spark.functions.text import tokens
+
+    if not 2 <= top_k <= 20_000:
+        raise ValueError("momyre: top_k must be in [2, 20000]")
+    freqs = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+        )
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    head = freqs.orderBy(F.desc("__c"), "__tok").limit(top_k)
+    w = Window.orderBy(F.desc("__c"), "__tok")
+    ranked = head.select(
+        F.row_number().over(w).alias("__r"), "__c"
+    ).select(
+        F.floor(F.log(F.col("__r").cast("double")) * F.lit(1_000_000)
+                + F.lit(0.5)).cast("bigint").alias("__x"),
+        F.floor(F.log(F.col("__c").cast("double")) * F.lit(1_000_000)
+                + F.lit(0.5)).cast("bigint").alias("__y"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    covn = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    slope = covn / varx
+    intercept = (sy - covn / varx * sx) / nd / F.lit(1_000_000.0)
+    r2 = (covn * covn) / (varx * vary)
+    return agg.filter((F.col("__n") >= 2) & (varx != 0)).select(
+        F.col("__n").cast("bigint").alias("n_terms"),
+        round_half_up(slope, digits).alias("slope"),
+        round_half_up(intercept, digits).alias("intercept"),
+        F.when(vary != 0, round_half_up(r2, digits)).alias("r2"),
+    )

@@ -1704,3 +1704,77 @@ def text_cross_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit (operators/textops.zipf_fit): one-row corpus health
+# readout — OLS of ln(freq) on ln(rank) over the top-1000 frequency head.
+# ln values fixed-pointed to 1e-6 BIGINT units per distinct term, so all
+# five moment sums are exact; the slope/intercept/r2 tree is mirrored.
+#
+# NOT registered this round (same 50-row budget note as above).
+# Round 8: wrap with @query("text_zipf_fit", oracle=_ZIPF_ORACLE).
+# Pre-validated by tests/test_textops.py::test_text_zipf_fit_oracle_parity.
+# --------------------------------------------------------------------------
+_ZIPF_ORACLE = f"""
+    WITH f AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest({_LTOK}) AS tok FROM documents
+            WHERE trim(text) <> ''
+        ) GROUP BY tok
+    ),
+    h AS (SELECT tok, c FROM f ORDER BY c DESC, tok LIMIT 1000),
+    r AS (SELECT row_number() OVER (ORDER BY c DESC, tok) AS rk, c FROM h),
+    m AS (
+        SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS y
+        FROM r
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM m
+    )
+    SELECT n AS n_terms,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS slope,
+           floor((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0
+                 * 1000000 + 0.5) / 1000000.0 AS intercept,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <> 0
+                THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           * 1000000 + 0.5) / 1000000.0
+           END AS r2
+    FROM a WHERE n >= 2
+      AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0
+"""
+
+
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, top_k=1000)

@@ -331,3 +331,72 @@ def test_text_remove_dup_spans_oracle_parity(spark):
     ddf = con.execute(_RM_SPANS_ORACLE).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def test_zipf_fit_known_values(spark):
+    import pytest as _pytest
+
+    from momyre_spark.operators.textops import zipf_fit
+
+    # two points: freq 4 at rank 1, freq 2 at rank 2 ->
+    # slope = (ln2 - ln4)/(ln2 - ln1) = -1 exactly, r2 = 1
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa aa bb bb")], "doc_id long, text string"
+    )
+    r = zipf_fit(docs, top_k=10).collect()[0]
+    assert r["n_terms"] == 2
+    assert r["slope"] == _pytest.approx(-1.0, abs=1e-5)
+    assert r["r2"] == _pytest.approx(1.0, abs=1e-5)
+    # a planted Zipfian head fits near slope -1 with high r2
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{chr(96 + rank)}"] * (1200 // rank)
+    zdocs = spark.createDataFrame(
+        [(i, " ".join(words[i::10])) for i in range(10)],
+        "doc_id long, text string",
+    )
+    z = zipf_fit(zdocs, top_k=20).collect()[0]
+    assert z["slope"] == _pytest.approx(-1.0, abs=0.05)
+    assert z["r2"] > 0.99
+    with _pytest.raises(ValueError):
+        zipf_fit(docs, top_k=1)
+
+
+def test_zipf_fit_partition_invariant(spark):
+    from momyre_spark.operators.textops import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(i, f"ca cb cc cd ce cf cg ch ci cj"[: 3 * (i % 9 + 2)])
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in zipf_fit(docs).collect()]
+    b = [tuple(r) for r in zipf_fit(docs.repartition(7)).collect()]
+    assert a == b and len(a) == 1
+
+
+def test_text_zipf_fit_oracle_parity(spark):
+    """Pre-validates the round-8 registration (driver-mirror compare)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.text_queries import (
+        _ZIPF_ORACLE,
+        text_zipf_fit,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = text_zipf_fit(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(_ZIPF_ORACLE).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

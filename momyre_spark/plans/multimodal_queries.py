@@ -255,19 +255,29 @@ _MM_SCENES_ORACLE = """
         FROM luma
     )
     SELECT doc_id, frame_idx, luma_centi, delta_centi,
-           CASE WHEN delta_centi IS NOT NULL
-                THEN abs(delta_centi) > 1500 END AS is_cut
+           CAST(CASE WHEN delta_centi IS NOT NULL
+                     THEN abs(delta_centi) > 1500 END AS INT) AS is_cut
     FROM d ORDER BY doc_id, frame_idx
 """
 
 
 def mm_video_scenes(spark: SparkSession, sf: str) -> DataFrame:
+    # is_cut ships as nullable INT, not BOOLEAN: a NULL boolean renders
+    # as None from Spark's toPandas but as float nan from DuckDB's
+    # fetchdf, so the driver-mirror value hash can never match — a
+    # nullable INT widens to float64/nan identically on BOTH sides
+    # (found by the sf0.01 staged-queue mirror; the sf0.001 tuple
+    # compare can't see pandas rendering).
+    from pyspark.sql import functions as F
+
     from momyre_spark.operators.multimodal import (
         scene_changes,
         with_binary_payload,
     )
 
     docs = load_table(spark, sf, "documents")
-    return scene_changes(with_binary_payload(docs)).orderBy(
-        "doc_id", "frame_idx"
+    return (
+        scene_changes(with_binary_payload(docs))
+        .withColumn("is_cut", F.col("is_cut").cast("int"))
+        .orderBy("doc_id", "frame_idx")
     )

@@ -31,3 +31,42 @@ def test_all_queries_return_rows_or_schema(spark):
     for name, fn in plans.QUERIES.items():
         df = fn(spark, SF_CORRECT)
         assert df.columns, name
+
+
+def _staged_names():
+    return sorted(plans.staged_queries())
+
+
+@pytest.mark.parametrize("name", _staged_names())
+def test_staged_query_matches_oracle(spark, duck, name):
+    """The round-8 registration queue gets the SAME sf0.01 compare the
+    driver will apply once registered — a staged query may not rot
+    between the round it was written and the round it registers."""
+    fn, oracle = plans.staged_queries()[name]
+    assert name not in plans.QUERIES  # staged means staged
+    sdf = fn(spark, SF_CORRECT).toPandas()
+    assert oracle is not None
+    ddf = duck.execute(oracle).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok, f"{name}: {msg}"
+
+
+def test_staged_queries_pass_plan_gate(spark):
+    """Same repo-wide plan gate as registered queries: no row-wise
+    Python, no cartesian product."""
+    offenders = {}
+    for name, (fn, _) in plans.staged_queries().items():
+        plan = (
+            fn(spark, SF_CORRECT)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bad = [
+            m
+            for m in ("BatchEvalPython", "CartesianProduct")
+            if m in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

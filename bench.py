@@ -402,6 +402,7 @@ def main() -> None:
     # refresh tier). Benching them now means each arrives in round 8 with
     # a recorded baseline instead of an unexplained headline jump.
     from momyre_spark.plans.maintenance_queries import (
+        stats_bootstrap_ci,
         stats_kaplan_meier,
         stats_trimmed_mean,
     )
@@ -422,6 +423,7 @@ def main() -> None:
         ("text_zipf_fit", text_zipf_fit),
         ("stats_kaplan_meier", stats_kaplan_meier),
         ("stats_trimmed_mean", stats_trimmed_mean),
+        ("stats_bootstrap_ci", stats_bootstrap_ci),
         ("mm_video_scenes", mm_video_scenes),
     ]:
 

@@ -1711,3 +1711,128 @@ def trimmed_mean(
             digits,
         ).alias("trimmed_mean"),
     )
+
+
+# Poisson(1) CDF thresholds for k = 0..8 (cumulative e^-1/k!): the
+# deterministic-bootstrap weight ladder. Embed these EXACT literals in any
+# oracle — recomputing them with a different op order yields different
+# doubles. P(k > 8) < 1.2e-6; the ladder caps there.
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    value_col: str,
+    n_boot: int = 200,
+    alpha_pct: int = 5,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the per-group mean via
+    the POISSON bootstrap (Poisson(1) replicate weights per row — the
+    resampling scheme that works on distributed data because no replicate
+    ever needs a global sample of exactly n rows; public technique, used
+    for exactly this at web scale). Weights are DERIVED, not drawn:
+    md5(id, replicate) -> uniform -> inverse-CDF ladder, so the whole
+    procedure is deterministic, partition-invariant, and cross-engine
+    reproducible. Output per group:
+    ``(group_cols..., n, mean, ci_lo, ci_hi)`` at the
+    ``100 - alpha_pct`` percent level.
+
+    Shape: one explode of the replicate index (B x rows through a
+    map-side-combinable hash agg — the agg input grows B-fold but
+    collapses to |groups| x B replicate rows before any shuffle
+    completes), then a B-bounded sorted-array pick per group. No
+    replicate ever materializes a resampled table.
+
+    Determinism: values fixed to 1/``scale`` units (exact BIGINT
+    weighted sums; keep ``max|v| * scale * 9 * n < 2^63``); each
+    replicate mean is one division of exact integers; the percentile
+    pick is an order statistic (index = ceil(nb * alpha/2), mirrored in
+    integer arithmetic), not an interpolation.
+    """
+    if not 2 <= n_boot <= 10_000:
+        raise ValueError("momyre: n_boot must be in [2, 10000]")
+    if not 1 <= alpha_pct < 100:
+        raise ValueError("momyre: alpha_pct must be in [1, 100)")
+    gcols = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols,
+        F.col(id_col).cast("string").alias("__id"),
+        F.floor(F.col(value_col).cast("double") * F.lit(scale) + F.lit(0.5))
+        .cast("bigint")
+        .alias("__v"),
+    )
+    rep = base.select(
+        *gcols,
+        "__id",
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("__b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.col("__id"), F.col("__b"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("__w", w.cast("bigint"))
+        .groupBy(*gcols, "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).alias("__s"),
+            F.sum("__w").alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            *gcols,
+            (
+                F.col("__s").cast("double")
+                / F.col("__n").cast("double")
+                / F.lit(float(scale))
+            ).alias("__m"),
+        )
+    )
+    overall = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__v").alias("__sv")
+    )
+    picked = means.groupBy(*gcols).agg(
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    lo_idx = F.floor(
+        (F.col("__nb") * F.lit(int(alpha_pct)) + F.lit(199))
+        / F.lit(200)
+    ).cast("int")
+    lo_idx = F.greatest(F.lit(1), lo_idx)
+    hi_idx = (F.col("__nb") + F.lit(1) - lo_idx).cast("int")
+    return overall.join(picked, gcols).select(
+        *gcols,
+        F.col("n").cast("bigint").alias("n"),
+        round_half_up(
+            F.col("__sv").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(float(scale)),
+            digits,
+        ).alias("mean"),
+        round_half_up(F.element_at("__ms", lo_idx), digits).alias("ci_lo"),
+        round_half_up(F.element_at("__ms", hi_idx), digits).alias("ci_hi"),
+    )

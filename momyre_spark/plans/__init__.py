@@ -252,6 +252,8 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     from momyre_spark.plans.maintenance_queries import (
         _KM_ORACLE,
         _TRIM_ORACLE,
+        _bootstrap_oracle,
+        stats_bootstrap_ci,
         stats_kaplan_meier,
         stats_trimmed_mean,
     )
@@ -279,6 +281,7 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
         "text_textrank_keywords": (text_textrank_keywords, _textrank_oracle()),
         "text_cross_perplexity": (text_cross_perplexity, _XPPL_ORACLE),
         "text_zipf_fit": (text_zipf_fit, _ZIPF_ORACLE),
+        "stats_bootstrap_ci": (stats_bootstrap_ci, _bootstrap_oracle()),
         "stats_kaplan_meier": (stats_kaplan_meier, _KM_ORACLE),
         "stats_trimmed_mean": (stats_trimmed_mean, _TRIM_ORACLE),
     }

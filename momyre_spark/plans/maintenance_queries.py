@@ -2167,3 +2167,87 @@ def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     return trimmed_mean(
         ev, ["event_type"], "value", trim_pct=5, scale=100
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap mean CI (operators/profile.bootstrap_ci): 200
+# hash-derived Poisson(1) replicate weights per event, percentile CI of
+# the per-event-type mean. The weight ladder constants come verbatim from
+# operators/profile._POISSON1_CDF — recomputing e^-1/k! in SQL would
+# yield different doubles.
+#
+# NOT registered this round (same 50-row budget note as _KM_ORACLE).
+# Round 8: wrap with @query("stats_bootstrap_ci",
+# oracle=_bootstrap_oracle()). Pre-validated by
+# tests/test_maintenance_ops.py::test_stats_bootstrap_ci_oracle_parity
+# and the staged-queue mirror in test_oracle_queries.py.
+# --------------------------------------------------------------------------
+def _bootstrap_oracle() -> str:
+    from momyre_spark.operators.profile import _POISSON1_CDF
+
+    ladder = (
+        "CASE "
+        + " ".join(
+            f"WHEN u < {t!r} THEN {k}" for k, t in enumerate(_POISSON1_CDF)
+        )
+        + f" ELSE {len(_POISSON1_CDF)} END"
+    )
+    return f"""
+    WITH base AS (
+        SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+               CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+        SELECT g, id, v, unnest(range(0, 200)) AS b FROM base
+    ),
+    uu AS (
+        SELECT g, b, v,
+               (('0x' || substr(md5(id || '-' || CAST(b AS VARCHAR)),
+                                1, 15))::BIGINT
+                / 1152921504606846976.0) AS u
+        FROM rep
+    ),
+    ww AS (SELECT g, b, v, {ladder} AS w FROM uu),
+    mm AS (
+        SELECT g, b, CAST(SUM(w * v) AS BIGINT) AS s,
+               CAST(SUM(w) AS BIGINT) AS wn
+        FROM ww GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    ms AS (
+        SELECT g,
+               list(CAST(s AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0
+                    ORDER BY CAST(s AS DOUBLE) / CAST(wn AS DOUBLE)
+                             / 100.0) AS l,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM mm GROUP BY 1
+    ),
+    ov AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sv
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    ix AS (
+        SELECT g, l, nb,
+               GREATEST(1, CAST(floor((nb * 5 + 199) / 200) AS INT)) AS lo
+        FROM ms
+    )
+    SELECT ov.g AS event_type, ov.n,
+           floor(CAST(ov.sv AS DOUBLE) / CAST(ov.n AS DOUBLE) / 100.0
+                 * 1000000 + 0.5) / 1000000.0 AS mean,
+           floor(l[lo] * 1000000 + 0.5) / 1000000.0 AS ci_lo,
+           floor(l[CAST(nb + 1 - lo AS INT)] * 1000000 + 0.5) / 1000000.0
+               AS ci_hi
+    FROM ov JOIN ix ON ov.g = ix.g
+    ORDER BY event_type
+"""
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    ev = load_table(spark, sf, "events")
+    return bootstrap_ci(
+        ev, ["event_type"], "event_id", "value", n_boot=200, alpha_pct=5
+    ).orderBy("event_type")

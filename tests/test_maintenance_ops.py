@@ -1071,3 +1071,70 @@ def test_stats_trimmed_mean_oracle_parity(spark):
     ddf = con.execute(_TRIM_ORACLE).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    rows = [("a", i, float(40 + (i * 17) % 21)) for i in range(400)]
+    rows += [("b", 10_000 + i, float((i * 13) % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r["g"]: r for r in
+           bootstrap_ci(df, ["g"], "id", "v", n_boot=100).collect()}
+    for g in ("a", "b"):
+        r = got[g]
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"], r
+        assert r["ci_lo"] < r["ci_hi"]
+    # 8x the data at the same spread -> materially tighter interval
+    wide = got["a"]["ci_hi"] - got["a"]["ci_lo"]
+    big = spark.createDataFrame(
+        [("a", i, float(40 + (i * 17) % 21)) for i in range(3200)],
+        "g string, id long, v double",
+    )
+    rb = bootstrap_ci(big, ["g"], "id", "v", n_boot=100).collect()[0]
+    assert (rb["ci_hi"] - rb["ci_lo"]) < wide * 0.6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bootstrap_ci(df, ["g"], "id", "v", n_boot=1)
+
+
+def test_bootstrap_ci_partition_invariant(spark):
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", i, float(i % 13)) for i in range(300)],
+        "g string, id long, v double",
+    )
+    a = sorted(map(tuple, bootstrap_ci(df, ["g"], "id", "v",
+                                       n_boot=50).collect()))
+    b = sorted(map(tuple, bootstrap_ci(df.repartition(9), ["g"], "id",
+                                       "v", n_boot=50).collect()))
+    assert a == b
+
+
+def test_stats_bootstrap_ci_oracle_parity(spark):
+    """Pre-validates the round-8 registration (driver-mirror compare)."""
+    import os
+
+    import duckdb
+    import pytest as _pytest
+
+    from momyre_spark.plans.maintenance_queries import (
+        _bootstrap_oracle,
+        stats_bootstrap_ci,
+    )
+    from tests.oracle_compare import compare
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/events.parquet"):
+        _pytest.skip("sf0.001 testdata absent")
+    sdf = stats_bootstrap_ci(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    ddf = con.execute(_bootstrap_oracle()).fetchdf()
+    ok, msg = compare(sdf, ddf)
+    assert ok and len(sdf) > 0, msg

@@ -1138,3 +1138,49 @@ def test_stats_bootstrap_ci_oracle_parity(spark):
     ddf = con.execute(_bootstrap_oracle()).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def _py_kaplan_meier(pairs):
+    """Sequential reference: pairs = [(duration, observed)] one group."""
+    from collections import Counter
+
+    d = Counter(t for t, e in pairs if e)
+    c = Counter(t for t, e in pairs if not e)
+    times = sorted(set(d) | set(c))
+    n = len(pairs)
+    out, s = [], 1.0
+    for t in times:
+        s *= 1.0 - d[t] / n
+        out.append((t, n, d[t], c[t], s))
+        n -= d[t] + c[t]
+    return out
+
+
+def test_kaplan_meier_matches_python_reference_hypothesis(spark):
+    import pytest as _pytest
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from momyre_spark.operators.profile import kaplan_meier
+
+    subj = st.tuples(st.integers(min_value=0, max_value=8),
+                     st.booleans())
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pairs=st.lists(subj, min_size=1, max_size=40))
+    def inner(pairs):
+        df = spark.createDataFrame(
+            [(t, int(e)) for t, e in pairs], "dur long, obs int"
+        )
+        got = sorted(
+            (r["t"], r["n_risk"], r["d_events"], r["c_censored"], r["surv"])
+            for r in kaplan_meier(df, [], "dur", "obs").collect()
+        )
+        want = _py_kaplan_meier(pairs)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4], (g, w)
+            assert g[4] == _pytest.approx(w[4], abs=1e-6), (g, w)
+
+    inner()

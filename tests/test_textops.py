@@ -400,3 +400,54 @@ def test_text_zipf_fit_oracle_parity(spark):
     ddf = con.execute(_ZIPF_ORACLE).fetchdf()
     ok, msg = compare(sdf, ddf)
     assert ok and len(sdf) > 0, msg
+
+
+def _py_duplicate_spans(texts, n=3, min_occ=2):
+    """Brute-force reference: corpus occurrence counts of token n-grams,
+    per-doc maximal runs of duplicated positions."""
+    toks = {d: t.split() for d, t in texts.items() if t.strip()}
+    shingles = {}
+    for d, ws in toks.items():
+        for p in range(len(ws) - n + 1):
+            s = " ".join(ws[p:p + n])
+            shingles[s] = shingles.get(s, 0) + 1
+    out = []
+    for d, ws in toks.items():
+        dup = [p for p in range(len(ws) - n + 1)
+               if shingles[" ".join(ws[p:p + n])] >= min_occ]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.append((d, run[0], run[-1] + n - 1,
+                                run[-1] + n - run[0], len(run)))
+                run = [p]
+        if run:
+            out.append((d, run[0], run[-1] + n - 1,
+                        run[-1] + n - run[0], len(run)))
+    return sorted(out)
+
+
+def test_duplicate_spans_matches_python_reference_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from momyre_spark.operators.textops import duplicate_spans
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=1, max_size=8))
+    def inner(docs):
+        texts = {i: t for i, t in enumerate(docs)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = sorted(tuple(r) for r in duplicate_spans(df).collect())
+        assert got == _py_duplicate_spans(texts)
+
+    inner()

@@ -350,3 +350,29 @@ def test_assoc_rules_broadcasts_dims_single_bnlj(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_and_textrank_use_takeordered_not_global_sort(spark):
+    """Top-K heads must plan as TakeOrdered (per-partition heaps + driver
+    merge of K), never a full global sort of the vocabulary."""
+    from momyre_spark.plans.text_queries import text_zipf_fit
+    from momyre_spark.operators.textops import textrank_keywords
+
+    p = plan_of(text_zipf_fit(spark, SF_CORRECT))
+    assert "TakeOrdered" in p
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    p2 = plan_of(textrank_keywords(docs))
+    assert "TakeOrdered" in p2
+
+
+def test_remove_duplicate_spans_two_joins_only(spark):
+    """Find-then-cut must be: occurrence-index equi-join + one interval
+    list join-back — the interval APPLICATION is an in-row array filter,
+    never a positions-by-intervals join."""
+    import re as _re
+
+    from momyre_spark.plans.text_queries import text_remove_dup_spans
+
+    p = plan_of(text_remove_dup_spans(spark, SF_CORRECT))
+    assert len(_re.findall(r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin", p)) <= 2, p
+    assert "CartesianProduct" not in p

@@ -57,6 +57,14 @@ SHOWCASE = [
     ("dedup_record_linkage", "FastSS deletion variants generated in codegen HOFs; md5 equi-join candidates, levenshtein verify map-side, no cartesian"),
     ("pipe_fim_transform", "FIM re-serialization fused into the scan: map-only hash+substring expressions, zero shuffles before the orderBy"),
     ("chat_loss_mask", "loss spans from ONE aggregate HOF fold: no Generate, no EvalPython, no exchange before the orderBy"),
+    # round 7 staged (round-8 registration queue, plans/staged_queries)
+    ("text_duplicate_spans", "Lee-style span finder: positional explode, occurrence groupBy + equi-join back, the ONLY window is doc-partitioned"),
+    ("text_remove_dup_spans", "find-then-cut: two equi-joins total; interval application is an in-row array filter, not a join"),
+    ("text_zipf_fit", "frequency head: TakeOrdered (no global vocab sort); moments are one tiny agg"),
+    ("text_cross_perplexity", "train LM broadcasts (3 BroadcastHashJoins + 2 one-row totals); eval corpus never shuffles"),
+    ("stats_kaplan_meier", "survival: subjects collapse map-side to distinct times; ordered fold over bounded rows"),
+    ("stats_trimmed_mean", "trim by distinct-value index overlap: agg + value window + re-agg, no per-row sort"),
+    ("stats_bootstrap_ci", "200 Poisson replicates through ONE map-side-combinable agg; no resampled table"),
 ]
 
 
@@ -76,8 +84,10 @@ def main() -> None:
         "the property the plan is evidence FOR; the same properties are\n"
         "pinned as assertions in `tests/test_plan_quality.py`.\n"
     )
+    staged = plans.staged_queries()
     for name, why in SHOWCASE:
-        df = plans.QUERIES[name](spark, sf)
+        fn = plans.QUERIES.get(name) or staged[name][0]
+        df = fn(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"\n## {name}\n\n*{why}*\n\n```\n{plan}\n```\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(

@@ -400,32 +400,13 @@ def main() -> None:
     # Written + oracle-pre-validated this round but deliberately NOT in
     # the driver registry (round 7's ~50-row budget went to the r02
     # refresh tier). Benching them now means each arrives in round 8 with
-    # a recorded baseline instead of an unexplained headline jump.
-    from momyre_spark.plans.maintenance_queries import (
-        stats_bootstrap_ci,
-        stats_kaplan_meier,
-        stats_trimmed_mean,
-    )
-    from momyre_spark.plans.multimodal_queries import mm_video_scenes
-    from momyre_spark.plans.text_queries import (
-        text_cross_perplexity,
-        text_duplicate_spans,
-        text_remove_dup_spans,
-        text_textrank_keywords,
-        text_zipf_fit,
-    )
-
-    for name, fn in [
-        ("text_duplicate_spans", text_duplicate_spans),
-        ("text_remove_dup_spans", text_remove_dup_spans),
-        ("text_textrank_keywords", text_textrank_keywords),
-        ("text_cross_perplexity", text_cross_perplexity),
-        ("text_zipf_fit", text_zipf_fit),
-        ("stats_kaplan_meier", stats_kaplan_meier),
-        ("stats_trimmed_mean", stats_trimmed_mean),
-        ("stats_bootstrap_ci", stats_bootstrap_ci),
-        ("mm_video_scenes", mm_video_scenes),
-    ]:
+    # a recorded baseline instead of an unexplained headline jump. The
+    # name->fn list comes from plans.staged_queries() — the ONE registry
+    # the oracle mirror and plan gate also iterate — so a staged addition
+    # cannot silently miss its bench baseline. Their seconds are EXCLUDED
+    # from the headline total (see below) until they register.
+    staged_names = set(plans.staged_queries())
+    for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 
         def staged_run(f=fn) -> float:
             t0 = time.perf_counter()
@@ -465,11 +446,20 @@ def main() -> None:
         timings[name] = round(min([timings[name], rerun(), rerun()]), 3)
         spark.catalog.clearCache()
 
-    # the headline total sums QUERY entries only: maint_* rows are
-    # write-path benches added in round 5 — folding their seconds into the
-    # same metric name would read as a regression of every query against
-    # earlier rounds' totals. They still ride along per-entry in "queries".
-    total = sum(v for k, v in timings.items() if not k.startswith("maint_"))
+    # the headline total sums REGISTERED-query entries only: maint_* rows
+    # are write-path benches (round 5), and the staged round-8 queue is
+    # pre-registration history — folding either's seconds into the same
+    # metric name would read as a regression of every query against
+    # earlier rounds' totals (the committed r07 mid-round artifact briefly
+    # did exactly that: 127.7s vs the 103.9s headline, purely from the
+    # ~14s of staged entries). Both still ride along per-entry in
+    # "queries"; a staged query's seconds join the total the round it
+    # registers, arriving with recorded history instead of a jump.
+    total = sum(
+        v
+        for k, v in timings.items()
+        if not k.startswith("maint_") and k not in staged_names
+    )
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),

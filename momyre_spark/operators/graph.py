@@ -438,6 +438,17 @@ def kcore(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    def _release(ids: set[int]) -> None:
+        # drop superseded cuts ROUND BY ROUND: a deep peel would otherwise
+        # pin every round's survivor + edge blocks in executor storage
+        # until the function returns (~2 x rounds stale block sets)
+        if not ids:
+            return
+        for rid, j in _persistent().items():
+            if rid in ids:
+                j.unpersist(False)
+        owned.difference_update(ids)
+
     prev_n: int | None = None
     for _ in range(max_iterations):
         deg = (
@@ -449,19 +460,26 @@ def kcore(
         # materialize survivors (nodes-sized) BEFORE counting: the count
         # and the edge-filter join below otherwise each recompute the
         # degree aggregation — the round's dominant work — from scratch
-        survivors, _ = _cut(deg.filter(F.col("__deg") >= k).select("node"))
+        survivors, s_ids = _cut(deg.filter(F.col("__deg") >= k).select("node"))
         n = survivors.count()
         if n == prev_n:
+            _release(s_ids)
             break  # nobody dropped: every remaining node has degree >= k
         prev_n = n
         if n == 0:
             e = e.limit(0)
+            _release(s_ids)
             break
-        e, e_ids = _cut(
+        new_e, new_ids = _cut(
             e.join(survivors.withColumnRenamed("node", "a"), "a")
             .join(survivors.withColumnRenamed("node", "b"), "b")
             .select("a", "b")
         )
+        # the new edge cut is eagerly materialized: the previous edge
+        # blocks and this round's survivors are unreachable from here
+        _release(e_ids)
+        _release(s_ids)
+        e, e_ids = new_e, new_ids
     for rid, j in _persistent().items():
         if rid in owned and rid not in e_ids:
             j.unpersist(False)

@@ -1552,20 +1552,15 @@ def kaplan_meier(
         F.sum("__e").alias("__d"),
         (F.count(F.lit(1)) - F.sum("__e")).alias("__c"),
     )
+    # Window.partitionBy(*[]) IS the global window, so the empty-group
+    # case needs no branch — the window runs over distinct times either
+    # way (bounded; see docstring)
     wcum = (
         Window.partitionBy(*[F.col(c) for c in gcols])
         .orderBy("__t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        if gcols
-        else Window.partitionBy()
-        .orderBy("__t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = (
-        Window.partitionBy(*[F.col(c) for c in gcols])
-        if gcols
-        else Window.partitionBy()
-    )
+    wall = Window.partitionBy(*[F.col(c) for c in gcols])
     sized = per.withColumn(
         "__n",
         F.sum(F.col("__d") + F.col("__c")).over(wall)
@@ -1824,7 +1819,14 @@ def bootstrap_ci(
     ).cast("int")
     lo_idx = F.greatest(F.lit(1), lo_idx)
     hi_idx = (F.col("__nb") + F.lit(1) - lo_idx).cast("int")
-    return overall.join(picked, gcols).select(
+    # empty group_cols = one global CI: both frames are one row, and
+    # join(on=[]) raises in PySpark — cross-join them instead
+    joined = (
+        overall.join(picked, gcols)
+        if gcols
+        else overall.crossJoin(F.broadcast(picked))
+    )
+    return joined.select(
         *gcols,
         F.col("n").cast("bigint").alias("n"),
         round_half_up(

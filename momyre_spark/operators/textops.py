@@ -348,7 +348,9 @@ def duplicate_spans(
     list). A run of k consecutive duplicated n-grams marks a duplicated
     token span of k + n - 1 tokens. Output one row per maximal span:
     ``(doc_id, start_tok, end_tok, span_tokens, n_dup_shingles)`` with
-    0-based inclusive token offsets, ordered by (doc, start).
+    0-based inclusive token offsets; row ORDER is unspecified
+    (aggregation output) — callers needing (doc, start) order add their
+    own orderBy, as the staged query wrapper does.
 
     Shape: one positional explode (position must survive, so no
     array_distinct), one shingle-keyed occurrence count via the

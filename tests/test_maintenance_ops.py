@@ -1184,3 +1184,17 @@ def test_kaplan_meier_matches_python_reference_hypothesis(spark):
             assert g[4] == _pytest.approx(w[4], abs=1e-6), (g, w)
 
     inner()
+
+
+def test_bootstrap_ci_global_group(spark):
+    """Empty group_cols = one global CI row (the kaplan_meier/trimmed_mean
+    convention) — must not crash on the empty join key."""
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, float(i % 11)) for i in range(200)], "id long, v double"
+    )
+    rows = bootstrap_ci(df, [], "id", "v", n_boot=50).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]

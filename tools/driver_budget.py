@@ -60,6 +60,14 @@ def main() -> None:
     spare = budget - len(head)
     if spare:
         print(f"unused budget: {spare}")
+    staged = sorted(plans.staged_queries())
+    if staged:
+        print(
+            f"staged (unregistered) queue: {len(staged)} — each consumes "
+            "one never-recorded slot the round it registers:"
+        )
+        for n in staged:
+            print(f"    {n}")
 
 
 if __name__ == "__main__":

@@ -96,7 +96,21 @@ def blocked_edit_pairs(
             "neighborhood emission is C(len, d) keys per record; d > 3 "
             "edit matching wants phonetic/embedding blocking instead"
         )
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
+    # the variant emission (nested HOFs + one md5 per variant) is the
+    # dominant map cost: it must not serialize on a few-file input layout
+    # (measured at sf0.1/local[32]: 7.9s -> 2.7s for the pair query from
+    # this repartition alone). `keyed` IS recomputed once per plan
+    # consumer (block-size agg, both self-join sides, jumbo probe) — a
+    # persist was tried and measured NET-NEGATIVE here: materializing the
+    # (record x variants)-sized frame costs more than three extra runs of
+    # a cheap, fully-parallel map stage, and the pinned blocks pressure
+    # executor storage for every downstream consumer (entity_groups
+    # degraded 17s -> 27s across repeats with the persist in place).
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    )
     keyed = base.select(
         "__id",
         "__t",

@@ -257,10 +257,15 @@ def repetition_report(
     from momyre_spark.functions.numeric import round_half_up
     from momyre_spark.functions.text import tokens
 
+    from momyre_spark.operators.parallelism import ensure_parallelism
+
     t = F.col(text_col)
     nonblank = lambda arr: F.filter(  # noqa: E731
         arr, lambda x: F.trim(x) != ""
     )
+    # the tagged explodes below are the dominant map cost: a single-file
+    # corpus layout must not serialize them on one core
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col),
         nonblank(F.split(t, "\n")).alias("__lines"),

@@ -284,10 +284,11 @@ def dup_ngram_coverage(
     """
     from momyre_spark.functions.numeric import round_half_up
     from momyre_spark.functions.text import tokens
+    from momyre_spark.operators.parallelism import ensure_parallelism
 
-    w = docs.withColumn("__w", tokens(F.col(text_col))).filter(
-        F.size("__w") >= n
-    )
+    w = ensure_parallelism(docs).withColumn(
+        "__w", tokens(F.col(text_col))
+    ).filter(F.size("__w") >= n)
     parts = [
         F.expr(f"slice(__w, {i + 1}, size(__w) - {n - 1})")
         for i in range(n)
@@ -366,9 +367,13 @@ def duplicate_spans(
     anywhere, directly hash-oracle-able.
     """
     from momyre_spark.functions.text import tokens
+    from momyre_spark.operators.parallelism import ensure_parallelism
 
     if n < 2:
         raise ValueError("momyre: duplicate_spans needs n >= 2")
+    # the positional shingle explode is the dominant map cost — do not
+    # let a single-file corpus layout serialize it
+    docs = ensure_parallelism(docs)
     w = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__w")
     ).filter(F.size("__w") >= n)

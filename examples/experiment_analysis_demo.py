@@ -161,6 +161,38 @@ def main() -> None:
         daily, ["event_type"], "day", "x", season=7
     ).orderBy("event_type").show()
 
+    print("=== 5. round-7 additions ===")
+    print("-- robust location: 5%-trimmed mean vs the raw mean")
+    from momyre_spark.operators.profile import (
+        bootstrap_ci,
+        kaplan_meier,
+        trimmed_mean,
+    )
+
+    trimmed_mean(events, ["event_type"], "value").orderBy(
+        "event_type"
+    ).show()
+    print("-- Poisson-bootstrap 95% CI for the mean (200 replicates, "
+          "hash-derived weights: deterministic on any cluster layout)")
+    bootstrap_ci(
+        events, ["event_type"], "event_id", "value", n_boot=200
+    ).orderBy("event_type").show()
+    print("-- Kaplan-Meier: hours to first purchase, censored at last "
+          "event (head of the curve)")
+    u = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts"))).alias("tp"),
+        F.max("ts").alias("tmax"),
+    )
+    d = u.select(
+        F.floor((F.unix_timestamp(F.coalesce("tp", "tmax"))
+                 - F.unix_timestamp("t0")) / F.lit(3600)).alias("dur_h"),
+        F.when(F.col("tp").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("observed"),
+    )
+    kaplan_meier(d, [], "dur_h", "observed").orderBy("t").show(8)
+
     spark.stop()
 
 

@@ -1198,3 +1198,94 @@ def test_bootstrap_ci_global_group(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+
+
+def _py_trimmed_mean(vals, pct=5, scale=100):
+    s = sorted(
+        int(__import__("math").floor(v * scale + 0.5)) for v in vals
+    )
+    n = len(s)
+    k = n * pct // 100
+    kept = s[k:n - k]
+    if not kept:
+        return None
+    m = sum(kept) / len(kept) / scale
+    import math
+
+    return math.floor(m * 10**6 + 0.5) / 10**6
+
+
+def test_trimmed_mean_matches_python_reference_hypothesis(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from momyre_spark.operators.profile import trimmed_mean
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=60))
+    def inner(vals):
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "g string, v double"
+        )
+        got = trimmed_mean(df, ["g"], "v").collect()
+        want = _py_trimmed_mean(vals)
+        if want is None:
+            assert got == []
+        else:
+            assert got[0]["trimmed_mean"] == want, (vals, got, want)
+
+    inner()
+
+
+def _py_bootstrap_ci(rows, n_boot, alpha_pct=5, scale=100):
+    """Pure-Python mirror of bootstrap_ci for one group: same md5 ladder,
+    same exact-integer sums, same order-statistic pick, same rounding."""
+    import hashlib
+    import math
+
+    from momyre_spark.operators.profile import _POISSON1_CDF
+
+    def fp(x):
+        return math.floor(x * 10**6 + 0.5) / 10**6
+
+    vs = {str(i): int(math.floor(v * scale + 0.5)) for i, v in rows}
+    means = []
+    for b in range(n_boot):
+        s = wn = 0
+        for i, v in vs.items():
+            h = hashlib.md5(f"{i}-{b}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)
+            w = len(_POISSON1_CDF)
+            for k, t in enumerate(_POISSON1_CDF):
+                if u < t:
+                    w = k
+                    break
+            s += w * v
+            wn += w
+        if wn > 0:
+            means.append(s / wn / scale)
+    means.sort()
+    nb = len(means)
+    lo = max(1, (nb * alpha_pct + 199) // 200)
+    n = len(vs)
+    mean = fp(sum(vs.values()) / n / scale)
+    return n, mean, fp(means[lo - 1]), fp(means[nb - lo])
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    """Three-way determinism: the Spark CI must equal a pure-Python
+    replay of the md5 ladder bit-for-bit (the DuckDB oracle is the
+    third leg, exercised by the staged-queue mirror)."""
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    rows = [(i, float((i * 37) % 50) / 3.0) for i in range(80)]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in rows], "g string, id long, v double"
+    )
+    r = bootstrap_ci(df, ["g"], "id", "v", n_boot=40).collect()[0]
+    n, mean, lo, hi = _py_bootstrap_ci(rows, n_boot=40)
+    assert (r["n"], r["mean"], r["ci_lo"], r["ci_hi"]) == (n, mean, lo, hi)

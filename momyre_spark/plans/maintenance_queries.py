@@ -2044,11 +2044,17 @@ def stats_ab_power(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _KM_ORACLE = """
     WITH u AS (
+        -- floor(epoch(...)) per event, NOT raw epoch(): DuckDB's epoch()
+        -- keeps fractional seconds while Spark's unix_timestamp()
+        -- truncates to whole seconds — an un-floored difference near a
+        -- 3600s boundary lands one subject in the adjacent hour bucket
+        -- (found by the sf0.1 staged sweep; min/max commute with floor,
+        -- so flooring inside the aggregate is exact)
         SELECT user_id,
-               min(epoch(CAST(ts AS TIMESTAMP))) AS e0,
+               min(floor(epoch(CAST(ts AS TIMESTAMP)))) AS e0,
                min(CASE WHEN event_type = 'purchase'
-                        THEN epoch(CAST(ts AS TIMESTAMP)) END) AS ep,
-               max(epoch(CAST(ts AS TIMESTAMP))) AS emax
+                        THEN floor(epoch(CAST(ts AS TIMESTAMP))) END) AS ep,
+               max(floor(epoch(CAST(ts AS TIMESTAMP)))) AS emax
         FROM events GROUP BY user_id
     ),
     dur AS (

@@ -70,3 +70,38 @@ def test_staged_queries_pass_plan_gate(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_staged_queries_match_oracle_at_sf01(spark):
+    """The staged queue AGAIN at sf0.1 — the bench scale. This sweep has
+    caught two real data-dependent divergences the smaller fixtures hid
+    (mm_video_scenes' nullable-boolean rendering appeared only at
+    sf0.01; stats_kaplan_meier's un-floored DuckDB epoch() flipped an
+    hour bucket only at sf0.1), so every staged query must hold at every
+    scale it will ever be measured at."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf}/events.parquet"):
+        pytest.skip("sf0.1 testdata absent")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    failures = []
+    for name, (fn, oracle) in sorted(plans.staged_queries().items()):
+        sdf = fn(spark, sf).toPandas()
+        ddf = con.execute(oracle).fetchdf()
+        ok, msg = compare(sdf, ddf)
+        if not ok:
+            failures.append(f"{name}: {msg}")
+    con.close()
+    assert not failures, failures

@@ -603,6 +603,7 @@ def duplicate_components(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).select(F.col("src").alias("id"), "label")
 
+    prev_round_ids: set[int] = set()
     for _ in range(max_iterations):
         neigh = (
             edges.join(labels, edges.dst == labels.id)
@@ -646,7 +647,7 @@ def duplicate_components(
         # convergence check off the materialized block: counting before
         # cutting computed the round's full join DAG twice — once for the
         # changed probe, once again for the eager checkpoint
-        new_labels, _ = _cut(new_labels)
+        new_labels, new_ids = _cut(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -654,6 +655,16 @@ def duplicate_components(
             .limit(1)
             .count()
         )
+        # the convergence probe was the LAST reader of the previous
+        # round's cut — release its blocks now instead of pinning one
+        # node-sized block per round until return (the k-core lifecycle
+        # fix, applied to the label chain)
+        if prev_round_ids:
+            for rid, jrdd in _persistent().items():
+                if rid in prev_round_ids:
+                    jrdd.unpersist(False)
+            owned.difference_update(prev_round_ids)
+        prev_round_ids = new_ids
         labels = new_labels
         if changed == 0:
             break

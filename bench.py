@@ -150,6 +150,18 @@ HEADLINE = [
     # aggregate-HOF fold, no explode)
     "pipe_fim_transform",
     "chat_loss_mask",
+    # round-8: the nine round-7-staged queries, registered this round —
+    # each arrives with per-round history from the staged bench loop, so
+    # joining the headline total here is a recorded hand-off, not a jump
+    "mm_video_scenes",
+    "text_duplicate_spans",
+    "text_remove_dup_spans",
+    "text_textrank_keywords",
+    "text_cross_perplexity",
+    "text_zipf_fit",
+    "stats_bootstrap_ci",
+    "stats_kaplan_meier",
+    "stats_trimmed_mean",
 ]
 
 
@@ -396,15 +408,16 @@ def main() -> None:
     timings["dedup_linkage_jumbo_synthetic"] = round(min(runs), 3)
     spark.catalog.clearCache()
 
-    # ---- staged round-8 queries (pre-registration perf history) --------
-    # Written + oracle-pre-validated this round but deliberately NOT in
-    # the driver registry (round 7's ~50-row budget went to the r02
-    # refresh tier). Benching them now means each arrives in round 8 with
-    # a recorded baseline instead of an unexplained headline jump. The
-    # name->fn list comes from plans.staged_queries() — the ONE registry
-    # the oracle mirror and plan gate also iterate — so a staged addition
-    # cannot silently miss its bench baseline. Their seconds are EXCLUDED
-    # from the headline total (see below) until they register.
+    # ---- staged queries (pre-registration perf history) ----------------
+    # Queries written + oracle-pre-validated ahead of their driver
+    # registration round get benched here so each arrives at registration
+    # with a recorded baseline instead of an unexplained headline jump.
+    # The name->fn list comes from plans.staged_queries() — the ONE
+    # registry the oracle mirror and plan gate also iterate — so a staged
+    # addition cannot silently miss its bench baseline. Their seconds are
+    # EXCLUDED from the headline total (see below) until they register.
+    # (The round-7 queue of nine registered in round 8; the queue is
+    # currently empty, the loop stays for the next staging wave.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 
@@ -498,6 +511,16 @@ def main() -> None:
     sys.stdout.flush()
     sys.stderr.flush()
     print(line, flush=True)
+    # r07's artifact loss mode 2: even with the JVM silenced, the full
+    # payload line GROWS with the registry (90+ per-query entries ≈ 3 kB)
+    # and can never fit a bounded tail-capture window — the driver kept
+    # recording parsed: null because the line's head ("metric", "value")
+    # was cut off. Print a second, tiny summary line LAST (same metric,
+    # no "queries") so any tail window that keeps the final ~150 chars
+    # ends with a complete parseable record; the full per-query detail
+    # stays in the line above and in BENCH_SELF.json/BENCH_HISTORY.json.
+    summary = {k: v for k, v in payload.items() if k != "queries"}
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

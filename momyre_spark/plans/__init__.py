@@ -238,50 +238,19 @@ def ordered_queries() -> dict[str, QueryFn]:
 
 
 def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
-    """The round-8 registration queue: queries written and
-    oracle-pre-validated in round 7 but deliberately NOT in ``QUERIES``
-    — this round's ~50-row driver budget went to the r02-vintage
-    refresh tier (VERDICT r06 item #1). Each entry maps the future
-    registered name to ``(query_fn, oracle_sql_or_None)``; registering
-    one is a 3-line diff (wrap with ``@query(name, oracle=...)``).
+    """The registration queue: queries written and oracle-pre-validated
+    ahead of their driver-registration round, deliberately NOT yet in
+    ``QUERIES`` (the driver records ~50 rows per round; staging respects
+    that budget). Each entry maps the future registered name to
+    ``(query_fn, oracle_sql_or_None)``; registering one is a 3-line diff
+    (wrap with ``@query(name, oracle=...)``).
 
-    Kept as a central registry so the repo-wide plan gate and the
-    sf0.01 oracle mirror exercise the queue with exactly the same
+    Kept as a central registry so the repo-wide plan gate, the sf0.01
+    oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
-    """
-    from momyre_spark.plans.maintenance_queries import (
-        _KM_ORACLE,
-        _TRIM_ORACLE,
-        _bootstrap_oracle,
-        stats_bootstrap_ci,
-        stats_kaplan_meier,
-        stats_trimmed_mean,
-    )
-    from momyre_spark.plans.multimodal_queries import (
-        _MM_SCENES_ORACLE,
-        mm_video_scenes,
-    )
-    from momyre_spark.plans.text_queries import (
-        _DUP_SPANS_ORACLE,
-        _RM_SPANS_ORACLE,
-        _XPPL_ORACLE,
-        _ZIPF_ORACLE,
-        _textrank_oracle,
-        text_cross_perplexity,
-        text_duplicate_spans,
-        text_remove_dup_spans,
-        text_textrank_keywords,
-        text_zipf_fit,
-    )
 
-    return {
-        "mm_video_scenes": (mm_video_scenes, _MM_SCENES_ORACLE),
-        "text_duplicate_spans": (text_duplicate_spans, _DUP_SPANS_ORACLE),
-        "text_remove_dup_spans": (text_remove_dup_spans, _RM_SPANS_ORACLE),
-        "text_textrank_keywords": (text_textrank_keywords, _textrank_oracle()),
-        "text_cross_perplexity": (text_cross_perplexity, _XPPL_ORACLE),
-        "text_zipf_fit": (text_zipf_fit, _ZIPF_ORACLE),
-        "stats_bootstrap_ci": (stats_bootstrap_ci, _bootstrap_oracle()),
-        "stats_kaplan_meier": (stats_kaplan_meier, _KM_ORACLE),
-        "stats_trimmed_mean": (stats_trimmed_mean, _TRIM_ORACLE),
-    }
+    Currently EMPTY: the round-7 queue of nine (mm_video_scenes, the
+    text span/TextRank/perplexity/Zipf family, the bootstrap/KM/trimmed
+    stats family) registered in round 8.
+    """
+    return {}

@@ -2036,9 +2036,8 @@ def stats_ab_power(spark: SparkSession, sf: str) -> DataFrame:
 # correctly. Distinct-hour rows only; product via a fixed-order ascending
 # fold (engine-identical IEEE sequence), counts exact BIGINT.
 #
-# NOT registered this round: round 7's ~50-row driver budget is exactly
-# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
-# Round 8: wrap with @query("stats_kaplan_meier", oracle=_KM_ORACLE).
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
 # Pre-validated end-to-end by tests/test_maintenance_ops.py::
 # test_stats_kaplan_meier_oracle_parity (same compare as the driver).
 # --------------------------------------------------------------------------
@@ -2092,6 +2091,7 @@ _KM_ORACLE = """
 """
 
 
+@query("stats_kaplan_meier", oracle=_KM_ORACLE)
 def stats_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import kaplan_meier
 
@@ -2123,8 +2123,7 @@ def stats_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
 # location estimate — 5% of each tail dropped as a sorted multiset via
 # the distinct-value rank machinery; every sum exact BIGINT centi-units.
 #
-# NOT registered this round (same 50-row budget note as _KM_ORACLE).
-# Round 8: wrap with @query("stats_trimmed_mean", oracle=_TRIM_ORACLE).
+# Registered round 8 (was staged through round 7).
 # Pre-validated by tests/test_maintenance_ops.py::
 # test_stats_trimmed_mean_oracle_parity.
 # --------------------------------------------------------------------------
@@ -2166,6 +2165,7 @@ _TRIM_ORACLE = """
 """
 
 
+@query("stats_trimmed_mean", oracle=_TRIM_ORACLE)
 def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import trimmed_mean
 
@@ -2182,9 +2182,7 @@ def stats_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
 # operators/profile._POISSON1_CDF — recomputing e^-1/k! in SQL would
 # yield different doubles.
 #
-# NOT registered this round (same 50-row budget note as _KM_ORACLE).
-# Round 8: wrap with @query("stats_bootstrap_ci",
-# oracle=_bootstrap_oracle()). Pre-validated by
+# Registered round 8 (was staged through round 7). Pre-validated by
 # tests/test_maintenance_ops.py::test_stats_bootstrap_ci_oracle_parity
 # and the staged-queue mirror in test_oracle_queries.py.
 # --------------------------------------------------------------------------
@@ -2250,6 +2248,7 @@ def _bootstrap_oracle() -> str:
 """
 
 
+@query("stats_bootstrap_ci", oracle=_bootstrap_oracle())
 def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import bootstrap_ci
 

@@ -224,9 +224,8 @@ def dedup_multimodal_groups(spark: SparkSession, sf: str) -> DataFrame:
 # ASCII so the oracle can mirror byte sums as ascii(char) sums — the same
 # assumption mm_frame_sample's green oracle already relies on).
 #
-# NOT registered this round: round 7's ~50-row driver budget is exactly
-# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
-# Round 8: wrap with @query("mm_video_scenes", oracle=_MM_SCENES_ORACLE).
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
 # Pre-validated end-to-end by tests/test_multimodal_ops.py::
 # test_mm_video_scenes_oracle_parity (same compare as the driver).
 # --------------------------------------------------------------------------
@@ -261,6 +260,7 @@ _MM_SCENES_ORACLE = """
 """
 
 
+@query("mm_video_scenes", oracle=_MM_SCENES_ORACLE)
 def mm_video_scenes(spark: SparkSession, sf: str) -> DataFrame:
     # is_cut ships as nullable INT, not BOOLEAN: a NULL boolean renders
     # as None from Spark's toPandas but as float nan from DuckDB's

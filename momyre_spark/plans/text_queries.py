@@ -1395,9 +1395,8 @@ def text_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
 # maximal runs of corpus-duplicated word trigrams reported as token spans.
 # All-integer output (offsets + counts), directly hash-oracle-able.
 #
-# NOT registered this round: round 7's ~50-row driver budget is exactly
-# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
-# Round 8: wrap with @query("text_duplicate_spans", oracle=_DUP_SPANS_ORACLE).
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
 # Pre-validated end-to-end by tests/test_textops.py::
 # test_text_duplicate_spans_oracle_parity (same compare as the driver).
 # --------------------------------------------------------------------------
@@ -1444,6 +1443,7 @@ _DUP_SPANS_ORACLE = r"""
 """
 
 
+@query("text_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
 def text_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import duplicate_spans
 
@@ -1459,10 +1459,9 @@ def text_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 # rank units, materialized CTE per level) over a word-edge head, so the
 # iterative part value-hashes bit-for-bit.
 #
-# NOT registered this round: round 7's ~50-row driver budget is exactly
-# 2 new queries + the 48 r02-vintage refreshes (VERDICT r06 item #1).
-# Round 8: wrap with @query("text_textrank_keywords",
-# oracle=_textrank_oracle()). Pre-validated end-to-end by
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
+# Pre-validated end-to-end by
 # tests/test_textops.py::test_textrank_oracle_parity (same compare as
 # the driver).
 # --------------------------------------------------------------------------
@@ -1540,6 +1539,7 @@ def _textrank_oracle() -> str:
     )
 
 
+@query("text_textrank_keywords", oracle=_textrank_oracle())
 def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import textrank_keywords
 
@@ -1554,9 +1554,9 @@ def text_textrank_keywords(spark: SparkSession, sf: str) -> DataFrame:
 # the executable Lee-et-al cut — duplicated token spans >= 4 tokens removed,
 # survivors reassembled. One row per input document, integer counts.
 #
-# NOT registered this round (same 50-row budget note as above).
-# Round 8: wrap with @query("text_remove_dup_spans",
-# oracle=_RM_SPANS_ORACLE). Pre-validated by tests/test_textops.py::
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
+# Pre-validated by tests/test_textops.py::
 # test_text_remove_dup_spans_oracle_parity.
 # --------------------------------------------------------------------------
 _RM_SPANS_ORACLE = r"""
@@ -1621,6 +1621,7 @@ _RM_SPANS_ORACLE = r"""
 """
 
 
+@query("text_remove_dup_spans", oracle=_RM_SPANS_ORACLE)
 def text_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import remove_duplicate_spans
 
@@ -1636,9 +1637,9 @@ def text_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 # the oracle spells the unigram weight as (1.0 - 0.7); P_uni's denominator
 # is (T + V + 1) computed in BIGINT then converted once.
 #
-# NOT registered this round (same 50-row budget note as above).
-# Round 8: wrap with @query("text_cross_perplexity",
-# oracle=_XPPL_ORACLE). Pre-validated by tests/test_chunking_lm_shuffle.py::
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
+# Pre-validated by tests/test_chunking_lm_shuffle.py::
 # test_text_cross_perplexity_oracle_parity.
 # --------------------------------------------------------------------------
 _XPPL_ORACLE = f"""
@@ -1696,6 +1697,7 @@ _XPPL_ORACLE = f"""
 """
 
 
+@query("text_cross_perplexity", oracle=_XPPL_ORACLE)
 def text_cross_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.lm import cross_score_bigram
 
@@ -1712,8 +1714,8 @@ def text_cross_perplexity(spark: SparkSession, sf: str) -> DataFrame:
 # ln values fixed-pointed to 1e-6 BIGINT units per distinct term, so all
 # five moment sums are exact; the slope/intercept/r2 tree is mirrored.
 #
-# NOT registered this round (same 50-row budget note as above).
-# Round 8: wrap with @query("text_zipf_fit", oracle=_ZIPF_ORACLE).
+# Registered round 8 (was staged through round 7 under the ~50-row
+# driver budget).
 # Pre-validated by tests/test_textops.py::test_text_zipf_fit_oracle_parity.
 # --------------------------------------------------------------------------
 _ZIPF_ORACLE = f"""
@@ -1773,6 +1775,7 @@ _ZIPF_ORACLE = f"""
 """
 
 
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
 def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import zipf_fit
 

@@ -72,13 +72,27 @@ def test_staged_queries_pass_plan_gate(spark):
     assert not offenders, offenders
 
 
+# Queries that must ALSO hold at sf0.1 — the bench scale. This sweep has
+# caught two real data-dependent divergences the smaller fixtures hid
+# (mm_video_scenes' nullable-boolean rendering appeared only at sf0.01;
+# stats_kaplan_meier's un-floored DuckDB epoch() flipped an hour bucket
+# only at sf0.1). It covers the current staged queue (if any) plus the
+# round-8 registrations that graduated from it — registration must not
+# lose the multi-scale protection that staging had.
+SF01_SWEEP = [
+    "mm_video_scenes",
+    "text_duplicate_spans",
+    "text_remove_dup_spans",
+    "text_textrank_keywords",
+    "text_cross_perplexity",
+    "text_zipf_fit",
+    "stats_bootstrap_ci",
+    "stats_kaplan_meier",
+    "stats_trimmed_mean",
+]
+
+
 def test_staged_queries_match_oracle_at_sf01(spark):
-    """The staged queue AGAIN at sf0.1 — the bench scale. This sweep has
-    caught two real data-dependent divergences the smaller fixtures hid
-    (mm_video_scenes' nullable-boolean rendering appeared only at
-    sf0.01; stats_kaplan_meier's un-floored DuckDB epoch() flipped an
-    hour bucket only at sf0.1), so every staged query must hold at every
-    scale it will ever be measured at."""
     import os
 
     import duckdb
@@ -96,8 +110,13 @@ def test_staged_queries_match_oracle_at_sf01(spark):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
+    sweep = {
+        name: (plans.QUERIES[name], plans.ORACLES[name])
+        for name in SF01_SWEEP
+    }
+    sweep.update(plans.staged_queries())
     failures = []
-    for name, (fn, oracle) in sorted(plans.staged_queries().items()):
+    for name, (fn, oracle) in sorted(sweep.items()):
         sdf = fn(spark, sf).toPandas()
         ddf = con.execute(oracle).fetchdf()
         ok, msg = compare(sdf, ddf)

@@ -408,6 +408,36 @@ def main() -> None:
     timings["dedup_linkage_jumbo_synthetic"] = round(min(runs), 3)
     spark.catalog.clearCache()
 
+    # ---- linkage scaling probe (VERDICT r07 item #5) --------------------
+    # Density-controlled synthetic corpus at ~10x the sf0.1 names frame
+    # (171,428 records): md5-hex names whose ONLY edit-1 pairs are the
+    # planted twins (plans/dedup_queries._syn_names; exactness pinned by
+    # tests/test_linkage.py). The customer-fixture curve's last decade is
+    # entangled with its match-set growth (x13.6/decade by construction);
+    # this probe holds match density fixed, so its per-decade ratio
+    # measures the PIPELINE alone — the fourth scaling point. Both the
+    # pair stage and the full entity closure are recorded. Excluded from
+    # the headline total (probe rows, like the staged set — they exist
+    # for the SCALE.md curve, not the registered-surface metric).
+    from momyre_spark.operators.linkage import entity_groups
+    from momyre_spark.plans.dedup_queries import _syn_names
+
+    _ln = _syn_names(spark)  # materializes the fixture outside timing
+    for _nm, _lfn in (
+        ("dedup_linkage_synthetic_170k", blocked_edit_pairs),
+        ("dedup_entity_synthetic_170k", entity_groups),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _lfn(
+                _ln, text_col="t", id_col="id", max_distance=1
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[_nm] = round(min(runs), 3)
+        spark.catalog.clearCache()
+    probe_rows = {"dedup_linkage_synthetic_170k", "dedup_entity_synthetic_170k"}
+
     # ---- staged queries (pre-registration perf history) ----------------
     # Queries written + oracle-pre-validated ahead of their driver
     # registration round get benched here so each arrives at registration
@@ -416,8 +446,9 @@ def main() -> None:
     # registry the oracle mirror and plan gate also iterate — so a staged
     # addition cannot silently miss its bench baseline. Their seconds are
     # EXCLUDED from the headline total (see below) until they register.
-    # (The round-7 queue of nine registered in round 8; the queue is
-    # currently empty, the loop stays for the next staging wave.)
+    # (The round-7 queue of nine registered in round 8; the current
+    # queue is the round-8 wave of four: readability, BH-FDR, frequency
+    # cap, packing efficiency.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 
@@ -471,7 +502,9 @@ def main() -> None:
     total = sum(
         v
         for k, v in timings.items()
-        if not k.startswith("maint_") and k not in staged_names
+        if not k.startswith("maint_")
+        and k not in staged_names
+        and k not in probe_rows
     )
     payload = {
         "metric": "headline_queries_total_runtime",

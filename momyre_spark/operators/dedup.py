@@ -434,6 +434,7 @@ def hamming_neardup_pairs(
     hash_col: str = "fp",
     bits: int = 64,
     collapse_identical: bool = True,
+    persist_fps: bool = False,
 ) -> DataFrame:
     """Generic hamming-distance pair join over any integer fingerprint
     column (SimHash, image dHash, audio chromaprint, ...).
@@ -462,6 +463,19 @@ def hamming_neardup_pairs(
     Works on SIGNED longs: ``shiftrightunsigned`` treats the value as the
     raw 64-bit pattern, so full-width hashes (top bit set -> negative long)
     block and compare correctly.
+
+    ``persist_fps``: cache the projected (id, fp) frame — 16 bytes/row —
+    before the branches below fan out. The collapse groupBy, the star
+    join, and both sides of the block self-join each reference ``fps``,
+    so a lazy input is recomputed up to FIVE times in the executed plan.
+    That is the correct trade only when upstream is cheap codegen (the
+    SimHash path — measured round 7, recompute beat persist); when
+    upstream is per-row Python media decode (image dhash, audio
+    envelope), five decodes dominate everything at scale, so those
+    callers pass True and the plan decodes once (VERDICT r07 item #2).
+    The cache is released by the session's per-query clearCache hygiene
+    (bench.py) — the same lifecycle every operator-internal persist here
+    uses.
     """
     n_blocks = max_hamming + 1
     if not 1 <= n_blocks <= bits:
@@ -474,6 +488,8 @@ def hamming_neardup_pairs(
         return m - (1 << 64) if m >= 1 << 63 else m  # signed-64 pattern
 
     base = fps.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp"))
+    if persist_fps:
+        base = base.persist()
     star = None
     if collapse_identical:
         reps = base.groupBy("__fp").agg(F.min("__id").alias("__id"))
@@ -1510,5 +1526,46 @@ def containment_pairs(
         .select(
             "a_id", "b_id",
             round_half_up(F.col("containment"), 4).alias("containment"),
+        )
+    )
+
+
+def frequency_cap(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap exact-duplicate multiplicity at ``k`` copies — the softer
+    alternative to full dedup: a capped amount of natural repetition is
+    kept (high-quality documents ARE re-hosted), unbounded repetition is
+    cut. Every input row is emitted with its content key, rank among its
+    copies (stable: ordered by id), cluster size, and the keep verdict;
+    downstream filters on ``kept``.
+
+    Shape: one projection to (id, md5(text)) — 16-byte digests, the
+    exact-dedup move — then one window partitioned by digest. Cluster
+    sizes are data-intrinsic (the window's partition is ONE duplicate
+    cluster, not the corpus); a pathological giga-cluster degrades to a
+    single partition's sort, the same exposure the exact-dedup groupBy
+    has, and can be pre-collapsed with the star guard if it ever shows
+    up in practice.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("momyre: k must be >= 1")
+    w = Window.partitionBy("__key").orderBy(F.col(id_col))
+    wall = Window.partitionBy("__key")
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("__key"))
+        .withColumn("copy_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .select(
+            id_col,
+            F.col("__key").alias("content_key"),
+            "copy_rank",
+            "n_copies",
+            (F.col("copy_rank") <= F.lit(k)).alias("kept"),
         )
     )

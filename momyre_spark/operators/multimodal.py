@@ -348,8 +348,12 @@ def image_neardup_pairs(
     from momyre_spark.operators.dedup import hamming_neardup_pairs
 
     fps = image_dhash(df, id_col=id_col, data_col=data_col)
+    # persist_fps: the decode+hash stage is per-row Python image work —
+    # without the cache the pigeonhole join's branches re-decode every
+    # image up to five times (the round-7 bench regression)
     return hamming_neardup_pairs(
-        fps, max_hamming=max_hamming, id_col=id_col, hash_col="dhash"
+        fps, max_hamming=max_hamming, id_col=id_col, hash_col="dhash",
+        persist_fps=True,
     )
 
 
@@ -790,8 +794,11 @@ def audio_neardup_pairs(
     fps = audio_fingerprints(
         ensure_parallelism(df), payload_col=payload_col, id_col=id_col
     )
+    # persist_fps: WAV decode + envelope extraction is per-row Python —
+    # same five-fold recompute shape as the image path without the cache
     return hamming_neardup_pairs(
-        fps, max_hamming=max_hamming, id_col=id_col, hash_col="afp"
+        fps, max_hamming=max_hamming, id_col=id_col, hash_col="afp",
+        persist_fps=True,
     )
 
 

@@ -1847,3 +1847,68 @@ def bootstrap_ci(
         round_half_up(F.element_at("__ms", lo_idx), digits).alias("ci_lo"),
         round_half_up(F.element_at("__ms", hi_idx), digits).alias("ci_hi"),
     )
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    alpha_pct: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment over a family of
+    p-values (Benjamini & Hochberg 1995) — the multiple-testing control
+    every metric battery needs: run hundreds of segment/metric tests and
+    report q-values (adjusted p) instead of drowning in 5% false alarms.
+    Output per test: ``(*group_cols, id, p, rank, q, is_discovery)``
+    where ``q_(i) = min_{j>=i} (m * p_(j) / j)`` clipped to 1 and
+    ``is_discovery = q <= alpha`` (the step-up rule, in its equivalent
+    q-value form).
+
+    Shape: one exchange per family (``group_cols``), then three window
+    reads over the same partition — rank (row_number), family size m
+    (count), and the reverse running min that realizes the min-over-tail
+    — no collect, no self-join. Families are test batteries (dozens to
+    thousands of rows after their own aggregation), never corpora; the
+    sort is |family| log |family| per family.
+
+    Determinism: rank ties break on ``id_col``; the only doubles are
+    ``m * p / i`` and the running-min fold, both mirrored
+    operand-for-operand in the oracle; ``alpha`` enters as the exact
+    double ``alpha_pct / 100.0``.
+    """
+    if not 1 <= alpha_pct < 100:
+        raise ValueError("momyre: alpha_pct must be in [1, 100)")
+    gcols = list(group_cols)
+    wo = Window.partitionBy(*gcols).orderBy(
+        F.col(p_col).asc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy(*gcols)
+    wrev = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(p_col).desc(), F.col(id_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        df.withColumn("__i", F.row_number().over(wo))
+        .withColumn("__m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "__raw",
+            F.col("__m").cast("double")
+            * F.col(p_col).cast("double")
+            / F.col("__i"),
+        )
+        .withColumn(
+            "__q", F.least(F.min("__raw").over(wrev), F.lit(1.0))
+        )
+    )
+    return ranked.select(
+        *gcols,
+        id_col,
+        F.col(p_col).cast("double").alias("p"),
+        F.col("__i").cast("bigint").alias("rank"),
+        round_half_up(F.col("__q"), digits).alias("q"),
+        (F.col("__q") <= F.lit(alpha_pct).cast("double") / F.lit(100.0))
+        .alias("is_discovery"),
+    )

@@ -727,3 +727,58 @@ def fim_transform(
         F.when(use_spm, spm_text).otherwise(psm)
     )
     return df.withColumn(out_col, out).withColumn("fim_mode", mode)
+
+
+def packing_efficiency(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-bin utilization report over :func:`pack_sequences`'s
+    assignment — the packing-quality readout a pretraining run watches
+    (average fill tells you how much context window is wasted padding;
+    overflow counts tell you how much needs splitting). Output per bin:
+    ``(bin, n_docs, n_tokens, overflow_docs, fill_ratio)``.
+
+    ``fill_ratio`` can exceed 1: packing is concat-and-chunk, so a
+    document whose first token lands in a bin may spill past the
+    boundary — that spill is the next bin's prefix, and reporting the
+    raw sum keeps the column an honest conservation check
+    (sum(n_tokens) over bins == corpus total).
+
+    Shape: the packing window (one exchange, per shard if sharded)
+    followed by one hash agg on the bin id — nothing new shuffles
+    beyond what pack_sequences already pays.
+
+    Determinism: all counts exact BIGINT; the single division is
+    mirrored and rounded at ``digits``.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    packed = pack_sequences(
+        df,
+        max_tokens,
+        token_col=token_col,
+        id_col=id_col,
+        shard_col=shard_col,
+    )
+    return (
+        packed.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(token_col)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("overflow").cast("int"))
+            .cast("bigint")
+            .alias("overflow_docs"),
+        )
+        .withColumn(
+            "fill_ratio",
+            round_half_up(
+                F.col("n_tokens").cast("double") / F.lit(float(max_tokens)),
+                digits,
+            ),
+        )
+    )

@@ -628,3 +628,66 @@ def zipf_fit(
         round_half_up(intercept, digits).alias("intercept"),
         F.when(vary != 0, round_half_up(r2, digits)).alias("r2"),
     )
+
+
+def readability_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    digits: int = 4,
+) -> DataFrame:
+    """Flesch-reading-ease-style readability per document — the
+    complexity gate a curation pipeline pairs with the quality/Gopher
+    battery (too-hard and too-easy tails both correlate with boilerplate
+    and OCR junk). Output per document:
+    ``(id, n_words, n_sentences, n_syllables, flesch)``.
+
+    Heuristics (the standard crude ones; the operator shape is the
+    point): syllables = maximal ``[aeiouy]+`` runs per lowercased token,
+    min 1 per word; sentences = maximal ``[.!?]+`` runs, min 1.
+    Score = 206.835 - 1.015*(W/S) - 84.6*(Y/W) with the canonical
+    constants as exact double literals.
+
+    Shape: map-only — one corpus scan, tokens materialized ONCE per row
+    (HOF references to an inline tokenizer re-evaluate it; see
+    functions/text.shingles_from_tokens), counts folded in codegen
+    aggregate(); zero shuffles. At 100 TB this costs the parquet scan.
+
+    Determinism: all three counts are exact BIGINT; the two divisions
+    and the constant tree are mirrored operand-for-operand in the
+    oracle and rounded at ``digits``.
+    """
+    base = docs.select(
+        id_col, F.col(text_col).alias("__t")
+    ).withColumn("__toks", T.tokens(F.lower(F.col("__t"))))
+    syll = F.aggregate(
+        "__toks",
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("bigint"),
+    )
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("__t"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    m = (
+        base.filter(F.size("__toks") >= min_words)
+        .select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("n_words"),
+            sents.alias("n_sentences"),
+            syll.alias("n_syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.withColumn("flesch", round_half_up(flesch, digits))

@@ -249,8 +249,34 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
 
-    Currently EMPTY: the round-7 queue of nine (mm_video_scenes, the
-    text span/TextRank/perplexity/Zipf family, the bootstrap/KM/trimmed
-    stats family) registered in round 8.
+    Current queue (written round 8, registering round 9): readability,
+    Benjamini-Hochberg FDR, duplicate frequency capping, and the
+    packing-efficiency report. (The round-7 queue of nine registered in
+    round 8.)
     """
-    return {}
+    from momyre_spark.plans.dedup_queries import (
+        _FREQCAP_ORACLE,
+        dedup_frequency_cap,
+    )
+    from momyre_spark.plans.maintenance_queries import (
+        _BH_ORACLE,
+        stats_bh_fdr,
+    )
+    from momyre_spark.plans.pipeline_queries import (
+        _PACK_EFF_ORACLE,
+        pipe_packing_efficiency,
+    )
+    from momyre_spark.plans.text_queries import (
+        _READABILITY_ORACLE,
+        text_readability,
+    )
+
+    return {
+        "text_readability": (text_readability, _READABILITY_ORACLE),
+        "stats_bh_fdr": (stats_bh_fdr, _BH_ORACLE),
+        "dedup_frequency_cap": (dedup_frequency_cap, _FREQCAP_ORACLE),
+        "pipe_packing_efficiency": (
+            pipe_packing_efficiency,
+            _PACK_EFF_ORACLE,
+        ),
+    }

@@ -614,6 +614,42 @@ _SEM_HI = "CAST(conv(substr(md5(CAST({i} AS STRING)), 16, 1), 16, 10) AS BIGINT)
 _SEM_P = "CAST(pmod(id * 7, 64) AS INT)"
 
 
+# Density-controlled synthetic linkage corpus for the entity/linkage
+# scaling curve (SCALE.md): the sf0.1 customer fixture's match set is
+# dense by construction ("Customer#NNNNNNNNN" names differ in one digit),
+# so its last-decade wall-clock ratio is entangled with output growth.
+# Here names are 16-hex md5 prefixes — cross-record edit-1 matches are
+# combinatorially absent (p ~ 1e-17 per pair) — and the ONLY true pairs
+# are the planted twins: every 7th record contributes a last-char-dropped
+# copy at id+10_000_000 (edit distance exactly 1). Match density is
+# data-intrinsic and FIXED across n, so timing curves over n measure the
+# PIPELINE (variant emission, block join, verify, components), not a
+# fixture artifact. Exactness of the planted set is pinned by
+# tests/test_linkage.py::test_synthetic_names_probe_exact_recall.
+_N_LINK = 150_000  # ~10x the sf0.1 names frame (17,143 rows incl. twins)
+
+
+def _syn_names(spark: SparkSession, n: int = _N_LINK) -> DataFrame:
+    """Materialized once per (process, n) — measure linkage, not
+    generation; 32 files so the variant-emission map stage parallelizes
+    (same single-file-layout rationale as _sem_emb)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"momyre_synlink_{n}.parquet")
+    if not os.path.exists(path):
+        base = spark.range(n).selectExpr(
+            "id", "substr(md5(CAST(id AS STRING)), 1, 16) AS t"
+        )
+        twins = base.filter(F.col("id") % 7 == 0).selectExpr(
+            "id + 10000000 AS id", "substr(t, 1, 15) AS t"
+        )
+        base.unionByName(twins).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _sem_emb(spark: SparkSession) -> DataFrame:
     """The synthetic 20k embedding table, materialized once per process
     (same rationale as _syn_docs: measure scan + dedup, not generation)."""
@@ -1349,3 +1385,37 @@ def dedup_entity_groups(spark: SparkSession, sf: str) -> DataFrame:
     return entity_groups(
         names, text_col="t", id_col="id", max_distance=1
     ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Frequency capping (operators/dedup.frequency_cap): exact-duplicate
+# multiplicity capped at k=2 — keep up to two copies of every document,
+# cut the rest (the softer dedup for corpora where bounded natural
+# repetition is wanted). One digest window; every row emitted with its
+# verdict, so the output is corpus-sized and fully hash-oracled.
+#
+# STAGED for round-9 registration (round-8 budget went to the nine
+# round-7 registrations + the r03 refresh tier). Pre-validated by the
+# staged-queue mirror and tests/test_dedup_ops.py::
+# test_frequency_cap_known_values.
+# --------------------------------------------------------------------------
+_FREQCAP_ORACLE = """
+    SELECT doc_id,
+           md5(text) AS content_key,
+           CAST(row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+           ) AS BIGINT) AS copy_rank,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS n_copies,
+           row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+           ) <= 2 AS kept
+    FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import frequency_cap
+
+    docs = load_table(spark, sf, "documents")
+    return frequency_cap(docs, k=2).orderBy("doc_id")

@@ -2256,3 +2256,81 @@ def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     return bootstrap_ci(
         ev, ["event_type"], "event_id", "value", n_boot=200, alpha_pct=5
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR (operators/profile.bh_adjust): q-values + the
+# step-up discovery set over a planted family of per-cell p-values. The
+# family is the (event_type, hour-of-day) grid; p-values are md5-derived
+# uniforms (the engine-neutral randomness recipe, _SEM_LO style) with a
+# planted signal — cells at hour % 5 == 0 get p/1000 — so the discovery
+# set is non-trivial and exactly mirrored. The operator's windows (rank,
+# family count, reverse running min) value-hash bit-for-bit.
+#
+# STAGED for round-9 registration (round-8 budget went to the nine
+# round-7 registrations + the r03 refresh tier). Pre-validated by the
+# staged-queue mirror and tests/test_maintenance_ops.py::
+# test_bh_adjust_known_values.
+# --------------------------------------------------------------------------
+_BH_ORACLE = """
+    WITH cells AS (
+        SELECT DISTINCT event_type,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   AS hh
+        FROM events
+    ),
+    pv AS (
+        SELECT event_type || '|' || hh AS cell,
+               CASE WHEN hh % 5 = 0 THEN u / 1000 ELSE u END AS p
+        FROM (SELECT event_type, hh,
+                     CAST(('0x' || substr(md5(event_type || '|' || hh),
+                                          1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS u
+              FROM cells)
+    ),
+    r AS (
+        SELECT cell, p,
+               row_number() OVER (ORDER BY p, cell) AS i,
+               count(*) OVER () AS m
+        FROM pv
+    ),
+    q AS (
+        SELECT cell, p, i,
+               least(min(CAST(m AS DOUBLE) * p / i) OVER (
+                         ORDER BY p DESC, cell DESC
+                         ROWS UNBOUNDED PRECEDING),
+                     1.0) AS qv
+        FROM r
+    )
+    SELECT cell, p,
+           CAST(i AS BIGINT) AS rank,
+           floor(qv * 1000000 + 0.5) / 1000000.0 AS q,
+           qv <= 10 / 100.0 AS is_discovery
+    FROM q ORDER BY cell
+"""
+
+
+def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import bh_adjust
+
+    ev = load_table(spark, sf, "events")
+    cells = ev.select(
+        F.col("event_type"), F.hour("ts").cast("bigint").alias("hh")
+    ).distinct()
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("event_type"), F.col("hh"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    pv = cells.select(
+        F.concat_ws("|", F.col("event_type"), F.col("hh")).alias("cell"),
+        F.when(F.col("hh") % 5 == 0, u / F.lit(1000)).otherwise(u).alias("p"),
+    )
+    return bh_adjust(pv, "p", "cell", alpha_pct=10).orderBy("cell")

@@ -1222,3 +1222,54 @@ def pipe_score_calibrate(spark: SparkSession, sf: str) -> DataFrame:
     return calibrate_scores(
         docs, ["source"], "n_chars", ["doc_id"], buckets=10
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Packing-efficiency report (operators/sampling.packing_efficiency):
+# per-bin utilization over the pipe_pack_sequences assignment — the
+# padding-waste readout a pretraining run watches. Reuses the packing
+# CTE; one extra hash agg on the bin id. fill_ratio may exceed 1 by
+# design (concat-and-chunk spill; the raw sum keeps conservation
+# checkable: sum(n_tokens) over bins == corpus total).
+#
+# STAGED for round-9 registration (round-8 budget went to the nine
+# round-7 registrations + the r03 refresh tier). Pre-validated by the
+# staged-queue mirror and tests/test_sampling_ops.py.
+# --------------------------------------------------------------------------
+_PACK_EFF_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY {_H}, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    ),
+    b AS (
+        SELECT CAST(floor((cum - n) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+               n, n > {_PACK_BUDGET} AS overflow
+        FROM c
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN overflow THEN 1 ELSE 0 END) AS BIGINT)
+               AS overflow_docs,
+           floor((CAST(sum(n) AS DOUBLE) / {_PACK_BUDGET}.0)
+                 * 1000000 + 0.5) / 1000000.0 AS fill_ratio
+    FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def pipe_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.functions.text import token_count
+    from momyre_spark.operators.sampling import packing_efficiency
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return packing_efficiency(docs, _PACK_BUDGET).orderBy("bin")

@@ -1781,3 +1781,47 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return zipf_fit(docs, top_k=1000)
+
+
+# --------------------------------------------------------------------------
+# Readability (operators/textops.readability_report): Flesch-style score
+# from three exact integer counts (words, sentence-punctuation runs,
+# vowel-group syllables) — map-only codegen, the complexity gate beside
+# the quality/Gopher battery. Constants are exact double literals; the
+# two divisions are mirrored operand-for-operand.
+#
+# STAGED for round-9 registration (the round-8 driver budget went to the
+# nine round-7-staged registrations + the r03-vintage refresh tier).
+# Pre-validated by the staged-queue mirror in test_oracle_queries.py and
+# tests/test_textops.py::test_readability_known_values.
+# --------------------------------------------------------------------------
+_READABILITY_ORACLE = r"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(toks, w ->
+                    greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                    AS BIGINT) AS n_syllables
+        FROM t WHERE len(toks) >= 3
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 * 10000 + 0.5) / 10000.0 AS flesch
+    FROM m ORDER BY doc_id
+"""
+
+
+def text_readability(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import readability_report
+
+    docs = load_table(spark, sf, "documents")
+    return readability_report(docs).orderBy("doc_id")

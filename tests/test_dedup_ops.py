@@ -468,3 +468,23 @@ def test_containment_pairs_asymmetric_and_lossless(spark):
     jac = {(r["a_id"], r["b_id"])
            for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
     assert (2, 1) not in jac and (1, 2) not in jac
+
+
+def test_frequency_cap_known_values(spark):
+    from momyre_spark.operators.dedup import frequency_cap
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "bbb"),
+         (6, "ccc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in frequency_cap(df, k=2).collect()}
+    assert len(got) == 6  # every row emitted with a verdict
+    assert [got[i]["copy_rank"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert [got[i]["kept"] for i in (1, 2, 3)] == [True, True, False]
+    assert all(got[i]["n_copies"] == 3 for i in (1, 2, 3))
+    assert got[4]["kept"] and got[5]["kept"] and got[6]["kept"]
+    assert got[6]["n_copies"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        frequency_cap(df, k=0)

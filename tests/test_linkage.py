@@ -227,3 +227,36 @@ def test_deletion_neighborhood_recall_property(spark):
         for pair, dist in expect.items():
             if dist <= d and pair[0] != pair[1]:
                 assert pair in got, (pair, by_id[pair[0]], by_id[pair[1]], d)
+
+
+def test_synthetic_names_probe_exact_recall(spark):
+    """The SCALE.md synthetic linkage probe (_syn_names) must find
+    EXACTLY the planted twin set and nothing else: names are 16-hex md5
+    prefixes, so the only edit-1 pairs are (id, id+10M) for id % 7 == 0.
+    Pinned at small n — the probe's value as a scaling point rests on
+    its match density being data-intrinsic, fixed, and exactly known."""
+    from momyre_spark.operators.linkage import entity_groups
+    from momyre_spark.plans.dedup_queries import _syn_names
+
+    n = 1400
+    names = _syn_names(spark, n)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in blocked_edit_pairs(
+            names, text_col="t", id_col="id", max_distance=1
+        ).collect()
+    }
+    expect = {(i, i + 10_000_000) for i in range(0, n, 7)}
+    assert got == expect
+    # the closure labels each twin with its base record; everything else
+    # is a singleton
+    ent = entity_groups(
+        names, text_col="t", id_col="id", max_distance=1
+    ).collect()
+    assert len(ent) == n + n // 7  # base records + planted twins
+    twos = {r["id"]: r for r in ent if r["n_members"] == 2}
+    assert set(twos) == {i for i in range(0, n, 7)} | {
+        i + 10_000_000 for i in range(0, n, 7)
+    }
+    assert all(r["entity"] == r["id"] % 10_000_000 for r in twos.values())
+    assert all(r["n_members"] == 1 for r in ent if r["id"] not in twos)

@@ -1289,3 +1289,154 @@ def test_bootstrap_ci_matches_python_reference(spark):
     r = bootstrap_ci(df, ["g"], "id", "v", n_boot=40).collect()[0]
     n, mean, lo, hi = _py_bootstrap_ci(rows, n_boot=40)
     assert (r["n"], r["mean"], r["ci_lo"], r["ci_hi"]) == (n, mean, lo, hi)
+
+
+def test_stats_kaplan_meier_epoch_boundary_fixture(spark, tmp_path):
+    """Adversarial epoch/hour-boundary fixture for the registered KM
+    query (VERDICT r07 item #6): the sf0.1-only bug fixed in commit
+    b60460f was an un-floored DuckDB epoch() flipping an hour bucket
+    for fractional-second timestamps near a 3600s boundary. This pins
+    the exact failure mode at unit scale: microsecond fractions
+    straddling whole-hour differences (3599.999999s vs 3600.000001s vs
+    exactly 3600s), a single-event user (duration 0, censored), an
+    all-censored tail, and a window spanning a US DST transition date
+    (the session is UTC-pinned, so both engines must treat it as
+    linear time). Spark query and DuckDB oracle run on the SAME parquet
+    with the driver-mirror compare."""
+    import duckdb
+    import pandas as pd
+
+    from momyre_spark.plans.maintenance_queries import (
+        _KM_ORACLE,
+        stats_kaplan_meier,
+    )
+    from tests.oracle_compare import compare
+
+    base = pd.Timestamp("2026-03-08 06:59:59.999999")  # DST-change date
+    us = pd.Timedelta(microseconds=1)
+    hr = pd.Timedelta(hours=1)
+    rows = []  # (user_id, event_type, ts)
+    # u1: fractional start, purchase 3600.000002s later — per-timestamp
+    # floor gives floor diff 3600 -> bucket 1 on BOTH engines
+    rows += [(1, "view", base), (1, "purchase", base + hr + us)]
+    # u2: purchase EXACTLY 3600s later (bucket boundary) -> bucket 1
+    rows += [(2, "view", base + us), (2, "purchase", base + hr + us)]
+    # u3: whole-second start, purchase 3599.999999s later — the floors
+    # differ by 3599 -> bucket 0 (semantics are DIFF OF FLOORS, not
+    # floor of the true diff: with a fractional start the same true
+    # duration would land in bucket 1, which is what u1 pins)
+    rows += [(3, "view", base + us), (3, "purchase", base + hr)]
+    # u4: exactly 2 hours, whole-second stamps -> bucket 2
+    rows += [(4, "view", base + us), (4, "purchase", base + us + 2 * hr)]
+    # u5: never purchases, censored at last event 90 min out -> bucket 1
+    rows += [(5, "view", base), (5, "click", base + hr + hr / 2)]
+    # u6: single event, no purchase -> duration 0, censored
+    rows += [(6, "view", base + 3 * us)]
+    df = pd.DataFrame(
+        [
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": et,
+                "value": 1.0,
+                "props": "{}",
+            }
+            for i, (uid, et, ts) in enumerate(rows)
+        ]
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    sdf = stats_kaplan_meier(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    ddf = con.execute(_KM_ORACLE).fetchdf()
+    con.close()
+    ok, msg = compare(sdf, ddf)
+    assert ok, msg
+    got = {int(r["t"]): r for _, r in sdf.iterrows()}
+    # bucket landings prove the per-timestamp flooring semantics
+    assert set(got) == {0, 1, 2}
+    assert got[0]["d_events"] == 1 and got[0]["c_censored"] == 1  # u3, u6
+    assert got[1]["d_events"] == 2 and got[1]["c_censored"] == 1  # u1,u2; u5
+    assert got[2]["d_events"] == 1  # u4
+    assert got[0]["n_risk"] == 6 and got[1]["n_risk"] == 4
+
+
+def test_kaplan_meier_all_censored_group(spark):
+    """No observed events at all: S(t) must stay exactly 1.0 at every
+    distinct time (each factor is 1 - 0/n), with censor counts intact."""
+    from momyre_spark.operators.profile import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(t % 4 + 1, 0) for t in range(12)], "dur long, obs int"
+    )
+    rows = kaplan_meier(df, [], "dur", "obs").collect()
+    assert len(rows) == 4
+    assert all(r["d_events"] == 0 and r["surv"] == 1.0 for r in rows)
+    assert sum(r["c_censored"] for r in rows) == 12
+
+
+def test_bootstrap_ci_degenerate_strata(spark):
+    """Degenerate strata must not crash or emit garbage (VERDICT r07
+    item #6): an n=1 stratum's Poisson replicates are weight-0 ~37% of
+    the time — those replicates are dropped (sum __n > 0 filter) and
+    every survivor's mean IS the single value, so ci_lo == ci_hi ==
+    mean; a constant-valued stratum likewise collapses to a zero-width
+    interval. Both must be partition-invariant."""
+    from momyre_spark.operators.profile import bootstrap_ci
+
+    rows = (
+        [("one", 100, 7.25)]  # n=1 stratum
+        + [("const", 200 + i, 3.5) for i in range(20)]  # constant stratum
+        + [("mix", 300 + i, float(i)) for i in range(20)]  # control
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r["g"]: r
+        for r in bootstrap_ci(df, ["g"], "id", "v", n_boot=50).collect()
+    }
+    assert got["one"]["n"] == 1
+    assert got["one"]["ci_lo"] == got["one"]["ci_hi"] == got["one"]["mean"] == 7.25
+    assert got["const"]["ci_lo"] == got["const"]["ci_hi"] == 3.5
+    assert got["mix"]["ci_lo"] < got["mix"]["mean"] < got["mix"]["ci_hi"]
+    again = {
+        r["g"]: r
+        for r in bootstrap_ci(
+            df.repartition(7), ["g"], "id", "v", n_boot=50
+        ).collect()
+    }
+    assert {g: tuple(r) for g, r in got.items()} == {
+        g: tuple(r) for g, r in again.items()
+    }
+
+
+def test_bh_adjust_known_values(spark):
+    """Textbook BH example plus the q=1 clip and grouped families."""
+    from momyre_spark.operators.profile import bh_adjust
+
+    rows = [("a", "t1", 0.01), ("a", "t2", 0.02), ("a", "t3", 0.03),
+            ("a", "t4", 0.04), ("a", "t5", 0.2),
+            ("b", "s1", 0.9), ("b", "s2", 0.95)]
+    df = spark.createDataFrame(rows, "fam string, id string, p double")
+    got = {(r["fam"], r["id"]): r
+           for r in bh_adjust(df, "p", "id", ["fam"], alpha_pct=10).collect()}
+    # family a: raw = [5*.01/1, 5*.02/2, 5*.03/3, 5*.04/4, 5*.2/5]
+    #         = [.05,.05,.05,.05,.2]; reverse-min q identical
+    for tid in ("t1", "t2", "t3", "t4"):
+        assert got[("a", tid)]["q"] == 0.05
+        assert got[("a", tid)]["is_discovery"]
+    assert got[("a", "t5")]["q"] == 0.2 and not got[("a", "t5")]["is_discovery"]
+    # family b: raw = [2*.9/1, 2*.95/2] = [1.8, .95] -> q = [.95 clip? ]
+    # q(s1) = min(1.8, .95) = .95; q(s2) = .95; both clipped under 1
+    assert got[("b", "s1")]["q"] == 0.95 and got[("b", "s2")]["q"] == 0.95
+    assert not got[("b", "s1")]["is_discovery"]
+    # ranks are deterministic with id tiebreak
+    assert got[("a", "t1")]["rank"] == 1 and got[("b", "s2")]["rank"] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bh_adjust(df, "p", "id", alpha_pct=0)

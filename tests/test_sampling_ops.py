@@ -276,3 +276,30 @@ def test_fim_transform_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_packing_efficiency_conserves_tokens(spark):
+    """sum(n_tokens) over bins == corpus total (spill is the next bin's
+    prefix, so raw per-bin sums conserve); every doc lands in exactly
+    one bin; overflow counts match the packing flags."""
+    from momyre_spark.operators.sampling import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)] + [(999, 5000)],
+        "doc_id long, n_tokens long",
+    )
+    rep = packing_efficiency(df, 1024).collect()
+    packed = pack_sequences(df, 1024)
+    assert sum(r["n_tokens"] for r in rep) == 100 * 200 + sum(
+        (i * 37) % 400 for i in range(200)
+    ) + 5000
+    assert sum(r["n_docs"] for r in rep) == 201
+    assert sum(r["overflow_docs"] for r in rep) == 1
+    by_bin = {r["bin"]: r for r in rep}
+    agg = packed.groupBy("bin").count().collect()
+    assert {r["bin"]: r["count"] for r in agg} == {
+        b: r["n_docs"] for b, r in by_bin.items()
+    }

@@ -451,3 +451,25 @@ def test_duplicate_spans_matches_python_reference_hypothesis(spark):
         assert got == _py_duplicate_spans(texts)
 
     inner()
+
+
+def test_readability_known_values(spark):
+    from momyre_spark.operators.textops import readability_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran!"),
+            (2, "xyz brr tsk."),  # brr/tsk have no vowel run -> min 1
+            (3, "too short"),     # < 3 words: dropped visibly
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability_report(df).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    # 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    assert r1["flesch"] == 119.6975
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (3, 1, 3)
+    assert r2["flesch"] == 119.19

@@ -57,7 +57,7 @@ SHOWCASE = [
     ("dedup_record_linkage", "FastSS deletion variants generated in codegen HOFs; md5 equi-join candidates, levenshtein verify map-side, no cartesian"),
     ("pipe_fim_transform", "FIM re-serialization fused into the scan: map-only hash+substring expressions, zero shuffles before the orderBy"),
     ("chat_loss_mask", "loss spans from ONE aggregate HOF fold: no Generate, no EvalPython, no exchange before the orderBy"),
-    # round 7 staged (round-8 registration queue, plans/staged_queries)
+    # round-7-staged, registered round 8
     ("text_duplicate_spans", "Lee-style span finder: positional explode, occurrence groupBy + equi-join back, the ONLY window is doc-partitioned"),
     ("text_remove_dup_spans", "find-then-cut: two equi-joins total; interval application is an in-row array filter, not a join"),
     ("text_zipf_fit", "frequency head: TakeOrdered (no global vocab sort); moments are one tiny agg"),

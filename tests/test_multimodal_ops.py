@@ -300,6 +300,11 @@ def test_image_neardup_pairs_planted_and_plan(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the decode+hash stage is cached (persist_fps): every branch of the
+    # block join must read InMemoryTableScan, so the per-row Python
+    # decode executes ONCE, not once per plan reference (the r07
+    # five-fold-decode regression)
+    assert "InMemoryTableScan" in plan
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert (3, 100) in got
     # no unrelated seed pairs with the planted copy

@@ -29,7 +29,7 @@ SHOWCASE = [
     ("pipe_chunk_documents", "chunking is map-only: scan -> generate -> project"),
     ("text_unigram_logprob", "vocab broadcasts onto per-doc term counts"),
     ("pipe_global_shuffle", "rank windows partition by hash bucket, not globally"),
-    ("mm_image_dhash_pairs", "hamming candidates via hash join on pigeonhole blocks (no cartesian)"),
+    ("mm_image_dhash_pairs", "hamming candidates via hash join on pigeonhole blocks (no cartesian); every branch reads the ONE cached (id, dhash) InMemoryRelation, so the Python image decode executes once — the plan text reprints the cached chain under each InMemoryTableScan, but all scans share the same storage"),
     ("dedup_url_canonical", "URL canonicalization fused into the scan; one groupBy exchange"),
     ("text_gopher_gates", "whole rule battery map-only: one exchange (the orderBy), no Generate/EvalPython"),
     ("sim_topk_ivf_indexed", "probe cells as literal PartitionFilters on the cell-partitioned index"),
@@ -65,6 +65,11 @@ SHOWCASE = [
     ("stats_kaplan_meier", "survival: subjects collapse map-side to distinct times; ordered fold over bounded rows"),
     ("stats_trimmed_mean", "trim by distinct-value index overlap: agg + value window + re-agg, no per-row sort"),
     ("stats_bootstrap_ci", "200 Poisson replicates through ONE map-side-combinable agg; no resampled table"),
+    # round-8 staged (round-9 registration queue)
+    ("text_readability", "readability map-only: counts folded in codegen aggregate(), zero shuffles before the orderBy"),
+    ("stats_bh_fdr", "BH-FDR: one family exchange, three window reads (rank, count, reverse running min)"),
+    ("dedup_frequency_cap", "frequency cap: one digest projection + one digest-partitioned window"),
+    ("pipe_packing_efficiency", "packing report: the packing window's exchange + one bin hash agg, nothing else"),
 ]
 
 

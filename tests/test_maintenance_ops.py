@@ -1440,3 +1440,24 @@ def test_bh_adjust_known_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bh_adjust(df, "p", "id", alpha_pct=0)
+
+
+def test_bh_adjust_q_monotone_and_partition_invariant(spark):
+    """q-values must be non-decreasing in p within a family (the
+    reverse-running-min realizes the step-up min-over-tail), and the
+    whole output must be partition-invariant."""
+    from momyre_spark.operators.profile import bh_adjust
+
+    rows = [("f", f"t{i:03d}", ((i * 61) % 97) / 97.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "fam string, id string, p double")
+    out = sorted(
+        bh_adjust(df, "p", "id", ["fam"]).collect(), key=lambda r: r["rank"]
+    )
+    qs = [r["q"] for r in out]
+    assert all(a <= b for a, b in zip(qs, qs[1:]))
+    assert all(0.0 <= v <= 1.0 for v in qs)
+    again = sorted(
+        bh_adjust(df.repartition(7), "p", "id", ["fam"]).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert list(map(tuple, out)) == list(map(tuple, again))

@@ -36,6 +36,12 @@ QUERIES = [
     # post-agg work tracks distinct scores, not rows)
     "dedup_entity_groups",
     "stats_group_auc",
+    # round 8: two newly registered shapes whose cost model must hold —
+    # KM collapses subjects to distinct durations before anything ordered
+    # (cost tracks time resolution, not subjects); span dedup's inverted
+    # index is linear in shingles with no pair expansion
+    "stats_kaplan_meier",
+    "text_duplicate_spans",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 

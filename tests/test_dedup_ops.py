@@ -105,10 +105,20 @@ def _components_reference(pairs):
 def test_duplicate_components_matches_union_find(spark):
     pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21), (3, 10)]
     df = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in pairs])
-    got = {r["id"]: r["component"] for r in duplicate_components(df).collect()}
-    assert got == _components_reference(pairs)
-    # chain 1-2-3-10-11-12-13 collapses to min label 1; 20-21 separate
-    assert got[13] == 1 and got[21] == 20
+    # BOTH paths must equal the reference: the default driver fast path
+    # (edge count under the gate) and the distributed min-label rounds
+    # (gate=0 forces them) — the gate is a pure performance routing
+    # decision, never a semantics change
+    for gate in (1_000_000, 0):
+        got = {
+            r["id"]: r["component"]
+            for r in duplicate_components(
+                df, driver_edge_gate=gate
+            ).collect()
+        }
+        assert got == _components_reference(pairs), gate
+        # chain 1-2-3-10-11-12-13 collapses to min label 1; 20-21 separate
+        assert got[13] == 1 and got[21] == 20
 
 
 def test_semantic_synthetic_20k_scale_evidence(spark):
@@ -151,17 +161,25 @@ def test_duplicate_components_releases_caches(spark):
     pairs = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (3, 4), (5, 6)]
     df = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in pairs])
     before = n_blocks()
-    out = duplicate_components(df)
+    # gate=0 forces the distributed rounds — the path whose lifecycle
+    # this test pins
+    out = duplicate_components(df, driver_edge_gate=0)
     out.collect()
     assert n_blocks() <= before + 1  # only the result's own block
     # threaded mode: the shim releases the result block too
     held: list = []
-    out2 = duplicate_components(df, persisted=held)
+    out2 = duplicate_components(df, persisted=held, driver_edge_gate=0)
     got = {r["id"]: r["component"] for r in out2.collect()}
     assert got == _components_reference(pairs)
     for h in held:
         h.unpersist()
     assert n_blocks() <= before + 1  # back to just the first call's block
+    # the driver fast path persists NOTHING (local-relation result)
+    held3: list = []
+    base = n_blocks()
+    out3 = duplicate_components(df, persisted=held3)
+    assert {r["id"]: r["component"] for r in out3.collect()} == got
+    assert n_blocks() == base and held3 == []
 
 
 def test_prefix_filter_matches_plain_inverted_index(spark):

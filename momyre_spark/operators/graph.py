@@ -61,6 +61,88 @@ def _resolve_scale(n_nodes: int, scale: int | None = None) -> int:
     return scale
 
 
+def _pagerank_driver(
+    spark,
+    probe,
+    id_type,
+    d: float,
+    max_iter: int,
+    tol: float | None,
+    seeds: DataFrame | None,
+    seed_col: str,
+) -> DataFrame:
+    """Driver-side numpy twin of the distributed iteration — BIT-EXACT by
+    construction: every step is either an exact int64 operation (degree
+    counts, per-node contribution sums, dangling mass — order-free) or a
+    single correctly-rounded IEEE-754 double op replicated in the same
+    tree shape as the Spark expression (`base + d * (in + dang/n)`,
+    `floor(units/deg + 0.5)`). numpy float64 and the JVM double agree on
+    every single operation, so 10 iterations agree bit-for-bit — pinned
+    by test_pagerank_driver_fast_path_matches_distributed and by every
+    unrolled-CTE oracle row."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    src = probe["src"].to_numpy()
+    dst = probe["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = int(len(nodes))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    scale = _resolve_scale(n)
+    deg = np.bincount(si, minlength=n).astype(np.int64)
+    has_out = deg > 0
+    units = np.full(n, scale, dtype=np.int64)
+    base_units = (1.0 - d) * float(scale)
+    isseed = None
+    if seeds is not None:
+        sd = seeds.select(F.col(seed_col).alias("node")).distinct().toPandas()
+        isseed = np.isin(nodes, sd["node"].to_numpy())
+        n_seeds = int(isseed.sum())
+        if n_seeds == 0:
+            raise ValueError(
+                "momyre: no seed node intersects the graph's node set"
+            )
+        # same double op order as the distributed form:
+        # ((1-d) * M) / S with M = |V|*scale as one exact int->double
+        seed_base = (1.0 - d) * float(n * scale) / float(n_seeds)
+    for _ in range(max_iter):
+        dang = int(units[~has_out].sum())
+        c = np.floor(
+            units[si].astype(np.float64) / deg[si].astype(np.float64) + 0.5
+        ).astype(np.int64)
+        inm = np.zeros(n, dtype=np.int64)
+        np.add.at(inm, di, c)
+        in_f = inm.astype(np.float64)
+        if isseed is None:
+            upd = base_units + d * (in_f + float(dang) / float(n))
+        else:
+            upd = np.where(isseed, seed_base, 0.0) + d * (
+                in_f
+                + np.where(isseed, float(dang) / float(n_seeds), 0.0)
+            )
+        new_units = np.floor(upd + 0.5).astype(np.int64)
+        if tol is not None:
+            delta = int(np.abs(new_units - units).max()) if n else 0
+            units = new_units
+            if delta < tol * scale:
+                break
+        else:
+            units = new_units
+    out = pd.DataFrame(
+        {"node": nodes, "rank": units.astype(np.float64) / float(scale)}
+    )
+    schema = StructType(
+        [
+            StructField("node", id_type, False),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -71,6 +153,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     seeds: DataFrame | None = None,
     seed_col: str = "node",
+    driver_edge_gate: int = 1_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns ``(node, rank)`` with
     ``rank`` as double (internally exact integer units, 1e-10 by default —
@@ -114,6 +197,19 @@ def pagerank(
     set raises. State still initializes uniform (fixed-iteration results
     stay engine-reproducible); total mass remains ~|V|. ``seeds=None``
     is the classic uniform walk, bit-identical to previous behavior.
+
+    ``driver_edge_gate``: the same data-driven small-graph fast path as
+    ``dedup.duplicate_components`` — PageRank's graphs here are usually
+    ENTITY graphs (domains, vocabulary terms), orders of magnitude
+    smaller than the corpus that emitted them, yet the distributed loop
+    pays 10 rounds of join+agg job latency. A limit-probe (one bounded
+    action, never a second upstream scan) detects an edge list at or
+    under the gate and runs the BIT-EXACT numpy twin of the iteration on
+    the driver (see ``_pagerank_driver`` — every step is an exact int64
+    sum or the same single IEEE double op tree). Over the gate, or
+    whenever ``checkpoint_dir`` is set (the caller explicitly asked for
+    durable distributed cuts — that machinery must actually run), the
+    distributed loop is unchanged. ``driver_edge_gate=0`` forces it.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("momyre: damping must be in (0, 1)")
@@ -122,6 +218,22 @@ def pagerank(
     d = float(damping)
 
     spark = edges.sparkSession
+    if driver_edge_gate and checkpoint_dir is None:
+        e0 = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        probe = e0.limit(driver_edge_gate + 1).toPandas()
+        if len(probe) <= driver_edge_gate:
+            return _pagerank_driver(
+                spark,
+                probe,
+                e0.schema["src"].dataType,
+                d,
+                max_iter,
+                tol,
+                seeds,
+                seed_col,
+            )
     run_dir = None
     ckpt_paths: list[str] = []
     ckpt_seq = 0

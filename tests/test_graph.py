@@ -401,3 +401,37 @@ def test_partition_modularity_known_graph(spark):
     rows = partition_modularity(edges, one).collect()
     assert len(rows) == 1
     assert rows[0]["q_term"] == _pytest.approx(0.0, abs=1e-6)
+
+
+def test_pagerank_driver_fast_path_matches_distributed(spark):
+    """The small-graph numpy fast path must be BIT-identical to the
+    distributed rounds (driver_edge_gate=0 forces them): exact int64
+    sums + the same single IEEE double op tree per step. Covered for
+    the uniform walk, the seeded walk, and the tol early-stop."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1), (7, 3)]]
+    )
+    seeds = spark.createDataFrame([Row(node=1), Row(node=4)])
+    for kw in (
+        {},
+        {"seeds": seeds},
+        {"tol": 1e-6},
+        {"damping": 0.5, "max_iter": 7},
+    ):
+        fast = {r["node"]: r["rank"]
+                for r in pagerank(edges, **kw).collect()}
+        dist = {r["node"]: r["rank"]
+                for r in pagerank(edges, driver_edge_gate=0, **kw).collect()}
+        assert fast == dist, kw  # exact equality, not approx
+    # the durable path ignores the gate (checkpoint machinery must run)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ck:
+        dur = {r["node"]: r["rank"]
+               for r in pagerank(edges, checkpoint_dir=ck).collect()}
+    assert dur == {r["node"]: r["rank"] for r in pagerank(edges).collect()}

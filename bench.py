@@ -447,8 +447,8 @@ def main() -> None:
     # addition cannot silently miss its bench baseline. Their seconds are
     # EXCLUDED from the headline total (see below) until they register.
     # (The round-7 queue of nine registered in round 8; the current
-    # queue is the round-8 wave of four: readability, BH-FDR, frequency
-    # cap, packing efficiency.)
+    # queue is the round-8 wave of five: readability, BH-FDR, frequency
+    # cap, packing efficiency, cluster-weighted sampling.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 

@@ -782,3 +782,65 @@ def packing_efficiency(
             ),
         )
     )
+
+
+def cluster_weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "exact",
+) -> DataFrame:
+    """Duplicate-cluster-weighted sampling: keep each row with probability
+    1/n_copies of its duplicate cluster, so every distinct CONTENT
+    contributes the same expected mass to the sample — the soft
+    de-biasing alternative to hard dedup (hard dedup keeps exactly one
+    copy; frequency capping keeps up to k; this keeps a cluster-size-free
+    expectation while preserving natural variety in which copy survives).
+
+    ``key`` picks the cluster granularity, the same convention as the
+    incremental-dedup state: ``'exact'`` (whitespace/case-normalized
+    fingerprint) or ``'bow'`` (order-insensitive bag-of-words
+    fingerprint — re-hosted content with shuffled boilerplate clusters
+    together).
+
+    The keep decision is DERIVED, not drawn: u = md5(id) -> uniform in
+    [0,1), keep iff u * n_copies < 1 — deterministic, partition-
+    invariant, replay-stable (the engine-neutral randomness recipe every
+    sampling operator here uses). Every row is emitted with its verdict
+    and the evidence (cluster size, u), so the output is corpus-sized
+    and fully hash-oracled; downstream filters on ``kept``.
+
+    Shape: one fingerprint projection (codegen) + one digest-partitioned
+    count window + a map-only hash ladder — the exact-dedup exchange and
+    nothing else.
+    """
+    from pyspark.sql import Window
+
+    from momyre_spark.functions.text import content_fingerprint, fingerprint
+
+    if key == "exact":
+        fp = fingerprint(F.col(text_col))
+    elif key == "bow":
+        fp = content_fingerprint(F.col(text_col))
+    else:
+        raise ValueError("momyre: key must be 'exact' or 'bow'")
+    wall = Window.partitionBy("__key")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.select(id_col, fp.alias("__key"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .select(
+            id_col,
+            F.col("__key").alias("content_key"),
+            "n_copies",
+            u.alias("u"),
+            (u * F.col("n_copies").cast("double") < F.lit(1.0)).alias(
+                "kept"
+            ),
+        )
+    )

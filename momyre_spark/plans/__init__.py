@@ -250,9 +250,9 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     checks the driver will apply after registration.
 
     Current queue (written round 8, registering round 9): readability,
-    Benjamini-Hochberg FDR, duplicate frequency capping, and the
-    packing-efficiency report. (The round-7 queue of nine registered in
-    round 8.)
+    Benjamini-Hochberg FDR, duplicate frequency capping, the
+    packing-efficiency report, and cluster-weighted sampling. (The
+    round-7 queue of nine registered in round 8.)
     """
     from momyre_spark.plans.dedup_queries import (
         _FREQCAP_ORACLE,
@@ -263,7 +263,9 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
         stats_bh_fdr,
     )
     from momyre_spark.plans.pipeline_queries import (
+        _CLUSTER_SAMPLE_ORACLE,
         _PACK_EFF_ORACLE,
+        pipe_cluster_weighted_sample,
         pipe_packing_efficiency,
     )
     from momyre_spark.plans.text_queries import (
@@ -278,5 +280,9 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
         "pipe_packing_efficiency": (
             pipe_packing_efficiency,
             _PACK_EFF_ORACLE,
+        ),
+        "pipe_cluster_weighted_sample": (
+            pipe_cluster_weighted_sample,
+            _CLUSTER_SAMPLE_ORACLE,
         ),
     }

@@ -303,3 +303,37 @@ def test_packing_efficiency_conserves_tokens(spark):
     assert {r["bin"]: r["count"] for r in agg} == {
         b: r["n_docs"] for b, r in by_bin.items()
     }
+
+
+def test_cluster_weighted_sample_expected_mass(spark):
+    """Every row gets a verdict; u is id-derived (copies of the same
+    content get DIFFERENT draws); singleton clusters always keep
+    (u*1 < 1); and keep probability is 1/n by construction — checked
+    exactly via the derived uniforms, not statistically."""
+    import pytest as _pytest
+
+    from momyre_spark.operators.sampling import cluster_weighted_sample
+
+    rows = [(i, "shared content here") for i in range(10)] + [
+        (100 + i, f"unique text number {i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in cluster_weighted_sample(df).collect()}
+    assert len(got) == 15
+    assert all(got[i]["n_copies"] == 10 for i in range(10))
+    assert all(got[100 + i]["kept"] for i in range(5))  # singletons
+    for i in range(10):  # verdict is exactly u * n < 1
+        assert got[i]["kept"] == (got[i]["u"] * 10 < 1.0)
+    # bow key clusters shuffled copies; exact key does not
+    shuf = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")],
+        "doc_id long, text string",
+    )
+    bow = {r["doc_id"]: r["n_copies"]
+           for r in cluster_weighted_sample(shuf, key="bow").collect()}
+    assert bow == {1: 2, 2: 2}
+    ex = {r["doc_id"]: r["n_copies"]
+          for r in cluster_weighted_sample(shuf, key="exact").collect()}
+    assert ex == {1: 1, 2: 1}
+    with _pytest.raises(ValueError):
+        cluster_weighted_sample(df, key="nope")

@@ -70,6 +70,7 @@ SHOWCASE = [
     ("stats_bh_fdr", "BH-FDR: one family exchange, three window reads (rank, count, reverse running min)"),
     ("dedup_frequency_cap", "frequency cap: one digest projection + one digest-partitioned window"),
     ("pipe_packing_efficiency", "packing report: the packing window's exchange + one bin hash agg, nothing else"),
+    ("pipe_cluster_weighted_sample", "cluster-weighted sample: one fingerprint projection + one digest window + map-only hash ladder"),
 ]
 
 

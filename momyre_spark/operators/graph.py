@@ -498,6 +498,7 @@ def kcore(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 30,
+    driver_edge_gate: int = 1_000_000,
 ) -> DataFrame:
     """The k-core of an undirected simple graph: the maximal induced
     subgraph in which every node has degree >= k. Returns ``(node,
@@ -519,10 +520,67 @@ def kcore(
     anywhere — so the fixpoint is engine-exact and the registered query
     (plans/graph_queries.py) carries a full value-hash oracle with the
     peel UNROLLED as chained CTEs.
+
+    ``driver_edge_gate``: the same data-driven small-graph fast path as
+    ``pagerank`` / ``dedup.duplicate_components`` — a limit-probe (one
+    bounded action) detects an edge list at or under the gate and peels
+    on the driver in pure Python integers. The k-core fixpoint is
+    CONFLUENT (peeling order cannot change it), so the result is
+    identical by construction; pinned by the fast-vs-distributed pytest
+    and the unrolled-CTE oracle. Over the gate the distributed peel is
+    unchanged; ``driver_edge_gate=0`` forces it.
     """
     if k < 1:
         raise ValueError("momyre: k must be >= 1")
     spark = edges.sparkSession
+    if driver_edge_gate:
+        canon = (
+            edges.select(
+                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        probe = canon.limit(driver_edge_gate + 1).toPandas()
+        if len(probe) <= driver_edge_gate:
+            from collections import Counter
+
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            es = list(
+                zip(
+                    (x.item() if hasattr(x, "item") else x
+                     for x in probe["a"]),
+                    (x.item() if hasattr(x, "item") else x
+                     for x in probe["b"]),
+                )
+            )
+            prev_n = None
+            for _ in range(max_iterations):
+                deg = Counter()
+                for a, b in es:
+                    deg[a] += 1
+                    deg[b] += 1
+                surv = {n for n, c in deg.items() if c >= k}
+                if len(surv) == prev_n:
+                    break
+                prev_n = len(surv)
+                if not surv:
+                    es = []
+                    break
+                es = [(a, b) for a, b in es if a in surv and b in surv]
+            deg = Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            schema = StructType(
+                [
+                    StructField("node", canon.schema["a"].dataType, False),
+                    StructField("degree", LongType(), False),
+                ]
+            )
+            return spark.createDataFrame(sorted(deg.items()), schema=schema)
 
     def _persistent():
         m = spark.sparkContext._jsc.getPersistentRDDs()

@@ -435,3 +435,26 @@ def test_pagerank_driver_fast_path_matches_distributed(spark):
         dur = {r["node"]: r["rank"]
                for r in pagerank(edges, checkpoint_dir=ck).collect()}
     assert dur == {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+
+
+def test_kcore_driver_fast_path_matches_distributed(spark):
+    """The driver peel must equal the distributed peel exactly — the
+    k-core fixpoint is confluent, so any peeling order lands on the
+    same (node, in-core degree) set. Includes an empty-core case."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import kcore
+
+    # 4-clique (core at k=3) + a tail that peels away + duplicate and
+    # reversed edges (canonicalization must collapse them)
+    raw = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+           (4, 5), (5, 6), (2, 1), (3, 1)]
+    edges = spark.createDataFrame([Row(src=a, dst=b) for a, b in raw])
+    for kk in (2, 3, 5):
+        fast = {(r["node"], r["degree"])
+                for r in kcore(edges, k=kk).collect()}
+        dist = {(r["node"], r["degree"])
+                for r in kcore(edges, k=kk, driver_edge_gate=0).collect()}
+        assert fast == dist, kk
+    assert {r["node"] for r in kcore(edges, k=3).collect()} == {1, 2, 3, 4}
+    assert kcore(edges, k=5).count() == 0  # empty core, stable schema

@@ -162,6 +162,19 @@ HEADLINE = [
     "stats_bootstrap_ci",
     "stats_kaplan_meier",
     "stats_trimmed_mean",
+    # round-9: the five round-8-staged queries, registered this round
+    # (same recorded hand-off as the round-8 wave above)
+    "text_readability",
+    "stats_bh_fdr",
+    "dedup_frequency_cap",
+    "pipe_packing_efficiency",
+    "pipe_cluster_weighted_sample",
+    # round-9: the distributed iterative-graph path back on the bench
+    # (VERDICT r08 "What's missing #2") — the durable pagerank variant
+    # always runs the distributed loop by contract (checkpoint_dir set),
+    # so the fast-path gate's over-threshold branch keeps a per-round
+    # record here; the >1M-edge CC probe below covers the min-label rounds
+    "graph_domain_pagerank_durable",
 ]
 
 
@@ -436,7 +449,35 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[_nm] = round(min(runs), 3)
         spark.catalog.clearCache()
-    probe_rows = {"dedup_linkage_synthetic_170k", "dedup_entity_synthetic_170k"}
+
+    # ---- distributed connected-components probe (VERDICT r08 item #4) ---
+    # 1,225,000 synthetic chain edges — just over the 1M-edge driver
+    # fast-path gate, so duplicate_components routes to the distributed
+    # min-label rounds (the branch every registered sf0.1 consumer now
+    # skips). Keeps the distributed iteration's constant factors measured
+    # per round; excluded from the headline total like the other probes.
+    from momyre_spark.operators.dedup import duplicate_components
+    from momyre_spark.plans.dedup_queries import _syn_edges
+
+    _ce = _syn_edges(spark)  # materializes the fixture outside timing
+    runs = []
+    for _ in range(3):
+        _cc_handles: list = []
+        t0 = time.perf_counter()
+        duplicate_components(_ce, persisted=_cc_handles).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        for _h in _cc_handles:  # release each run's result checkpoint
+            _h.unpersist()
+    timings["dedup_cc_distributed_1m2"] = round(min(runs), 3)
+    spark.catalog.clearCache()
+
+    probe_rows = {
+        "dedup_linkage_synthetic_170k",
+        "dedup_entity_synthetic_170k",
+        "dedup_cc_distributed_1m2",
+    }
 
     # ---- staged queries (pre-registration perf history) ----------------
     # Queries written + oracle-pre-validated ahead of their driver

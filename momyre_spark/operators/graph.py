@@ -85,6 +85,17 @@ def _pagerank_driver(
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    schema = StructType(
+        [
+            StructField("node", id_type, False),
+            StructField("rank", DoubleType(), False),
+        ]
+    )
+    if len(probe) == 0:
+        # a fully-filtered upstream yields zero edges; the distributed
+        # loop returns an empty (node, rank) frame, so the twin must too
+        # (the n=0 update below would divide dangling mass by zero)
+        return spark.createDataFrame([], schema=schema)
     src = probe["src"].to_numpy()
     dst = probe["dst"].to_numpy()
     nodes = np.unique(np.concatenate([src, dst]))
@@ -133,12 +144,6 @@ def _pagerank_driver(
             units = new_units
     out = pd.DataFrame(
         {"node": nodes, "rank": units.astype(np.float64) / float(scale)}
-    )
-    schema = StructType(
-        [
-            StructField("node", id_type, False),
-            StructField("rank", DoubleType(), False),
-        ]
     )
     return spark.createDataFrame(out, schema=schema)
 
@@ -522,28 +527,63 @@ def kcore(
     peel UNROLLED as chained CTEs.
 
     ``driver_edge_gate``: the same data-driven small-graph fast path as
-    ``pagerank`` / ``dedup.duplicate_components`` — a limit-probe (one
-    bounded action) detects an edge list at or under the gate and peels
-    on the driver in pure Python integers. The k-core fixpoint is
-    CONFLUENT (peeling order cannot change it), so the result is
-    identical by construction; pinned by the fast-vs-distributed pytest
-    and the unrolled-CTE oracle. Over the gate the distributed peel is
-    unchanged; ``driver_edge_gate=0`` forces it.
+    ``pagerank`` / ``dedup.duplicate_components`` — a limit-probe detects
+    an edge list at or under the gate and peels on the driver in pure
+    Python integers. The k-core fixpoint is CONFLUENT (peeling order
+    cannot change it), so the result is identical by construction; pinned
+    by the fast-vs-distributed pytest and the unrolled-CTE oracle. Over
+    the gate the distributed peel is unchanged; ``driver_edge_gate=0``
+    forces it. The canonicalized edge list is checkpointed BEFORE the
+    probe: ``limit()`` cannot bound a ``distinct``'s shuffle anyway, and
+    cutting first means an over-gate graph hands the already-materialized
+    canon to the distributed peel instead of paying the corpus-wide
+    canonicalization shuffle a second time.
     """
     if k < 1:
         raise ValueError("momyre: k must be >= 1")
     spark = edges.sparkSession
-    if driver_edge_gate:
-        canon = (
-            edges.select(
-                F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-                F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+
+    def _persistent():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
+
+    # block ownership, same rationale as pagerank: release only blocks our
+    # eager cuts created, never an entry-diff. e_ids tracks the blocks the
+    # RETURNED edge frame depends on (the last edge cut, not the last cut
+    # of any kind — survivor cuts interleave since round 7)
+    owned: set[int] = set()
+    e_ids: set[int] = set()
+
+    def _cut(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        before = set(_persistent())
+        out = df.localCheckpoint(eager=True)
+        made = set(_persistent()) - before
+        owned.update(made)
+        return out, made
+
+    def _release(ids: set[int]) -> None:
+        # drop superseded cuts ROUND BY ROUND: a deep peel would otherwise
+        # pin every round's survivor + edge blocks in executor storage
+        # until the function returns (~2 x rounds stale block sets)
+        if not ids:
+            return
+        for rid, j in _persistent().items():
+            if rid in ids:
+                j.unpersist(False)
+        owned.difference_update(ids)
+
+    e, e_ids = _cut(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
         )
-        probe = canon.limit(driver_edge_gate + 1).toPandas()
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if driver_edge_gate:
+        probe = e.limit(driver_edge_gate + 1).toPandas()
         if len(probe) <= driver_edge_gate:
+            _release(e_ids)  # the driver rows ARE the graph now
             from collections import Counter
 
             from pyspark.sql.types import LongType, StructField, StructType
@@ -576,48 +616,11 @@ def kcore(
                 deg[b] += 1
             schema = StructType(
                 [
-                    StructField("node", canon.schema["a"].dataType, False),
+                    StructField("node", e.schema["a"].dataType, False),
                     StructField("degree", LongType(), False),
                 ]
             )
             return spark.createDataFrame(sorted(deg.items()), schema=schema)
-
-    def _persistent():
-        m = spark.sparkContext._jsc.getPersistentRDDs()
-        return {e.getKey(): e.getValue() for e in m.entrySet().toArray()}
-
-    # block ownership, same rationale as pagerank: release only blocks our
-    # eager cuts created, never an entry-diff. e_ids tracks the blocks the
-    # RETURNED edge frame depends on (the last edge cut, not the last cut
-    # of any kind — survivor cuts interleave since round 7)
-    owned: set[int] = set()
-    e_ids: set[int] = set()
-
-    def _cut(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        before = set(_persistent())
-        out = df.localCheckpoint(eager=True)
-        made = set(_persistent()) - before
-        owned.update(made)
-        return out, made
-
-    e, e_ids = _cut(
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    def _release(ids: set[int]) -> None:
-        # drop superseded cuts ROUND BY ROUND: a deep peel would otherwise
-        # pin every round's survivor + edge blocks in executor storage
-        # until the function returns (~2 x rounds stale block sets)
-        if not ids:
-            return
-        for rid, j in _persistent().items():
-            if rid in ids:
-                j.unpersist(False)
-        owned.difference_update(ids)
 
     prev_n: int | None = None
     for _ in range(max_iterations):

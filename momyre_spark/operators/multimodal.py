@@ -337,6 +337,7 @@ def image_neardup_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     data_col: str = "data",
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by dhash hamming distance.
 
@@ -350,10 +351,12 @@ def image_neardup_pairs(
     fps = image_dhash(df, id_col=id_col, data_col=data_col)
     # persist_fps: the decode+hash stage is per-row Python image work —
     # without the cache the pigeonhole join's branches re-decode every
-    # image up to five times (the round-7 bench regression)
+    # image up to five times (the round-7 bench regression). Long-lived
+    # callers thread `persisted` to release the cached fingerprints after
+    # materializing the pairs (dedup.hamming_neardup_pairs contract).
     return hamming_neardup_pairs(
         fps, max_hamming=max_hamming, id_col=id_col, hash_col="dhash",
-        persist_fps=True,
+        persist_fps=True, persisted=persisted,
     )
 
 
@@ -784,6 +787,7 @@ def audio_neardup_pairs(
     max_hamming: int = 6,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs by envelope-hash hamming distance — the
     same pigeonhole block join as images (dedup.hamming_neardup_pairs),
@@ -795,10 +799,11 @@ def audio_neardup_pairs(
         ensure_parallelism(df), payload_col=payload_col, id_col=id_col
     )
     # persist_fps: WAV decode + envelope extraction is per-row Python —
-    # same five-fold recompute shape as the image path without the cache
+    # same five-fold recompute shape as the image path without the cache;
+    # `persisted` threads the cache handle out for caller-driven release
     return hamming_neardup_pairs(
         fps, max_hamming=max_hamming, id_col=id_col, hash_col="afp",
-        persist_fps=True,
+        persist_fps=True, persisted=persisted,
     )
 
 

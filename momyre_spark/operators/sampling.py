@@ -810,12 +810,15 @@ def cluster_weighted_sample(
     and the evidence (cluster size, u), so the output is corpus-sized
     and fully hash-oracled; downstream filters on ``kept``.
 
-    Shape: one fingerprint projection (codegen) + one digest-partitioned
-    count window + a map-only hash ladder — the exact-dedup exchange and
-    nothing else.
+    Shape: one fingerprint projection (codegen), then ``groupBy(key).
+    count()`` joined back on the key — NOT a count window. The groupBy
+    gets map-side partial aggregation (a giga-cluster collapses to one
+    row per input partition before the exchange) and the join back is
+    AQE skew-splittable; a count window over the same key would sort
+    every copy of a 10^7-duplicated boilerplate cluster into ONE task's
+    buffer with no partial-agg relief. Same exchange count as exact
+    dedup, skew-safe at corpus scale.
     """
-    from pyspark.sql import Window
-
     from momyre_spark.functions.text import content_fingerprint, fingerprint
 
     if key == "exact":
@@ -824,16 +827,18 @@ def cluster_weighted_sample(
         fp = content_fingerprint(F.col(text_col))
     else:
         raise ValueError("momyre: key must be 'exact' or 'bow'")
-    wall = Window.partitionBy("__key")
     u = (
         F.conv(
             F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
         ).cast("bigint")
         / F.lit(float(1 << 60))
     )
+    keyed = df.select(id_col, fp.alias("__key"))
+    sizes = keyed.groupBy("__key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
     return (
-        df.select(id_col, fp.alias("__key"))
-        .withColumn("n_copies", F.count(F.lit(1)).over(wall).cast("bigint"))
+        keyed.join(sizes, "__key")
         .select(
             id_col,
             F.col("__key").alias("content_key"),

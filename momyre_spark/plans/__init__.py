@@ -215,11 +215,14 @@ def ordered_queries() -> dict[str, QueryFn]:
     recorded ones OLDEST round first (stalest driver signal refreshes
     before recently-confirmed rows are re-checked).
 
-    Within every staleness tier, queries WITH a value-hash oracle come
-    before rows-only queries — a rows-only row can never produce a hash
-    signal, so it must not consume budget while an oracled query waits.
-    Ties beyond that follow ``CONTRACT_FIRST`` then ``DRIVER_PRIORITY``
-    (cheap-first hints), then registration order."""
+    Queries WITH a value-hash oracle come before rows-only queries
+    GLOBALLY — a rows-only driver row can never produce a hash signal
+    (it records ``err: no_oracle``), so no rows-only entry may consume
+    budget while ANY oracled query waits for a refresh, regardless of
+    relative staleness. Within each of those two groups, stalest
+    recorded round first; ties beyond that follow ``CONTRACT_FIRST``
+    then ``DRIVER_PRIORITY`` (cheap-first hints), then registration
+    order."""
     recorded = _driver_recorded()
     # CONTRACT_FIRST q-entries are name prefixes (q01 -> q01_snapshot_project)
     hint: list[str] = []
@@ -232,7 +235,7 @@ def ordered_queries() -> dict[str, QueryFn]:
     hint += [n for n in QUERIES if n not in hint]
     rank = {n: i for i, n in enumerate(hint)}
     ordered = sorted(
-        hint, key=lambda n: (recorded.get(n, 0), n not in ORACLES, rank[n])
+        hint, key=lambda n: (n not in ORACLES, recorded.get(n, 0), rank[n])
     )
     return {name: QUERIES[name] for name in ordered}
 
@@ -249,40 +252,8 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
 
-    Current queue (written round 8, registering round 9): readability,
-    Benjamini-Hochberg FDR, duplicate frequency capping, the
-    packing-efficiency report, and cluster-weighted sampling. (The
-    round-7 queue of nine registered in round 8.)
+    Current queue: see below. (The round-8 queue of five — readability,
+    BH-FDR, frequency capping, packing efficiency, cluster-weighted
+    sampling — registered in round 9.)
     """
-    from momyre_spark.plans.dedup_queries import (
-        _FREQCAP_ORACLE,
-        dedup_frequency_cap,
-    )
-    from momyre_spark.plans.maintenance_queries import (
-        _BH_ORACLE,
-        stats_bh_fdr,
-    )
-    from momyre_spark.plans.pipeline_queries import (
-        _CLUSTER_SAMPLE_ORACLE,
-        _PACK_EFF_ORACLE,
-        pipe_cluster_weighted_sample,
-        pipe_packing_efficiency,
-    )
-    from momyre_spark.plans.text_queries import (
-        _READABILITY_ORACLE,
-        text_readability,
-    )
-
-    return {
-        "text_readability": (text_readability, _READABILITY_ORACLE),
-        "stats_bh_fdr": (stats_bh_fdr, _BH_ORACLE),
-        "dedup_frequency_cap": (dedup_frequency_cap, _FREQCAP_ORACLE),
-        "pipe_packing_efficiency": (
-            pipe_packing_efficiency,
-            _PACK_EFF_ORACLE,
-        ),
-        "pipe_cluster_weighted_sample": (
-            pipe_cluster_weighted_sample,
-            _CLUSTER_SAMPLE_ORACLE,
-        ),
-    }
+    return {}

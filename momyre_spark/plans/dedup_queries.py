@@ -450,6 +450,36 @@ _SYN_LSH_ORACLE = f"""
 """
 
 
+def _materialize_once(spark: SparkSession, name: str, build) -> DataFrame:
+    """Write-once synthetic-fixture cache under the system temp dir.
+
+    Concurrent bench/pytest processes race on the bare existence check,
+    and a direct ``write.parquet(path)`` lets a reader scan a
+    half-written directory mid-overwrite. Each writer therefore builds
+    into a private scratch directory and atomically ``rename``s it into
+    place; the loser of a race (destination appeared meanwhile — rename
+    fails on POSIX when the target dir exists non-empty) discards its
+    copy and reads the winner's. ``name`` must encode every recipe
+    parameter (row count, dims, a version tag on schema changes) so a
+    stale file from an older recipe can never be silently reused.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), name)
+    if not os.path.exists(path):
+        scratch = tempfile.mkdtemp(prefix=f"{name}.build.")
+        staged = os.path.join(scratch, "data")
+        build(staged)
+        try:
+            os.rename(staged, path)
+        except OSError:
+            pass  # a concurrent writer won; use its copy
+        shutil.rmtree(scratch, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
 def _syn_docs(spark: SparkSession) -> DataFrame:
     """The synthetic 20k corpus, MATERIALIZED to parquet once per process.
 
@@ -463,13 +493,8 @@ def _syn_docs(spark: SparkSession) -> DataFrame:
     parquet makes every run measure the same thing a real corpus run
     measures: scan + dedup. Content is a pure function of (i, j) hashes —
     regenerating is deterministic."""
-    import os
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"momyre_syn_{_N_SYN_DOCS}_{_SYN_WORDS}.parquet"
-    )
-    if not os.path.exists(path):
+    def build(path: str) -> None:
         spark.range(_N_SYN_DOCS).select(
             F.col("id").alias("doc_id"),
             F.expr(
@@ -477,7 +502,10 @@ def _syn_docs(spark: SparkSession) -> DataFrame:
                 f"j -> {_SYN_WORD_SPARK}))"
             ).alias("text"),
         ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+
+    return _materialize_once(
+        spark, f"momyre_syn_{_N_SYN_DOCS}_{_SYN_WORDS}.parquet", build
+    )
 
 
 @query("dedup_minhash_synthetic_20k", oracle=_SYN_LSH_ORACLE)
@@ -528,11 +556,8 @@ _HAM_MASK_SPARK = (
 def _ham_fps(spark: SparkSession) -> DataFrame:
     """The synthetic 20k fingerprint table, materialized once per process
     (same rationale as _syn_docs: measure scan + dedup, not generation)."""
-    import os
-    import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"momyre_synham_{_N_HAM}.parquet")
-    if not os.path.exists(path):
+    def build(path: str) -> None:
         fp_expr = (
             f"CASE WHEN pmod(id, 200) = 7 THEN CAST({_HAM_FP7} AS BIGINT)"
             f" WHEN pmod(id, 100) = 1 THEN"
@@ -542,7 +567,8 @@ def _ham_fps(spark: SparkSession) -> DataFrame:
         spark.range(_N_HAM).selectExpr(
             "id AS doc_id", f"{fp_expr} AS fp"
         ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+
+    return _materialize_once(spark, f"momyre_synham_{_N_HAM}.parquet", build)
 
 
 _SYN_HAM_ORACLE = f"""
@@ -633,11 +659,8 @@ def _syn_names(spark: SparkSession, n: int = _N_LINK) -> DataFrame:
     """Materialized once per (process, n) — measure linkage, not
     generation; 32 files so the variant-emission map stage parallelizes
     (same single-file-layout rationale as _sem_emb)."""
-    import os
-    import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"momyre_synlink_{n}.parquet")
-    if not os.path.exists(path):
+    def build(path: str) -> None:
         base = spark.range(n).selectExpr(
             "id", "substr(md5(CAST(id AS STRING)), 1, 16) AS t"
         )
@@ -647,19 +670,45 @@ def _syn_names(spark: SparkSession, n: int = _N_LINK) -> DataFrame:
         base.unionByName(twins).repartition(32).write.mode(
             "overwrite"
         ).parquet(path)
-    return spark.read.parquet(path)
+
+    return _materialize_once(spark, f"momyre_synlink_{n}.parquet", build)
+
+
+# >1M-edge synthetic graph for the DISTRIBUTED connected-components bench
+# probe: every registered CC/PageRank consumer at sf0.1 falls under the
+# 1M-edge driver fast-path gate, so without an over-gate row the
+# distributed min-label rounds' constant factors would regress invisibly
+# (their perf record would be the one-time A/B table in SCALE.md).
+# Chains of 8 consecutive ids — edge (id-1, id) whenever id % 8 != 0 —
+# over 1.4M nodes: exactly 1,225,000 edges (just over the gate, so the
+# limit-probe pays gate+1 rows then routes distributed) and 175,000
+# planted components of exactly 8 nodes, so the closure's output is
+# linear and the measured cost is the propagation rounds themselves,
+# never a degenerate giant-component blowup.
+_N_CC_NODES = 1_400_000
+
+
+def _syn_edges(spark: SparkSession) -> DataFrame:
+    """Materialized once per process (measure components, not generation);
+    32 files so round-1's edge scan parallelizes."""
+
+    def build(path: str) -> None:
+        spark.range(_N_CC_NODES).filter(
+            F.pmod(F.col("id"), F.lit(8)) != 0
+        ).select(
+            (F.col("id") - 1).alias("a_id"), F.col("id").alias("b_id")
+        ).repartition(32).write.mode("overwrite").parquet(path)
+
+    return _materialize_once(
+        spark, f"momyre_syncc_{_N_CC_NODES}.parquet", build
+    )
 
 
 def _sem_emb(spark: SparkSession) -> DataFrame:
     """The synthetic 20k embedding table, materialized once per process
     (same rationale as _syn_docs: measure scan + dedup, not generation)."""
-    import os
-    import tempfile
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"momyre_synsem_{_N_SEM}_{_SEM_DIM}.parquet"
-    )
-    if not os.path.exists(path):
+    def build(path: str) -> None:
         lo_self, hi_self = _SEM_LO.format(i="id"), _SEM_HI.format(i="id")
         lo_par = _SEM_LO.format(i="id - 1")
         hi_par = _SEM_HI.format(i="id - 1")
@@ -688,7 +737,10 @@ def _sem_emb(spark: SparkSession) -> DataFrame:
             " & CAST(1 AS BIGINT)) * 2 - 1 AS DOUBLE) * 0.125)"
             " AS embedding",
         ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+
+    return _materialize_once(
+        spark, f"momyre_synsem_{_N_SEM}_{_SEM_DIM}.parquet", build
+    )
 
 
 _SEM_ORACLE = f"""
@@ -1391,29 +1443,36 @@ def dedup_entity_groups(spark: SparkSession, sf: str) -> DataFrame:
 # Frequency capping (operators/dedup.frequency_cap): exact-duplicate
 # multiplicity capped at k=2 — keep up to two copies of every document,
 # cut the rest (the softer dedup for corpora where bounded natural
-# repetition is wanted). One digest window; every row emitted with its
-# verdict, so the output is corpus-sized and fully hash-oracled.
+# repetition is wanted). Every row emitted with its verdict, so the
+# output is corpus-sized and fully hash-oracled. copy_rank is exact for
+# kept rows and NULL past the cap — the skew-safe contract (an exact
+# rank for every member of a giga-cluster needs a single-task sort; the
+# capping decision only consumes ranks <= k, computed via the salted
+# two-phase top-k in operators/dedup.frequency_cap).
 #
-# STAGED for round-9 registration (round-8 budget went to the nine
-# round-7 registrations + the r03 refresh tier). Pre-validated by the
-# staged-queue mirror and tests/test_dedup_ops.py::
-# test_frequency_cap_known_values.
+# Registered round 9 (staged round 8). Pre-validated by the staged-queue
+# mirror and tests/test_dedup_ops.py::test_frequency_cap_known_values.
 # --------------------------------------------------------------------------
 _FREQCAP_ORACLE = """
     SELECT doc_id,
-           md5(text) AS content_key,
-           CAST(row_number() OVER (
-               PARTITION BY md5(text) ORDER BY doc_id
-           ) AS BIGINT) AS copy_rank,
-           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
-               AS n_copies,
-           row_number() OVER (
-               PARTITION BY md5(text) ORDER BY doc_id
-           ) <= 2 AS kept
-    FROM documents ORDER BY doc_id
+           content_key,
+           CASE WHEN rn <= 2 THEN CAST(rn AS BIGINT) END AS copy_rank,
+           n_copies,
+           rn <= 2 AS kept
+    FROM (
+        SELECT doc_id,
+               md5(text) AS content_key,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS rn,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                   AS n_copies
+        FROM documents
+    ) ORDER BY doc_id
 """
 
 
+@query("dedup_frequency_cap", oracle=_FREQCAP_ORACLE)
 def dedup_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import frequency_cap
 

@@ -2267,10 +2267,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
 # set is non-trivial and exactly mirrored. The operator's windows (rank,
 # family count, reverse running min) value-hash bit-for-bit.
 #
-# STAGED for round-9 registration (round-8 budget went to the nine
-# round-7 registrations + the r03 refresh tier). Pre-validated by the
-# staged-queue mirror and tests/test_maintenance_ops.py::
-# test_bh_adjust_known_values.
+# Registered round 9 (staged round 8). Pre-validated by the staged-queue
+# mirror and tests/test_maintenance_ops.py::test_bh_adjust_known_values.
 # --------------------------------------------------------------------------
 _BH_ORACLE = """
     WITH cells AS (
@@ -2310,6 +2308,7 @@ _BH_ORACLE = """
 """
 
 
+@query("stats_bh_fdr", oracle=_BH_ORACLE)
 def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import bh_adjust
 

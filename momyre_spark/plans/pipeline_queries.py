@@ -1232,9 +1232,8 @@ def pipe_score_calibrate(spark: SparkSession, sf: str) -> DataFrame:
 # design (concat-and-chunk spill; the raw sum keeps conservation
 # checkable: sum(n_tokens) over bins == corpus total).
 #
-# STAGED for round-9 registration (round-8 budget went to the nine
-# round-7 registrations + the r03 refresh tier). Pre-validated by the
-# staged-queue mirror and tests/test_sampling_ops.py.
+# Registered round 9 (staged round 8). Pre-validated by the staged-queue
+# mirror and tests/test_sampling_ops.py.
 # --------------------------------------------------------------------------
 _PACK_EFF_ORACLE = f"""
     WITH t AS (
@@ -1265,6 +1264,7 @@ _PACK_EFF_ORACLE = f"""
 """
 
 
+@query("pipe_packing_efficiency", oracle=_PACK_EFF_ORACLE)
 def pipe_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.functions.text import token_count
     from momyre_spark.operators.sampling import packing_efficiency
@@ -1286,9 +1286,8 @@ def pipe_packing_efficiency(spark: SparkSession, sf: str) -> DataFrame:
 # uniforms (the _SEM_LO recipe), corpus-sized verdict output, fully
 # hash-oracled.
 #
-# STAGED for round-9 registration (round-8 budget went to the nine
-# round-7 registrations + the r03 refresh tier). Pre-validated by the
-# staged-queue mirror and tests/test_sampling_ops.py.
+# Registered round 9 (staged round 8). Pre-validated by the staged-queue
+# mirror and tests/test_sampling_ops.py.
 # --------------------------------------------------------------------------
 _CLUSTER_SAMPLE_ORACLE = r"""
     WITH k AS (
@@ -1311,6 +1310,7 @@ _CLUSTER_SAMPLE_ORACLE = r"""
 """
 
 
+@query("pipe_cluster_weighted_sample", oracle=_CLUSTER_SAMPLE_ORACLE)
 def pipe_cluster_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.sampling import cluster_weighted_sample
 

@@ -1790,9 +1790,8 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 # the quality/Gopher battery. Constants are exact double literals; the
 # two divisions are mirrored operand-for-operand.
 #
-# STAGED for round-9 registration (the round-8 driver budget went to the
-# nine round-7-staged registrations + the r03-vintage refresh tier).
-# Pre-validated by the staged-queue mirror in test_oracle_queries.py and
+# Registered round 9 (staged round 8). Pre-validated by the staged-queue
+# mirror in test_oracle_queries.py and
 # tests/test_textops.py::test_readability_known_values.
 # --------------------------------------------------------------------------
 _READABILITY_ORACLE = r"""
@@ -1820,6 +1819,7 @@ _READABILITY_ORACLE = r"""
 """
 
 
+@query("text_readability", oracle=_READABILITY_ORACLE)
 def text_readability(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import readability_report
 

@@ -498,11 +498,20 @@ def test_frequency_cap_known_values(spark):
     )
     got = {r["doc_id"]: r for r in frequency_cap(df, k=2).collect()}
     assert len(got) == 6  # every row emitted with a verdict
-    assert [got[i]["copy_rank"] for i in (1, 2, 3)] == [1, 2, 3]
+    # copy_rank: exact while <= k, NULL past the cap (skew-safe contract)
+    assert [got[i]["copy_rank"] for i in (1, 2, 3)] == [1, 2, None]
     assert [got[i]["kept"] for i in (1, 2, 3)] == [True, True, False]
     assert all(got[i]["n_copies"] == 3 for i in (1, 2, 3))
     assert got[4]["kept"] and got[5]["kept"] and got[6]["kept"]
+    assert [got[i]["copy_rank"] for i in (4, 5, 6)] == [1, 2, 1]
     assert got[6]["n_copies"] == 1
+    # salted two-phase rank agrees with the unsalted truth when buckets
+    # collide heavily (salt_buckets=1 forces every cluster into one bucket)
+    one = {r["doc_id"]: r for r in
+           frequency_cap(df, k=2, salt_buckets=1).collect()}
+    assert {i: (r["copy_rank"], r["kept"]) for i, r in got.items()} == {
+        i: (r["copy_rank"], r["kept"]) for i, r in one.items()
+    }
     import pytest as _pytest
     with _pytest.raises(ValueError):
         frequency_cap(df, k=0)

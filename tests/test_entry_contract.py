@@ -101,18 +101,26 @@ def test_events_query_on_bare_session(spark):
 
 def test_driver_ordering_spends_budget_on_oracled_stale_first():
     """The driver records ~50 correctness rows per round in queries() order.
-    The ordering must spend that budget: (a) never-recorded oracled queries
-    first, (b) rows-only queries last within every staleness tier (they can
-    never produce a hash signal), (c) stalest-recorded tiers before fresher
-    ones."""
+    The ordering must spend that budget: (a) rows-only queries last
+    GLOBALLY — a rows-only driver row records ``err: no_oracle`` and
+    verifies nothing, so it must never consume budget while any oracled
+    query waits — then (b) stalest-recorded tiers before fresher ones."""
     import momyre_spark.plans as plans
 
     recorded = plans._driver_recorded()
     ordered = list(plans.ordered_queries())
     keys = [
-        (recorded.get(n, 0), n not in plans.ORACLES) for n in ordered
+        (n not in plans.ORACLES, recorded.get(n, 0)) for n in ordered
     ]
-    assert keys == sorted(keys), "ordering must be (staleness, rows-only-last)"
+    assert keys == sorted(keys), "ordering must be (rows-only-last, staleness)"
+    # no rows-only name may precede an oracled name, full stop
+    first_rows_only = next(
+        (i for i, n in enumerate(ordered) if n not in plans.ORACLES),
+        len(ordered),
+    )
+    assert all(n not in plans.ORACLES for n in ordered[first_rows_only:]), (
+        "a rows-only query precedes an oracled query"
+    )
     # rows-only recordings count as recorded: every _ROWS_ONLY query with a
     # driver row must NOT sit in tier 0 ahead of stale oracled queries
     for name in _ROWS_ONLY & set(recorded):

@@ -458,3 +458,20 @@ def test_kcore_driver_fast_path_matches_distributed(spark):
         assert fast == dist, kk
     assert {r["node"] for r in kcore(edges, k=3).collect()} == {1, 2, 3, 4}
     assert kcore(edges, k=5).count() == 0  # empty core, stable schema
+
+
+def test_pagerank_empty_edges_both_paths(spark):
+    """A fully-filtered upstream yields ZERO edges. The fast path used to
+    divide dangling mass by n=0 nodes (ADVICE r08); both paths must now
+    return an empty (node, rank) frame with the stable schema."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2)]
+    ).filter("src > 100")  # empty, but with a concrete schema
+    for kw in ({}, {"driver_edge_gate": 0}):
+        out = pagerank(edges, **kw)
+        assert out.columns == ["node", "rank"]
+        assert out.count() == 0

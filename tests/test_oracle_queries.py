@@ -89,6 +89,12 @@ SF01_SWEEP = [
     "stats_bootstrap_ci",
     "stats_kaplan_meier",
     "stats_trimmed_mean",
+    # round-9 registrations (graduated from the round-8 staged queue)
+    "text_readability",
+    "stats_bh_fdr",
+    "dedup_frequency_cap",
+    "pipe_packing_efficiency",
+    "pipe_cluster_weighted_sample",
 ]
 
 

@@ -65,12 +65,12 @@ SHOWCASE = [
     ("stats_kaplan_meier", "survival: subjects collapse map-side to distinct times; ordered fold over bounded rows"),
     ("stats_trimmed_mean", "trim by distinct-value index overlap: agg + value window + re-agg, no per-row sort"),
     ("stats_bootstrap_ci", "200 Poisson replicates through ONE map-side-combinable agg; no resampled table"),
-    # round-8 staged (round-9 registration queue)
+    # round-8 staged, registered round 9
     ("text_readability", "readability map-only: counts folded in codegen aggregate(), zero shuffles before the orderBy"),
     ("stats_bh_fdr", "BH-FDR: one family exchange, three window reads (rank, count, reverse running min)"),
-    ("dedup_frequency_cap", "frequency cap: one digest projection + one digest-partitioned window"),
+    ("dedup_frequency_cap", "frequency cap, skew-safe: groupBy+broadcast-join sizes (partial agg), salted two-phase top-k ranks with map-side WindowGroupLimit below every exchange — no unbounded window partition"),
     ("pipe_packing_efficiency", "packing report: the packing window's exchange + one bin hash agg, nothing else"),
-    ("pipe_cluster_weighted_sample", "cluster-weighted sample: one fingerprint projection + one digest window + map-only hash ladder"),
+    ("pipe_cluster_weighted_sample", "cluster-weighted sample: groupBy(count)+broadcast join back (partial agg, AQE-splittable) — NO count window; map-only hash ladder"),
 ]
 
 

@@ -1912,3 +1912,115 @@ def bh_adjust(
         (F.col("__q") <= F.lit(alpha_pct).cast("double") / F.lit(100.0))
         .alias("is_discovery"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+    digits: int = 6,
+) -> DataFrame:
+    """Isotonic regression of a binary label on a score — the standard
+    monotone calibration map for a quality/ranking classifier (Zadrozny
+    & Elkan 2002): fit the best monotone non-decreasing step function of
+    P(label | score), so downstream thresholds read calibrated
+    probabilities instead of raw scores. Output one row per non-empty
+    score bucket: ``(bucket, score_lo, n, sum_label, mean_label,
+    iso_prob)`` with ``iso_prob`` the PAV-optimal fit.
+
+    Spark-first shape: the corpus collapses FIRST — one map-side-
+    combinable hash agg onto at most ``n_buckets`` fixed-width score
+    buckets (the pool-adjacent-violators solution depends on the data
+    only through per-bucket (count, positive-count), so bucketing loses
+    nothing beyond score resolution, the same trade every large-scale
+    calibrator makes). The fit itself then uses the exact minimax
+    characterization  iso(i) = max_{j<=i} min_{k>=i} avg(label over
+    buckets j..k)  — O(B^3) rows of join work over a frame of at most
+    B rows, independent of corpus size, instead of the sequential
+    driver-side PAV sweep (equivalent by the classical minimax theorem
+    for isotonic L2 regression). No collect; everything stays a plan.
+
+    Determinism: bucket counts and label sums are exact BIGINTs; each
+    interval average is ONE division of two exact integers; min/max
+    over those doubles are order-free; ``iso_prob``/``mean_label``
+    round at ``digits``.
+    """
+    if not 2 <= n_buckets <= 256:
+        raise ValueError("momyre: n_buckets must be in [2, 256]")
+    if not hi > lo:
+        raise ValueError("momyre: need hi > lo")
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    b = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(float(lo)))
+                / F.lit(width)
+            ),
+            F.lit(0),
+        ),
+        F.lit(int(n_buckets) - 1),
+    ).cast("int")
+    stats = (
+        df.select(b.alias("bucket"), F.col(label_col).cast("bigint").alias("__y"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__y").cast("bigint").alias("sum_label"),
+        )
+    )
+    # prefix sums over the <= B present buckets (bounded window by
+    # construction), so avg(j..k) = (P_k - P_{j-1}) / (W_k - W_{j-1})
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pre = stats.select(
+        "bucket", "n", "sum_label",
+        F.sum("n").over(w).alias("__W"),
+        F.sum("sum_label").over(w).alias("__P"),
+    )
+    jside = pre.select(
+        F.col("bucket").alias("__j"),
+        (F.col("__W") - F.col("n")).alias("__Wj"),
+        (F.col("__P") - F.col("sum_label")).alias("__Pj"),
+    )
+    kside = pre.select(
+        F.col("bucket").alias("__k"),
+        F.col("__W").alias("__Wk"),
+        F.col("__P").alias("__Pk"),
+    )
+    intervals = jside.join(kside, F.col("__j") <= F.col("__k")).select(
+        "__j", "__k",
+        (
+            (F.col("__Pk") - F.col("__Pj")).cast("double")
+            / (F.col("__Wk") - F.col("__Wj")).cast("double")
+        ).alias("__avg"),
+    )
+    anchors = pre.select(F.col("bucket").alias("__i"))
+    inner = (
+        anchors.join(intervals, (F.col("__j") <= F.col("__i"))
+                     & (F.col("__k") >= F.col("__i")))
+        .groupBy("__i", "__j")
+        .agg(F.min("__avg").alias("__m"))
+        .groupBy("__i")
+        .agg(F.max("__m").alias("__iso"))
+    )
+    from momyre_spark.functions.numeric import round_half_up
+
+    return (
+        pre.join(inner, pre.bucket == F.col("__i"))
+        .select(
+            "bucket",
+            round_half_up(
+                F.lit(float(lo)) + F.col("bucket").cast("double") * F.lit(width),
+                digits,
+            ).alias("score_lo"),
+            "n",
+            "sum_label",
+            round_half_up(
+                F.col("sum_label").cast("double") / F.col("n").cast("double"),
+                digits,
+            ).alias("mean_label"),
+            round_half_up(F.col("__iso"), digits).alias("iso_prob"),
+        )
+    )

@@ -1389,3 +1389,88 @@ def mmr_rerank(
         out_rows,
         "query_id long, step int, vec_id long, rel double, score double",
     )
+
+
+def rbo_weight_units(k: int, p: float) -> list[int]:
+    """RBO weight table in 1e-12 fixed-point units: entry m-1 holds
+    c(m) = sum_{d=m..k} p^(d-1)/d — a common item first counted at depth
+    m contributes c(m) to the truncated RBO sum. Computed ONCE in Python
+    and embedded as identical integer literals in both the Spark plan
+    and the DuckDB oracle, so neither engine ever sums floats."""
+    units = []
+    for m in range(1, k + 1):
+        c = 0.0
+        for d in range(m, k + 1):
+            c += p ** (d - 1) / d
+        units.append(round(c * 1e12))
+    return units
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    digits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), truncated at
+    depth ``k``, between two per-query rankings — the standard top-
+    weighted agreement metric for comparing an approximate ANN index
+    against the exact ranking (recall@k says WHETHER the true items
+    appear; RBO also scores WHERE). Output per query in ``a``:
+    ``(query_id, overlap_k, rbo)`` with ``overlap_k`` = |A_k ∩ B_k| and
+    ``rbo`` = (1-p) * sum_{d<=k} p^(d-1) * |A_d ∩ B_d| / d.
+
+    Spark-first shape: never materializes per-depth prefixes — a common
+    item with ranks (ra, rb) enters every prefix intersection from depth
+    m = max(ra, rb) on, so its total contribution is the CLOSED-FORM
+    constant c(m) = sum_{d=m..k} p^(d-1)/d. One equi-join of the two
+    rankings on (query, item), a k-entry literal array lookup, one hash
+    agg per query. The rankings are each O(queries * k) rows — this
+    costs nothing next to producing them.
+
+    Determinism: c(m) is a Python-precomputed 1e-12 fixed-point integer
+    (see :func:`rbo_weight_units`); per-query sums are exact BIGINTs;
+    the final (1-p) * units / 1e12 is one mirrored float tree, rounded
+    at ``digits``.
+    """
+    if k < 1:
+        raise ValueError("momyre: k must be >= 1")
+    if not 0.0 < p < 1.0:
+        raise ValueError("momyre: p must be in (0, 1)")
+    units = rbo_weight_units(k, p)
+    wtab = F.array(*[F.lit(u).cast("bigint") for u in units])
+    left = a.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__ra"),
+    )
+    right = b.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(item_col).alias("__i"),
+        F.col(rank_col).alias("__rb"),
+    )
+    matches = left.join(right, ["__q", "__i"]).select(
+        "__q",
+        F.element_at(
+            wtab, F.greatest(F.col("__ra"), F.col("__rb")).cast("int")
+        ).alias("__w"),
+    )
+    per_q = matches.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ov"),
+        F.sum("__w").cast("bigint").alias("__u"),
+    )
+    queries = left.select("__q").distinct()
+    return queries.join(per_q, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("__ov"), F.lit(0)).cast("bigint").alias("overlap_k"),
+        round_half_up(
+            F.lit(1.0 - p)
+            * F.coalesce(F.col("__u"), F.lit(0)).cast("double")
+            / F.lit(1e12),
+            digits,
+        ).alias("rbo"),
+    )

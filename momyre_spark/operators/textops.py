@@ -691,3 +691,106 @@ def readability_report(
         * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return m.withColumn("flesch", round_half_up(flesch, digits))
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+    digits: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(V) on ln(N) over
+    ``n_buckets`` cumulative corpus prefixes, where N = tokens seen and
+    V = distinct lowercase tokens seen — the one-row companion readout
+    to :func:`zipf_fit` (natural corpora grow V ~ k * N^beta with beta
+    ~ 0.4-0.6; beta near 1 says unbounded junk vocabulary — serial
+    numbers, hashes; beta near 0 says template soup). Output:
+    ``(n_points, beta, k_coeff, r2)``.
+
+    Prefix ORDER is a derived random permutation, not ingest order:
+    bucket(doc) = md5-uniform(id) mod B (the engine-neutral randomness
+    recipe every sampling operator here uses), so the growth curve
+    measures the corpus, not the crawl schedule — and the bucketing is
+    a map-only expression, never a corpus-wide sort. "First appearance"
+    then needs no per-prefix distinct: term t enters the vocabulary at
+    min(bucket) over its occurrences, so V(prefix b) is the running sum
+    of a B-row frame — one vocab-keyed hash agg (map-side combine),
+    never B corpus passes.
+
+    Shape: two aggregations over one token explode — tokens per bucket
+    (B keys) and min-bucket per term (vocab-sized, the same exchange
+    class as zipf_fit's frequency agg) — then windows/OLS over exactly
+    B rows. Determinism: counts exact BIGINT; ln values fixed-pointed
+    to 1e-6 units so the five moment sums are exact integers; the
+    slope/intercept/r2 float tree is mirrored in the oracle, and
+    k_coeff = exp(intercept) of an identical double.
+    """
+    from momyre_spark.functions.text import tokens
+
+    if not 2 <= n_buckets <= 1024:
+        raise ValueError("momyre: n_buckets must be in [2, 1024]")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(int(n_buckets)),
+    )
+    toks = docs.select(
+        bucket.alias("__b"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    per_bucket = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nt")
+    )
+    new_terms = (
+        toks.groupBy("__tok")
+        .agg(F.min("__b").alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nv"))
+    )
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        per_bucket.join(new_terms, "__b", "left")
+        .select(
+            "__b",
+            F.sum("__nt").over(w).alias("__N"),
+            F.sum(F.coalesce(F.col("__nv"), F.lit(0))).over(w).alias("__V"),
+        )
+        .filter((F.col("__N") > 0) & (F.col("__V") > 0))
+        .select(
+            F.floor(
+                F.log(F.col("__N").cast("double")) * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("bigint").alias("__x"),
+            F.floor(
+                F.log(F.col("__V").cast("double")) * F.lit(1_000_000)
+                + F.lit(0.5)
+            ).cast("bigint").alias("__y"),
+        )
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    nd = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    covn = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    slope = covn / varx
+    intercept = (sy - covn / varx * sx) / nd / F.lit(1_000_000.0)
+    r2 = (covn * covn) / (varx * vary)
+    return agg.filter((F.col("__n") >= 2) & (varx != 0)).select(
+        F.col("__n").cast("bigint").alias("n_points"),
+        round_half_up(slope, digits).alias("beta"),
+        round_half_up(F.exp(intercept), digits).alias("k_coeff"),
+        F.when(vary != 0, round_half_up(r2, digits)).alias("r2"),
+    )

@@ -252,8 +252,30 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
 
-    Current queue: see below. (The round-8 queue of five — readability,
-    BH-FDR, frequency capping, packing efficiency, cluster-weighted
-    sampling — registered in round 9.)
+    Current queue (written round 9, registering round 10): Heaps'-law
+    vocabulary-growth fit, isotonic score calibration, rank-biased
+    overlap, TwoNN intrinsic dimension, domain quality blocklist, and
+    duplicate-cluster statistics. (The round-8 queue of five registered
+    in round 9.)
     """
-    return {}
+    from momyre_spark.plans.maintenance_queries import (
+        _ISOTONIC_ORACLE,
+        stats_isotonic_calibrate,
+    )
+    from momyre_spark.plans.similarity_queries import (
+        _RBO_ORACLE,
+        sim_rbo_eval,
+    )
+    from momyre_spark.plans.text_queries import (
+        _HEAPS_ORACLE,
+        text_heaps_fit,
+    )
+
+    return {
+        "text_heaps_fit": (text_heaps_fit, _HEAPS_ORACLE),
+        "stats_isotonic_calibrate": (
+            stats_isotonic_calibrate,
+            _ISOTONIC_ORACLE,
+        ),
+        "sim_rbo_eval": (sim_rbo_eval, _RBO_ORACLE),
+    }

@@ -2333,3 +2333,77 @@ def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("hh") % 5 == 0, u / F.lit(1000)).otherwise(u).alias("p"),
     )
     return bh_adjust(pv, "p", "cell", alpha_pct=10).orderBy("cell")
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (operators/profile.isotonic_calibrate): PAV-optimal
+# monotone fit of P(event_type = 'purchase' | value) over 64 fixed-width
+# value buckets — the calibration map a quality-classifier gate applies
+# before thresholding. The corpus collapses to <= 64 (n, sum_label) rows in
+# one map-side-combinable agg; the fit is the exact minimax
+# characterization (max over left ends of min over right ends of the
+# interval average), O(B^3) join rows over the bucket frame, no collect.
+# The oracle replays the identical minimax over the identical buckets.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_maintenance_ops.py::
+# test_isotonic_calibrate_matches_pav_reference.
+# --------------------------------------------------------------------------
+_ISO_B = 64
+_ISO_LO, _ISO_HI = 0.0, 320.0
+
+_ISOTONIC_ORACLE = f"""
+    WITH stats AS (
+        SELECT CAST(least(greatest(floor((CAST(value AS DOUBLE) - {_ISO_LO})
+                                         / {(_ISO_HI - _ISO_LO) / _ISO_B}),
+                                   0), {_ISO_B - 1}) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sum_label
+        FROM events GROUP BY 1
+    ),
+    pre AS (
+        SELECT bucket, n, sum_label,
+               sum(n) OVER win AS w_cum, sum(sum_label) OVER win AS p_cum
+        FROM stats WINDOW win AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    ),
+    intervals AS (
+        SELECT j.bucket AS jb, k.bucket AS kb,
+               CAST(k.p_cum - (j.p_cum - j.sum_label) AS DOUBLE)
+                   / CAST(k.w_cum - (j.w_cum - j.n) AS DOUBLE) AS avgv
+        FROM pre j JOIN pre k ON j.bucket <= k.bucket
+    ),
+    iso AS (
+        SELECT i.bucket, max(m.mn) AS iso_raw
+        FROM pre i JOIN (
+            SELECT a.bucket AS ib, v.jb, min(v.avgv) AS mn
+            FROM pre a JOIN intervals v
+              ON v.jb <= a.bucket AND v.kb >= a.bucket
+            GROUP BY 1, 2
+        ) m ON m.ib = i.bucket
+        GROUP BY 1
+    )
+    SELECT pre.bucket,
+           floor(({_ISO_LO} + CAST(pre.bucket AS DOUBLE)
+                  * {(_ISO_HI - _ISO_LO) / _ISO_B}) * 1000000 + 0.5)
+               / 1000000.0 AS score_lo,
+           pre.n, pre.sum_label,
+           floor(CAST(pre.sum_label AS DOUBLE) / CAST(pre.n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS mean_label,
+           floor(iso_raw * 1000000 + 0.5) / 1000000.0 AS iso_prob
+    FROM pre JOIN iso USING (bucket) ORDER BY bucket
+"""
+
+
+def stats_isotonic_calibrate(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import isotonic_calibrate
+
+    ev = load_table(spark, sf, "events")
+    ev = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return isotonic_calibrate(
+        ev, "value", "is_purchase", lo=_ISO_LO, hi=_ISO_HI, n_buckets=_ISO_B
+    ).orderBy("bucket")

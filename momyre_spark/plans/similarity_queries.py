@@ -1238,3 +1238,106 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         k_select=_MMR_K,
         lam=_MMR_LAM,
     ).orderBy("query_id", "step")
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between the exact brute-force ranking and the IVF
+# ranking (operators/similarity.rank_biased_overlap): the top-weighted
+# agreement readout that complements sim_ivf_recall — recall counts the
+# true top-k recovered anywhere in the approximate list; RBO also scores
+# WHERE they land (p = 0.9: depth-1 agreement weighs ~7x depth-10). The
+# oracle composes the SAME two ranking CTEs the topk oracles use and the
+# SAME Python-precomputed 1e-12 fixed-point weight table, so neither
+# engine sums floats.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_similarity_ops.py.
+# --------------------------------------------------------------------------
+_RBO_P = 0.9
+
+
+def _rbo_case() -> str:
+    from momyre_spark.operators.similarity import rbo_weight_units
+
+    units = rbo_weight_units(TOP_K, _RBO_P)
+    arms = " ".join(
+        f"WHEN {m} THEN CAST({u} AS BIGINT)"
+        for m, u in enumerate(units, start=1)
+    )
+    return f"CASE greatest(ra, rb) {arms} END"
+
+
+_RBO_ORACLE = f"""
+    WITH {_DUCK_NORM_CTE},
+    q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    bf_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="e", b="q")} AS cos
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM bf_scored) t
+        WHERE rank <= {TOP_K}
+    ),
+    cents AS (SELECT vec_id AS cent_id, v FROM e ORDER BY vec_id LIMIT {_N_CELLS}),
+    assign AS (
+        SELECT e.vec_id, e.v, cents.cent_id AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_DUCK_COS.format(a="e", b="cents")} DESC, cents.cent_id
+               ) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    qc AS (SELECT * FROM cells WHERE vec_id < {N_QUERIES}),
+    ivf_scored AS (
+        SELECT qc.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DUCK_COS.format(a="c", b="qc")} AS cos
+        FROM cells c JOIN qc ON c.cell = qc.cell AND c.vec_id <> qc.vec_id
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ivf_scored) t
+        WHERE rank <= {TOP_K}
+    ),
+    m AS (
+        SELECT bf.query_id,
+               CAST(count(*) AS BIGINT) AS ov,
+               CAST(sum({{RBO_CASE}}) AS BIGINT) AS u
+        FROM (SELECT query_id, neighbor_id, rank AS ra FROM bf) bf
+        JOIN (SELECT query_id, neighbor_id, rank AS rb FROM ivf) iv
+          USING (query_id, neighbor_id)
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(m.ov, 0) AS overlap_k,
+           floor({1.0 - _RBO_P!r} * CAST(coalesce(m.u, 0) AS DOUBLE)
+                 / 1000000000000.0 * 1000000 + 0.5) / 1000000.0 AS rbo
+    FROM (SELECT DISTINCT query_id FROM bf) q LEFT JOIN m USING (query_id)
+    ORDER BY query_id
+"""
+
+
+def sim_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        rank_biased_overlap,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qs = _queries_df(spark, sf)
+    exact = brute_force_topk(emb, qs, k=TOP_K)
+    approx = ivf_topk(emb, qs, k=TOP_K, num_cells=_N_CELLS)
+    return rank_biased_overlap(exact, approx, k=TOP_K, p=_RBO_P).orderBy(
+        "query_id"
+    )
+
+
+_RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())

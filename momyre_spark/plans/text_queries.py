@@ -1825,3 +1825,72 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return readability_report(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (operators/textops.heaps_fit): V ~ k*N^b
+# over 32 md5-randomized cumulative corpus prefixes — the zipf_fit
+# companion (junk vocabularies grow too fast, template soup too slow).
+# The oracle replays the identical pipeline: md5-uniform bucket, min-bucket
+# first appearances, running sums over the 32-row frame, 1e-6 fixed-point
+# ln moments, the mirrored OLS tree, exp(intercept).
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_textops.py.
+# --------------------------------------------------------------------------
+_HEAPS_B = 32
+
+_HEAPS_ORACLE = rf"""
+    WITH toks AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % {_HEAPS_B} AS b,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents WHERE trim(text) <> ''
+    ),
+    per_bucket AS (SELECT b, CAST(count(*) AS BIGINT) AS nt
+                   FROM toks GROUP BY b),
+    new_terms AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS nv
+        FROM (SELECT tok, min(b) AS b FROM toks GROUP BY tok) GROUP BY b
+    ),
+    cums AS (
+        SELECT sum(nt) OVER win AS cn, sum(coalesce(nv, 0)) OVER win AS cv
+        FROM per_bucket LEFT JOIN new_terms USING (b)
+        WINDOW win AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+    ),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000 + 0.5)
+                    AS BIGINT) AS y
+        FROM cums WHERE cn > 0 AND cv > 0
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nd,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT n AS n_points,
+           floor((nd * sxy - sx * sy) / (nd * sxx - sx * sx) * 1000000
+                 + 0.5) / 1000000.0 AS beta,
+           floor(exp((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx)
+                     / nd / 1000000.0) * 1000000 + 0.5) / 1000000.0
+               AS k_coeff,
+           CASE WHEN nd * syy - sy * sy <> 0 THEN
+               floor(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                     / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                     * 1000000 + 0.5) / 1000000.0 END AS r2
+    FROM m WHERE n >= 2 AND nd * sxx - sx * sx <> 0
+"""
+
+
+def text_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import heaps_fit
+
+    docs = load_table(spark, sf, "documents")
+    return heaps_fit(docs, n_buckets=_HEAPS_B)

@@ -1461,3 +1461,52 @@ def test_bh_adjust_q_monotone_and_partition_invariant(spark):
         key=lambda r: r["rank"],
     )
     assert list(map(tuple, out)) == list(map(tuple, again))
+
+
+def test_isotonic_calibrate_matches_pav_reference(spark):
+    """The minimax-formulation isotonic fit must equal the classical
+    sequential pool-adjacent-violators sweep (they characterize the same
+    L2-optimal monotone fit), be monotone non-decreasing, and preserve
+    bucket stats exactly."""
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import isotonic_calibrate
+
+    # scores 0..9 with a deliberate violation: bucket 3 dips below 2
+    data = []
+    rates = [0.0, 0.1, 0.5, 0.2, 0.3, 0.9, 0.7, 1.0]
+    for b, rate in enumerate(rates):
+        for i in range(10):
+            data.append((float(b) + 0.5, 1 if i < rate * 10 else 0))
+    df = spark.createDataFrame(data, "score double, label int")
+    got = {r["bucket"]: r for r in
+           isotonic_calibrate(df, "score", "label", lo=0.0, hi=8.0,
+                              n_buckets=8).collect()}
+    assert len(got) == 8
+
+    # sequential PAV reference
+    blocks = [[n, s] for n, s in ((10, int(r * 10)) for r in rates)]
+    pooled = []
+    for blk in blocks:
+        pooled.append(list(blk))
+        while len(pooled) >= 2 and (
+            pooled[-2][1] * pooled[-1][0] >= pooled[-1][1] * pooled[-2][0]
+        ):
+            b2 = pooled.pop()
+            pooled[-1][0] += b2[0]
+            pooled[-1][1] += b2[1]
+    fit = []
+    for n, s in pooled:
+        fit.extend([s / n] * (n // 10))
+    for b in range(8):
+        import math
+        assert got[b]["iso_prob"] == math.floor(fit[b] * 1e6 + 0.5) / 1e6, b
+        assert got[b]["n"] == 10
+        assert got[b]["sum_label"] == int(rates[b] * 10)
+    iso = [got[b]["iso_prob"] for b in range(8)]
+    assert iso == sorted(iso)  # monotone non-decreasing
+
+    with _pytest.raises(ValueError):
+        isotonic_calibrate(df, "score", "label", lo=0.0, hi=8.0, n_buckets=1)
+    with _pytest.raises(ValueError):
+        isotonic_calibrate(df, "score", "label", lo=5.0, hi=5.0)

@@ -1275,3 +1275,49 @@ def test_mmr_rerank_diversifies(spark):
     assert two == 2
     with _pytest.raises(ValueError):
         mmr_rerank(emb, queries, k_candidates=2, k_select=3)
+
+
+def test_rank_biased_overlap_known_values(spark):
+    """RBO hand-checks: identical rankings score (1-p)*sum(p^(d-1)) (every
+    prefix fully overlaps), disjoint rankings score 0, and a displaced
+    item contributes exactly from depth max(ra, rb) on."""
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.similarity import (
+        rank_biased_overlap,
+        rbo_weight_units,
+    )
+
+    k, p = 3, 0.9
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank long"
+        )
+
+    a = mk([(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    # identical
+    same = rank_biased_overlap(a, a, k=k, p=p).collect()[0]
+    expect_same = (1 - p) * sum(p ** (d - 1) for d in range(1, k + 1))
+    units = rbo_weight_units(k, p)
+    exact_same = math.floor(
+        (1 - p) * sum(units) / 1e12 * 1e6 + 0.5) / 1e6
+    assert same["overlap_k"] == 3 and same["rbo"] == exact_same
+    assert abs(same["rbo"] - expect_same) < 1e-6
+    # disjoint
+    b = mk([(1, 20, 1), (1, 21, 2), (1, 22, 3)])
+    dis = rank_biased_overlap(a, b, k=k, p=p).collect()[0]
+    assert dis["overlap_k"] == 0 and dis["rbo"] == 0.0
+    # one common item at ranks (1, 3): contributes c(3) = p^2/3 only
+    c = mk([(1, 30, 1), (1, 31, 2), (1, 10, 3)])
+    one = rank_biased_overlap(a, c, k=k, p=p).collect()[0]
+    exact_one = math.floor((1 - p) * units[2] / 1e12 * 1e6 + 0.5) / 1e6
+    assert one["overlap_k"] == 1 and one["rbo"] == exact_one
+    assert abs(one["rbo"] - (1 - p) * p ** 2 / 3) < 1e-6
+
+    with _pytest.raises(ValueError):
+        rank_biased_overlap(a, b, k=0)
+    with _pytest.raises(ValueError):
+        rank_biased_overlap(a, b, k=3, p=1.0)

@@ -473,3 +473,62 @@ def test_readability_known_values(spark):
     r2 = got[2]
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (3, 1, 3)
     assert r2["flesch"] == 119.19
+
+
+def test_heaps_fit_matches_python_reference_and_is_partition_invariant(spark):
+    """heaps_fit must equal a from-scratch Python replication (md5 bucket,
+    min-bucket first appearances, 1e-6 fixed-point ln OLS) and be invariant
+    to the input partition layout."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.textops import heaps_fit
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(5)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B = 8
+    got = heaps_fit(df, n_buckets=B).collect()
+    assert len(got) == 1
+
+    # python reference
+    buckets = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % B
+               for i, _ in rows}
+    nt = {b: 0 for b in range(B)}
+    first = {}
+    for i, text in rows:
+        for tok in text.lower().split():
+            nt[buckets[i]] += 1
+            first[tok] = min(first.get(tok, B), buckets[i])
+    nv = {b: 0 for b in range(B)}
+    for tok, b in first.items():
+        nv[b] += 1
+    pts, cn, cv = [], 0, 0
+    for b in range(B):
+        cn, cv = cn + nt[b], cv + nv[b]
+        if cn > 0 and cv > 0:
+            pts.append((math.floor(math.log(cn) * 1e6 + 0.5),
+                        math.floor(math.log(cv) * 1e6 + 0.5)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    covn = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    beta = math.floor(covn / varx * 1e6 + 0.5) / 1e6
+    k = math.floor(
+        math.exp((sy - covn / varx * sx) / n / 1e6) * 1e6 + 0.5) / 1e6
+    r2 = math.floor((covn * covn) / (varx * vary) * 1e6 + 0.5) / 1e6
+    r = got[0]
+    assert (r["n_points"], r["beta"], r["k_coeff"], r["r2"]) == (n, beta, k, r2)
+
+    # partition invariance: bucketing/aggs are layout-free by construction
+    again = heaps_fit(df.repartition(13), n_buckets=B).collect()[0]
+    assert (again["beta"], again["k_coeff"], again["r2"]) == (
+        r["beta"], r["k_coeff"], r["r2"])
+
+    with _pytest.raises(ValueError):
+        heaps_fit(df, n_buckets=1)

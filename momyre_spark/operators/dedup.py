@@ -1681,3 +1681,56 @@ def frequency_cap(
             rank.isNotNull().alias("kept"),
         )
     )
+
+
+def cluster_size_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "exact",
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the one-screen dedup health
+    readout a pipeline checks BEFORE committing to a dedup strategy:
+    how much of the corpus is duplicated, in clusters of what size, and
+    how much a keep-one policy would remove. Output one row per
+    observed cluster size: ``(cluster_size, n_clusters, n_docs,
+    removable_docs)`` with ``removable_docs = (size - 1) * n_clusters``
+    (what exact dedup would cut) — so ``sum(n_docs)`` is the corpus and
+    the size-1 row is the unique mass.
+
+    ``key`` picks the granularity ('exact' / 'bow'), the same
+    convention as cluster_weighted_sample / frequency_cap.
+
+    Shape: two hash aggregations, both map-side combinable — fingerprint
+    -> count (the exact-dedup exchange; a giga-cluster collapses to one
+    row per input partition before the shuffle), then count -> histogram
+    over at most distinct-sizes rows (tiny). All columns exact BIGINT;
+    no floats anywhere.
+    """
+    from momyre_spark.functions.text import content_fingerprint, fingerprint
+
+    if key == "exact":
+        fp = fingerprint(F.col(text_col))
+    elif key == "bow":
+        fp = content_fingerprint(F.col(text_col))
+    else:
+        raise ValueError("momyre: key must be 'exact' or 'bow'")
+    sizes = (
+        df.select(fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+    )

@@ -1474,3 +1474,102 @@ def rank_biased_overlap(
             digits,
         ).alias("rbo"),
     )
+
+
+def twonn_intrinsic_dim(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors: DataFrame | None = None,
+    digits: int = 4,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of an
+    embedding column: for each point take the squared distances d1 <= d2
+    to its two nearest POSITIVE-distance neighbors; mu = r2/r1 follows a
+    Pareto(ID) law, and the MLE is ID = n / sum(ln mu) = 2n /
+    sum(ln(d2/d1)). One row out: ``(n_points, n_zero_excluded, id_est)``.
+    Why in an LLM-data engine: embedding tables routinely claim 768+
+    dims while the data sits on a ~10-30-dim manifold — the ID readout
+    sizes PQ codebooks, picks SRP bit counts, and flags collapsed
+    encoders (ID near 1-2) before a dedup threshold is tuned on them.
+
+    Shape here is the exact brute-force pair scan (the same contract as
+    :func:`brute_force_topk`): a self-join with a sequential zip_with/
+    aggregate fold per pair — all codegen, no Python — then a per-point
+    rank kept to the top 2 (Spark inserts a map-side WindowGroupLimit
+    below the rank exchange, so no task ever buffers a full neighbor
+    list). Bit-identical points are excluded from the estimator (mu is
+    undefined at r1 = 0), counted in ``n_zero_excluded``. At 100 TB the
+    estimator needs only a uniform SAMPLE of anchor points (it is an
+    MLE over n i.i.d. ratios): pass ``anchors`` — a subset of ``emb``
+    with the same columns — as the LEFT side while the full corpus
+    stays on the right; candidate generation then bounds through the
+    IVF cells exactly like ivf_topk.
+
+    Determinism: each pairwise fold is sequential in index order
+    (mirrored by the oracle's list_reduce); per-point ln(d2/d1) is
+    fixed-pointed to 1e-6 BIGINT units so the corpus sum is exact; the
+    final 2n/sum is one mirrored float tree rounded at ``digits``.
+    """
+    from momyre_spark.functions.vectors import to_double
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            to_double(F.col(vec_col)).alias("__v"),
+        )
+
+    l = proj(anchors if anchors is not None else emb).alias("l")
+    r = proj(emb).alias("r")
+    diff = F.zip_with(
+        F.col("l.__v"), F.col("r.__v"), lambda x, y: (x - y) * (x - y)
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        l.join(r, F.col("l.__id") != F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("__a"),
+            F.col("r.__id").alias("__b"),
+            d2.alias("__d2"),
+        )
+    )
+    w = Window.partitionBy("__a").orderBy("__d2", "__b")
+    top2 = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 2)
+        .groupBy("__a")
+        .agg(
+            F.min("__d2").alias("__d1"),
+            F.max("__d2").alias("__dd2"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .filter(F.col("__k") == 2)
+    )
+    usable = top2.filter(F.col("__d1") > 0)
+    per_point = usable.select(
+        F.floor(
+            F.log(F.col("__dd2") / F.col("__d1")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("bigint").alias("__lnu")
+    )
+    zeros = top2.filter(F.col("__d1") <= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nz")
+    )
+    agg = per_point.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__lnu").alias("__s"),
+    )
+    return (
+        agg.crossJoin(zeros)
+        .filter((F.col("__n") > 0) & (F.col("__s") > 0))
+        .select(
+            F.col("__n").alias("n_points"),
+            F.col("__nz").alias("n_zero_excluded"),
+            round_half_up(
+                F.lit(2.0)
+                * F.col("__n").cast("double")
+                / (F.col("__s").cast("double") / F.lit(1_000_000.0)),
+                digits,
+            ).alias("id_est"),
+        )
+    )

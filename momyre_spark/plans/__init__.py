@@ -258,12 +258,20 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     duplicate-cluster statistics. (The round-8 queue of five registered
     in round 9.)
     """
+    from momyre_spark.plans.dedup_queries import (
+        _CLUSTER_STATS_ORACLE,
+        _DOMBLOCK_ORACLE,
+        curate_domain_blocklist,
+        dedup_cluster_stats,
+    )
     from momyre_spark.plans.maintenance_queries import (
         _ISOTONIC_ORACLE,
         stats_isotonic_calibrate,
     )
     from momyre_spark.plans.similarity_queries import (
         _RBO_ORACLE,
+        _TWONN_ORACLE,
+        emb_intrinsic_dim,
         sim_rbo_eval,
     )
     from momyre_spark.plans.text_queries import (
@@ -278,4 +286,10 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
             _ISOTONIC_ORACLE,
         ),
         "sim_rbo_eval": (sim_rbo_eval, _RBO_ORACLE),
+        "emb_intrinsic_dim": (emb_intrinsic_dim, _TWONN_ORACLE),
+        "curate_domain_blocklist": (
+            curate_domain_blocklist,
+            _DOMBLOCK_ORACLE,
+        ),
+        "dedup_cluster_stats": (dedup_cluster_stats, _CLUSTER_STATS_ORACLE),
     }

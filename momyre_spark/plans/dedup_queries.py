@@ -1478,3 +1478,103 @@ def dedup_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return frequency_cap(docs, k=2).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Domain quality blocklist (operators/curate.domain_quality_report): the
+# RefinedWeb/C4 move of gating whole domains — per-source duplicate mass
+# (bow fingerprints: the fixture's re-hostings), alphabetic fraction and
+# mean length aggregate as exact integer sums, each ratio is ONE division
+# at the domain level (never an average of per-doc floats), and `blocked`
+# trips when a >= min_docs domain fails any gate. Thresholds here split
+# the fixture: dup_frac ranges 0.04-0.28 across the 20 sources, so
+# max_dup_frac=0.15 blocks about half, and min_mean_tokens=50 catches the
+# two short-page sources.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_curate.py.
+# --------------------------------------------------------------------------
+_DOMBLOCK_ORACLE = r"""
+    WITH keyed AS (
+        SELECT source AS domain,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+'))), ' '))
+                   AS fp,
+               CAST(len(text) AS BIGINT) AS chars,
+               CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS BIGINT) AS alpha,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END
+                    AS BIGINT) AS toks
+        FROM documents
+    ),
+    sizes AS (SELECT fp, count(*) AS n_copies FROM keyed GROUP BY fp),
+    agg AS (
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_docs,
+               CAST(sum(chars) AS BIGINT) AS sum_chars,
+               CAST(sum(alpha) AS BIGINT) AS sum_alpha,
+               CAST(sum(toks) AS BIGINT) AS sum_toks
+        FROM keyed JOIN sizes USING (fp) GROUP BY domain
+    )
+    SELECT domain, n_docs, n_dup_docs,
+           floor(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS dup_frac,
+           floor(CAST(sum_alpha AS DOUBLE) / CAST(sum_chars AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS alpha_frac,
+           floor(CAST(sum_toks AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS mean_tokens,
+           n_docs >= 5 AND (
+               CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.15
+               OR CAST(sum_alpha AS DOUBLE) / CAST(sum_chars AS DOUBLE) < 0.6
+               OR CAST(sum_toks AS DOUBLE) / CAST(n_docs AS DOUBLE) < 50.0
+           ) AS blocked
+    FROM agg ORDER BY domain
+"""
+
+
+def curate_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.curate import domain_quality_report
+
+    docs = load_table(spark, sf, "documents")
+    return domain_quality_report(
+        docs, key="bow", min_docs=5, max_dup_frac=0.15,
+        min_alpha_frac=0.6, min_mean_tokens=50.0,
+    ).orderBy("domain")
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram (operators/dedup.cluster_size_stats):
+# the dedup health readout — corpus mass by cluster size plus what a
+# keep-one policy would cut. Two map-side-combinable hash aggs, exact
+# BIGINTs only. Keyed 'bow' so the fixture's shuffled re-hostings show up
+# as real clusters.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_dedup_ops.py.
+# --------------------------------------------------------------------------
+_CLUSTER_STATS_ORACLE = r"""
+    WITH sizes AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+'))), ' '))
+                   AS fp,
+               CAST(count(*) AS BIGINT) AS cluster_size
+        FROM documents GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.dedup import cluster_size_stats
+
+    docs = load_table(spark, sf, "documents")
+    return cluster_size_stats(docs, key="bow").orderBy("cluster_size")

@@ -1341,3 +1341,61 @@ def sim_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
+
+
+# --------------------------------------------------------------------------
+# TwoNN intrinsic dimension (operators/similarity.twonn_intrinsic_dim):
+# the manifold-dimension readout that sizes PQ codebooks / SRP bit counts
+# and flags collapsed encoders. Anchored on vec_id < 2000 (the estimator
+# is an MLE over i.i.d. neighbor-distance ratios, so a fixed anchor
+# subsample is the documented 100 TB form; at sf0.01 every vector is an
+# anchor). The oracle recomputes the identical pair scan: same sequential
+# squared-distance folds, same top-2-positive rule, same 1e-6 fixed-point
+# ln-ratio sum.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_similarity_ops.py.
+# --------------------------------------------------------------------------
+_TWONN_ANCHORS = 2000
+
+_TWONN_ORACLE = f"""
+    WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS aid,
+               list_reduce(list_transform(range(1, 65),
+                   i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+                   (acc, x) -> acc + x) AS d2,
+               b.vec_id AS bid
+        FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_TWONN_ANCHORS}
+    ),
+    top2 AS (
+        SELECT aid, min(d2) AS d1, max(d2) AS dd2, count(*) AS k
+        FROM (
+            SELECT aid, d2,
+                   row_number() OVER (PARTITION BY aid ORDER BY d2, bid)
+                       AS rk
+            FROM pairs) t
+        WHERE rk <= 2 GROUP BY aid HAVING count(*) = 2
+    ),
+    pp AS (
+        SELECT CAST(floor(ln(dd2 / d1) * 1000000 + 0.5) AS BIGINT) AS lnu
+        FROM top2 WHERE d1 > 0
+    ),
+    z AS (SELECT CAST(count(*) AS BIGINT) AS nz FROM top2 WHERE d1 <= 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(lnu) AS s FROM pp)
+    SELECT n AS n_points, z.nz AS n_zero_excluded,
+           floor(2.0 * CAST(n AS DOUBLE) / (CAST(s AS DOUBLE) / 1000000.0)
+                 * 10000 + 0.5) / 10000.0 AS id_est
+    FROM m, z WHERE n > 0 AND s > 0
+"""
+
+
+def emb_intrinsic_dim(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import twonn_intrinsic_dim
+
+    emb = load_table(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _TWONN_ANCHORS)
+    return twonn_intrinsic_dim(emb, anchors=anchors)

@@ -153,3 +153,54 @@ def test_repetition_report_hand_computed(spark):
         r2[c] is None
         for c in ("dup_line_frac", "dup_para_frac", "top2_frac", "top4_frac")
     )
+
+
+def test_domain_quality_report_gates_and_small_domain_immunity(spark):
+    """Planted domains: duplicate-heavy, non-alphabetic, and too-short
+    domains block; a clean domain passes; a domain under min_docs never
+    blocks regardless of how bad it looks (insufficient evidence)."""
+    import pytest as _pytest
+
+    from momyre_spark.operators.curate import domain_quality_report
+
+    rows = []
+    long_text = " ".join(f"alpha bravo charlie delta echo w{i}" for i in range(10))
+    # dupfarm: 6 docs, 4 of them identical
+    for i in range(6):
+        rows.append((100 + i, "dupfarm",
+                     long_text if i < 4 else long_text + f" unique{i}"))
+    # junk: 6 docs of digits/punctuation
+    for i in range(6):
+        rows.append((200 + i, "junk", f"123456 !!! 789-{i} 000 ### " * 12))
+    # short: 6 docs of 3 tokens
+    for i in range(6):
+        rows.append((300 + i, "short", f"tiny doc {i}"))
+    # clean: 6 long unique alphabetic docs
+    for i in range(6):
+        rows.append((400 + i, "clean", long_text + f" tail{i} " + long_text))
+    # tiny: 3 identical junk docs — under min_docs, must NOT block
+    for i in range(3):
+        rows.append((500 + i, "tiny", "999 888"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["domain"]: r for r in domain_quality_report(
+        df, min_docs=5, max_dup_frac=0.5, min_alpha_frac=0.6,
+        min_mean_tokens=20.0).collect()}
+    assert got["dupfarm"]["blocked"] and got["dupfarm"]["n_dup_docs"] == 4
+    assert got["junk"]["blocked"] and got["junk"]["alpha_frac"] < 0.6
+    assert got["short"]["blocked"] and got["short"]["mean_tokens"] == 3.0
+    assert not got["clean"]["blocked"]
+    assert not got["tiny"]["blocked"] and got["tiny"]["n_dup_docs"] == 3
+
+    # bow keying clusters shuffled re-hostings the exact key misses
+    shuf = spark.createDataFrame(
+        [(1, "s", "alpha bravo charlie"), (2, "s", "charlie alpha bravo"),
+         (3, "s", "delta echo foxtrot")],
+        "doc_id long, source string, text string",
+    )
+    exact = {r["domain"]: r for r in domain_quality_report(shuf).collect()}
+    bow = {r["domain"]: r for r in domain_quality_report(
+        shuf, key="bow").collect()}
+    assert exact["s"]["n_dup_docs"] == 0 and bow["s"]["n_dup_docs"] == 2
+
+    with _pytest.raises(ValueError):
+        domain_quality_report(shuf, key="nope")

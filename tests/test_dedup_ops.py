@@ -515,3 +515,33 @@ def test_frequency_cap_known_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         frequency_cap(df, k=0)
+
+
+def test_cluster_size_stats_known_values(spark):
+    """Histogram hand-check: three identical + two identical + one unique
+    doc -> sizes {3: 1 cluster, 2: 1, 1: 1}; conservation sum(n_docs) ==
+    corpus; removable = keep-one cut."""
+    import pytest as _pytest
+
+    from momyre_spark.operators.dedup import cluster_size_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa"), (4, "bbb"), (5, "bbb"),
+         (6, "ccc")],
+        "doc_id long, text string",
+    )
+    got = {r["cluster_size"]: r for r in cluster_size_stats(df).collect()}
+    assert {k: (got[k]["n_clusters"], got[k]["n_docs"],
+                got[k]["removable_docs"]) for k in got} == {
+        3: (1, 3, 2), 2: (1, 2, 1), 1: (1, 1, 0)}
+    assert sum(r["n_docs"] for r in got.values()) == 6
+    # bow keying merges order-shuffled docs
+    shuf = spark.createDataFrame(
+        [(1, "x y z"), (2, "z x y"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    bow = {r["cluster_size"]: r
+           for r in cluster_size_stats(shuf, key="bow").collect()}
+    assert bow[2]["n_clusters"] == 1 and bow[1]["n_clusters"] == 1
+    with _pytest.raises(ValueError):
+        cluster_size_stats(df, key="nope")

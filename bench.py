@@ -487,9 +487,9 @@ def main() -> None:
     # registry the oracle mirror and plan gate also iterate — so a staged
     # addition cannot silently miss its bench baseline. Their seconds are
     # EXCLUDED from the headline total (see below) until they register.
-    # (The round-7 queue of nine registered in round 8; the current
-    # queue is the round-8 wave of five: readability, BH-FDR, frequency
-    # cap, packing efficiency, cluster-weighted sampling.)
+    # (The round-8 queue of five registered in round 9; the current queue
+    # is the round-9 wave of six: Heaps fit, isotonic calibration, RBO,
+    # TwoNN intrinsic dimension, domain blocklist, cluster-size stats.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 

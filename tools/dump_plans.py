@@ -73,6 +73,16 @@ SHOWCASE = [
     ("pipe_cluster_weighted_sample", "cluster-weighted sample: groupBy(count)+broadcast join back (partial agg, AQE-splittable) — NO count window; map-only hash ladder"),
 ]
 
+# round-9 staged (round-10 registration queue): shown from staged_queries()
+STAGED_SHOWCASE = [
+    ("text_heaps_fit", "Heaps fit: md5 bucket is a map expression (no corpus sort); two token aggs; windows/OLS over B rows"),
+    ("stats_isotonic_calibrate", "isotonic: corpus collapses to <=64 bucket rows in ONE partial+final agg; the minimax fit joins only that frame"),
+    ("sim_rbo_eval", "RBO: one equi-join of two (queries x k)-row rankings + literal weight lookup; no per-depth prefix expansion"),
+    ("emb_intrinsic_dim", "TwoNN numpy twin: mapInPandas batch scoring, local top-2 per batch, rank window sees |parts| x anchors x 2 rows"),
+    ("curate_domain_blocklist", "domain gates: fingerprint groupBy (partial agg) + broadcast join back + ONE low-cardinality domain agg"),
+    ("dedup_cluster_stats", "cluster histogram: two map-side-combinable hash aggs, integer-only"),
+]
+
 
 def main() -> None:
     import momyre_spark.plans as plans
@@ -91,7 +101,7 @@ def main() -> None:
         "pinned as assertions in `tests/test_plan_quality.py`.\n"
     )
     staged = plans.staged_queries()
-    for name, why in SHOWCASE:
+    for name, why in SHOWCASE + STAGED_SHOWCASE:
         fn = plans.QUERIES.get(name) or staged[name][0]
         df = fn(spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()

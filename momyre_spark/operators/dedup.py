@@ -1609,7 +1609,9 @@ def frequency_cap(
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    star_gate: int = 250_000,
     salt_buckets: int = 64,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Cap exact-duplicate multiplicity at ``k`` copies — the softer
     alternative to full dedup: a capped amount of natural repetition is
@@ -1624,9 +1626,9 @@ def frequency_cap(
     cluster in one task (a window cannot be skew-split), so a
     10^7-copy boilerplate cluster — routine in web corpora — would land
     one executor with the whole sort. Ranks at or below ``k`` are the
-    only ones the capping decision consumes, and those ARE computable
-    skew-safely with a salted two-phase top-k (the star-guard
-    pre-collapse, wired in rather than aspirational):
+    only ones the capping decision consumes, and the plan routes each
+    CLUSTER to the cheapest shape that stays bounded (the star-guard
+    gate, wired per-row with no extra action):
 
     1. cluster sizes via ``groupBy(key).count()`` + join back — partial
        (map-side) aggregation collapses a giga-cluster to one row per
@@ -1634,40 +1636,76 @@ def frequency_cap(
        skew-splittable (never a count-window);
     2. singletons (the overwhelming mass of a real corpus) bypass
        ranking entirely (rank 1, kept);
-    3. duplicate rows are salted into ``salt_buckets`` sub-partitions
-       by id hash; a per-(key, salt) window takes each bucket's k
-       smallest ids — any global top-k id is necessarily in its
-       bucket's top-k, and each sort handles at most
-       cluster_size / salt_buckets rows;
-    4. the <= k * salt_buckets survivors per cluster take one final
-       per-key window (bounded by construction, not by data) for the
-       exact global rank, and rows ranked <= k join back on the unique
-       id.
+    3. duplicate rows take ONE rank window partitioned by (key, salt)
+       with a CONDITIONAL salt: 0 for clusters at or under
+       ``star_gate`` (the partition is then the whole cluster —
+       bounded by the gate — so the local rank IS the exact global
+       rank and those rows are DONE after this single exchange), an
+       id-hash bucket for giga-clusters (each sort handles
+       cluster/salt_buckets rows; any global top-k id is necessarily
+       in its bucket's top-k);
+    4. only the GIGA survivors (<= k * salt_buckets per giga-cluster —
+       usually zero rows) take the second per-key window for their
+       exact global rank. The k-per-cluster survivor frame is
+       persisted once and read by both branches.
+    Winners join back on the unique id. The salt is a row-level
+    expression over the already-computed size — data-driven routing
+    like the CC/PageRank driver gates, but with zero extra Spark jobs,
+    one shared pipeline, and route-invariant SEMANTICS (pinned by the
+    star_gate=1 pytest).
 
-    No window in the plan ever sees an unbounded partition.
+    No window in the plan ever sees a partition larger than
+    max(star_gate, k * salt_buckets) rows. The skew safety is not
+    free on mostly-unique corpora (the sizes groupBy+join costs more
+    than the count-window it replaces when sizes is corpus-sized) —
+    SCALE.md (round 9) records the measured trade on both corpus
+    shapes.
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError("momyre: k must be >= 1")
+    if star_gate < 1:
+        raise ValueError("momyre: star_gate must be >= 1")
     keyed = df.select(id_col, F.md5(F.col(text_col)).alias("__key"))
     sizes = keyed.groupBy("__key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_copies")
     )
     base = keyed.join(sizes, "__key")
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets)))
+    from pyspark import StorageLevel
+
+    salt = F.when(
+        F.col("n_copies") > star_gate,
+        # 1 + bucket: salt 0 unambiguously means "sub-gate cluster"
+        F.lit(1) + F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets))),
+    ).otherwise(F.lit(0).cast("bigint"))
     w_local = Window.partitionBy("__key", "__salt").orderBy(F.col(id_col))
-    w_global = Window.partitionBy("__key").orderBy(F.col(id_col))
-    winners = (
+    # survivors: <= k rows per sub-gate cluster (their partition was the
+    # whole cluster, so __local_rank IS the exact global rank), <= k per
+    # (giga-cluster, bucket). Persisted because two branches read it —
+    # it is k-per-cluster sized, a sliver of the corpus; released by the
+    # session's clearCache lifecycle or the caller's `persisted` list
+    # (the hamming_neardup_pairs contract).
+    survivors = (
         base.filter(F.col("n_copies") > 1)
-        .select(id_col, "__key")
-        .withColumn("__salt", salt)
+        .select(id_col, "__key", salt.alias("__salt"))
         .withColumn("__local_rank", F.row_number().over(w_local))
         .filter(F.col("__local_rank") <= k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persisted is not None:
+        persisted.append(survivors)
+    unsalted = survivors.filter(F.col("__salt") == 0).select(
+        F.col(id_col), F.col("__local_rank").cast("bigint").alias("__rank")
+    )
+    w_global = Window.partitionBy("__key").orderBy(F.col(id_col))
+    salted = (
+        survivors.filter(F.col("__salt") != 0)
         .withColumn("__rank", F.row_number().over(w_global).cast("bigint"))
         .filter(F.col("__rank") <= k)
         .select(F.col(id_col), "__rank")
     )
+    winners = unsalted.unionByName(salted)
     rank = F.when(
         F.col("n_copies") == 1, F.lit(1).cast("bigint")
     ).otherwise(F.col("__rank"))

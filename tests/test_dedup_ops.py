@@ -505,13 +505,15 @@ def test_frequency_cap_known_values(spark):
     assert got[4]["kept"] and got[5]["kept"] and got[6]["kept"]
     assert [got[i]["copy_rank"] for i in (4, 5, 6)] == [1, 2, 1]
     assert got[6]["n_copies"] == 1
-    # salted two-phase rank agrees with the unsalted truth when buckets
-    # collide heavily (salt_buckets=1 forces every cluster into one bucket)
-    one = {r["doc_id"]: r for r in
-           frequency_cap(df, k=2, salt_buckets=1).collect()}
-    assert {i: (r["copy_rank"], r["kept"]) for i, r in got.items()} == {
-        i: (r["copy_rank"], r["kept"]) for i, r in one.items()
-    }
+    # route invariance: star_gate=1 forces EVERY cluster down the salted
+    # giga path, salt_buckets=1 collapses its buckets — all three plans
+    # must agree with the default (bounded-window) route exactly
+    for kw in ({"star_gate": 1}, {"star_gate": 1, "salt_buckets": 1}):
+        alt = {r["doc_id"]: r for r in
+               frequency_cap(df, k=2, **kw).collect()}
+        assert {i: (r["copy_rank"], r["kept"]) for i, r in got.items()} == {
+            i: (r["copy_rank"], r["kept"]) for i, r in alt.items()
+        }, kw
     import pytest as _pytest
     with _pytest.raises(ValueError):
         frequency_cap(df, k=0)

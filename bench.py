@@ -488,8 +488,9 @@ def main() -> None:
     # addition cannot silently miss its bench baseline. Their seconds are
     # EXCLUDED from the headline total (see below) until they register.
     # (The round-8 queue of five registered in round 9; the current queue
-    # is the round-9 wave of six: Heaps fit, isotonic calibration, RBO,
-    # TwoNN intrinsic dimension, domain blocklist, cluster-size stats.)
+    # is the round-9 wave of seven: Heaps fit, isotonic calibration, RBO,
+    # Q-Q table, TwoNN intrinsic dimension, domain blocklist,
+    # cluster-size stats.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 

@@ -2024,3 +2024,81 @@ def isotonic_calibrate(
             round_half_up(F.col("__iso"), digits).alias("iso_prob"),
         )
     )
+
+
+def qq_table(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_quantiles: int = 19,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample Q-Q table at a fixed quantile grid — the
+    distribution-shift readout that complements the KS statistic
+    (stats_ks_2sample gives ONE number; the Q-Q table shows WHERE the
+    distributions diverge — tails vs body — which is what a drift
+    investigation actually needs). Output one row per p in
+    {1/(n+1), ..., n/(n+1)}: ``(p, q_a, q_b, qq_diff)`` with each
+    quantile the EXACT type-1 order statistic (the value at rank
+    ceil(p * group_size) — no interpolation, so the numbers are raw
+    data values and engine-exact by construction).
+
+    Spark-first shape: the stats_group_auc move — rank work happens on
+    DISTINCT values only, never per row. One (group, value) hash agg
+    (map-side combine), one cumulative-count window over each group's
+    distinct values, a broadcast join against the static p grid, and a
+    min-value agg. The window partition is the per-group distinct-value
+    set: bounded by NDV, not corpus size (at true 100 TB NDV over raw
+    doubles can itself be large — bucket values first, or read the
+    mergeable-sketch twin stats_value_quantiles; THIS form is the exact
+    oracle-able readout).
+
+    Determinism: counts exact BIGINT; p = i/(n+1) is the same two-int
+    division in both engines; the rank target ceil(p * n) is one
+    mirrored float op; quantiles are raw input values; ``qq_diff`` is
+    one subtraction of identical doubles, rounded at ``digits``.
+    """
+    if not 1 <= n_quantiles <= 99:
+        raise ValueError("momyre: n_quantiles must be in [1, 99]")
+    spark = df.sparkSession
+    groups = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    counts = groups.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    dv = groups.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dv.withColumn("__cum", F.sum("__c").over(w)).join(counts, "__g")
+    ps = spark.range(1, int(n_quantiles) + 1).select(
+        (F.col("id").cast("double") / F.lit(float(n_quantiles + 1))).alias(
+            "p"
+        )
+    )
+    target = F.ceil(F.col("p") * F.col("__n").cast("double")).cast("bigint")
+    picked = (
+        cum.join(F.broadcast(ps), F.col("__cum") >= target)
+        .groupBy("__g", "p")
+        .agg(F.min("__v").alias("__q"))
+    )
+    qa = picked.filter(F.col("__g") == group_a).select(
+        "p", F.col("__q").alias("q_a")
+    )
+    qb = picked.filter(F.col("__g") == group_b).select(
+        "p", F.col("__q").alias("q_b")
+    )
+    from momyre_spark.functions.numeric import round_half_up
+
+    return qa.join(qb, "p").select(
+        "p", "q_a", "q_b",
+        round_half_up(F.col("q_a") - F.col("q_b"), digits).alias("qq_diff"),
+    )

@@ -254,9 +254,9 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
 
     Current queue (written round 9, registering round 10): Heaps'-law
     vocabulary-growth fit, isotonic score calibration, rank-biased
-    overlap, TwoNN intrinsic dimension, domain quality blocklist, and
-    duplicate-cluster statistics. (The round-8 queue of five registered
-    in round 9.)
+    overlap, two-sample Q-Q table, TwoNN intrinsic dimension, domain
+    quality blocklist, and duplicate-cluster statistics. (The round-8
+    queue of five registered in round 9.)
     """
     from momyre_spark.plans.dedup_queries import (
         _CLUSTER_STATS_ORACLE,
@@ -266,7 +266,9 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     )
     from momyre_spark.plans.maintenance_queries import (
         _ISOTONIC_ORACLE,
+        _QQ_ORACLE,
         stats_isotonic_calibrate,
+        stats_qq_table,
     )
     from momyre_spark.plans.similarity_queries import (
         _RBO_ORACLE,
@@ -286,6 +288,7 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
             _ISOTONIC_ORACLE,
         ),
         "sim_rbo_eval": (sim_rbo_eval, _RBO_ORACLE),
+        "stats_qq_table": (stats_qq_table, _QQ_ORACLE),
         "emb_intrinsic_dim": (emb_intrinsic_dim, _TWONN_ORACLE),
         "curate_domain_blocklist": (
             curate_domain_blocklist,

@@ -2407,3 +2407,54 @@ def stats_isotonic_calibrate(spark: SparkSession, sf: str) -> DataFrame:
     return isotonic_calibrate(
         ev, "value", "is_purchase", lo=_ISO_LO, hi=_ISO_HI, n_buckets=_ISO_B
     ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Two-sample Q-Q table (operators/profile.qq_table): purchase-vs-click
+# value distributions at the 19-point ventile grid — WHERE the two
+# distributions diverge, complementing the single-number KS statistic.
+# Exact type-1 order statistics on distinct values (the stats_group_auc
+# rank-on-distinct move); the oracle recomputes the identical grid.
+#
+# STAGED for round-10 registration (round-9 budget went to the five
+# round-8-staged registrations + the r04 refresh tier). Pre-validated by
+# the staged-queue mirror and tests/test_maintenance_ops.py.
+# --------------------------------------------------------------------------
+_QQ_N = 19
+
+_QQ_ORACLE = f"""
+    WITH g AS (
+        SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    counts AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY grp),
+    dv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY grp, v),
+    cum AS (
+        SELECT grp, v,
+               sum(c) OVER (PARTITION BY grp ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dv
+    ),
+    ps AS (SELECT CAST(i AS DOUBLE) / {_QQ_N + 1}.0 AS p
+           FROM range(1, {_QQ_N + 1}) t(i)),
+    picked AS (
+        SELECT grp, p, min(v) AS q
+        FROM cum JOIN counts USING (grp) JOIN ps
+          ON cum.cum >= CAST(ceiling(p * CAST(n AS DOUBLE)) AS BIGINT)
+        GROUP BY grp, p
+    )
+    SELECT a.p, a.q AS q_a, b.q AS q_b,
+           floor((a.q - b.q) * 1000000 + 0.5) / 1000000.0 AS qq_diff
+    FROM (SELECT p, q FROM picked WHERE grp = 'purchase') a
+    JOIN (SELECT p, q FROM picked WHERE grp = 'click') b USING (p)
+    ORDER BY p
+"""
+
+
+def stats_qq_table(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import qq_table
+
+    ev = load_table(spark, sf, "events")
+    return qq_table(
+        ev, "value", "event_type", "purchase", "click", n_quantiles=_QQ_N
+    ).orderBy("p")

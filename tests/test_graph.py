@@ -475,3 +475,28 @@ def test_pagerank_empty_edges_both_paths(spark):
         out = pagerank(edges, **kw)
         assert out.columns == ["node", "rank"]
         assert out.count() == 0
+
+
+def test_kcore_driver_path_releases_probe_cut(spark):
+    """Round-9 change: kcore checkpoints the canonicalized edges BEFORE
+    the gate probe (so an over-gate graph reuses them instead of paying
+    the distinct shuffle twice). The driver fast path must release that
+    cut — a small-graph call leaves ZERO new persistent blocks behind."""
+    from pyspark.sql import Row
+
+    from momyre_spark.operators.graph import kcore
+
+    sc = spark.sparkContext
+
+    def n_blocks():
+        return sc._jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in
+         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]]
+    )
+    before = n_blocks()
+    out = kcore(edges, k=3)
+    out.collect()
+    assert n_blocks() == before  # probe cut released on the fast path
+    assert {r["node"] for r in out.collect()} == {1, 2, 3, 4}

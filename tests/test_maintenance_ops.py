@@ -1510,3 +1510,32 @@ def test_isotonic_calibrate_matches_pav_reference(spark):
         isotonic_calibrate(df, "score", "label", lo=0.0, hi=8.0, n_buckets=1)
     with _pytest.raises(ValueError):
         isotonic_calibrate(df, "score", "label", lo=5.0, hi=5.0)
+
+
+def test_qq_table_exact_order_statistics(spark):
+    """Hand-check: type-1 quantiles are the value at rank ceil(p*n) per
+    group — identical distributions give zero diffs everywhere, a
+    constant shift reads back exactly, and the median of 1..10 at p=0.5
+    is 5 (rank ceil(0.5*10) = 5)."""
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import qq_table
+
+    rows = [("a", float(v)) for v in range(1, 11)]
+    rows += [("b", float(v) + 2.5) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {r["p"]: r for r in
+           qq_table(df, "value", "grp", "a", "b", n_quantiles=9).collect()}
+    assert len(got) == 9
+    assert got[0.5]["q_a"] == 5.0 and got[0.5]["q_b"] == 7.5
+    assert all(r["qq_diff"] == -2.5 for r in got.values())  # pure shift
+    # identical groups: zero everywhere
+    same = qq_table(
+        df.withColumn("g2", df.grp.substr(0, 0).isNull().cast("string")),
+        "value", "grp", "a", "a", n_quantiles=9,
+    ).collect()
+    assert all(r["qq_diff"] == 0.0 for r in same)
+    # ranks: p=0.1 over n=10 -> ceil(1.0) = rank 1 -> minimum
+    assert got[0.1]["q_a"] == 1.0
+    with _pytest.raises(ValueError):
+        qq_table(df, "value", "grp", "a", "b", n_quantiles=0)

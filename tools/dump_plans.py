@@ -81,6 +81,7 @@ STAGED_SHOWCASE = [
     ("emb_intrinsic_dim", "TwoNN numpy twin: mapInPandas batch scoring, local top-2 per batch, rank window sees |parts| x anchors x 2 rows"),
     ("curate_domain_blocklist", "domain gates: fingerprint groupBy (partial agg) + broadcast join back + ONE low-cardinality domain agg"),
     ("dedup_cluster_stats", "cluster histogram: two map-side-combinable hash aggs, integer-only"),
+    ("stats_qq_table", "Q-Q table: rank work on DISTINCT values (agg + NDV-bounded cumulative window); p grid broadcast"),
 ]
 
 

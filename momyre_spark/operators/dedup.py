@@ -1667,11 +1667,24 @@ def frequency_cap(
         raise ValueError("momyre: k must be >= 1")
     if star_gate < 1:
         raise ValueError("momyre: star_gate must be >= 1")
-    keyed = df.select(id_col, F.md5(F.col(text_col)).alias("__key"))
-    sizes = keyed.groupBy("__key").agg(
+    # __jkey is the null-safe GROUPING/JOIN key: md5 of a NULL text is
+    # NULL, and an equi-join on NULL matches nothing — rows with NULL
+    # text would silently vanish, breaking the "every input row is
+    # emitted with its verdict" contract (and diverging from the window
+    # oracle, where PARTITION BY groups all NULLs together). The emitted
+    # content_key stays the real (possibly NULL) md5. No collision risk:
+    # the sentinel is not a 32-hex-char md5 string.
+    keyed = df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("__key"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("__momyre_null__")).alias(
+            "__jkey"
+        ),
+    )
+    sizes = keyed.groupBy("__jkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_copies")
     )
-    base = keyed.join(sizes, "__key")
+    base = keyed.join(sizes, "__jkey")
     from pyspark import StorageLevel
 
     salt = F.when(
@@ -1679,7 +1692,7 @@ def frequency_cap(
         # 1 + bucket: salt 0 unambiguously means "sub-gate cluster"
         F.lit(1) + F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets))),
     ).otherwise(F.lit(0).cast("bigint"))
-    w_local = Window.partitionBy("__key", "__salt").orderBy(F.col(id_col))
+    w_local = Window.partitionBy("__jkey", "__salt").orderBy(F.col(id_col))
     # survivors: <= k rows per sub-gate cluster (their partition was the
     # whole cluster, so __local_rank IS the exact global rank), <= k per
     # (giga-cluster, bucket). Persisted because two branches read it —
@@ -1688,7 +1701,7 @@ def frequency_cap(
     # (the hamming_neardup_pairs contract).
     survivors = (
         base.filter(F.col("n_copies") > 1)
-        .select(id_col, "__key", salt.alias("__salt"))
+        .select(id_col, "__jkey", salt.alias("__salt"))
         .withColumn("__local_rank", F.row_number().over(w_local))
         .filter(F.col("__local_rank") <= k)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1698,7 +1711,7 @@ def frequency_cap(
     unsalted = survivors.filter(F.col("__salt") == 0).select(
         F.col(id_col), F.col("__local_rank").cast("bigint").alias("__rank")
     )
-    w_global = Window.partitionBy("__key").orderBy(F.col(id_col))
+    w_global = Window.partitionBy("__jkey").orderBy(F.col(id_col))
     salted = (
         survivors.filter(F.col("__salt") != 0)
         .withColumn("__rank", F.row_number().over(w_global).cast("bigint"))

@@ -1964,7 +1964,13 @@ def isotonic_calibrate(
         F.lit(int(n_buckets) - 1),
     ).cast("int")
     stats = (
-        df.select(b.alias("bucket"), F.col(label_col).cast("bigint").alias("__y"))
+        # NULL hygiene (the qq_table convention): greatest() SKIPS nulls
+        # in Spark, so a NULL score would land floor(NULL)=NULL ->
+        # greatest(NULL,0)=0 -> bucket 0, silently contaminating the
+        # lowest bucket — and DuckDB's greatest() NULL semantics differ
+        # by version, so the oracle could diverge. Drop NULL rows first.
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(b.alias("bucket"), F.col(label_col).cast("bigint").alias("__y"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

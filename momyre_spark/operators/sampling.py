@@ -121,28 +121,63 @@ def pack_sequences(
     id_col: str = "doc_id",
     shard_col: str | None = None,
     bin_col: str = "bin",
+    num_buckets: int = 1024,
 ) -> DataFrame:
     """Contiguous token-budget packing (concat-and-chunk): documents are
     laid out in hash-of-id order as one token stream cut every
     ``max_tokens``; a document's ``bin`` is the chunk index where its FIRST
     token lands.
 
-    This is streaming context-window packing for pretraining: deterministic,
-    one window pass, bins are contiguous ranges of the order so per-bin
-    reads stay sequential. Documents longer than ``max_tokens`` get a bin of
-    their own (they must be truncated/split downstream — flagged via
-    ``overflow``). With ``shard_col`` the window partitions per shard, so
-    packing parallelizes across shards instead of one global sort.
+    This is streaming context-window packing for pretraining:
+    deterministic, bins are contiguous ranges of the order so per-bin
+    reads stay sequential. Documents longer than ``max_tokens`` get a bin
+    of their own (they must be truncated/split downstream — flagged via
+    ``overflow``). With ``shard_col`` the window partitions per shard and
+    bins restart per shard.
+
+    Scale shape (the :func:`global_shuffle` two-phase decomposition — NOT
+    ``Window.partitionBy()`` with no keys, which Spark executes as
+    ``Exchange SinglePartition``: the whole corpus through one task's
+    sort): the hash-of-id order key is uniform on [0, 2^60), so its high
+    bits ARE a range partitioning of that order. Token counts cumsum
+    inside each ``hash >> shift`` bucket (bounded ~N/num_buckets rows per
+    sort), and a ``num_buckets``-row cumulative token-offset table —
+    exact BIGint sums, so bucket-decomposed cumsums are bit-identical to
+    the single global window — broadcasts back. No stage ever holds the
+    global order. With ``shard_col`` the same decomposition nests inside
+    each shard.
     """
     part = [shard_col] if shard_col else []
+    shift = 60 - max(1, num_buckets - 1).bit_length()
+    # bucket -1 collects NULL order keys (NULL id): ascending bucket order
+    # puts it first, matching the single window's NULLS FIRST — and keeps
+    # those rows (an equi-join on a NULL bucket would drop them).
+    b = df.withColumn("__h", _key_hash(id_col)).withColumn(
+        "__bucket", F.coalesce(F.shiftright("__h", shift), F.lit(-1))
+    )
     w = (
-        Window.partitionBy(*part)
-        .orderBy(_key_hash(id_col), F.col(id_col))
+        Window.partitionBy(*part, "__bucket")
+        .orderBy(F.col("__h"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
+    woff = (
+        Window.partitionBy(*part)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy(*part, "__bucket")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("__tok"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__tok").over(woff), F.lit(0))
+        )
+        .select(*part, "__bucket", "__offset")
+    )
+    cum_local = F.sum(F.col(token_col)).over(w)
     return (
-        df.withColumn("__cum", cum)
+        b.withColumn("__cumloc", cum_local)
+        .join(F.broadcast(offsets), [*part, "__bucket"])
+        .withColumn("__cum", F.col("__offset") + F.col("__cumloc"))
         .withColumn(
             bin_col,
             F.floor((F.col("__cum") - F.col(token_col)) / F.lit(max_tokens)).cast(
@@ -150,7 +185,7 @@ def pack_sequences(
             ),
         )
         .withColumn("overflow", F.col(token_col) > F.lit(max_tokens))
-        .drop("__cum")
+        .drop("__h", "__bucket", "__cumloc", "__offset", "__cum")
     )
 
 

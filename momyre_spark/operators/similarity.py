@@ -1597,12 +1597,15 @@ def twonn_intrinsic_dim_numpy(
     |partitions| * |anchors| * 2 rows, never the pair matrix.
 
     BIT-IDENTICAL to the expression form by construction, not by luck:
-    each pair's d2 is ``((row - anchor)**2).sum()`` over the 64-dim
-    axis, and numpy's reduction is strictly sequential below its
-    128-element pairwise-summation threshold — the same left-to-right
-    IEEE order as the zip_with/aggregate fold (pinned by the parity
-    pytest). Everything downstream (top-2-positive rule, 1e-6
-    fixed-point ln-ratio units, the final mirrored division) is shared.
+    d2 accumulates COLUMN-WISE (``d2 += (mat[:, j] - a[j])**2`` for j in
+    dimension order), forcing the exact left-to-right IEEE addition order
+    of the zip_with/aggregate fold. A plain ``.sum(axis=1)`` would NOT be
+    identical: numpy's reduction is sequential only below 8 elements and
+    uses an 8-accumulator unrolled tree for 8–128, which can differ from
+    the fold by 1 ULP — enough to flip a 1e-6 fixed-point ln-ratio at a
+    rounding boundary (pinned by the parity pytest). Everything
+    downstream (top-2-positive rule, 1e-6 fixed-point ln-ratio units,
+    the final mirrored division) is shared.
     """
     import numpy as np
 
@@ -1627,11 +1630,19 @@ def twonn_intrinsic_dim_numpy(
         import numpy as _np
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf[id_col].to_numpy(dtype=_np.int64)
             mat = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            dim = mat.shape[1]
+            # column-wise accumulation = the fold's exact left-to-right
+            # IEEE order (sum(axis=1) is NOT: numpy tree-reduces
+            # 8..128-element axes with 8 accumulators, off by 1 ULP)
+            d2_all = _np.zeros((len(a_ids), len(mat)))
+            for j in range(dim):
+                d2_all += (mat[None, :, j] - a_mat[:, j][:, None]) ** 2
             for ai, aid in enumerate(a_ids):
-                # sequential sum over the <128-dim axis: the exact fold
-                d2 = ((mat - a_mat[ai]) ** 2).sum(axis=1)
+                d2 = d2_all[ai]
                 mask = ids != aid
                 cids, cd = ids[mask], d2[mask]
                 if len(cids) > 2:

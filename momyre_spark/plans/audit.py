@@ -26,6 +26,67 @@ import re
 from pyspark.sql import DataFrame
 
 
+def _node_depth(line: str) -> int:
+    """Column where a plan-tree node's name starts (tree prefix chars +
+    optional ``*(n)`` codegen marker); deeper = descendant."""
+    m = re.match(r"^[\s:+|-]*(\*\(\d+\)\s*)?", line)
+    return m.end()
+
+
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+# nodes a SinglePartition exchange may pass through on its way to the
+# consumer that required it (pure per-row / ordering ops)
+_PASSTHROUGH = ("Sort", "Project", "Filter", "ColumnarToRow", "InputAdapter",
+                "WholeStageCodegen", "AQEShuffleRead", "ShuffleQueryStage",
+                "Coalesce")
+
+
+def corpus_singlepartition_windows(plan: str) -> list[str]:
+    """The canonical single-task scale-killer, detected structurally: an
+    ``Exchange SinglePartition`` that feeds a ``Window`` (through
+    sort/project pass-through nodes) with NO aggregation below the
+    exchange — i.e. the windowed frame is input-sized, and the whole
+    input is sorted in ONE task. ``Window.partitionBy()`` with no keys
+    plans exactly this shape.
+
+    SinglePartition exchanges ABOVE an aggregation are allowed: their
+    frame is grouped (bucket tables, per-family test rows, final
+    scalars) — bounded by key cardinality, the audited acceptable
+    class. Returns the offending exchange lines (empty = clean).
+    """
+    lines = plan.splitlines()
+    offenders = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = _node_depth(ln)
+        # subtree: contiguous following lines strictly deeper
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _node_depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        if any(a in s for a in _AGG_NODES for s in subtree):
+            continue  # post-aggregation frame: bounded, allowed
+        # ancestors: walk up the nearest strictly-shallower lines until
+        # the first non-pass-through consumer
+        cur = d
+        for prev in reversed(lines[:i]):
+            if not prev.strip():
+                continue
+            pd = _node_depth(prev)
+            if pd >= cur:
+                continue
+            cur = pd
+            name = prev.strip().lstrip(":+|- ").lstrip("*(0123456789) ")
+            if name.startswith("Window"):
+                offenders.append(ln.strip())
+                break
+            if not any(name.startswith(p) for p in _PASSTHROUGH):
+                break  # consumed by a join/limit/agg/collect — not a window
+    return offenders
+
+
 def audit_plan(df: DataFrame, execute: bool = False) -> dict:
     """Executed-plan facts for scale review / plan-pinning tests.
 
@@ -54,6 +115,9 @@ def audit_plan(df: DataFrame, execute: bool = False) -> dict:
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
         "python_eval": plan.count("BatchEvalPython"),
+        "corpus_singlepartition_windows": len(
+            corpus_singlepartition_windows(plan)
+        ),
         "arrow_eval": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
         "scans": len(scans),
         "pushed_filters": [p for p in pushed if p.strip()],

@@ -470,13 +470,20 @@ def _materialize_once(spark: SparkSession, name: str, build) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), name)
     if not os.path.exists(path):
         scratch = tempfile.mkdtemp(prefix=f"{name}.build.")
-        staged = os.path.join(scratch, "data")
-        build(staged)
         try:
-            os.rename(staged, path)
-        except OSError:
-            pass  # a concurrent writer won; use its copy
-        shutil.rmtree(scratch, ignore_errors=True)
+            staged = os.path.join(scratch, "data")
+            build(staged)
+            try:
+                os.rename(staged, path)
+            except OSError:
+                # Only the lost-race case (the destination appeared
+                # meanwhile) may be swallowed; any other rename failure
+                # (permissions, EXDEV) must surface here, not as a
+                # confusing read of a nonexistent parquet path below.
+                if not os.path.exists(path):
+                    raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -519,6 +519,26 @@ def test_frequency_cap_known_values(spark):
         frequency_cap(df, k=0)
 
 
+def test_frequency_cap_null_text_rows_kept(spark):
+    """NULL-text rows must NOT vanish (md5(NULL) is NULL and an equi-join
+    on NULL matches nothing — the null-safe __jkey guards this). They
+    form ONE cluster (the window oracle's PARTITION BY groups all NULLs
+    together), ranked by id, capped at k, with content_key NULL."""
+    from momyre_spark.operators.dedup import frequency_cap
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "aaa")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in frequency_cap(df, k=2).collect()}
+    assert len(got) == 4  # every row emitted with a verdict
+    assert [got[i]["copy_rank"] for i in (1, 2, 3)] == [1, 2, None]
+    assert [got[i]["kept"] for i in (1, 2, 3)] == [True, True, False]
+    assert all(got[i]["n_copies"] == 3 for i in (1, 2, 3))
+    assert all(got[i]["content_key"] is None for i in (1, 2, 3))
+    assert got[4]["kept"] and got[4]["content_key"] is not None
+
+
 def test_cluster_size_stats_known_values(spark):
     """Histogram hand-check: three identical + two identical + one unique
     doc -> sizes {3: 1 cluster, 2: 1, 1: 1}; conservation sum(n_docs) ==

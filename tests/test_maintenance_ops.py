@@ -1511,6 +1511,19 @@ def test_isotonic_calibrate_matches_pav_reference(spark):
     with _pytest.raises(ValueError):
         isotonic_calibrate(df, "score", "label", lo=5.0, hi=5.0)
 
+    # NULL hygiene: a NULL score must NOT land in bucket 0 (Spark's
+    # greatest() skips NULLs, so floor(NULL)->greatest(NULL,0)=0 would
+    # silently contaminate the lowest bucket); NULL rows are dropped.
+    with_nulls = spark.createDataFrame(
+        data + [(None, 1), (None, 1), (0.5, None)], "score double, label int"
+    )
+    got_n = {r["bucket"]: r for r in
+             isotonic_calibrate(with_nulls, "score", "label", lo=0.0,
+                                hi=8.0, n_buckets=8).collect()}
+    assert {b: (r["n"], r["sum_label"]) for b, r in got_n.items()} == {
+        b: (r["n"], r["sum_label"]) for b, r in got.items()
+    }
+
 
 def test_qq_table_exact_order_statistics(spark):
     """Hand-check: type-1 quantiles are the value at rank ceil(p*n) per

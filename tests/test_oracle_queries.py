@@ -53,7 +53,11 @@ def test_staged_query_matches_oracle(spark, duck, name):
 
 def test_staged_queries_pass_plan_gate(spark):
     """Same repo-wide plan gate as registered queries: no row-wise
-    Python, no cartesian product."""
+    Python, no cartesian product, no corpus-sized SinglePartition window
+    — a staged operator may not carry the single-task-sort shape into
+    registration (the round-9 packing family did exactly that)."""
+    from momyre_spark.plans.audit import corpus_singlepartition_windows
+
     offenders = {}
     for name, (fn, _) in plans.staged_queries().items():
         plan = (
@@ -67,6 +71,8 @@ def test_staged_queries_pass_plan_gate(spark):
             for m in ("BatchEvalPython", "CartesianProduct")
             if m in plan
         ]
+        if corpus_singlepartition_windows(plan):
+            bad.append("corpus-sized SinglePartition window")
         if bad:
             offenders[name] = bad
     assert not offenders, offenders

@@ -252,10 +252,17 @@ def test_source_divergence_broadcasts_stats(spark):
 
 def test_no_query_plans_rowwise_python_or_cartesian(spark):
     """Repo-wide plan gate: NO registered query may plan a row-at-a-time
-    Python eval (BatchEvalPython) or an unbroadcast CartesianProduct.
+    Python eval (BatchEvalPython), an unbroadcast CartesianProduct, or a
+    corpus-sized SinglePartition window (``Window.partitionBy()`` with no
+    keys — the whole input sorted in ONE task; the round-9 packing family
+    shipped this shape twice before the gate existed). SinglePartition
+    exchanges over POST-AGGREGATION frames (bucket/offset tables, final
+    scalars) are allowed — the detector checks the subtree structurally.
     Arrow-batched nodes (mapInPandas / pandas_udf) are allowed — they are
     the sanctioned Python path. The one whitelisted BatchEvalPython is
     q36's deliberate Python-UDTF showcase."""
+    from momyre_spark.plans.audit import corpus_singlepartition_windows
+
     allowed_batch_eval = {"q36_udtf_tokenize"}
     offenders = {}
     for name, fn in plans.QUERIES.items():
@@ -265,9 +272,59 @@ def test_no_query_plans_rowwise_python_or_cartesian(spark):
             bad.append("BatchEvalPython")
         if "CartesianProduct" in plan:
             bad.append("CartesianProduct")
+        if corpus_singlepartition_windows(plan):
+            bad.append("corpus-sized SinglePartition window")
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_singlepartition_window_detector_shapes(spark):
+    """The detector itself: flags the exact shape the packing family
+    shipped (empty partitionBy over the corpus), passes the two-phase
+    rewrite, and passes a window over a post-aggregation frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from momyre_spark.operators.sampling import pack_sequences
+    from momyre_spark.plans.audit import corpus_singlepartition_windows
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    bad = df.withColumn(
+        "cum",
+        F.sum("n_tokens").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert corpus_singlepartition_windows(plan_of(bad)), plan_of(bad)[:1500]
+
+    good = pack_sequences(df, 64, num_buckets=16)
+    assert not corpus_singlepartition_windows(plan_of(good))
+
+    post_agg = (
+        df.groupBy((F.col("doc_id") % 5).alias("g"))
+        .agg(F.sum("n_tokens").alias("s"))
+        .withColumn("cum", F.sum("s").over(
+            Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    assert not corpus_singlepartition_windows(plan_of(post_agg))
+
+
+def test_pack_sequences_windows_by_bucket(spark):
+    """The packing cumsum must partition by the hash bucket (the
+    global_shuffle two-phase shape) — the corpus-frame window may never
+    be SinglePartition, and both registered consumers inherit it."""
+    import re
+
+    for name in ("pipe_pack_sequences", "pipe_packing_efficiency"):
+        plan = plan_of(q(spark, name))
+        wins = re.findall(r"Window \[[^\]]*sum\([^\]]*\], \[([^\]]*)\]", plan)
+        assert any("__bucket" in w for w in wins), (name, plan[:2000])
 
 
 def test_gopher_gates_is_map_only(spark):

@@ -175,6 +175,15 @@ HEADLINE = [
     # so the fast-path gate's over-threshold branch keeps a per-round
     # record here; the >1M-edge CC probe below covers the min-label rounds
     "graph_domain_pagerank_durable",
+    # round-10: the seven round-9-staged queries, registered this round
+    # (recorded hand-off from the staged bench loop, as every wave)
+    "text_heaps_fit",
+    "stats_isotonic_calibrate",
+    "sim_rbo_eval",
+    "stats_qq_table",
+    "emb_intrinsic_dim",
+    "curate_domain_blocklist",
+    "dedup_cluster_stats",
 ]
 
 
@@ -473,10 +482,33 @@ def main() -> None:
     timings["dedup_cc_distributed_1m2"] = round(min(runs), 3)
     spark.catalog.clearCache()
 
+    # ---- giga-cluster frequency-cap probe (VERDICT r09 item #4) --------
+    # 10M rows, one 5M-copy boilerplate cluster — the corpus the round-9
+    # conditional-salt rewrite was iterated against (SCALE.md). Keeps the
+    # WindowGroupLimit cap and salt routing measured per round instead of
+    # as a one-off table; excluded from the headline like other probes.
+    from momyre_spark.operators.dedup import frequency_cap
+    from momyre_spark.plans.dedup_queries import _syn_freqcap
+
+    _fc = _syn_freqcap(spark)  # materializes the fixture outside timing
+    runs = []
+    for _ in range(3):
+        _fc_handles: list = []
+        t0 = time.perf_counter()
+        frequency_cap(_fc, k=2, persisted=_fc_handles).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        for _h in _fc_handles:  # release each run's survivor persist
+            _h.unpersist()
+    timings["dedup_freqcap_giga_synthetic"] = round(min(runs), 3)
+    spark.catalog.clearCache()
+
     probe_rows = {
         "dedup_linkage_synthetic_170k",
         "dedup_entity_synthetic_170k",
         "dedup_cc_distributed_1m2",
+        "dedup_freqcap_giga_synthetic",
     }
 
     # ---- staged queries (pre-registration perf history) ----------------
@@ -487,10 +519,8 @@ def main() -> None:
     # registry the oracle mirror and plan gate also iterate — so a staged
     # addition cannot silently miss its bench baseline. Their seconds are
     # EXCLUDED from the headline total (see below) until they register.
-    # (The round-8 queue of five registered in round 9; the current queue
-    # is the round-9 wave of seven: Heaps fit, isotonic calibration, RBO,
-    # Q-Q table, TwoNN intrinsic dimension, domain blocklist,
-    # cluster-size stats.)
+    # (The round-9 wave of seven registered in round 10; the queue holds
+    # whatever the current round has staged.)
     staged_names = set(plans.staged_queries())
     for name, (fn, _oracle) in sorted(plans.staged_queries().items()):
 

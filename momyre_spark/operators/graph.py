@@ -879,3 +879,65 @@ def partition_modularity(
         F.col("__dc").alias("degree_sum"),
         round_half_up(q, digits).alias("q_term"),
     )
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+    digits: int = 6,
+) -> DataFrame:
+    """Degree histogram with exact complementary CDF — the first
+    health readout of any link/duplicate graph (a power-law tail says
+    hub domains / boilerplate stars; a truncated tail says the dedup
+    candidate graph is bounded, which is what the LSH band math
+    promises). Output one row per observed degree: ``(degree, n_nodes,
+    ccdf)`` where ``ccdf`` = fraction of nodes with degree >= that
+    degree.
+
+    ``directed=False`` counts each endpoint once per incident edge
+    (out + in); ``directed=True`` counts out-degree only.
+
+    Shape at 100 TB: one node-keyed hash agg over the edge list
+    (map-side combinable — a 10^8-edge hub collapses per input
+    partition), then everything else operates on the DISTINCT-degree
+    frame: one bounded cumulative window (degrees observed in a real
+    graph number in the thousands) + a broadcast 1-row total. Exact
+    BIGINTs until the one ccdf division, rounded at ``digits``.
+    """
+    from pyspark.sql.window import Window
+
+    from momyre_spark.functions.numeric import round_half_up
+
+    ends = edges.select(F.col(src_col).alias("__node"))
+    if not directed:
+        ends = ends.unionByName(
+            edges.select(F.col(dst_col).alias("__node"))
+        )
+    deg = ends.groupBy("__node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__deg")
+    )
+    hist = deg.groupBy("__deg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    # nodes with degree >= d: cumulative from the top of the distinct-
+    # degree frame (bounded), plus a broadcast grand total
+    wtop = Window.orderBy(F.col("__deg").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.withColumn("__ge", F.sum("n_nodes").over(wtop))
+        .withColumn("__N", F.sum("n_nodes").over(wall))
+        .select(
+            F.col("__deg").alias("degree"),
+            "n_nodes",
+            round_half_up(
+                F.col("__ge").cast("double") / F.col("__N").cast("double"),
+                digits,
+            ).alias("ccdf"),
+        )
+    )

@@ -2108,3 +2108,183 @@ def qq_table(
         "p", "q_a", "q_b",
         round_half_up(F.col("q_a") - F.col("q_b"), digits).alias("qq_diff"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability table + expected-calibration-error contributions for a
+    probabilistic classifier (Naeini et al. 2015's binned ECE): fixed-width
+    score buckets over ``[lo, hi)``, and per non-empty bucket the count,
+    the mean predicted score, the observed positive rate, their absolute
+    gap, and the bucket's weighted ECE contribution ``n/N * |gap|`` —
+    ``sum(ece_contrib)`` IS the ECE, and the per-bucket rows are the
+    reliability diagram a quality-classifier gate is tuned from. The
+    natural companion readout to :func:`isotonic_calibrate` (that one
+    fixes miscalibration; this one measures it).
+
+    Shape at 100 TB: ONE map-side-combinable hash aggregation onto at
+    most ``n_buckets`` rows — the corpus is touched once; everything
+    after operates on the bucket frame (a broadcast 1-row total for N).
+
+    Determinism: counts and label sums are exact BIGINTs; scores enter
+    the sum as 1e-6 fixed-point units (floor(x*1e6+0.5) — exact integer
+    addition, order-free), so ``mean_score`` is ONE division of two
+    exact integers; every emitted float is a mirrored single op rounded
+    at ``digits``. NULL scores/labels are dropped (the
+    isotonic_calibrate hygiene).
+    """
+    if not 2 <= n_buckets <= 1000:
+        raise ValueError("momyre: n_buckets must be in [2, 1000]")
+    if not hi > lo:
+        raise ValueError("momyre: need hi > lo")
+    width = (float(hi) - float(lo)) / float(n_buckets)
+    b = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(float(lo)))
+                / F.lit(width)
+            ),
+            F.lit(0),
+        ),
+        F.lit(int(n_buckets) - 1),
+    ).cast("int")
+    u = F.floor(
+        F.col(score_col).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    stats = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            b.alias("bucket"),
+            u.alias("__u"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__u").cast("bigint").alias("__su"),
+            F.sum("__y").cast("bigint").alias("sum_label"),
+        )
+    )
+    total = stats.agg(F.sum("n").cast("bigint").alias("__N"))
+    from momyre_spark.functions.numeric import round_half_up
+
+    mean_score = (F.col("__su").cast("double") / F.lit(1e6)) / F.col(
+        "n"
+    ).cast("double")
+    frac_pos = F.col("sum_label").cast("double") / F.col("n").cast("double")
+    gap = F.abs(frac_pos - mean_score)
+    return (
+        stats.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n",
+            "sum_label",
+            round_half_up(mean_score, digits).alias("mean_score"),
+            round_half_up(frac_pos, digits).alias("frac_pos"),
+            round_half_up(gap, digits).alias("abs_gap"),
+            round_half_up(
+                (F.col("n").cast("double") / F.col("__N").cast("double"))
+                * gap,
+                digits,
+            ).alias("ece_contrib"),
+        )
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Cross-group quantile normalization MAP: for each (group, distinct
+    value), the pooled-distribution value at the same quantile — the
+    standard move for making quality/classifier scores from different
+    sources comparable before a global threshold (each group's score
+    distribution is mapped onto the pooled one; a within-group rank is
+    preserved, only the scale changes). Output one row per (group,
+    distinct value): ``(group, value, n, norm_value)``; join it back on
+    (group, value) to normalize rows — the map is what's worth
+    materializing (NDV-bounded), not a corpus-sized rewrite.
+
+    The quantile convention is engine-exact end to end: a value's
+    within-group position is its doubled mid-ECDF numerator
+    ``2*cum - cnt`` over ``2*n_g`` (the average rank of its ties —
+    group_auc's mid-rank); its pooled target is the type-1 pooled
+    quantile at rank ``ceil(position * N_pool)``, computed as ONE exact
+    integer ceiling division ``(p2*N + 2*n_g - 1) div (2*n_g)`` — no
+    float touches the rank math. The pooled lookup joins the rank into
+    the pooled distinct-value table's cumulative-count intervals
+    (broadcast: NDV-bounded by the 1/``scale`` fixed-point grid).
+
+    Shape: two hash aggs on distinct values (group-level and pooled),
+    two NDV-bounded windows, one broadcast interval join. Post-agg work
+    scales with DISTINCT values, never rows.
+    """
+    from momyre_spark.functions.numeric import round_half_up
+
+    u = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("bigint")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), u.alias("__u")
+    )
+    per = vals.groupBy("__g", "__u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    wg = Window.partitionBy("__g").orderBy("__u").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wgn = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gm = (
+        per.withColumn("__cum", F.sum("__cnt").over(wg))
+        .withColumn("__ng", F.sum("__cnt").over(wgn))
+        .withColumn("__p2", F.lit(2) * F.col("__cum") - F.col("__cnt"))
+    )
+    pooled = vals.groupBy("__u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__pc")
+    )
+    wp = Window.orderBy("__u").rowsBetween(Window.unboundedPreceding, 0)
+    ptab = (
+        pooled.withColumn("__pcum", F.sum("__pc").over(wp))
+        .withColumn("__plo", F.col("__pcum") - F.col("__pc") + F.lit(1))
+        .select(
+            F.col("__u").alias("__pu"), "__plo", F.col("__pcum").alias("__phi")
+        )
+    )
+    ntot = pooled.agg(F.sum("__pc").cast("bigint").alias("__N"))
+    # pooled type-1 rank at the mid-ECDF position, as ONE exact integer
+    # ceiling division: ceil(p2/(2*ng) * N) = (p2*N + 2*ng - 1) div (2*ng)
+    # `div` is true BIGINT division (the `/` operator would detour
+    # through double and lose exactness past 2^53 — p2*N is corpus-sized)
+    ranked = gm.crossJoin(F.broadcast(ntot)).withColumn(
+        "__rk",
+        F.expr("(__p2 * __N + 2 * __ng - 1) div (2 * __ng)"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(ptab),
+            (F.col("__rk") >= F.col("__plo"))
+            & (F.col("__rk") <= F.col("__phi")),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            round_half_up(
+                F.col("__u").cast("double") / F.lit(float(scale)), digits
+            ).alias("value"),
+            F.col("__cnt").alias("n"),
+            round_half_up(
+                F.col("__pu").cast("double") / F.lit(float(scale)), digits
+            ).alias("norm_value"),
+        )
+    )

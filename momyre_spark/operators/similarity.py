@@ -1652,3 +1652,196 @@ def twonn_intrinsic_dim_numpy(
 
     pairs = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     return _twonn_estimate(pairs, digits)
+
+
+def source_centroid_sim(
+    emb: DataFrame,
+    docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-source embedding centroids
+    — the corpus-composition readout over the embedding space ("which
+    sources cover the same content region?") that drives mixture
+    de-duplication decisions at the SOURCE level before any per-document
+    work. Output one row per unordered source pair: ``(source_a,
+    source_b, n_a, n_b, cos_sim)`` with source_a < source_b.
+
+    Shape at 100 TB: one co-keyed join (embeddings x doc metadata), one
+    posexplode to (source, dim) integer component sums — map-side
+    combinable, |sources| * dims rows out — then everything downstream
+    (centroid assembly, the S^2/2 pair join) operates on a frame of
+    |sources| rows. The corpus is touched once; no pair of DOCUMENTS is
+    ever formed.
+
+    Determinism (the fixed-point discipline): vector components enter
+    the sum as 1e-6 fixed-point BIGINTs (exact, order-free); each
+    centroid component is ONE mirrored division tree of exact integers;
+    the pair cosine folds the dim-ordered centroid arrays sequentially
+    (zip_with/aggregate — same left-to-right IEEE order as the oracle's
+    list_reduce), and only the final cosine rounds, at ``digits``.
+    """
+    joined = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        ).alias("__u"),
+    ).join(
+        docs.select(
+            F.col(doc_id_col).alias("__id"),
+            F.col(source_col).alias("__src"),
+        ),
+        "__id",
+    )
+    comp = (
+        joined.select("__src", F.posexplode("__u").alias("__pos", "__c"))
+        .groupBy("__src", "__pos")
+        .agg(F.sum("__c").cast("bigint").alias("__s"))
+    )
+    n_per = joined.groupBy("__src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    cent = (
+        comp.groupBy("__src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__s"))
+            ).alias("__ps")
+        )
+        .join(n_per, "__src")
+        .select(
+            "__src",
+            "__n",
+            F.transform(
+                "__ps",
+                lambda ps: (ps["__s"].cast("double") / F.lit(1e6))
+                / F.col("__n").cast("double"),
+            ).alias("__cent"),
+        )
+    )
+    a = cent.select(
+        F.col("__src").alias("source_a"),
+        F.col("__n").alias("n_a"),
+        F.col("__cent").alias("__ca"),
+    )
+    b = cent.select(
+        F.col("__src").alias("source_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__cent").alias("__cb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__ca"), F.col("__cb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("__ca"), F.col("__ca"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("__cb"), F.col("__cb"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            round_half_up(dot / (na * nb), digits).alias("cos_sim"),
+        )
+    )
+
+
+def embedding_norm_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_mad: float = 3.5,
+    digits: int = 6,
+) -> DataFrame:
+    """Embedding L2-norm health check: per vector, its norm, the robust
+    z-score ``|norm - median| / MAD``, and an outlier verdict at
+    ``k_mad`` MADs — the encoder-sanity readout that catches collapsed
+    vectors (norm ~ 0), exploded activations, and un-normalized batches
+    mixed into a normalized corpus. Every row is emitted with its
+    verdict (the frequency_cap contract); downstream filters on
+    ``is_outlier``.
+
+    Shape at 100 TB: the norm is a map-only sequential fold; the
+    median and the MAD each come from ONE distinct-value hash agg + an
+    NDV-bounded cumulative window (norms are fixed-pointed to 1e-6, so
+    NDV is bounded by the value grid, the group_auc argument) — never a
+    corpus sort; both scalars broadcast back. Three passes over the
+    norm projection, all map-side combinable.
+
+    Determinism: norms enter as 1e-6 fixed-point BIGINTs; median and
+    MAD are exact type-1 weighted order statistics on those integers
+    (rank ``ceil(N/2)`` — the qq_table convention); deviations are
+    exact integer subtractions; the outlier compare is
+    ``dev * 10 > k10 * mad`` in EXACT integer arithmetic (``k_mad``
+    quantized to tenths), and the single emitted float per row rounds
+    at ``digits``.
+    """
+    from momyre_spark.functions.vectors import norm as _vnorm
+
+    k10 = int(round(k_mad * 10))
+    u = F.floor(
+        _vnorm(F.col(vec_col)) * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    base = emb.select(F.col(id_col), u.alias("__u"))
+
+    def _weighted_median(df: DataFrame, col: str) -> DataFrame:
+        per = df.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = per.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+            "__N", F.sum("__c").over(wall)
+        )
+        # type-1 median: smallest value whose cumulative count reaches
+        # ceil(N/2) = (N + 1) div 2 (exact integer arithmetic)
+        return cum.filter(
+            F.col("__cum") >= F.expr("(__N + 1) div 2")
+        ).agg(F.min(col).cast("bigint").alias("__m"))
+
+    med = _weighted_median(base, "__u")
+    dev = base.crossJoin(F.broadcast(med)).withColumn(
+        "__d", F.abs(F.col("__u") - F.col("__m"))
+    )
+    mad = _weighted_median(dev.select(F.col("__d").alias("__u")), "__u").select(
+        F.col("__m").alias("__mad")
+    )
+    out = dev.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad") > 0,
+        round_half_up(
+            F.col("__d").cast("double") / F.col("__mad").cast("double"),
+            digits,
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        round_half_up(F.col("__u").cast("double") / F.lit(1e6), digits).alias(
+            "norm"
+        ),
+        z.alias("robust_z"),
+        (
+            (F.col("__mad") > 0)
+            & (F.col("__d") * F.lit(10) > F.lit(k10) * F.col("__mad"))
+        ).alias("is_outlier"),
+    )

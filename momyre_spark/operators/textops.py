@@ -794,3 +794,123 @@ def heaps_fit(
         round_half_up(F.exp(intercept), digits).alias("k_coeff"),
         F.when(vary != 0, round_half_up(r2, digits)).alias("r2"),
     )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Vocabulary-richness scalars: Chao1 species-richness estimate and
+    the Good-Turing unseen-probability mass, from the corpus's
+    frequency-of-frequencies — the "how much vocabulary haven't we seen
+    yet" readout that complements :func:`heaps_fit` (that one fits the
+    growth CURVE; this one estimates its asymptote and the probability
+    the next token is novel). One row: ``(n_tokens, vocab_size,
+    hapax_count, dis_count, chao1, gt_unseen_mass)`` where hapax/dis are
+    the once- and twice-seen term counts (F1/F2), ``chao1 = V +
+    F1*(F1-1)/(2*(F2+1))`` (the bias-corrected form — defined even with
+    no doubletons), and ``gt_unseen_mass = F1/N`` (Good 1953).
+
+    Shape at 100 TB: one token explode -> ONE vocab-keyed hash agg
+    (map-side combinable, the zipf_fit exchange class) -> one final
+    scalar agg over the vocab frame. Nothing beyond the vocab agg ever
+    shuffles.
+
+    Determinism: N/V/F1/F2 are exact BIGINTs; chao1 and the unseen mass
+    are each ONE mirrored float expression over exact integers, rounded
+    at ``digits``.
+    """
+    from momyre_spark.functions.text import tokens
+
+    term_counts = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok")
+        )
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    )
+    agg = term_counts.agg(
+        F.sum("__cnt").cast("bigint").alias("__N"),
+        F.count(F.lit(1)).cast("bigint").alias("__V"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__F1"),
+        F.sum(F.when(F.col("__cnt") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__F2"),
+    )
+    chao1 = F.col("__V").cast("double") + (
+        F.col("__F1") * (F.col("__F1") - F.lit(1))
+    ).cast("double") / (F.lit(2) * (F.col("__F2") + F.lit(1))).cast("double")
+    p0 = F.col("__F1").cast("double") / F.col("__N").cast("double")
+    return agg.filter(F.col("__N") > 0).select(
+        F.col("__N").alias("n_tokens"),
+        F.col("__V").alias("vocab_size"),
+        F.col("__F1").alias("hapax_count"),
+        F.col("__F2").alias("dis_count"),
+        round_half_up(chao1, digits).alias("chao1"),
+        round_half_up(p0, digits).alias("gt_unseen_mass"),
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+    min_df: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-term burstiness (Church & Gale's mean within-document rate):
+    for the ``top_k`` terms by collection frequency, ``(term, cf, df,
+    burstiness = cf/df)`` — cf the total occurrence count, df the
+    document count. A content word occurs many times in few documents
+    (burstiness well above 1); boilerplate/template terms occur once
+    per document everywhere (burstiness ~ 1 with giant df) — the cheap
+    structural signal for navigation chrome and injected banners that
+    per-document quality scores miss.
+
+    Shape at 100 TB: one token explode -> ONE (term, doc) pre-agg ->
+    the (cf, df) agg from that frame (df = count of the pre-agg rows,
+    cf = sum of their per-doc counts — NO count-distinct over raw
+    occurrences), then a global top-k that plans as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a vocabulary sort.
+
+    Determinism: cf/df exact BIGINTs; ties at the top-k boundary break
+    by term; the single division rounds at ``digits``.
+    """
+    from momyre_spark.functions.text import tokens
+
+    if top_k > 10_000_000:
+        raise ValueError(
+            "momyre: top_k merges partitions*k rows on the driver; keep it "
+            "bounded (<= 10M)"
+        )
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+        )
+        .groupBy("__tok", "__id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    stats = per_doc.groupBy("__tok").agg(
+        F.sum("__c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        stats.filter(F.col("df") >= int(min_df))
+        .orderBy(F.col("cf").desc(), F.col("__tok"))
+        .limit(int(top_k))
+        .select(
+            F.col("__tok").alias("term"),
+            "cf",
+            "df",
+            round_half_up(
+                F.col("cf").cast("double") / F.col("df").cast("double"),
+                digits,
+            ).alias("burstiness"),
+        )
+    )

@@ -252,47 +252,10 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
 
-    Current queue (written round 9, registering round 10): Heaps'-law
-    vocabulary-growth fit, isotonic score calibration, rank-biased
-    overlap, two-sample Q-Q table, TwoNN intrinsic dimension, domain
-    quality blocklist, and duplicate-cluster statistics. (The round-8
-    queue of five registered in round 9.)
+    Current queue: empty — the round-9 wave of seven (Heaps'-law fit,
+    isotonic calibration, rank-biased overlap, Q-Q table, TwoNN intrinsic
+    dimension, domain quality blocklist, duplicate-cluster statistics)
+    registered in round 10. The round-10 wave is added below as it is
+    written.
     """
-    from momyre_spark.plans.dedup_queries import (
-        _CLUSTER_STATS_ORACLE,
-        _DOMBLOCK_ORACLE,
-        curate_domain_blocklist,
-        dedup_cluster_stats,
-    )
-    from momyre_spark.plans.maintenance_queries import (
-        _ISOTONIC_ORACLE,
-        _QQ_ORACLE,
-        stats_isotonic_calibrate,
-        stats_qq_table,
-    )
-    from momyre_spark.plans.similarity_queries import (
-        _RBO_ORACLE,
-        _TWONN_ORACLE,
-        emb_intrinsic_dim,
-        sim_rbo_eval,
-    )
-    from momyre_spark.plans.text_queries import (
-        _HEAPS_ORACLE,
-        text_heaps_fit,
-    )
-
-    return {
-        "text_heaps_fit": (text_heaps_fit, _HEAPS_ORACLE),
-        "stats_isotonic_calibrate": (
-            stats_isotonic_calibrate,
-            _ISOTONIC_ORACLE,
-        ),
-        "sim_rbo_eval": (sim_rbo_eval, _RBO_ORACLE),
-        "stats_qq_table": (stats_qq_table, _QQ_ORACLE),
-        "emb_intrinsic_dim": (emb_intrinsic_dim, _TWONN_ORACLE),
-        "curate_domain_blocklist": (
-            curate_domain_blocklist,
-            _DOMBLOCK_ORACLE,
-        ),
-        "dedup_cluster_stats": (dedup_cluster_stats, _CLUSTER_STATS_ORACLE),
-    }
+    return {}

@@ -711,6 +711,32 @@ def _syn_edges(spark: SparkSession) -> DataFrame:
     )
 
 
+# Giga-cluster frequency-cap probe corpus: 10M rows, half of them ONE
+# 5M-copy boilerplate cluster — the planted worst case the round-9
+# conditional-salt rewrite was iterated against (SCALE.md "Round 9
+# giga-cluster probe"). Kept as a recurring bench fixture so the
+# WindowGroupLimit behavior and the salt routing stay measured per round
+# instead of living only in a one-off table.
+_N_FREQCAP = 10_000_000
+
+
+def _syn_freqcap(spark: SparkSession) -> DataFrame:
+    """Materialized once per process (measure capping, not generation);
+    32 files so the scan parallelizes."""
+
+    def build(path: str) -> None:
+        spark.range(_N_FREQCAP).selectExpr(
+            "id AS doc_id",
+            f"CASE WHEN id < {_N_FREQCAP // 2} THEN "
+            "'the same boilerplate banner text' "
+            "ELSE concat('doc ', CAST(id AS STRING)) END AS text",
+        ).repartition(32).write.mode("overwrite").parquet(path)
+
+    return _materialize_once(
+        spark, f"momyre_synfreqcap_{_N_FREQCAP}.parquet", build
+    )
+
+
 def _sem_emb(spark: SparkSession) -> DataFrame:
     """The synthetic 20k embedding table, materialized once per process
     (same rationale as _syn_docs: measure scan + dedup, not generation)."""
@@ -1498,9 +1524,8 @@ def dedup_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
 # max_dup_frac=0.15 blocks about half, and min_mean_tokens=50 catches the
 # two short-page sources.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_curate.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_curate.py).
 # --------------------------------------------------------------------------
 _DOMBLOCK_ORACLE = r"""
     WITH keyed AS (
@@ -1543,6 +1568,7 @@ _DOMBLOCK_ORACLE = r"""
 """
 
 
+@query("curate_domain_blocklist", oracle=_DOMBLOCK_ORACLE)
 def curate_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.curate import domain_quality_report
 
@@ -1560,9 +1586,8 @@ def curate_domain_blocklist(spark: SparkSession, sf: str) -> DataFrame:
 # BIGINTs only. Keyed 'bow' so the fixture's shuffled re-hostings show up
 # as real clusters.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_dedup_ops.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_dedup_ops.py).
 # --------------------------------------------------------------------------
 _CLUSTER_STATS_ORACLE = r"""
     WITH sizes AS (
@@ -1580,6 +1605,7 @@ _CLUSTER_STATS_ORACLE = r"""
 """
 
 
+@query("dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
 def dedup_cluster_stats(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.dedup import cluster_size_stats
 

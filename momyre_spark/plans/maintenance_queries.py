@@ -2345,10 +2345,9 @@ def stats_bh_fdr(spark: SparkSession, sf: str) -> DataFrame:
 # interval average), O(B^3) join rows over the bucket frame, no collect.
 # The oracle replays the identical minimax over the identical buckets.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_maintenance_ops.py::
-# test_isotonic_calibrate_matches_pav_reference.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_maintenance_ops.py::
+# test_isotonic_calibrate_matches_pav_reference).
 # --------------------------------------------------------------------------
 _ISO_B = 64
 _ISO_LO, _ISO_HI = 0.0, 320.0
@@ -2396,6 +2395,7 @@ _ISOTONIC_ORACLE = f"""
 """
 
 
+@query("stats_isotonic_calibrate", oracle=_ISOTONIC_ORACLE)
 def stats_isotonic_calibrate(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import isotonic_calibrate
 
@@ -2416,9 +2416,8 @@ def stats_isotonic_calibrate(spark: SparkSession, sf: str) -> DataFrame:
 # Exact type-1 order statistics on distinct values (the stats_group_auc
 # rank-on-distinct move); the oracle recomputes the identical grid.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_maintenance_ops.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_maintenance_ops.py).
 # --------------------------------------------------------------------------
 _QQ_N = 19
 
@@ -2451,6 +2450,7 @@ _QQ_ORACLE = f"""
 """
 
 
+@query("stats_qq_table", oracle=_QQ_ORACLE)
 def stats_qq_table(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import qq_table
 

@@ -1250,9 +1250,8 @@ def sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
 # SAME Python-precomputed 1e-12 fixed-point weight table, so neither
 # engine sums floats.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_similarity_ops.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_similarity_ops.py).
 # --------------------------------------------------------------------------
 _RBO_P = 0.9
 
@@ -1324,6 +1323,10 @@ _RBO_ORACLE = f"""
 """
 
 
+_RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
+
+
+@query("sim_rbo_eval", oracle=_RBO_ORACLE)
 def sim_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.similarity import (
         brute_force_topk,
@@ -1340,9 +1343,6 @@ def sim_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
-
-
 # --------------------------------------------------------------------------
 # TwoNN intrinsic dimension (operators/similarity.twonn_intrinsic_dim):
 # the manifold-dimension readout that sizes PQ codebooks / SRP bit counts
@@ -1356,9 +1356,8 @@ _RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
 # squared-distance folds, same top-2-positive rule, same 1e-6 fixed-point
 # ln-ratio sum.
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_similarity_ops.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_similarity_ops.py).
 # --------------------------------------------------------------------------
 _TWONN_ANCHORS = 500
 
@@ -1396,11 +1395,13 @@ _TWONN_ORACLE = f"""
 """
 
 
+@query("emb_intrinsic_dim", oracle=_TWONN_ORACLE)
 def emb_intrinsic_dim(spark: SparkSession, sf: str) -> DataFrame:
     # the Arrow-batched numpy twin — bit-identical to twonn_intrinsic_dim
-    # by numpy's sub-128-element sequential reduction (parity pytest), and
-    # the corpus side streams in batches instead of a 64-dim HOF fold per
-    # pair (measured 11.6s -> sub-second at sf0.1)
+    # by column-wise d2 accumulation (the fold's exact left-to-right IEEE
+    # order; parity pytest), and the corpus side streams in batches
+    # instead of a 64-dim HOF fold per pair (measured 11.6s -> sub-second
+    # at sf0.1)
     from momyre_spark.operators.similarity import twonn_intrinsic_dim_numpy
 
     emb = load_table(spark, sf, "embeddings")

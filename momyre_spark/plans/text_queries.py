@@ -1835,9 +1835,8 @@ def text_readability(spark: SparkSession, sf: str) -> DataFrame:
 # first appearances, running sums over the 32-row frame, 1e-6 fixed-point
 # ln moments, the mirrored OLS tree, exp(intercept).
 #
-# STAGED for round-10 registration (round-9 budget went to the five
-# round-8-staged registrations + the r04 refresh tier). Pre-validated by
-# the staged-queue mirror and tests/test_textops.py.
+# Registered round 10 (staged round 9; pre-validated by the staged-queue
+# mirror and tests/test_textops.py).
 # --------------------------------------------------------------------------
 _HEAPS_B = 32
 
@@ -1889,6 +1888,7 @@ _HEAPS_ORACLE = rf"""
 """
 
 
+@query("text_heaps_fit", oracle=_HEAPS_ORACLE)
 def text_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import heaps_fit
 

@@ -101,6 +101,14 @@ SF01_SWEEP = [
     "dedup_frequency_cap",
     "pipe_packing_efficiency",
     "pipe_cluster_weighted_sample",
+    # round-10 registrations (graduated from the round-9 staged queue)
+    "text_heaps_fit",
+    "stats_isotonic_calibrate",
+    "sim_rbo_eval",
+    "stats_qq_table",
+    "emb_intrinsic_dim",
+    "curate_domain_blocklist",
+    "dedup_cluster_stats",
 ]
 
 

@@ -1777,7 +1777,12 @@ def embedding_norm_profile(
     vectors (norm ~ 0), exploded activations, and un-normalized batches
     mixed into a normalized corpus. Every row is emitted with its
     verdict (the frequency_cap contract); downstream filters on
-    ``is_outlier``.
+    ``is_outlier``. The distributed sibling of
+    :func:`momyre_spark.operators.profile.mad_outliers`: that one sorts
+    each group in one Arrow batch (group-size-bounded); this one needs
+    the GLOBAL median/MAD of a corpus-sized population, so both come
+    from weighted order statistics on the fixed-point distinct-value
+    frame instead.
 
     Shape at 100 TB: the norm is a map-only sequential fold; the
     median and the MAD each come from ONE distinct-value hash agg + an

@@ -588,3 +588,51 @@ def graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
     )
     labels = connected_components(edges)
     return partition_modularity(edges, labels).orderBy("component")
+
+
+# --------------------------------------------------------------------------
+# Degree distribution (operators/graph.degree_distribution): histogram +
+# exact CCDF of the synthetic host graph — the first health readout of a
+# link/duplicate graph (power-law tail = hub domains; truncated tail =
+# the LSH candidate bound holding). One node-keyed hash agg over the
+# edge list (map-side combinable), then a bounded distinct-degree window.
+# Exact BIGINTs; one mirrored ccdf division, 6dp.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_graph.py::test_degree_distribution_known_values.
+# --------------------------------------------------------------------------
+_DEGDIST_ORACLE = f"""
+    WITH edges AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS src,
+            (('0x' || substr(md5('e' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % {_N_HOSTS}) AS dst
+        FROM range({_N_EDGE_SEEDS}) t(i)
+    ),
+    e2 AS (SELECT src, dst FROM edges WHERE src <> dst),
+    ends AS (
+        SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM ends GROUP BY 1),
+    hist AS (SELECT dg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM deg GROUP BY 1),
+    c AS (
+        SELECT dg, n_nodes,
+               SUM(n_nodes) OVER (ORDER BY dg DESC
+                                  ROWS UNBOUNDED PRECEDING) AS ge,
+               SUM(n_nodes) OVER () AS n
+        FROM hist
+    )
+    SELECT dg AS degree, n_nodes,
+           floor(CAST(ge AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+               / 1000000.0 AS ccdf
+    FROM c ORDER BY degree
+"""
+
+
+def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.graph import degree_distribution
+
+    return degree_distribution(_host_edges(spark)).orderBy("degree")

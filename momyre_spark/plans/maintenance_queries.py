@@ -2458,3 +2458,132 @@ def stats_qq_table(spark: SparkSession, sf: str) -> DataFrame:
     return qq_table(
         ev, "value", "event_type", "purchase", "click", n_quantiles=_QQ_N
     ).orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# Binned ECE / reliability table (operators/profile.calibration_report):
+# is the squashed engagement score value/(value+100) calibrated against
+# the purchase label? ONE map-side hash agg onto 10 buckets; scores enter
+# the mean as 1e-6 fixed-point BIGINTs, one mirrored division per emitted
+# float, sum(ece_contrib) IS the ECE. Companion readout to
+# stats_isotonic_calibrate (that one FIXES miscalibration; this one
+# measures it).
+#
+# STAGED for round-11 registration (the round-10 driver budget went to
+# the seven round-9-staged registrations + the r04/r05 refresh tiers).
+# Pre-validated by the staged-queue mirror and
+# tests/test_maintenance_ops.py::test_calibration_report_known_values.
+# --------------------------------------------------------------------------
+_ECE_B = 10
+
+_ECE_ORACLE = f"""
+    WITH b AS (
+        SELECT least(greatest(CAST(floor(
+                   (CAST(value AS DOUBLE) / (CAST(value AS DOUBLE) + 100.0))
+                   / 0.1) AS INT), 0), {_ECE_B - 1}) AS bucket,
+               CAST(floor((CAST(value AS DOUBLE)
+                   / (CAST(value AS DOUBLE) + 100.0)) * 1000000 + 0.5)
+                   AS BIGINT) AS u,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS BIGINT) AS su,
+               CAST(SUM(y) AS BIGINT) AS sum_label
+        FROM b GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM s)
+    SELECT CAST(bucket AS INTEGER) AS bucket, n, sum_label,
+           {_r6('(CAST(su AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)')}
+               AS mean_score,
+           {_r6('CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE)')}
+               AS frac_pos,
+           {_r6('''abs(CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(su AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))''')}
+               AS abs_gap,
+           {_r6('''(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * abs(CAST(sum_label AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(su AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE))''')}
+               AS ece_contrib
+    FROM s, t ORDER BY bucket
+"""
+
+
+def stats_ece_report(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import calibration_report
+
+    ev = load_table(spark, sf, "events").select(
+        (
+            F.col("value").cast("double")
+            / (F.col("value").cast("double") + F.lit(100.0))
+        ).alias("score"),
+        (F.col("event_type") == F.lit("purchase")).cast("int").alias("y"),
+    )
+    return calibration_report(
+        ev, "score", "y", 0.0, 1.0, n_buckets=_ECE_B
+    ).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# Cross-group quantile normalization (operators/profile.quantile_normalize):
+# map each event_type's value distribution onto the pooled one so a single
+# global threshold is meaningful. Rank math is EXACT integers end to end
+# (doubled mid-ECDF numerator, one BIGINT ceiling division, interval join
+# into the pooled distinct-value table); only the 1/scale de-fixing
+# divisions are floats, mirrored. Output is the NDV-bounded MAP, not a
+# corpus rewrite.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_maintenance_ops.py::
+# test_quantile_normalize_known_values.
+# --------------------------------------------------------------------------
+_QN_ORACLE = f"""
+    WITH v AS (
+        SELECT event_type AS g,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                   AS u
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT g, u, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2
+    ),
+    gm AS (
+        SELECT g, u, cnt,
+               2 * SUM(cnt) OVER (PARTITION BY g ORDER BY u
+                                  ROWS UNBOUNDED PRECEDING) - cnt AS p2,
+               SUM(cnt) OVER (PARTITION BY g) AS ng
+        FROM per
+    ),
+    pooled AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS pc FROM v GROUP BY 1
+    ),
+    ptab AS (
+        SELECT u AS pu,
+               SUM(pc) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING)
+                   - pc + 1 AS plo,
+               SUM(pc) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS phi
+        FROM pooled
+    ),
+    nt AS (SELECT CAST(SUM(pc) AS BIGINT) AS n FROM pooled),
+    rk AS (
+        SELECT g, u, cnt,
+               (p2 * (SELECT n FROM nt) + 2 * ng - 1) // (2 * ng) AS r
+        FROM gm
+    )
+    SELECT rk.g AS event_type,
+           {_r6('CAST(rk.u AS DOUBLE) / 100.0')} AS value,
+           rk.cnt AS n,
+           {_r6('CAST(ptab.pu AS DOUBLE) / 100.0')} AS norm_value
+    FROM rk JOIN ptab ON rk.r >= ptab.plo AND rk.r <= ptab.phi
+    ORDER BY event_type, value
+"""
+
+
+def stats_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.profile import quantile_normalize
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    return quantile_normalize(ev, "event_type", "value", scale=100).orderBy(
+        "event_type", "value"
+    )

@@ -1407,3 +1407,120 @@ def emb_intrinsic_dim(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     anchors = emb.filter(F.col("vec_id") < _TWONN_ANCHORS)
     return twonn_intrinsic_dim_numpy(emb, anchors=anchors)
+
+
+# --------------------------------------------------------------------------
+# Per-source centroid cosine (operators/similarity.source_centroid_sim):
+# which sources cover the same embedding region — the source-level
+# composition readout before any per-document dedup. Components enter the
+# sums as 1e-6 fixed-point BIGINTs (exact, order-free); centroids are one
+# mirrored division tree; the pair cosine folds dim-ordered arrays
+# sequentially in BOTH engines (zip_with/aggregate vs list_reduce — the
+# TwoNN fold precedent). Corpus touched once; S^2/2 pairs over a 20-row
+# frame.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_similarity_ops.py::
+# test_source_centroid_sim_known_values.
+# --------------------------------------------------------------------------
+_CENTROID_ORACLE = """
+    WITH e0 AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, d.source
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    comp AS (
+        SELECT source, i.pos,
+               CAST(SUM(CAST(floor(v[i.pos] * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM e0, range(1, 65) i(pos)
+        GROUP BY 1, 2
+    ),
+    np AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM e0 GROUP BY 1),
+    cent AS (
+        SELECT comp.source, np.n,
+               list((CAST(s AS DOUBLE) / 1000000.0) / CAST(np.n AS DOUBLE)
+                    ORDER BY pos) AS c
+        FROM comp JOIN np ON comp.source = np.source
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           a.n AS n_a, b.n AS n_b,
+           floor(
+               list_reduce(list_transform(range(1, 65),
+                   k -> a.c[k] * b.c[k]), (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(range(1, 65),
+                      k -> a.c[k] * a.c[k]), (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(range(1, 65),
+                      k -> b.c[k] * b.c[k]), (acc, x) -> acc + x)))
+               * 1000000 + 0.5) / 1000000.0 AS cos_sim
+    FROM cent a JOIN cent b ON a.source < b.source
+    ORDER BY source_a, source_b
+"""
+
+
+def emb_source_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import source_centroid_sim
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents")
+    return source_centroid_sim(emb, docs).orderBy("source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# Embedding-norm outlier verdicts (operators/similarity.
+# embedding_norm_profile): encoder health — collapsed/exploded vectors
+# flagged at 3.5 MADs from the median norm. Median and MAD are exact
+# type-1 weighted order statistics on the 1e-6 fixed-point distinct-norm
+# frame (NDV-bounded windows, the group_auc argument — never a corpus
+# sort); the verdict compare is exact integer arithmetic (k quantized to
+# tenths). Every row emits its verdict.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_similarity_ops.py::
+# test_embedding_norm_profile_known_values.
+# --------------------------------------------------------------------------
+_NORM_ORACLE = """
+    WITH e0 AS (
+        SELECT vec_id,
+               CAST(floor(sqrt(list_reduce(list_transform(range(1, 65),
+                   k -> CAST(embedding AS DOUBLE[])[k]
+                        * CAST(embedding AS DOUBLE[])[k]),
+                   (acc, x) -> acc + x)) * 1000000 + 0.5) AS BIGINT) AS u
+        FROM embeddings
+    ),
+    du AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM e0 GROUP BY 1),
+    cu AS (
+        SELECT u, SUM(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM du
+    ),
+    med AS (SELECT CAST(MIN(u) AS BIGINT) AS m FROM cu
+            WHERE cum >= (n + 1) // 2),
+    dv AS (SELECT e0.vec_id, e0.u, abs(e0.u - (SELECT m FROM med)) AS d
+           FROM e0),
+    dd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM dv GROUP BY 1),
+    cd AS (
+        SELECT d, SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM dd
+    ),
+    mad AS (SELECT CAST(MIN(d) AS BIGINT) AS m FROM cd
+            WHERE cum >= (n + 1) // 2)
+    SELECT vec_id,
+           floor(CAST(u AS DOUBLE) / 1000000.0 * 1000000 + 0.5)
+               / 1000000.0 AS norm,
+           CASE WHEN (SELECT m FROM mad) > 0 THEN
+               floor(CAST(d AS DOUBLE) / CAST((SELECT m FROM mad) AS DOUBLE)
+                     * 1000000 + 0.5) / 1000000.0
+           END AS robust_z,
+           ((SELECT m FROM mad) > 0
+            AND d * 10 > 35 * (SELECT m FROM mad)) AS is_outlier
+    FROM dv ORDER BY vec_id
+"""
+
+
+def emb_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.similarity import embedding_norm_profile
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_norm_profile(emb, k_mad=3.5).orderBy("vec_id")

@@ -1894,3 +1894,94 @@ def text_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return heaps_fit(docs, n_buckets=_HEAPS_B)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary richness (operators/textops.vocab_richness): Chao1 asymptote
+# + Good-Turing unseen mass from the frequency-of-frequencies — the
+# companion scalar to text_heaps_fit (growth curve) and text_zipf_fit
+# (rank law). One vocab agg, one scalar agg; N/V/F1/F2 exact BIGINTs,
+# chao1 and p0 each ONE mirrored float expression, 6dp.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_textops.py::test_vocab_richness_known_values.
+# --------------------------------------------------------------------------
+_RICH_ORACLE = rf"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE {_LTOK} END) AS tok
+        FROM documents
+    ),
+    tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1),
+    a AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+               CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+        FROM tc
+    )
+    SELECT n AS n_tokens, v AS vocab_size, f1 AS hapax_count,
+           f2 AS dis_count,
+           floor((CAST(v AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+                  / CAST(2 * (f2 + 1) AS DOUBLE)) * 1000000 + 0.5)
+               / 1000000.0 AS chao1,
+           floor(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+               / 1000000.0 AS gt_unseen_mass
+    FROM a WHERE n > 0
+"""
+
+
+def text_vocab_richness(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import vocab_richness
+
+    return vocab_richness(load_table(spark, sf, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Term burstiness (operators/textops.term_burstiness): Church-Gale mean
+# within-document rate for the top-50 collection-frequency terms — the
+# boilerplate-vs-content structural signal. (term, doc) pre-agg then
+# (cf, df) agg (no count-distinct over raw occurrences); top-k plans as
+# TakeOrderedAndProject. Exact BIGINTs, one division, 6dp.
+#
+# STAGED for round-11 registration. Pre-validated by the staged-queue
+# mirror and tests/test_textops.py::test_term_burstiness_known_values.
+# --------------------------------------------------------------------------
+_BURST_K = 50
+_BURST_MIN_DF = 2
+
+_BURST_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE {_LTOK} END) AS tok
+        FROM documents
+    ),
+    pd AS (
+        SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS cf,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM pd GROUP BY 1
+    )
+    SELECT tok AS term, cf, df,
+           floor(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) * 1000000 + 0.5)
+               / 1000000.0 AS burstiness
+    FROM s WHERE df >= {_BURST_MIN_DF}
+    ORDER BY cf DESC, term LIMIT {_BURST_K}
+"""
+
+
+def text_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    from momyre_spark.operators.textops import term_burstiness
+
+    return term_burstiness(
+        load_table(spark, sf, "documents"),
+        top_k=_BURST_K,
+        min_df=_BURST_MIN_DF,
+    )

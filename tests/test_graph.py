@@ -500,3 +500,22 @@ def test_kcore_driver_path_releases_probe_cut(spark):
     out.collect()
     assert n_blocks() == before  # probe cut released on the fast path
     assert {r["node"] for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_degree_distribution_known_values(spark):
+    """Hand-checked histogram + exact CCDF, directed and undirected."""
+    from momyre_spark.operators.graph import degree_distribution
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 1)], "src long, dst long"
+    )
+    und = {r["degree"]: r for r in degree_distribution(e).collect()}
+    # endpoint counts: 1->3, 2->2, 3->2, 4->1
+    assert {d: r["n_nodes"] for d, r in und.items()} == {1: 1, 2: 2, 3: 1}
+    assert und[1]["ccdf"] == 1.0
+    assert und[2]["ccdf"] == 0.75
+    assert und[3]["ccdf"] == 0.25
+    dird = {r["degree"]: r for r in
+            degree_distribution(e, directed=True).collect()}
+    # out-degrees: 1->2, 2->1, 4->1  (node 3 emits nothing)
+    assert {d: r["n_nodes"] for d, r in dird.items()} == {1: 2, 2: 1}

@@ -1552,3 +1552,65 @@ def test_qq_table_exact_order_statistics(spark):
     assert got[0.1]["q_a"] == 1.0
     with _pytest.raises(ValueError):
         qq_table(df, "value", "grp", "a", "b", n_quantiles=0)
+
+
+def test_calibration_report_known_values(spark):
+    """Hand-checked reliability table: per-bucket means/rates/gaps and
+    the ECE identity sum(ece_contrib) == sum(n/N * |gap|); NULL rows
+    dropped (the isotonic hygiene)."""
+    import math
+
+    import pytest as _pytest
+
+    from momyre_spark.operators.profile import calibration_report
+
+    rows = [(0.05, 0), (0.15, 0), (0.18, 1), (0.35, 0), (0.42, 1),
+            (0.55, 1), (0.61, 0), (0.77, 1), (0.88, 1), (0.93, 1),
+            (None, 1), (0.5, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bucket"]: r for r in
+           calibration_report(df, "score", "label", 0.0, 1.0,
+                              n_buckets=5).collect()}
+    vals = [(s, l) for s, l in rows if s is not None and l is not None]
+    n_total = len(vals)
+    byb: dict[int, list] = {}
+    for s, l in vals:
+        byb.setdefault(min(max(int(s // 0.2), 0), 4), []).append((s, l))
+    assert set(got) == set(byb)
+    for b, grp in byb.items():
+        n = len(grp)
+        ms = (sum(math.floor(s * 1e6 + 0.5) for s, _ in grp) / 1e6) / n
+        fp = sum(l for _, l in grp) / n
+        assert got[b]["n"] == n
+        assert got[b]["mean_score"] == math.floor(ms * 1e6 + 0.5) / 1e6
+        assert got[b]["frac_pos"] == math.floor(fp * 1e6 + 0.5) / 1e6
+        assert got[b]["ece_contrib"] == math.floor(
+            n / n_total * abs(fp - ms) * 1e6 + 0.5) / 1e6
+    with _pytest.raises(ValueError):
+        calibration_report(df, "score", "label", 0.0, 1.0, n_buckets=1)
+    with _pytest.raises(ValueError):
+        calibration_report(df, "score", "label", 1.0, 1.0)
+
+
+def test_quantile_normalize_known_values(spark):
+    """Mid-ECDF -> pooled type-1 quantile map, checked by hand; and the
+    single-group identity: a group that IS the pool maps every value to
+    itself."""
+    from momyre_spark.operators.profile import quantile_normalize
+
+    data = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+            ("b", 10.0), ("b", 11.0), ("b", 12.0), ("b", 13.0)]
+    df = spark.createDataFrame(data, "g string, v double")
+    got = {(r["g"], r["value"]): r["norm_value"]
+           for r in quantile_normalize(df, "g", "v").collect()}
+    # pooled sorted: 1,2,2,3,10,11,12,13; group a (n=4): v=1 -> mid-pos
+    # 1/8 -> pooled rank 1 -> 1.0; v=2 (ties) -> 4/8 -> rank 4 -> 3.0;
+    # v=3 -> 7/8 -> rank 7 -> 12.0; group b mirrors at its own ranks
+    assert got == {("a", 1.0): 1.0, ("a", 2.0): 3.0, ("a", 3.0): 12.0,
+                   ("b", 10.0): 1.0, ("b", 11.0): 2.0,
+                   ("b", 12.0): 10.0, ("b", 13.0): 12.0}
+    solo = spark.createDataFrame(
+        [("x", float(v)) for v in (5, 7, 7, 9, 12)], "g string, v double"
+    )
+    for r in quantile_normalize(solo, "g", "v").collect():
+        assert r["norm_value"] == r["value"]

@@ -1412,3 +1412,55 @@ def test_twonn_numpy_twin_matches_expression_form_exactly(spark):
         b = twonn_intrinsic_dim_numpy(df.repartition(5), **kw).collect()[0]
         assert (a["n_points"], a["n_zero_excluded"], a["id_est"]) == (
             b["n_points"], b["n_zero_excluded"], b["id_est"]), kw
+
+
+def test_source_centroid_sim_known_values(spark):
+    """Fixed-point centroid cosine by hand: s1 centroid (.5,.5), s2
+    centroid (1.5,.5) -> cos = 1/sqrt(1.25) ~= 0.894427; pair emitted
+    once with source_a < source_b."""
+    from momyre_spark.operators.similarity import source_centroid_sim
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]),
+         (4, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2"), (4, "s2")],
+        "doc_id long, source string",
+    )
+    rows = source_centroid_sim(emb, docs).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r["source_a"], r["source_b"], r["n_a"], r["n_b"]) == (
+        "s1", "s2", 2, 2)
+    assert r["cos_sim"] == 0.894427
+
+
+def test_embedding_norm_profile_known_values(spark):
+    """Median/MAD outlier flags by hand: nine unit vectors + one 100x
+    vector -> median 1, MAD 0 is avoided by jittered norms; the planted
+    outlier (and only it) trips at 3.5 MADs; robust_z is NULL when MAD
+    is zero rather than dividing."""
+    from momyre_spark.operators.similarity import embedding_norm_profile
+
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(9)]
+    rows.append((9, [100.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in embedding_norm_profile(emb).collect()}
+    assert len(got) == 10  # every row emitted with a verdict
+    assert [got[i]["is_outlier"] for i in range(9)] == [False] * 9
+    assert got[9]["is_outlier"]
+    assert got[9]["norm"] == 100.0
+    # norms 1.00..1.08: median = 1.04 (type-1 rank (10+1) div 2 = 5);
+    # sorted devs 0,.01,.01,.02,.02,.03,.03,.04,.04,98.96 -> MAD = 0.02
+    assert got[4]["norm"] == 1.04
+    assert got[0]["robust_z"] == 2.0  # 0.04 / 0.02
+    # degenerate all-equal norms: MAD 0 -> no outliers, NULL z
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    for r in embedding_norm_profile(same).collect():
+        assert r["norm"] == 5.0 and not r["is_outlier"]
+        assert r["robust_z"] is None

@@ -532,3 +532,46 @@ def test_heaps_fit_matches_python_reference_and_is_partition_invariant(spark):
 
     with _pytest.raises(ValueError):
         heaps_fit(df, n_buckets=1)
+
+
+def test_vocab_richness_known_values(spark):
+    """Hand-counted frequency-of-frequencies: chao1's bias-corrected
+    form and Good-Turing unseen mass on a tiny corpus (counts: the=3,
+    cat=2, dog=2, sat=ran=a=1 -> N=10 V=6 F1=3 F2=2)."""
+    from momyre_spark.operators.textops import vocab_richness
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog THE dog ran"), (3, "a cat"),
+         (4, "")],
+        "doc_id long, text string",
+    )
+    [r] = vocab_richness(docs).collect()
+    assert (r["n_tokens"], r["vocab_size"]) == (10, 6)
+    assert (r["hapax_count"], r["dis_count"]) == (3, 2)
+    assert r["chao1"] == 7.0  # 6 + 3*2 / (2*(2+1))
+    assert r["gt_unseen_mass"] == 0.3  # F1/N
+    # no-doubleton corpus stays defined (the +1 correction)
+    docs2 = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    [r2] = vocab_richness(docs2).collect()
+    assert r2["chao1"] == 3.0 + 3 * 2 / 2  # V + F1(F1-1)/(2*(0+1))
+
+
+def test_term_burstiness_known_values(spark):
+    """cf/df by hand; min_df prunes; top_k boundary ties break by term;
+    plans as TakeOrderedAndProject (no vocabulary sort)."""
+    from momyre_spark.operators.textops import term_burstiness
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog the dog ran"), (3, "a cat")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in
+           term_burstiness(docs, top_k=10, min_df=1).collect()}
+    assert (got["the"]["cf"], got["the"]["df"]) == (3, 2)
+    assert got["the"]["burstiness"] == 1.5
+    assert (got["dog"]["cf"], got["dog"]["df"]) == (2, 1)
+    assert got["dog"]["burstiness"] == 2.0
+    only_multi = term_burstiness(docs, top_k=10, min_df=2)
+    assert {r["term"] for r in only_multi.collect()} == {"the", "cat"}
+    plan = only_multi._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

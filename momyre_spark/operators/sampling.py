@@ -20,8 +20,10 @@ engines and partitionings. Hashes use the md5-prefix trick (first 15 hex
 chars as a 60-bit int) so a SQL oracle can recompute them bit-identically.
 
 At 100 TB: assign_shards/train_val_split are map-only (fuse into the scan);
-stratified_sample is one shuffle per stratum-window; pack_sequences is one
-shuffle (window by shard) — and because bins are contiguous in hash order,
+stratified_sample, token_budget_mixture and pack_sequences all use the
+two-phase bucket decomposition (rank/cumsum inside hash-prefix buckets +
+a broadcast per-bucket offset table) so no stratum — and no corpus —
+ever sorts in one task; and because bins are contiguous in hash order,
 downstream per-bin reads are range reads, not gathers.
 """
 
@@ -88,6 +90,7 @@ def stratified_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     default_fraction: float = 0.0,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """EXACT stratified sample: ``ceil(frac * |stratum|)`` rows per stratum.
 
@@ -95,22 +98,62 @@ def stratified_sample(
     pseudo-random order) and the first ``ceil(frac * n)`` kept — so the
     sample size is exact, not binomial like ``DataFrame.sampleBy``, and the
     same rows are chosen on every run. Strata missing from ``fractions``
-    use ``default_fraction``. One window shuffle on the stratum key;
-    exact ranked selection inherently orders each stratum in one task, so
-    skew is bounded by the largest stratum — for a stratum that is most
-    of the corpus, use hash-threshold (binomial) sampling or salt the
-    strata upstream.
+    use ``default_fraction``.
+
+    Skew shape: the per-stratum rank uses the two-phase bucket
+    decomposition (:func:`global_shuffle` / :func:`pack_sequences`): rows
+    rank locally inside (stratum, hash-prefix bucket) partitions — each
+    sort bounded by ~|stratum|/num_buckets — and exact per-bucket row
+    counts (a strata x buckets frame, broadcast) compose the local rank
+    into the true per-stratum rank. A stratum that is the whole corpus
+    no longer serializes into one task; the selection is bit-identical
+    to a single per-stratum window by integer-count decomposition.
     """
     frac = F.lit(float(default_fraction))
     for k, v in fractions.items():
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
-    w = Window.partitionBy(strata_col).orderBy(_key_hash(id_col), F.col(id_col))
-    n = Window.partitionBy(strata_col)
+    shift = 60 - max(1, num_buckets - 1).bit_length()
+    b = df.withColumn("__h", _key_hash(id_col)).withColumn(
+        "__bucket", F.coalesce(F.shiftright("__h", shift), F.lit(-1))
+    )
+    w = Window.partitionBy(strata_col, "__bucket").orderBy(
+        F.col("__h"), F.col(id_col)
+    )
+    woff = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(strata_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        b.groupBy(strata_col, "__bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+        )
+        .withColumn("__n", F.sum("__cnt").over(wall))
+        .select(
+            F.col(strata_col).alias("__os"),
+            F.col("__bucket").alias("__ob"),
+            "__offset",
+            "__n",
+        )
+    )
+    # null-safe on the stratum key: a NULL stratum is a group (window
+    # semantics), so the offsets join must not drop its rows
+    cond = F.col(strata_col).eqNullSafe(F.col("__os")) & (
+        F.col("__bucket") == F.col("__ob")
+    )
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(n))
-        .filter(F.col("__rk") <= F.ceil(frac * F.col("__n")))
-        .drop("__rk", "__n")
+        b.withColumn("__lrk", F.row_number().over(w))
+        .join(F.broadcast(offsets), cond)
+        .filter(
+            F.col("__offset") + F.col("__lrk")
+            <= F.ceil(frac * F.col("__n"))
+        )
+        .drop("__h", "__bucket", "__lrk", "__os", "__ob", "__offset", "__n")
     )
 
 
@@ -174,9 +217,19 @@ def pack_sequences(
         .select(*part, "__bucket", "__offset")
     )
     cum_local = F.sum(F.col(token_col)).over(w)
+    if part:
+        # null-safe on the shard key: a NULL shard is a window group and
+        # must not drop out of the offsets equi-join
+        offsets = offsets.withColumnRenamed(part[0], "__oshard")
+        join_cond = F.col(part[0]).eqNullSafe(F.col("__oshard")) & (
+            F.col("__bucket") == F.col("__obucket")
+        )
+    else:
+        join_cond = F.col("__bucket") == F.col("__obucket")
+    offsets = offsets.withColumnRenamed("__bucket", "__obucket")
     return (
         b.withColumn("__cumloc", cum_local)
-        .join(F.broadcast(offsets), [*part, "__bucket"])
+        .join(F.broadcast(offsets), join_cond)
         .withColumn("__cum", F.col("__offset") + F.col("__cumloc"))
         .withColumn(
             bin_col,
@@ -185,7 +238,10 @@ def pack_sequences(
             ),
         )
         .withColumn("overflow", F.col(token_col) > F.lit(max_tokens))
-        .drop("__h", "__bucket", "__cumloc", "__offset", "__cum")
+        .drop(
+            "__h", "__bucket", "__cumloc", "__offset", "__cum",
+            "__obucket", "__oshard",
+        )
     )
 
 
@@ -196,6 +252,7 @@ def token_budget_mixture(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     default_budget: int = 0,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """Data-mixture sampling by TOKEN budget: per stratum (language, source,
     domain), take documents in hash-of-id order until the stratum's token
@@ -209,23 +266,52 @@ def token_budget_mixture(
     (the standard greedy cut) and the selection is a deterministic function
     of the ids — reproducible across runs, engines, partitionings.
 
-    One window shuffle on the stratum key; strata are independent, so skew
-    is bounded by the largest stratum (salt upstream if one stratum is the
-    whole corpus).
+    Skew shape: per-stratum cumulative token sums use the two-phase
+    bucket decomposition (:func:`pack_sequences`): cumsum inside
+    (stratum, hash-prefix bucket) partitions + broadcast per-bucket
+    token offsets (exact BIGINT decomposition — bit-identical to a
+    single per-stratum window). A stratum that is the whole corpus no
+    longer serializes into one task's sort.
     """
     budget = F.lit(int(default_budget))
     for k, v in budgets.items():
         budget = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(budget)
+    shift = 60 - max(1, num_buckets - 1).bit_length()
+    b = df.withColumn("__h", _key_hash(id_col)).withColumn(
+        "__bucket", F.coalesce(F.shiftright("__h", shift), F.lit(-1))
+    )
     w = (
-        Window.partitionBy(strata_col)
-        .orderBy(_key_hash(id_col), F.col(id_col))
+        Window.partitionBy(strata_col, "__bucket")
+        .orderBy(F.col("__h"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(token_col)).over(w)
+    woff = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy(strata_col, "__bucket")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("__tok"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__tok").over(woff), F.lit(0))
+        )
+        .select(
+            F.col(strata_col).alias("__os"),
+            F.col("__bucket").alias("__ob"),
+            "__offset",
+        )
+    )
+    cond = F.col(strata_col).eqNullSafe(F.col("__os")) & (
+        F.col("__bucket") == F.col("__ob")
+    )
     return (
-        df.withColumn("__cum", cum)
-        .filter(F.col("__cum") - F.col(token_col) < budget)
-        .drop("__cum")
+        b.withColumn("__cumloc", F.sum(F.col(token_col)).over(w))
+        .join(F.broadcast(offsets), cond)
+        .filter(
+            F.col("__offset") + F.col("__cumloc") - F.col(token_col) < budget
+        )
+        .drop("__h", "__bucket", "__cumloc", "__os", "__ob", "__offset")
     )
 
 

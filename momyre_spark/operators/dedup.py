@@ -633,10 +633,23 @@ def duplicate_components(
         owned.update(made)
         return out, made
 
+    # dedup the directed edge list in ONE exchange laid out for the loop
+    # (guide §2.4): repartition by dst, then dropDuplicates — equal
+    # (src, dst) rows share a dst, so hashpartitioning(dst) satisfies the
+    # distinct's clustering requirement and Spark fuses it WITHOUT the
+    # second (src, dst) exchange a bare .distinct() would add before the
+    # re-layout. The cached frame then enters every propagation round
+    # already partitioned on the join key, so only the node-sized label
+    # table moves per round; the partition count is pinned (an
+    # AQE-coalesced repartition could land where the per-round exchanges
+    # don't match, re-shuffling both sides). The driver fast path pays
+    # the same single exchange the old .distinct() cost it.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+        .repartition(n_shuffle, F.col("dst"))
+        .dropDuplicates(["src", "dst"])
         # every propagation round + convergence check re-reads the edge
         # list; uncached, each round would recompute the (often expensive)
         # candidate-pair DAG that produced it. Cache it once: the edge list
@@ -693,15 +706,44 @@ def duplicate_components(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).select(F.col("src").alias("id"), "label")
 
+    # convergence probe: labels only ever DECREASE (every update is
+    # F.least(old, ...) over the same id set), so the exact integer sum of
+    # all labels strictly decreases iff ANY label changed — one map-side
+    # aggregate over the just-materialized checkpoint replaces the old
+    # join-the-two-versions + filter + limit probe (a per-round shuffle
+    # of two node-sized frames). DECIMAL(38,0) keeps the sum exact for
+    # any bigint labels at any node count. Non-numeric id types keep the
+    # join probe (a sum over them is undefined).
+    # integral types only: a fractional id (decimal/double) could shrink
+    # by less than one unit and leave the truncated sum unchanged — a
+    # false convergence. Integer label sums are exact in DECIMAL(38,0).
+    numeric_ids = edges.schema["src"].dataType.typeName() in {
+        "byte", "short", "integer", "long"
+    }
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     prev_round_ids: set[int] = set()
+    # SHUFFLE_HASH on the node-sized side of every per-round join (guide
+    # §3.2): below the broadcast threshold Spark would broadcast the label
+    # table — a SERIAL driver-side HashedRelation build, three per round —
+    # and above it (the 100 TB case, where a node table never fits the
+    # driver) it would sort-merge, paying two sorts per round. Shuffled
+    # hash builds the node-sized hash tables per-partition in parallel,
+    # needs no sort, and on the edges.dst side reuses the edge cache's
+    # hashpartitioning(dst) layout so only the label table moves.
     for _ in range(max_iterations):
         neigh = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
         new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
+            labels.join(neigh.hint("shuffle_hash"), labels.id == neigh.src, "left")
             .select(
                 "id",
                 F.least(
@@ -723,7 +765,7 @@ def duplicate_components(
         )
         new_labels = (
             new_labels.join(
-                lab2, new_labels.label == lab2.__lid, "left"
+                lab2.hint("shuffle_hash"), new_labels.label == lab2.__lid, "left"
             )
             .select(
                 "id",
@@ -738,13 +780,18 @@ def duplicate_components(
         # cutting computed the round's full join DAG twice — once for the
         # changed probe, once again for the eager checkpoint
         new_labels, new_ids = _cut(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         # the convergence probe was the LAST reader of the previous
         # round's cut — release its blocks now instead of pinning one
         # node-sized block per round until return (the k-core lifecycle
@@ -758,14 +805,20 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
-    # materialize the result into one self-contained block, then release
-    # the edge cache and every intermediate per-round checkpoint (reachable
-    # only through the JVM persistent-RDD map — DataFrame.localCheckpoint
-    # exposes no handle). Only OWNED block ids are touched, minus the
-    # result's own.
-    out, result_ids = _cut(
-        labels.select("id", F.col("label").alias("component"))
-    )
+    # the last round's eager cut IS the result's data — the rename is a
+    # lazy projection over that self-contained block (no lineage into the
+    # edge cache), so the old final re-materialization job (a second full
+    # node-sized checkpoint) is dropped. Then release the edge cache and
+    # every intermediate per-round checkpoint (reachable only through the
+    # JVM persistent-RDD map — DataFrame.localCheckpoint exposes no
+    # handle). Only OWNED block ids are touched, minus the result's own.
+    if not prev_round_ids:
+        # defensive: max_iterations == 0 means no round ever cut — the
+        # labels frame still has lineage into the edge cache, so pay the
+        # materialization the loop would have paid
+        labels, prev_round_ids = _cut(labels)
+    out = labels.select("id", F.col("label").alias("component"))
+    result_ids = prev_round_ids
     edges.unpersist()
     for rid, jrdd in _persistent().items():
         if rid in owned and rid not in result_ids:

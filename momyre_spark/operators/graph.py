@@ -293,6 +293,14 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # cut the edge list ONCE at entry: every iteration's contribution join
+    # re-reads it, and uncut it would re-execute the caller's edge DAG
+    # (scan/generator + its distinct exchange) inside every lineage-cut
+    # job — ~3 re-executions per cut at _CUT_EVERY=3 (guide §2.4: do the
+    # work once, reuse the layout). On the durable path this is a parquet
+    # cut like the state cuts, so executor loss recovers the edges from
+    # files too.
+    e = _cut(e)
     nodes = _cut(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -339,16 +347,26 @@ def pagerank(
         )
     )
 
-    state = nodes.withColumn("units", F.lit(scale).cast("bigint"))
+    # out-degree is STATIC across iterations, so join it into the anchor
+    # (and therefore into every new state) ONCE instead of re-joining
+    # state with deg at the top of every iteration (guide §2.1: a
+    # per-iteration node-sized join — evaluated twice per round, once
+    # under the dangling aggregate and once under the contributions —
+    # for a value that never changes). The state rows simply carry
+    # ``__deg`` along; every arithmetic step is unchanged, so the units
+    # (and the unrolled-CTE oracles) are bit-identical.
+    anchor = nodes if seeds is None else seed_flagged
+    anchor = _cut(anchor.join(deg, "node", "left"))
+
+    state = anchor.withColumn("units", F.lit(scale).cast("bigint"))
     for it in range(max_iter):
-        with_deg = state.join(deg, "node", "left")
         # dangling mass as a broadcast 1-row integer aggregate
-        dang_frame = with_deg.filter(F.col("__deg").isNull()).agg(
+        dang_frame = state.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("units"), F.lit(0)).cast("bigint").alias("__dang")
         )
         contribs = (
             e.join(
-                with_deg.filter(F.col("__deg").isNotNull()).select(
+                state.filter(F.col("__deg").isNotNull()).select(
                     F.col("node").alias("src"), "units", "__deg"
                 ),
                 "src",
@@ -365,13 +383,11 @@ def pagerank(
         )
         coal_in = F.coalesce(F.col("__in"), F.lit(0)).cast("double")
         if seeds is None:
-            anchor = nodes
             upd = F.lit(base_units) + F.lit(d) * (
                 coal_in
                 + F.col("__dang").cast("double") / F.lit(float(n_nodes))
             )
         else:
-            anchor = seed_flagged
             upd = F.when(F.col("__isseed"), F.lit(seed_base)).otherwise(
                 F.lit(0.0)
             ) + F.lit(d) * (
@@ -386,7 +402,7 @@ def pagerank(
             anchor.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang_frame))
             .select(
-                "node",
+                anchor["*"],
                 F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
             )
         )

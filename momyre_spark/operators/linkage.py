@@ -51,8 +51,17 @@ from pyspark.sql import functions as F
 
 
 def _variant_keys(t: Column, max_distance: int) -> Column:
-    """md5 keys of every <=``max_distance``-deletion variant of ``t``,
-    duplicates removed, built from codegen HOFs only."""
+    """Hash keys of every <=``max_distance``-deletion variant of ``t``,
+    duplicates removed, built from codegen HOFs only.
+
+    xxhash64, not md5 (guide §2.2 — shuffle narrower types): the key is
+    a pure BLOCKING key, so the only thing that matters is that equal
+    variant strings collide (any hash) and unequal ones rarely do; the
+    levenshtein verify filters every false candidate, so the emitted
+    pair set is identical under either hash. xxhash64 is one cheap
+    64-bit op per variant vs md5's digest+hex, and the join/shuffle key
+    drops from a 32-char string to 8 bytes. (The DuckDB oracles keep
+    their md5 blocking text — same output by the same argument.)"""
     variants = F.array(t)
     frontier = variants
     for _ in range(max_distance):
@@ -76,7 +85,7 @@ def _variant_keys(t: Column, max_distance: int) -> Column:
             )
         )
         variants = F.array_distinct(F.concat(variants, frontier))
-    return F.array_distinct(F.transform(variants, F.md5))
+    return F.array_distinct(F.transform(variants, lambda s: F.xxhash64(s)))
 
 
 def blocked_edit_pairs(
@@ -166,11 +175,19 @@ def blocked_edit_pairs(
     # the MATCHED pairs — three narrow columns — instead of every
     # candidate with both text payloads attached. Same result set: the
     # distance is a pure function of the pair.
+    # BANDED verify (guide §1.2 "per-task work"): passing the threshold
+    # turns Spark's full O(|a|*|b|) DP into the O(|a|*d) diagonal band —
+    # ~len/d times less work per candidate (30x at 90-char names, d=1).
+    # Above-threshold pairs return -1; for kept pairs the banded value IS
+    # the exact distance, so the emitted rows are identical.
     return (
         cand.withColumn(
-            "distance", F.levenshtein("__ta", "__tb").cast("int")
+            "distance",
+            F.levenshtein("__ta", "__tb", max_distance).cast("int"),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(
+            (F.col("distance") >= 0) & (F.col("distance") <= max_distance)
+        )
         .select("a_id", "b_id", "distance")
         .distinct()
     )

@@ -76,6 +76,67 @@ def brute_force_topk(
     return _topk(_pairs_with_cosine(corpus, queries, id_col, vec_col), k)
 
 
+def _fold_normalize_np(mat):
+    """Unit-normalize rows with the EXACT IEEE op sequence of
+    ``functions.vectors.add_normalized``: the squared norm accumulates
+    dimension by dimension from 0.0 (the zip_with/aggregate left fold),
+    then one sqrt and one division per element. Column-wise vectorized
+    accumulation performs that same scalar sequence independently per row
+    (the TwoNN precedent, ``twonn_intrinsic_dim_numpy``) — NOT
+    ``np.linalg.norm``, whose pairwise summation reorders the adds."""
+    import numpy as np
+
+    acc = np.zeros(len(mat))
+    for j in range(mat.shape[1]):
+        c = mat[:, j]
+        acc = acc + c * c
+    return mat / np.sqrt(acc)[:, None]
+
+
+def _fold_dot_np(mat, qt):
+    """(B, D) x (Q, D) -> (B, Q) dot products accumulated dimension by
+    dimension — bit-identical to the sequential ``vectors.dot`` fold (and
+    to the oracles' list_reduce). Deliberately NOT a BLAS matmul: dgemm's
+    blocked summation reorders the adds, and these cosines feed ranked,
+    value-hashed outputs."""
+    import numpy as np
+
+    acc = np.zeros((mat.shape[0], qt.shape[0]))
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j, None] * qt[None, :, j]
+    return acc
+
+
+def _local_topk_np(ids, cs, k):
+    """Per-batch candidate pruning by (cos DESC, id ASC) — the SAME total
+    order the global rank window uses, so ties at the k boundary survive
+    to the window exactly as they would from the unpruned set."""
+    import numpy as np
+
+    if len(ids) > k:
+        keep = np.lexsort((ids, -cs))[:k]
+        return ids[keep], cs[keep]
+    return ids, cs
+
+
+_MAX_NUMPY_QUERIES = 100_000  # the query matrix rides in every task closure
+
+
+def _collect_query_mat(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (ids, fold-normalized matrix) of a bounded query set."""
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).limit(_MAX_NUMPY_QUERIES + 1).collect()
+    if len(qrows) > _MAX_NUMPY_QUERIES:
+        raise ValueError(
+            f"momyre: query set exceeds {_MAX_NUMPY_QUERIES} rows — "
+            "it must be broadcastable; batch the queries or use srp_lsh_topk"
+        )
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = _fold_normalize_np(np.array([r[1] for r in qrows], dtype=np.float64))
+    return q_ids, q_mat
+
+
 def brute_force_topk_numpy(
     corpus: DataFrame,
     queries: DataFrame,
@@ -83,46 +144,107 @@ def brute_force_topk_numpy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k via Arrow-batched numpy matmul per corpus partition.
+    """Exact top-k via Arrow-batched numpy per corpus partition —
+    BIT-IDENTICAL to :func:`brute_force_topk` (parity pytest): the
+    normalization and every cosine reproduce the expression path's
+    sequential folds via column-wise accumulation (``_fold_normalize_np``
+    / ``_fold_dot_np``), and per-batch pruning keeps the window's exact
+    (cos DESC, id ASC) order, ties included.
 
     The query matrix rides to executors as a plain task closure (it is
-    dimension-sized); each Arrow batch computes all its scores in one BLAS
-    call and emits only its local top-k, so the global window sees
-    |partitions| * |queries| * k rows, not the corpus.
+    dimension-sized); each Arrow batch emits only its local top-k, so the
+    global window sees |partitions| * |queries| * k rows, not the corpus.
     """
     import numpy as np
 
-    MAX_QUERIES = 100_000  # the query matrix rides in every task closure
-    qrows = queries.select(id_col, vec_col).limit(MAX_QUERIES + 1).collect()
-    if len(qrows) > MAX_QUERIES:
-        raise ValueError(
-            f"brute_force_topk_numpy: query set exceeds {MAX_QUERIES} rows — "
-            "it must be broadcastable; batch the queries or use srp_lsh_topk"
-        )
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ids, q_mat = _collect_query_mat(queries, id_col, vec_col)
 
     out_schema = "query_id long, neighbor_id long, cos double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ q_mat.T  # (batch, queries)
+            mat = _fold_normalize_np(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = _fold_dot_np(mat, q_mat)  # (batch, queries)
             for qi, qid in enumerate(q_ids):
-                col = sims[:, qi]
                 mask = ids != qid
-                cids, cs = ids[mask], col[mask]
-                if len(cids) > k:
-                    part = np.argpartition(-cs, k)[:k]
-                    cids, cs = cids[part], cs[part]
+                cids, cs = _local_topk_np(ids[mask], sims[:, qi][mask], k)
                 yield pd.DataFrame(
                     {"query_id": qid, "neighbor_id": cids, "cos": cs}
                 )
 
     local = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", round_half_up(F.col("cos"), 4).alias("cos"))
+    )
+
+
+def ivf_topk_numpy(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | str = "first_c",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Fold-exact Arrow-batched twin of :func:`ivf_topk` — BIT-IDENTICAL
+    output (parity pytest): same centroids (``_centroid_rows``), same
+    assignment rule (max cosine, ties to the lower cent_id), same
+    sequential-fold cosines, same (cos DESC, id ASC) rank order.
+
+    Why it exists (guide §4): the expression path evaluates
+    |corpus| x num_cells interpreted higher-order folds just for cell
+    assignment, plus one fold per candidate pair; here the corpus streams
+    through ONE ``mapInPandas`` that fuses assignment and scoring —
+    per-dimension vectorized accumulation, no per-element lambda
+    machinery, and only local top-k rows reach the window. Queries (a
+    bounded set, same ``_MAX_NUMPY_QUERIES`` cap) are assigned on the
+    driver so the task closure carries just (id, cell, vector)."""
+    import numpy as np
+
+    cent_rows = _centroid_rows(emb, num_cells, id_col, centroids, vec_col)
+    if not cent_rows:
+        raise ValueError("momyre: no centroids resolved")
+    c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)  # unit rows
+
+    def assign_cells(mat):
+        # nearest cell by (cosine DESC, cent_id ASC) — the _nearest_cells
+        # comparator — via one lexsort per row over num_cells entries
+        sims = _fold_dot_np(mat, c_mat)  # (n, C)
+        order = np.lexsort(
+            (np.broadcast_to(c_ids, sims.shape), -sims), axis=1
+        )
+        return c_ids[order[:, :nprobe]]  # (n, nprobe)
+
+    q_ids, q_mat = _collect_query_mat(queries, id_col, vec_col)
+    q_cells = assign_cells(q_mat)  # (Q, nprobe)
+
+    out_schema = "query_id long, neighbor_id long, cos double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _fold_normalize_np(np.array(list(pdf[vec_col]), dtype=np.float64))
+            cells = assign_cells(mat)[:, 0]  # corpus rows live in ONE cell
+            sims = _fold_dot_np(mat, q_mat)
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(cells, q_cells[qi]) & (ids != qid)
+                cids, cs = _local_topk_np(ids[mask], sims[:, qi][mask], k)
+                yield pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cids, "cos": cs}
+                )
+
+    local = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w).cast("bigint"))

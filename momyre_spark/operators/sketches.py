@@ -161,18 +161,31 @@ def _bin_search_expr(val, boundaries: list[str]):
     log2(|edges|) exact DECIMAL comparisons per row, and — deliberately —
     no higher-order function: a lambda capturing an outer column breaks
     Spark's attribute dedup when two states built from the same source are
-    unioned (the exact shape every merge caller has)."""
-    from decimal import Decimal
+    unioned (the exact shape every merge caller has).
 
-    def go(lo: int, hi: int):
+    Built as ONE parsed SQL string, not a ``F.when`` Column tree — the
+    srp/minhash-wide lesson (``_srp_bucket_sql``): a |edges|-literal
+    Column tree costs one py4j round trip per ``F.lit``/``F.when`` call
+    (measured ~2s of pure driver-side Python per histogram build at 161
+    edges); one ``F.expr`` parse of the identical CASE tree is flat. The
+    parsed tree is the same Catalyst expression, so bins — and every
+    value-hash oracle over them — are unchanged.
+
+    ``val`` is the NAME of a DECIMAL(18,6) column already bound on the
+    frame (the caller projects it first), so the CASE text references a
+    plain attribute."""
+
+    def go(lo: int, hi: int) -> str:
         # invariant: edges[:lo] <= val, edges[hi:] > val; answer in [lo, hi]
         if lo == hi:
-            return F.lit(lo)
+            return str(lo)
         mid = (lo + hi) // 2
-        edge = F.lit(Decimal(boundaries[mid])).cast("decimal(18,6)")
-        return F.when(val >= edge, go(mid + 1, hi)).otherwise(go(lo, mid))
+        return (
+            f"(CASE WHEN `{val}` >= CAST('{boundaries[mid]}' AS "
+            f"DECIMAL(18,6)) THEN {go(mid + 1, hi)} ELSE {go(lo, mid)} END)"
+        )
 
-    return go(0, len(boundaries))
+    return F.expr(go(0, len(boundaries)))
 
 
 def value_histogram(
@@ -212,13 +225,17 @@ def value_histogram(
     val = (
         F.when(in_range, rd).otherwise(F.lit(None)).cast("decimal(18,6)")
     )
+    # the decimal value is BOUND to a projection first so the parsed CASE
+    # tree (see _bin_search_expr) reads one attribute, not a repeated
+    # subexpression
     bin_expr = (
-        F.when(val.isNull() & (raw < 0), F.lit(0))
-        .when(val.isNull(), F.lit(len(boundaries)))
-        .otherwise(_bin_search_expr(val, boundaries))
+        F.when(F.col("__vq_val").isNull() & (raw < 0), F.lit(0))
+        .when(F.col("__vq_val").isNull(), F.lit(len(boundaries)))
+        .otherwise(_bin_search_expr("__vq_val", boundaries))
     )
     return (
         df.filter(F.col(value_col).isNotNull() & ~F.isnan(raw))
+        .withColumn("__vq_val", val)
         .withColumn("bin", bin_expr.cast("int"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

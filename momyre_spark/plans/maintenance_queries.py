@@ -568,10 +568,16 @@ def stats_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     # two per-"batch" states (event_id parity stands in for ingest epochs)
     # merged — the maintained path; the oracle computes the single pass,
-    # so a hash match IS the merge law checked end-to-end
-    s0 = value_histogram(ev.filter("event_id % 2 = 0"), ["event_type"], "value", bl)
-    s1 = value_histogram(ev.filter("event_id % 2 = 1"), ["event_type"], "value", bl)
-    merged = merge_value_histograms(s0.unionByName(s1), ["event_type"])
+    # so a hash match IS the merge law checked end-to-end. The two epoch
+    # states are built in ONE pass (epoch in the state's group key, the
+    # same rollup shape the hourly->daily query uses) instead of two
+    # parity-filtered scans: the 161-edge binary-search bin tree — the
+    # query's whole compile+execute cost — is planned and codegen'd once,
+    # and the merge is the same integer addition over the same per-epoch
+    # rows, so the result (and the oracle) is bit-identical.
+    ev2 = ev.withColumn("__epoch", (F.col("event_id") % 2).cast("int"))
+    fine = value_histogram(ev2, ["event_type", "__epoch"], "value", bl)
+    merged = merge_value_histograms(fine.drop("__epoch"), ["event_type"])
     return quantiles_from_histogram(
         merged, ["event_type"], bl, qs=(0.5, 0.95, 0.99)
     ).orderBy("event_type", "q")

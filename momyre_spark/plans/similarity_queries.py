@@ -764,16 +764,21 @@ _DUCK_IVF_RECALL = f"""
 
 @query("sim_ivf_recall", oracle=_DUCK_IVF_RECALL)
 def sim_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    # both ranking legs run their fold-exact Arrow twins (bit-identical
+    # to the expression operators — parity pytest — and to this oracle);
+    # the expression paths keep their own registered pins
+    # (sim_topk_bruteforce / sim_topk_ivf), so the composite reads both
+    # rankings without paying interpreted HOF folds twice over the corpus
     from momyre_spark.operators.similarity import (
         ann_recall_report,
-        brute_force_topk,
-        ivf_topk,
+        brute_force_topk_numpy,
+        ivf_topk_numpy,
     )
 
     emb = load_table(spark, sf, "embeddings")
     qs = _queries_df(spark, sf)
-    exact = brute_force_topk(emb, qs, k=TOP_K)
-    approx = ivf_topk(emb, qs, k=TOP_K, num_cells=_N_CELLS)
+    exact = brute_force_topk_numpy(emb, qs, k=TOP_K)
+    approx = ivf_topk_numpy(emb, qs, k=TOP_K, num_cells=_N_CELLS)
     return ann_recall_report(exact, approx, k=TOP_K)
 
 
@@ -971,12 +976,14 @@ def sim_ivfpq_recall(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.pq import ivfpq_topk_indexed
     from momyre_spark.operators.similarity import (
         ann_recall_report,
-        brute_force_topk,
+        brute_force_topk_numpy,
     )
 
     emb = load_table(spark, sf, "embeddings")
     qs = _queries_df(spark, sf)
-    exact = brute_force_topk(emb, qs, k=TOP_K)
+    # fold-exact Arrow twin of brute_force_topk (bit-identical; parity
+    # pytest) — the exact leg is reference data here, not the path pin
+    exact = brute_force_topk_numpy(emb, qs, k=TOP_K)
     root = _ivfpq_index_dir(spark, sf)
     approx = ivfpq_topk_indexed(
         spark, root, qs, k=TOP_K, nprobe=1, refine=_COVERING_REFINE
@@ -1328,16 +1335,19 @@ _RBO_ORACLE = _RBO_ORACLE.replace("{RBO_CASE}", _rbo_case())
 
 @query("sim_rbo_eval", oracle=_RBO_ORACLE)
 def sim_rbo_eval(spark: SparkSession, sf: str) -> DataFrame:
+    # fold-exact Arrow twins for both ranking legs (bit-identical to the
+    # expression operators — parity pytest; the expression paths stay
+    # pinned by sim_topk_bruteforce / sim_topk_ivf)
     from momyre_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_topk,
+        brute_force_topk_numpy,
+        ivf_topk_numpy,
         rank_biased_overlap,
     )
 
     emb = load_table(spark, sf, "embeddings")
     qs = _queries_df(spark, sf)
-    exact = brute_force_topk(emb, qs, k=TOP_K)
-    approx = ivf_topk(emb, qs, k=TOP_K, num_cells=_N_CELLS)
+    exact = brute_force_topk_numpy(emb, qs, k=TOP_K)
+    approx = ivf_topk_numpy(emb, qs, k=TOP_K, num_cells=_N_CELLS)
     return rank_biased_overlap(exact, approx, k=TOP_K, p=_RBO_P).orderBy(
         "query_id"
     )

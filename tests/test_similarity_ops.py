@@ -1414,6 +1414,38 @@ def test_twonn_numpy_twin_matches_expression_form_exactly(spark):
             b["n_points"], b["n_zero_excluded"], b["id_est"]), kw
 
 
+def test_topk_numpy_twins_match_expression_forms_exactly(spark):
+    """The fold-exact Arrow twins must be BIT-identical to the expression
+    operators on the real fixture — every column including the unrounded
+    rank order (a rank flip would change neighbor_id sets): the twins
+    reproduce add_normalized/dot's sequential folds by column-wise
+    accumulation and prune per batch in the window's own
+    (cos DESC, id ASC) order."""
+    from momyre_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_numpy,
+        ivf_topk,
+        ivf_topk_numpy,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qs = emb.filter("vec_id < 8")
+    for expr_fn, np_fn, kw in (
+        (brute_force_topk, brute_force_topk_numpy, {}),
+        (ivf_topk, ivf_topk_numpy, {"num_cells": 16}),
+        (ivf_topk, ivf_topk_numpy, {"num_cells": 16, "nprobe": 3}),
+    ):
+        a = sorted(
+            tuple(r) for r in expr_fn(emb, qs, k=10, **kw).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in np_fn(emb.repartition(5), qs, k=10, **kw).collect()
+        )
+        assert a == b, kw
+
+
 def test_source_centroid_sim_known_values(spark):
     """Fixed-point centroid cosine by hand: s1 centroid (.5,.5), s2
     centroid (1.5,.5) -> cos = 1/sqrt(1.25) ~= 0.894427; pair emitted

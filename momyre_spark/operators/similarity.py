@@ -554,21 +554,31 @@ def _nearest_cells(
     passthrough = nemb.columns
 
     if len(cent_rows) <= _EXPR_CELL_LIMIT:
+        # the whole centroid battery is built as ONE parsed SQL string
+        # (the _srp_bucket_sql lesson): a cells x dim F.lit Column tree
+        # costs one py4j round trip per literal — measured ~2.3s of pure
+        # driver time per call at 16x64 — while one F.expr parse of the
+        # identical fold/sort/slice tree is flat. Same Catalyst
+        # expressions after parse, so cell ids, cosines and every oracle
+        # over them are unchanged.
         structs = []
         for cid, vec in cent_rows:
-            lit_vec = F.array(*[F.lit(float(x)) for x in vec])
-            s = F.aggregate(
-                F.zip_with(F.col("__nv"), lit_vec, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
+            s = (
+                f"aggregate(zip_with(`__nv`, {arr}, (x, y) -> x * y), "
+                f"0D, (acc, x) -> acc + x)"
             )
-            structs.append(F.struct(s.alias("s"), F.lit(cid).cast("long").alias("c")))
-        cmp = lambda a, b: (  # noqa: E731
-            F.when(a["s"] > b["s"], F.lit(-1))
-            .when(a["s"] < b["s"], F.lit(1))
-            .otherwise((a["c"] - b["c"]).cast("int"))
+            structs.append(
+                f"struct({s} AS s, CAST({int(cid)} AS BIGINT) AS c)"
+            )
+        cmp = (
+            "(a, b) -> CASE WHEN a.s > b.s THEN -1 "
+            "WHEN a.s < b.s THEN 1 ELSE CAST(a.c - b.c AS INT) END"
         )
-        best = F.slice(F.array_sort(F.array(*structs), cmp), 1, n_best)
+        best = F.expr(
+            f"slice(array_sort(array({', '.join(structs)}), {cmp}), "
+            f"1, {int(n_best)})"
+        )
         return (
             nemb.select(*passthrough, F.posexplode(best).alias("__p", "__b"))
             .select(

@@ -301,50 +301,19 @@ def pagerank(
     # cut like the state cuts, so executor loss recovers the edges from
     # files too.
     e = _cut(e)
-    nodes = _cut(
+    nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n_nodes = nodes.count()
     # total mass stays ~|V| (the formulation conserves it), so every unit
     # sum — per-node in-mass, dangling mass — is bounded by |V|*scale.
     # Past 2^53 the BIGINT->DOUBLE steps stop being exact (and int64 wraps
     # silently near 2^63 under non-ANSI Spark): coarsen the rank
     # resolution instead of degrading silently, and refuse only when even
     # 1e-4 units would overflow (~9e16 nodes — beyond any driver count).
-    scale = _resolve_scale(n_nodes)
-    base_units = (1.0 - d) * float(scale)
-    seed_flagged = None
-    seed_base = 0.0
-    n_seeds = 0
-    if seeds is not None:
-        seed_set = _cut(
-            seeds.select(F.col(seed_col).alias("node")).distinct().join(
-                nodes, "node"
-            )
-        )
-        n_seeds = seed_set.count()
-        if n_seeds == 0:
-            raise ValueError(
-                "momyre: no seed node intersects the graph's node set"
-            )
-        seed_flagged = _cut(
-            nodes.join(
-                seed_set.withColumn("__isseed", F.lit(True)), "node", "left"
-            ).select(
-                "node",
-                F.coalesce(F.col("__isseed"), F.lit(False)).alias("__isseed"),
-            )
-        )
-        # teleport share 1/|S| of the total mass |V|*scale — the double
-        # op order ((1-d) * M) / S is the determinism contract the
-        # unrolled oracle mirrors
-        seed_base = (1.0 - d) * float(n_nodes * scale) / float(n_seeds)
-    deg = _cut(
-        e.groupBy(F.col("src").alias("node")).agg(
-            F.count(F.lit(1)).alias("__deg")
-        )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
     )
 
     # out-degree is STATIC across iterations, so join it into the anchor
@@ -355,8 +324,44 @@ def pagerank(
     # for a value that never changes). The state rows simply carry
     # ``__deg`` along; every arithmetic step is unchanged, so the units
     # (and the unrolled-CTE oracles) are bit-identical.
-    anchor = nodes if seeds is None else seed_flagged
-    anchor = _cut(anchor.join(deg, "node", "left"))
+    #
+    # nodes, the seed flag, and the degree join land in ONE anchor cut
+    # instead of three chained cuts (nodes, seed_flagged/deg, anchor):
+    # each cut is a full materialization job (a parquet write+read on
+    # the durable path), and on the entity-sized graphs this operator
+    # sees, per-job latency — not data — is the whole cost. |V| and |S|
+    # are read off the cut anchor afterwards, so the counts (and the
+    # scale/seed_base derived from them) are unchanged.
+    if seeds is not None:
+        seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
+        anchor = _cut(
+            nodes.join(
+                seed_set.withColumn("__isseed", F.lit(True)), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("__isseed"), F.lit(False)).alias("__isseed"),
+            )
+            .join(deg, "node", "left")
+        )
+        n_nodes = anchor.count()
+        n_seeds = anchor.filter(F.col("__isseed")).count()
+        if n_seeds == 0:
+            raise ValueError(
+                "momyre: no seed node intersects the graph's node set"
+            )
+    else:
+        anchor = _cut(nodes.join(deg, "node", "left"))
+        n_nodes = anchor.count()
+        n_seeds = 0
+    scale = _resolve_scale(n_nodes)
+    base_units = (1.0 - d) * float(scale)
+    seed_base = 0.0
+    if seeds is not None:
+        # teleport share 1/|S| of the total mass |V|*scale — the double
+        # op order ((1-d) * M) / S is the determinism contract the
+        # unrolled oracle mirrors
+        seed_base = (1.0 - d) * float(n_nodes * scale) / float(n_seeds)
 
     state = anchor.withColumn("units", F.lit(scale).cast("bigint"))
     for it in range(max_iter):
@@ -427,7 +432,14 @@ def pagerank(
             # _CUT_EVERY join+agg rounds deep, and wall-clock is dominated
             # by the joins, not 10x fixed scheduling overhead. Values are
             # exact integers: cut frequency cannot change the result.
-            if (it + 1) % _CUT_EVERY == 0 or it == max_iter - 1:
+            # skip a periodic cut that lands within one round of the
+            # final mandatory cut (e.g. 10 iterations at _CUT_EVERY=3
+            # cut after rounds 3 AND 10 back to back): the final cut
+            # covers it, and on the durable path each skipped cut is a
+            # whole parquet write+read+delete cycle
+            if it == max_iter - 1 or (
+                (it + 1) % _CUT_EVERY == 0 and max_iter - 1 - it >= 2
+            ):
                 state = _cut(new_state, state_chain=True)
             else:
                 state = new_state

@@ -107,6 +107,29 @@ def _fold_dot_np(mat, qt):
     return acc
 
 
+def _pair_dot_pandas():
+    """Vectorized (Arrow) twin of the per-row ``vectors.dot`` fold for
+    DATA x DATA pairs (both vectors are columns, so the parsed-SQL literal
+    trick does not apply): column-wise accumulation reproduces the
+    zip_with/aggregate left fold's exact IEEE op order per row (the
+    ``_fold_dot_np`` precedent), replacing one interpreted higher-order
+    fold PER PAIR with one numpy pass per Arrow batch."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def pair_dot(dv: pd.Series, qv: pd.Series) -> pd.Series:
+        if not len(dv):
+            return pd.Series([], dtype="float64")
+        a = np.array(list(dv), dtype=np.float64)
+        b = np.array(list(qv), dtype=np.float64)
+        acc = np.zeros(len(a))
+        for j in range(a.shape[1]):
+            acc = acc + a[:, j] * b[:, j]
+        return pd.Series(acc)
+
+    return pair_dot
+
+
 def _local_topk_np(ids, cs, k):
     """Per-batch candidate pruning by (cos DESC, id ASC) — the SAME total
     order the global rank window uses, so ties at the k boundary survive
@@ -1365,12 +1388,15 @@ def maxsim_topk(
         pairs = dn.join(cand, "doc_id").join(F.broadcast(qn), "query_id")
     if exclude_self:
         pairs = pairs.filter(F.col("doc_id") != F.col("query_id"))
+    # per-pair dot via the Arrow fold twin — bit-identical to the
+    # expression fold (see _pair_dot_pandas), one vectorized batch pass
+    # instead of |pairs| interpreted HOF folds
     per_qtoken = (
         pairs.withColumn(
             "__cos",
-            round_half_up(dot(F.col("__dv"), F.col("__qv")), 6).cast(
-                "decimal(18,6)"
-            ),
+            round_half_up(
+                _pair_dot_pandas()(F.col("__dv"), F.col("__qv")), 6
+            ).cast("decimal(18,6)"),
         )
         .groupBy("query_id", "__qpos", "doc_id")
         .agg(F.max("__cos").alias("__maxcos"))
@@ -1389,6 +1415,198 @@ def maxsim_topk(
             "doc_id",
             "rank",
             round_half_up(F.col("__score").cast("double"), 4).alias("score"),
+        )
+    )
+
+
+def maxsim_sliced_topk_numpy(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_tokens: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    exclude_self: bool = False,
+    ivf_cells: int | None = None,
+    centroids: list[list[float]] | str = "first_c",
+) -> DataFrame:
+    """Fold-exact Arrow twin of ``token_slices`` + :func:`maxsim_topk`
+    over sliced pooled vectors — BIT-IDENTICAL output (parity pytest).
+
+    ``ivf_cells`` replaces an explicit ``candidates`` frame with the IVF
+    first-stage rule computed IN the same pass: each side's nearest cell
+    over the POOLED normalized vector (``_centroid_rows`` centroids ride
+    the closure; fold-exact cosines, ties to the lower cent_id — the
+    ``assign_ivf_cells`` contract), candidate iff doc and query share a
+    cell. The expression pipeline pays a |corpus| x cells interpreted
+    fold pass plus a join for exactly this; here it is one vectorized
+    comparison per batch and the scan stays candidate-free.
+
+    Why it exists (guide §4): the expression path explodes every pooled
+    vector into ``n_tokens`` rows, fold-normalizes each token with an
+    interpreted higher-order lambda, joins three frames, and pays one
+    interpreted dot fold per (candidate, doc-token, query-token) row.
+    Here the corpus streams through ONE ``mapInPandas`` carrying the
+    query token tensor in the task closure: slicing, normalization,
+    cosines, the 6dp round, the per-query-token max and the score sum
+    are all per-dimension vectorized with the exact scalar op sequence
+    of the expression path —
+
+    - token norms accumulate dimension by dimension from 0.0
+      (``add_normalized``'s fold), then one sqrt + one division;
+    - each cosine accumulates dimension by dimension (``vectors.dot``);
+    - the 6dp fix is ``floor(cos * 1e6 + 0.5)`` kept in integer-valued
+      doubles (exact — the DECIMAL(18,6) micro-units of the expression
+      path), so the max/sum over them and the final ``score`` double
+      (one correctly-rounded division by 1e6) match the decimal
+      arithmetic bit for bit.
+
+    ``candidates`` rows are de-duplicated first (the groupBy of the
+    expression path collapses duplicates; a twin emitting one output row
+    per duplicate would rank differently). NaN cosines (a zero-norm
+    token) differ from the expression path's NULL-dropping max — callers
+    feed finite unit-normalizable vectors (the registered corpora are).
+    """
+    import numpy as np
+
+    qrows = (
+        queries.select(id_col, vec_col).limit(_MAX_NUMPY_QUERIES + 1).collect()
+    )
+    if len(qrows) > _MAX_NUMPY_QUERIES:
+        raise ValueError(
+            f"momyre: query set exceeds {_MAX_NUMPY_QUERIES} rows — "
+            "it must be broadcastable; batch the queries"
+        )
+    if not qrows:
+        raise ValueError("momyre: maxsim query set is empty")
+    dim = len(qrows[0][1])
+    if dim % n_tokens:
+        raise ValueError(
+            f"token_slices: dim {dim} not divisible by n_tokens={n_tokens}"
+        )
+
+    def _norm_toks(tok3):
+        # (N, T, S): per-token squared norm accumulated dim by dim from
+        # 0.0 — add_normalized's exact fold — then sqrt + divide
+        acc = np.zeros(tok3.shape[:2])
+        for j in range(tok3.shape[2]):
+            c = tok3[:, :, j]
+            acc = acc + c * c
+        return tok3 / np.sqrt(acc)[:, :, None]
+
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qt = _norm_toks(q_mat.reshape(len(q_ids), n_tokens, -1))  # (Q, T, S)
+    qpos_of = {int(qid): i for i, qid in enumerate(q_ids)}
+
+    c_ids = c_mat = q_cells = None
+    if ivf_cells is not None:
+        if candidates is not None:
+            raise ValueError(
+                "momyre: pass either candidates or ivf_cells, not both"
+            )
+        cent_rows = _centroid_rows(emb, ivf_cells, id_col, centroids, vec_col)
+        if not cent_rows:
+            raise ValueError("momyre: no centroids resolved")
+        c_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        c_mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+
+        def _cell_of(mat):
+            # nearest cell by (cosine DESC, cent_id ASC) over the POOLED
+            # normalized vector — the assign_ivf_cells rule, fold-exact
+            sims = _fold_dot_np(_fold_normalize_np(mat), c_mat)
+            order = np.lexsort(
+                (np.broadcast_to(c_ids, sims.shape), -sims), axis=1
+            )
+            return c_ids[order[:, 0]]
+
+        q_cells = _cell_of(q_mat)
+
+    base = emb.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")
+    )
+    if candidates is not None:
+        inp = base.join(
+            candidates.select("query_id", "doc_id").distinct(), "doc_id"
+        )
+    else:
+        inp = base
+    out_schema = "query_id long, doc_id long, score double"
+    # plain bool for the task closure — capturing the DataFrame itself
+    # would drag the SparkContext into the pickle
+    have_cand = candidates is not None
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["__vec"]), dtype=np.float64)
+            d_cells = _cell_of(mat) if q_cells is not None else None
+            dt = _norm_toks(mat.reshape(len(dids), n_tokens, -1))
+
+            def _scores(rows_idx, qi):
+                # (B, Td, Tq) cosines accumulated dim by dim (dot fold)
+                sub = dt[rows_idx]
+                acc = np.zeros((sub.shape[0], n_tokens, n_tokens))
+                for j in range(sub.shape[2]):
+                    acc = acc + sub[:, :, None, j] * qt[qi][None, None, :, j]
+                # 6dp fix in integer-valued doubles (exact micro-units),
+                # max over doc tokens, sum over query tokens, one
+                # correctly-rounded division back to a double score
+                micro = np.floor(acc * 1e6 + 0.5)
+                return micro.max(axis=1).sum(axis=1) / 1e6
+
+            if not have_cand:
+                for qi, qid in enumerate(q_ids):
+                    idx = np.arange(len(dids))
+                    if d_cells is not None:
+                        idx = idx[
+                            (d_cells == q_cells[qi]) & (dids != qid)
+                        ]
+                    elif exclude_self:
+                        idx = idx[dids != qid]
+                    if not len(idx):
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": dids[idx],
+                            "score": _scores(idx, qi),
+                        }
+                    )
+            else:
+                qarr = pdf["query_id"].to_numpy(dtype=np.int64)
+                for qid in np.unique(qarr):
+                    qi = qpos_of.get(int(qid))
+                    if qi is None:
+                        continue  # candidate for a query outside the set
+                    idx = np.flatnonzero(qarr == qid)
+                    if exclude_self:
+                        idx = idx[dids[idx] != qid]
+                    if not len(idx):
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": dids[idx],
+                            "score": _scores(idx, qi),
+                        }
+                    )
+
+    scored = inp.mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            round_half_up(F.col("score"), 4).alias("score"),
         )
     )
 

@@ -851,11 +851,16 @@ def _token_frames(spark: SparkSession, sf: str):
 
 @query("sim_maxsim_topk", oracle=_DUCK_MAXSIM)
 def sim_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from momyre_spark.operators.similarity import maxsim_topk
+    # the fold-exact Arrow twin of token_slices + maxsim_topk (parity
+    # pytest) — no token explode, no interpreted per-pair folds
+    from momyre_spark.operators.similarity import maxsim_sliced_topk_numpy
 
-    toks, qtoks = _token_frames(spark, sf)
-    return maxsim_topk(
-        toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
+    emb = load_table(spark, sf, "embeddings")
+    return maxsim_sliced_topk_numpy(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        n_tokens=_N_TOKENS,
+        k=TOP_K,
         exclude_self=True,
     ).orderBy("query_id", "rank")
 
@@ -898,23 +903,19 @@ _DUCK_MAXSIM_PRUNED = f"""
 
 @query("sim_maxsim_pruned", oracle=_DUCK_MAXSIM_PRUNED)
 def sim_maxsim_pruned(spark: SparkSession, sf: str) -> DataFrame:
-    from momyre_spark.operators.similarity import assign_ivf_cells, maxsim_topk
+    from momyre_spark.operators.similarity import maxsim_sliced_topk_numpy
 
     emb = load_table(spark, sf, "embeddings")
-    cells = assign_ivf_cells(emb, num_cells=_N_CELLS, centroids="first_c")
-    qc = cells.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
-    cand = (
-        cells.select(F.col("vec_id").alias("doc_id"), "cell")
-        .join(qc, "cell")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "doc_id")
-    )
-    toks, qtoks = _token_frames(spark, sf)
-    return maxsim_topk(
-        toks, qtoks, k=TOP_K, doc_id_col="vec_id", query_id_col="vec_id",
-        candidates=cand,
+    # IVF first stage fused into the twin: both sides' cells computed
+    # with the assign_ivf_cells rule inside the one corpus pass, so the
+    # |corpus| x cells expression fold and the candidate join vanish
+    return maxsim_sliced_topk_numpy(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        n_tokens=_N_TOKENS,
+        k=TOP_K,
+        ivf_cells=_N_CELLS,
+        centroids="first_c",
     ).orderBy("query_id", "rank")
 
 

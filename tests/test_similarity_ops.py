@@ -1446,6 +1446,77 @@ def test_topk_numpy_twins_match_expression_forms_exactly(spark):
         assert a == b, kw
 
 
+def test_maxsim_numpy_twin_matches_expression_form_exactly(spark):
+    """maxsim_sliced_topk_numpy must be BIT-identical to
+    token_slices + maxsim_topk on the real fixture, in all three shapes
+    the registered queries use: all-pairs with exclude_self, an explicit
+    candidates frame, and the fused ivf_cells first stage (whose
+    candidate set must equal the assign_ivf_cells + cell-equality join
+    it replaces)."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.similarity import (
+        assign_ivf_cells,
+        maxsim_sliced_topk_numpy,
+        maxsim_topk,
+        token_slices,
+    )
+    from tests.conftest import SF_CORRECT
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    toks = token_slices(emb, 8)
+    qtoks = toks.filter("vec_id < 8")
+    qemb = emb.filter("vec_id < 8")
+
+    a = sorted(
+        tuple(r)
+        for r in maxsim_topk(
+            toks, qtoks, k=10, doc_id_col="vec_id", query_id_col="vec_id",
+            exclude_self=True,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in maxsim_sliced_topk_numpy(
+            emb.repartition(5), qemb, n_tokens=8, k=10, exclude_self=True
+        ).collect()
+    )
+    assert a == b
+
+    cells = assign_ivf_cells(emb, num_cells=16, centroids="first_c")
+    qc = cells.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        cells.select(F.col("vec_id").alias("doc_id"), "cell")
+        .join(qc, "cell")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    a = sorted(
+        tuple(r)
+        for r in maxsim_topk(
+            toks, qtoks, k=10, doc_id_col="vec_id", query_id_col="vec_id",
+            candidates=cand,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in maxsim_sliced_topk_numpy(
+            emb.repartition(5), qemb, n_tokens=8, k=10, candidates=cand
+        ).collect()
+    )
+    c = sorted(
+        tuple(r)
+        for r in maxsim_sliced_topk_numpy(
+            emb.repartition(5), qemb, n_tokens=8, k=10,
+            ivf_cells=16, centroids="first_c",
+        ).collect()
+    )
+    assert a == b
+    assert a == c
+
+
 def test_source_centroid_sim_known_values(spark):
     """Fixed-point centroid cosine by hand: s1 centroid (.5,.5), s2
     centroid (1.5,.5) -> cos = 1/sqrt(1.25) ~= 0.894427; pair emitted

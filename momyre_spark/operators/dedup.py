@@ -214,15 +214,21 @@ def _minhash_wide(sh: DataFrame, num_hashes: int) -> DataFrame:
     """
     # expressions built as SQL text: a deep Column-builder tree costs one
     # py4j round-trip per node (~2.8s of driver time for K=128); parsed
-    # text is one call per column
+    # text is one call per column — and the K min-aggregates land in ONE
+    # template-SQL parse ({t} binds the frame, no temp-view catalog
+    # state) instead of K F.expr round trips, which were still ~0.5s of
+    # driver time per build at K=128
     ex = sh.select("__id", F.explode("__sh").alias("__s")).selectExpr(
         "__id", f"pmod(xxhash64(__s), {_MERSENNE31}L) AS __h"
     )
-    aggs = [
-        F.expr(f"min(pmod(__h * {a}L + {b}L, {_MERSENNE31}L))").alias(f"__h{k}")
+    aggs = ", ".join(
+        f"min(pmod(__h * {a}L + {b}L, {_MERSENNE31}L)) AS __h{k}"
         for k, (a, b) in enumerate(_perm_consts(num_hashes))
-    ]
-    return ex.groupBy("__id").agg(*aggs).join(sh, "__id")
+    )
+    wide = ex.sparkSession.sql(
+        f"SELECT __id, {aggs} FROM {{t}} GROUP BY __id", t=ex
+    )
+    return wide.join(sh, "__id")
 
 
 def _band_items_sql(term_for, num_hashes: int, bands: int) -> str:

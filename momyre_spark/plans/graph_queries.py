@@ -632,6 +632,7 @@ _DEGDIST_ORACLE = f"""
 """
 
 
+@query("graph_degree_distribution", oracle=_DEGDIST_ORACLE)
 def graph_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.graph import degree_distribution
 

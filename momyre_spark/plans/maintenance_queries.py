@@ -2516,6 +2516,7 @@ _ECE_ORACLE = f"""
 """
 
 
+@query("stats_ece_report", oracle=_ECE_ORACLE)
 def stats_ece_report(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import calibration_report
 
@@ -2594,6 +2595,7 @@ _QN_ORACLE = f"""
 """
 
 
+@query("stats_quantile_normalize", oracle=_QN_ORACLE)
 def stats_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.profile import quantile_normalize
 

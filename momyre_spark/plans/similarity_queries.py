@@ -1469,6 +1469,7 @@ _CENTROID_ORACLE = """
 """
 
 
+@query("emb_source_centroid_sim", oracle=_CENTROID_ORACLE)
 def emb_source_centroid_sim(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.similarity import source_centroid_sim
 
@@ -1530,6 +1531,7 @@ _NORM_ORACLE = """
 """
 
 
+@query("emb_norm_outliers", oracle=_NORM_ORACLE)
 def emb_norm_outliers(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.similarity import embedding_norm_profile
 

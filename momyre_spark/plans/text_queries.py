@@ -1934,6 +1934,7 @@ _RICH_ORACLE = rf"""
 """
 
 
+@query("text_vocab_richness", oracle=_RICH_ORACLE)
 def text_vocab_richness(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import vocab_richness
 
@@ -1977,6 +1978,7 @@ _BURST_ORACLE = rf"""
 """
 
 
+@query("text_term_burstiness", oracle=_BURST_ORACLE)
 def text_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     from momyre_spark.operators.textops import term_burstiness
 

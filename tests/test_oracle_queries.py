@@ -109,6 +109,14 @@ SF01_SWEEP = [
     "emb_intrinsic_dim",
     "curate_domain_blocklist",
     "dedup_cluster_stats",
+    # round-11 registrations (graduated from the round-10 staged queue)
+    "stats_ece_report",
+    "stats_quantile_normalize",
+    "text_vocab_richness",
+    "text_term_burstiness",
+    "emb_source_centroid_sim",
+    "emb_norm_outliers",
+    "graph_degree_distribution",
 ]
 
 

@@ -184,6 +184,15 @@ HEADLINE = [
     "emb_intrinsic_dim",
     "curate_domain_blocklist",
     "dedup_cluster_stats",
+    # round-11: the seven round-10-staged queries, registered this round
+    # (recorded hand-off from the staged bench loop, as every wave)
+    "stats_ece_report",
+    "stats_quantile_normalize",
+    "text_vocab_richness",
+    "text_term_burstiness",
+    "emb_source_centroid_sim",
+    "emb_norm_outliers",
+    "graph_degree_distribution",
 ]
 
 
@@ -206,6 +215,14 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(here, "BENCH_HISTORY.json")
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # minima are additionally keyed by the CORE COUNT: the driver runs the
+    # bench at a lower core count too (scaling measurement), and an 8-core
+    # run's minima are not comparable to 32-core ones (the latency-bound
+    # graph rows are FASTER at 8 cores — r10's c8 run polluted the shared
+    # minima and mis-flagged 32-core rows as outliers)
+    cpus_label = str(
+        int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    )
     hist_doc: dict = {}
     try:
         with open(hist_path) as f:
@@ -219,8 +236,19 @@ def main() -> None:
             if isinstance(hist_doc, dict) and "minima" in hist_doc
             else {"by_sf": {}}
         )
+    sf_hist = hist_doc["by_sf"].setdefault(sf_label, {})
+    if "by_cpus" not in sf_hist:
+        # migrate the legacy cpus-agnostic minima: historical runs were
+        # 32-core except r10's one 8-core sweep, so they seed the 32 slot
+        sf_hist["by_cpus"] = (
+            {"32": {"minima": dict(sf_hist.get("minima", {}))}}
+            if sf_hist.get("minima")
+            else {}
+        )
+        sf_hist.pop("minima", None)
+        sf_hist.pop("last", None)
     hist_minima: dict[str, float] = dict(
-        hist_doc["by_sf"].get(sf_label, {}).get("minima", {})
+        sf_hist["by_cpus"].get(cpus_label, {}).get("minima", {})
     )
 
     # warm the JVM/codegen once on a trivial plan
@@ -586,22 +614,32 @@ def main() -> None:
         "sf": float(sf_label)
         if sf_label.replace(".", "").isdigit()
         else sf_label,
+        "cpus": int(cpus_label),
     }
     line = json.dumps(payload, separators=(",", ":"))
 
     # durable copies first: the printed line is the driver's record, but
     # r06's was truncated by the driver's tail capture, losing the round's
     # only perf history — keep a self-recorded artifact plus the rolling
-    # cross-run minima regardless of what the capture window does
+    # cross-run minima regardless of what the capture window does.
+    # BENCH_SELF is written PER CORE COUNT as well as flat: the driver's
+    # low-core scaling run executes AFTER the main run and used to clobber
+    # the only full per-query record of the main run (r10: BENCH_SELF held
+    # the c8 map, so the main run's per-query table survived only as a
+    # truncated 2000-char stdout tail — PERF_r10 per_query came up empty).
     for n, t in timings.items():
         if t < hist_minima.get(n, float("inf")):
             hist_minima[n] = t
-    hist_doc["by_sf"][sf_label] = {"minima": hist_minima, "last": payload}
+    sf_hist["by_cpus"][cpus_label] = {"minima": hist_minima, "last": payload}
     try:
         with open(hist_path, "w") as f:
             json.dump(hist_doc, f, indent=1, sort_keys=True)
             f.write("\n")
         with open(os.path.join(here, "BENCH_SELF.json"), "w") as f:
+            f.write(line + "\n")
+        with open(
+            os.path.join(here, f"BENCH_SELF_c{cpus_label}.json"), "w"
+        ) as f:
             f.write(line + "\n")
     except OSError:
         pass
@@ -615,16 +653,20 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
+    # a compact summary line FIRST as well as last (VERDICT r10 #2): a
+    # capture window that keeps only the HEAD of the output still ends up
+    # with one complete parseable record before the oversized payload line
+    summary = {k: v for k, v in payload.items() if k != "queries"}
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     print(line, flush=True)
     # r07's artifact loss mode 2: even with the JVM silenced, the full
     # payload line GROWS with the registry (90+ per-query entries ≈ 3 kB)
     # and can never fit a bounded tail-capture window — the driver kept
     # recording parsed: null because the line's head ("metric", "value")
-    # was cut off. Print a second, tiny summary line LAST (same metric,
+    # was cut off. Print the tiny summary line LAST too (same metric,
     # no "queries") so any tail window that keeps the final ~150 chars
     # ends with a complete parseable record; the full per-query detail
-    # stays in the line above and in BENCH_SELF.json/BENCH_HISTORY.json.
-    summary = {k: v for k, v in payload.items() if k != "queries"}
+    # stays in the line above and in BENCH_SELF*.json/BENCH_HISTORY.json.
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 

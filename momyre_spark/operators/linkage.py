@@ -120,11 +120,63 @@ def blocked_edit_pairs(
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     )
-    keyed = base.select(
-        "__id",
-        "__t",
-        F.explode(_variant_keys(F.col("__t"), max_distance)).alias("__k"),
-    )
+    if max_distance == 1:
+        # codegen emission for the common d=1 case: the nested-HOF array
+        # build (`_variant_keys`) is a CodegenFallback tree — every
+        # substr/concat/xxhash64 runs INTERPRETED, and the emission is the
+        # dominant map cost of the whole operator (recomputed once per
+        # plan consumer). Exploding a position sequence instead keeps the
+        # identical variant set in pure whole-stage codegen:
+        #   p = 0            -> the string itself,
+        #   p in 1..len      -> the deletion at position p,
+        # with within-record duplicates removed by the run rule — deleting
+        # any position of a maximal run of equal characters yields the
+        # same string, and deletions at positions holding DIFFERENT
+        # characters always differ (first point of difference), so
+        # "keep only the first position of each run" IS array_distinct
+        # on the deletion set. The self variant can never equal a deletion
+        # (lengths differ). NULL text: sequence(0, NULL) is NULL and
+        # explode drops the row — the HOF path emitted xxhash64(NULL)
+        # (= the seed) instead, but NULL-text rows can never verify
+        # (levenshtein against NULL is NULL -> filtered), so the emitted
+        # PAIR set is identical; only a never-matching blocking row
+        # disappears. (`_variant_keys` also array_distinct-ed the HASH
+        # array — dropping a cross-string xxhash64 collision within one
+        # record, a 2^-64 event this path keeps as a duplicate candidate
+        # that the verify+distinct dedups anyway.)
+        t = F.col("__t")
+        p = F.col("__p")
+        keyed = (
+            base.select(
+                "__id",
+                "__t",
+                F.explode(
+                    F.sequence(F.lit(0), F.length("__t"))
+                ).alias("__p"),
+            )
+            .filter(
+                (p <= F.lit(1))
+                | (t.substr(p, F.lit(1)) != t.substr(p - F.lit(1), F.lit(1)))
+            )
+            .select(
+                "__id",
+                "__t",
+                F.xxhash64(
+                    F.when(p == F.lit(0), t).otherwise(
+                        F.concat(
+                            t.substr(F.lit(1), p - F.lit(1)),
+                            t.substr(p + F.lit(1), F.length("__t")),
+                        )
+                    )
+                ).alias("__k"),
+            )
+        )
+    else:
+        keyed = base.select(
+            "__id",
+            "__t",
+            F.explode(_variant_keys(F.col("__t"), max_distance)).alias("__k"),
+        )
     # jumbo-block star defense (see module docstring): degenerate inputs
     # (a variant shared by a large fraction of records) would make full
     # pair expansion quadratic — above max_block, candidates go through

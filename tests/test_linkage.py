@@ -260,3 +260,105 @@ def test_synthetic_names_probe_exact_recall(spark):
     }
     assert all(r["entity"] == r["id"] % 10_000_000 for r in twos.values())
     assert all(r["n_members"] == 1 for r in ent if r["id"] not in twos)
+
+def test_codegen_emission_matches_hof_variant_keys(spark):
+    """The d=1 posexplode emission must produce EXACTLY the HOF
+    `_variant_keys` key multiset per record (modulo the documented
+    NULL-text and 2^-64 hash-collision divergences): same variant set,
+    run-dedup rule == array_distinct on deletions, xxhash64-compatible."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.linkage import _variant_keys
+
+    rows = [
+        (1, "aabbccaa"),        # interior + boundary runs
+        (2, "aaaa"),            # one maximal run -> 1 distinct deletion
+        (3, ""),                # empty string -> exactly the self key
+        (4, "x"),               # single char
+        (5, "abcabc"),          # no runs -> all deletions distinct
+        (6, "naïve café"),      # multi-byte chars (substr is char-based)
+        (7, "a a  a"),          # spaces incl. a 2-space run
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    hof = (
+        df.select(
+            "id", F.explode(_variant_keys(F.col("t"), 1)).alias("k")
+        )
+        .collect()
+    )
+    t, p = F.col("t"), F.col("p")
+    cg = (
+        df.select(
+            "id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.length("t"))).alias("p"),
+        )
+        .filter(
+            (p <= F.lit(1))
+            | (t.substr(p, F.lit(1)) != t.substr(p - F.lit(1), F.lit(1)))
+        )
+        .select(
+            "id",
+            F.xxhash64(
+                F.when(p == F.lit(0), t).otherwise(
+                    F.concat(
+                        t.substr(F.lit(1), p - F.lit(1)),
+                        t.substr(p + F.lit(1), F.length("t")),
+                    )
+                )
+            ).alias("k"),
+        )
+        .collect()
+    )
+    # multiset equality per record: both paths emit each variant once
+    from collections import Counter
+
+    assert Counter((r["id"], r["k"]) for r in hof) == Counter(
+        (r["id"], r["k"]) for r in cg
+    )
+
+
+def test_codegen_emission_pairs_match_hof_pairs(spark):
+    """End-to-end: blocked_edit_pairs at d=1 (codegen emission) returns the
+    same pair set as a d=1 run forced through the HOF emission."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.linkage import _variant_keys
+
+    rows = (
+        [(i, f"record name {i:03d}") for i in range(40)]
+        + [(100, "record name 007x"), (101, None), (102, None), (103, "")]
+    )
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["a_id"], r["b_id"], r["distance"])
+        for r in blocked_edit_pairs(df, text_col="name").collect()
+    }
+    # reference: candidates from the HOF keys + the same banded verify
+    keyed = df.select(
+        F.col("id").alias("__id"),
+        F.col("name").alias("__t"),
+        F.explode(_variant_keys(F.col("name"), 1)).alias("__k"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    ref = {
+        (r["a_id"], r["b_id"], r["distance"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.__k") == F.col("b.__k"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("a_id"),
+                F.col("b.__id").alias("b_id"),
+                F.levenshtein("a.__t", "b.__t", 1).cast("int").alias(
+                    "distance"
+                ),
+            )
+            .filter((F.col("distance") >= 0) & (F.col("distance") <= 1))
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == ref

@@ -237,13 +237,45 @@ def compact_ingest_state(
     # the state tables live in disjoint directories and share nothing, so
     # their read->distinct->rewrite jobs overlap (guide §2.6): each job's
     # straggler tail back-fills with the next table's tasks instead of
-    # idling the executors. 3 concurrent jobs on 3 tables; failures
-    # propagate unchanged (pool.map re-raises the first exception).
+    # idling the executors. 3 concurrent jobs on 3 tables.
+    # inheritable_thread_target copies the caller's JVM-thread-local
+    # properties (job group/description) onto each pool thread, so when
+    # this runs inside a streaming foreachBatch the compaction jobs stay
+    # under the query's job group (query.stop() cancellation + UI
+    # attribution) instead of escaping it under pinned-thread mode.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=len(_STATE_TABLES)) as pool:
-        counts = list(pool.map(_compact_one, _STATE_TABLES))
-    return dict(zip(_STATE_TABLES, counts))
+        futures = {
+            t: pool.submit(inheritable_thread_target(_compact_one), t)
+            for t in _STATE_TABLES
+        }
+        counts: dict[str, int] = {}
+        errors: dict[str, BaseException] = {}
+        for t, fut in futures.items():
+            try:
+                counts[t] = fut.result()
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                errors[t] = exc
+    if errors:
+        # every table ran to completion either way; surface ALL failures
+        # (pool.map re-raised only the first in _STATE_TABLES order and
+        # silently swallowed the rest), then re-raise the first so callers
+        # see the same exception type as the old sequential code
+        first_table = next(iter(errors))
+        if len(errors) > 1:
+            import logging
+
+            for t, exc in errors.items():
+                if t != first_table:
+                    logging.getLogger(__name__).error(
+                        "momyre: state-table compaction for %r also "
+                        "failed: %s", t, exc,
+                    )
+        raise errors[first_table]
+    return counts
 
 
 def ingest_state_report(spark: SparkSession, root: str) -> dict[str, dict]:

@@ -954,7 +954,7 @@ def embedding_neardup_pairs(
     if method != "srp_lsh":
         raise ValueError(f"unknown method: {method!r}")
 
-    from momyre_spark.operators.similarity import srp_planes, with_srp_buckets
+    from momyre_spark.operators.similarity import srp_banded_rows, srp_planes
 
     if num_planes is None or num_tables is None:
         auto_p, auto_t = srp_params_for(threshold, target_recall)
@@ -968,9 +968,12 @@ def embedding_neardup_pairs(
     nv = nv.select(F.col(id_col).alias("__id"), F.col("__nv")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    banded = with_srp_buckets(nv, planes, "__nv").select(
-        "__id", F.posexplode("__buckets").alias("table", "bucket")
-    )
+    # fused banding+explode (srp_banded_rows): above the expression plane
+    # limit the old withColumn+posexplode shape evaluated the banding
+    # pandas UDF TWICE (two ArrowEvalPython nodes in the executed plan);
+    # the fused form pays one Python boundary and ships only the narrow
+    # (id, table, bucket) rows back
+    banded = srp_banded_rows(nv, planes, "__id", "__nv")
     # bucket-local pair expansion (the minhash_lsh_pairs pattern): one
     # shuffle on (table, bucket), pairs generated inside each bucket
     buckets = (

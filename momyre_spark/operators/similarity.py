@@ -377,6 +377,74 @@ def with_srp_buckets(
     return df.selectExpr("*", f"array({items}) AS `{out_col}`")
 
 
+def srp_banded_rows(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exploded SRP bucket assignment: ``(id_col, table, bucket)`` — one
+    row per (vector, table).
+
+    Every banding consumer posexplodes the ``with_srp_buckets`` array
+    immediately, and above ``_EXPR_PLANE_LIMIT`` that shape pays the
+    Python boundary TWICE: the executed plan holds two ArrowEvalPython
+    nodes for the one pandas UDF (the generator input and the projection
+    each evaluate it — guide §4.4's duplication, measured 2x the banding
+    stage at 24x12 planes). Past the limit this fuses projection, matmul,
+    bucket packing AND the explode into ONE ``mapInPandas`` (guide §4.2):
+    one Python boundary, vectors cross it once, and only the narrow
+    (id, table, bucket) rows come back. Bucket values are bit-identical
+    to ``_with_srp_buckets_arrow`` (same float64 matmul, same sign/pack
+    ops — pinned by the emission parity pytest); at or under the limit
+    the expression array + posexplode path is unchanged (it is the
+    SQL-oracle recipe and evaluates once, in codegen).
+    """
+    if not planes or len(planes) * len(planes[0]) <= _EXPR_PLANE_LIMIT:
+        return with_srp_buckets(df, planes, vec_col).select(
+            id_col, F.posexplode("__buckets").alias("table", "bucket")
+        )
+    import numpy as np
+    import pandas as pd
+
+    n_tables, n_planes = len(planes), len(planes[0])
+    w = np.asarray(planes, dtype=np.float64).reshape(
+        n_tables * n_planes, -1
+    )
+    powers = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    dim = w.shape[1]
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def banding(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            # NULL / wrong-length embeddings: same rule as the array twin
+            # (zero vector -> every sign bit false -> bucket 0 per table)
+            x = np.stack([
+                np.asarray(e, dtype=np.float64)
+                if e is not None and len(e) == dim
+                else np.zeros(dim)
+                for e in pdf[vec_col].to_numpy()
+            ])
+            signs = (x @ w.T) > 0
+            buckets = (
+                signs.reshape(len(x), n_tables, n_planes).astype(np.int64)
+                * powers
+            ).sum(axis=2)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table": np.tile(
+                    np.arange(n_tables, dtype=np.int32), len(x)
+                ),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        banding, f"`{id_col}` {id_type}, table int, bucket long"
+    )
+
+
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1575,3 +1575,44 @@ def test_embedding_norm_profile_known_values(spark):
     for r in embedding_norm_profile(same).collect():
         assert r["norm"] == 5.0 and not r["is_outlier"]
         assert r["robust_z"] is None
+
+def test_srp_banded_rows_matches_array_twin_exactly(spark):
+    """The fused mapInPandas banding (one Python boundary) must emit
+    EXACTLY the rows of with_srp_buckets + posexplode, above and below
+    the expression plane limit, including NULL/wrong-length vectors."""
+    from pyspark.sql import functions as F
+
+    from momyre_spark.operators.similarity import (
+        _EXPR_PLANE_LIMIT,
+        srp_banded_rows,
+        srp_planes,
+        with_srp_buckets,
+    )
+
+    rows = [(i, [((i * 7 + j * 13) % 17 - 8) / 8.0 for j in range(16)])
+            for i in range(200)]
+    rows += [(200, None), (201, [0.5, -0.5])]  # NULL + wrong-length
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for tables, planes_per in ((24, 12), (4, 8)):  # above / below limit
+        planes = srp_planes(tables, planes_per, 16, seed=0xBEEF)
+        assert (tables * planes_per > _EXPR_PLANE_LIMIT) == (
+            tables == 24
+        )
+        ref = sorted(
+            map(
+                tuple,
+                with_srp_buckets(df, planes, "embedding")
+                .select(
+                    "vec_id",
+                    F.posexplode("__buckets").alias("table", "bucket"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                srp_banded_rows(df, planes, "vec_id", "embedding").collect(),
+            )
+        )
+        assert got == ref, f"tables={tables}"

@@ -639,6 +639,25 @@ def duplicate_components(
         owned.update(made)
         return out, made
 
+    def _cut_with_sum(df: DataFrame):
+        """Lazy lineage cut materialized BY the convergence aggregate:
+        one plain-RDD job computes the round's whole DAG and stores the
+        checkpoint blocks as a side effect, where the eager cut paid one
+        AQE stage-materialization job per exchange plus a separate sum
+        job over the blocks (measured 2.8s/8 jobs -> 0.7s/2 jobs per
+        round on the 1.2M-edge probe). The sum scans EVERY partition, so
+        the checkpoint is complete and later rounds read blocks only —
+        a partial action (limit-style) would checkpoint only the
+        partitions it touched and must keep using the eager form."""
+        before = set(_persistent())
+        out = df.localCheckpoint(eager=False)
+        s = out.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        made = set(_persistent()) - before
+        owned.update(made)
+        return out, made, s
+
     # dedup the directed edge list in ONE exchange laid out for the loop
     # (guide §2.4): repartition by dst, then dropDuplicates — equal
     # (src, dst) rows share a dst, so hashpartitioning(dst) satisfies the
@@ -732,8 +751,14 @@ def duplicate_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels) if numeric_ids else None
     prev_round_ids: set[int] = set()
+    if numeric_ids:
+        # cut the initial labels too (lazily, materialized by the same sum
+        # that seeds the probe): round 1 otherwise recomputes the labels
+        # groupBy inside BOTH sides of its join DAG
+        labels, prev_round_ids, prev_sum = _cut_with_sum(labels)
+    else:
+        prev_sum = None
     # SHUFFLE_HASH on the node-sized side of every per-round join (guide
     # §3.2): below the broadcast threshold Spark would broadcast the label
     # table — a SERIAL driver-side HashedRelation build, three per round —
@@ -748,7 +773,7 @@ def duplicate_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        upd = (
             labels.join(neigh.hint("shuffle_hash"), labels.id == neigh.src, "left")
             .select(
                 "id",
@@ -757,21 +782,31 @@ def duplicate_components(
                 ).alias("label"),
             )
         )
-        # path halving: shortcut each label through the label table itself
-        # (label(id) := min(label(id), label(label(id)))). Labels are node
-        # ids in the same component, so the invariant (label reachable,
-        # monotonically decreasing) holds and the fixed point is unchanged
-        # — but convergence drops from O(diameter) neighbor rounds to
-        # O(log diameter): a long chain (sequential near-dup ids, linked
-        # revisions) otherwise costs one full edge-join round PER HOP.
-        # The extra join is over the label table (nodes-sized, tiny next
-        # to the edge list).
-        lab2 = new_labels.select(
+        # path halving: shortcut each label through the PREVIOUS round's
+        # label table (label(id) := min(u(id), L_prev[u(id)]) with
+        # u = least(label, nlabel)). Halving against the just-updated
+        # frame was a SELF-join whose build side duplicated the entire
+        # update-join subtree in the executed plan (exchange reuse cannot
+        # fire: the two parent exchanges hash different columns), so the
+        # edge join and the label update ran TWICE per round. L_prev is
+        # this round's input — a materialized checkpoint, so its lookup
+        # side is a block scan, never a recompute. Correctness is the
+        # same argument as before: every L_prev value is a node id inside
+        # the same component (so the halved label stays a reachable,
+        # >= component-min label), labels remain monotone non-increasing,
+        # and the fixed point (label(id) <= all neighbor labels for all
+        # id over symmetrized edges => labels constant per component
+        # = component min) is unchanged — only intermediate rounds may
+        # differ by at most one extra round of stale shortcuts. Both
+        # variants converge in O(log diameter) rounds; output equality is
+        # pinned by test_duplicate_components_matches_union_find and the
+        # consumer oracles. The extra join stays node-sized.
+        lab2 = labels.select(
             F.col("id").alias("__lid"), F.col("label").alias("__llabel")
         )
         new_labels = (
-            new_labels.join(
-                lab2.hint("shuffle_hash"), new_labels.label == lab2.__lid, "left"
+            upd.join(
+                lab2.hint("shuffle_hash"), upd.label == lab2.__lid, "left"
             )
             .select(
                 "id",
@@ -781,16 +816,15 @@ def duplicate_components(
                 ).alias("label"),
             )
         )
-        # materialize the round FIRST (also cuts lineage), THEN read the
-        # convergence check off the materialized block: counting before
-        # cutting computed the round's full join DAG twice — once for the
-        # changed probe, once again for the eager checkpoint
-        new_labels, new_ids = _cut(new_labels)
+        # materialize the round and read the convergence check in ONE
+        # action (lazy cut + sum — see _cut_with_sum): the eager cut paid
+        # one AQE stage job per exchange plus a separate sum job
         if numeric_ids:
-            new_sum = _label_sum(new_labels)
+            new_labels, new_ids, new_sum = _cut_with_sum(new_labels)
             changed = 0 if new_sum == prev_sum else 1
             prev_sum = new_sum
         else:
+            new_labels, new_ids = _cut(new_labels)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")

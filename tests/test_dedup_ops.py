@@ -567,3 +567,17 @@ def test_cluster_size_stats_known_values(spark):
     assert bow[2]["n_clusters"] == 1 and bow[1]["n_clusters"] == 1
     with _pytest.raises(ValueError):
         cluster_size_stats(df, key="nope")
+
+
+def test_duplicate_components_distributed_long_chain(spark):
+    """Stale path halving (shortcut through the PREVIOUS round's labels)
+    must still converge in O(log diameter) rounds on a long chain —
+    a 120-node path is the halving-hostile worst case and must finish
+    inside the default max_iterations with the distributed rounds."""
+    pairs = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in pairs])
+    got = {
+        r["id"]: r["component"]
+        for r in duplicate_components(df, driver_edge_gate=0).collect()
+    }
+    assert got == {i: 0 for i in range(121)}

@@ -4,6 +4,8 @@ explores op-order/shape combinations the handwritten fixtures don't."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from hypothesis import HealthCheck, given, settings
@@ -50,6 +52,7 @@ def op_logs(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=op_logs())
+@pytest.mark.slow
 def test_apply_ops_equals_sequential_for_any_log(spark, ops):
     df = spark.createDataFrame(
         [(o["ts"], o["ns"], o["op"], o["_id"], json.dumps(o["payload"])) for o in ops],

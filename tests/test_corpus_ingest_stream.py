@@ -3,6 +3,8 @@ batches -> gate -> corpus-wide incremental dedup -> versioned snapshot."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -158,6 +160,7 @@ def _state_files(root):
     return n
 
 
+@pytest.mark.slow
 def test_ingest_state_compaction_bounds_files_and_stays_correct(spark, tmp_path):
     """20+ epochs with compact_every=5: the per-batch state read must open a
     BOUNDED number of files (base + short tail, not one dir per epoch), and
@@ -260,6 +263,7 @@ def test_ingest_state_tail_read_partition_prunes(spark, tmp_path):
     assert tail.count() == 2
 
 
+@pytest.mark.slow
 def test_compaction_crash_leaves_committed_base_authoritative(spark, tmp_path):
     """A crash mid base-rewrite leaves a marker-less partial v=K+1: readers
     must keep v=K authoritative (NOT the partial — reading it would silently
@@ -335,6 +339,7 @@ def test_compaction_crash_leaves_committed_base_authoritative(spark, tmp_path):
     ).count() == 9  # no new fingerprint: the dup was dropped
 
 
+@pytest.mark.slow
 def test_ingest_keeps_ivf_index_fresh(spark, tmp_path):
     """ivf_root wiring: each epoch's survivors land in the ANN index via
     O(batch) incremental adds — search over base+adds matches exact
@@ -413,6 +418,7 @@ def test_ingest_keeps_ivf_index_fresh(spark, tmp_path):
     assert got == exact
 
 
+@pytest.mark.slow
 def test_ingest_fuzzy_unpersists_batch_sigs(spark, tmp_path):
     """dedup_incremental_fuzzy caches the batch signatures per epoch; the
     ingest loop must unpersist them once the epoch's state is written
@@ -434,6 +440,7 @@ def test_ingest_fuzzy_unpersists_batch_sigs(spark, tmp_path):
     assert sc._jsc.getPersistentRDDs().size() <= before
 
 
+@pytest.mark.slow
 def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
     """With fuzzy_threshold set, a batch-2 document that NEAR-duplicates a
     batch-1 document (one-token edit — different fingerprint, so exact
@@ -477,6 +484,7 @@ def test_ingest_fuzzy_drops_near_dups_across_epochs(spark, tmp_path):
     assert sorted(r["doc_id"] for r in sigs.collect()) == [1, 11]
 
 
+@pytest.mark.slow
 def test_ingest_keeps_ivfpq_index_fresh(spark, tmp_path):
     """ivf_kind='ivfpq': epochs append PQ-encoded rows (stored codebooks,
     stored cells) — full-probe covering-refine search over base+adds

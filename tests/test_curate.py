@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import Row
 
 from momyre_spark.operators.curate import curate_corpus
@@ -11,6 +13,7 @@ from momyre_spark.sources.parquet import load_table
 from tests.conftest import SF_CORRECT
 
 
+@pytest.mark.slow
 def test_curate_stages_and_counts(spark):
     docs = load_table(spark, SF_CORRECT, "documents")
     curated, report = curate_corpus(
@@ -27,6 +30,7 @@ def test_curate_stages_and_counts(spark):
     assert {r[0] for r in curated.select("lang").distinct().collect()} <= {"en", "es"}
 
 
+@pytest.mark.slow
 def test_curate_matches_python_reference(spark):
     """Synthetic corpus with known exact dups, near-dups and junk."""
     base = ("the quick brown fox jumps over the lazy dog and then runs far "
@@ -61,6 +65,7 @@ def test_curate_matches_python_reference(spark):
                    "exact_dedup": 5, "neardup_removed": 3}
 
 
+@pytest.mark.slow
 def test_curate_to_lake_roundtrip(spark, tmp_path):
     """Curated corpus persisted to lang-partitioned lake layout and read
     back with partition pruning — the full training-data delivery path."""

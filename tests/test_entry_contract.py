@@ -4,6 +4,8 @@ events-dependent queries correctly."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_CORRECT, SF_SMOKE
 
@@ -132,6 +134,7 @@ def test_driver_ordering_spends_budget_on_oracled_stale_first():
     assert tier_members[0] == "q01_snapshot_project"
 
 
+@pytest.mark.slow
 def test_smoke_all_queries_tiny_sf(spark):
     """Every registered query must execute end-to-end at sf0.001."""
     bare = _bare_session(spark)

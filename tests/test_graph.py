@@ -403,6 +403,7 @@ def test_partition_modularity_known_graph(spark):
     assert rows[0]["q_term"] == _pytest.approx(0.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_pagerank_driver_fast_path_matches_distributed(spark):
     """The small-graph numpy fast path must be BIT-identical to the
     distributed rounds (driver_edge_gate=0 forces them): exact int64

@@ -14,8 +14,20 @@ from tests.oracle_compare import compare
 plans.load_all()
 
 
+# the heaviest per-query compares move to the slow lane (their operators
+# keep dedicated fast-lane tests; the full suite still runs them all)
+_SLOW_ORACLE = {
+    "dedup_minhash_synthetic_20k",
+    "dedup_semantic_synthetic_20k",
+    "dedup_entity_groups",
+}
+
+
 def _oracle_names():
-    return sorted(plans.ORACLES)
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(plans.ORACLES)
+    ]
 
 
 @pytest.mark.parametrize("name", _oracle_names())
@@ -26,6 +38,7 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}\nspark:\n{sdf.head(5)}\nduck:\n{ddf.head(5)}"
 
 
+@pytest.mark.slow
 def test_all_queries_return_rows_or_schema(spark):
     # queries without an oracle still must run and have a stable schema
     for name, fn in plans.QUERIES.items():
@@ -120,6 +133,7 @@ SF01_SWEEP = [
 ]
 
 
+@pytest.mark.slow
 def test_staged_queries_match_oracle_at_sf01(spark):
     import os
 

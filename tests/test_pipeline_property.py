@@ -4,6 +4,8 @@ inputs (hypothesis drives sizes, windows, strides, weights)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -59,6 +61,7 @@ def test_chunking_invariants(spark, n, window, stride):
     scale=st.floats(min_value=0.01, max_value=100.0),
     k=st.integers(min_value=1, max_value=30),
 )
+@pytest.mark.slow
 def test_weighted_sample_scale_invariant(spark, scale, k):
     """Multiplying every weight by a constant must not change the draw
     (the race keys all scale by 1/c together)."""
@@ -79,6 +82,7 @@ def test_weighted_sample_scale_invariant(spark, scale, k):
     n=st.integers(min_value=1, max_value=300),
     buckets=st.sampled_from([1, 2, 16, 64, 1024]),
 )
+@pytest.mark.slow
 def test_global_shuffle_always_dense_permutation(spark, n, buckets):
     from momyre_spark.operators.sampling import global_shuffle
 
@@ -91,6 +95,7 @@ def test_global_shuffle_always_dense_permutation(spark, n, buckets):
 
 @settings(**_SETTINGS)
 @given(seed=st.integers(min_value=0, max_value=10**6))
+@pytest.mark.slow
 def test_unigram_lm_counts_conserve_tokens(spark, seed):
     """Vocab counts must sum to the total token count, and per-doc
     n_tokens must equal the doc's own count."""

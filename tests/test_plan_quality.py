@@ -10,6 +10,8 @@ not in production.
 
 from __future__ import annotations
 
+import pytest
+
 import momyre_spark.plans as plans
 from tests.conftest import SF_CORRECT
 
@@ -250,6 +252,7 @@ def test_source_divergence_broadcasts_stats(spark):
     ) <= 1  # the 1-row grand-total cross join is dimension-sized
 
 
+@pytest.mark.slow
 def test_no_query_plans_rowwise_python_or_cartesian(spark):
     """Repo-wide plan gate: NO registered query may plan a row-at-a-time
     Python eval (BatchEvalPython), an unbroadcast CartesianProduct, or a

@@ -563,6 +563,7 @@ def test_canonicalize_url_edge_cases(spark):
         assert got[i] == want, (u, got[i], want)
 
 
+@pytest.mark.slow
 def test_dedup_incremental_fuzzy_epochs(spark):
     """The fuzzy twin of dedup_incremental: near-duplicates of the EXISTING
     corpus are dropped via the banded state tables (never rescanning corpus

@@ -3,6 +3,8 @@ IVF recall within cells."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -603,6 +605,7 @@ def test_ivf_index_add_search_matches_rebuild(spark, tmp_path):
     assert ivf_index_report(spark, root)["rows"] == 390
 
 
+@pytest.mark.slow
 def test_ivf_index_compact_folds_adds_and_survives_crash(spark, tmp_path):
     """ivf_index_compact folds the add-tail into the base (search results
     unchanged, adds gone); the delete->rename crash window self-heals on
@@ -974,6 +977,7 @@ def test_ivfpq_full_probe_refine_equals_exact(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_monotone_and_partition_pruned(spark, tmp_path):
     from momyre_spark.operators.pq import build_ivfpq_index, ivfpq_topk_indexed
     from momyre_spark.operators.similarity import ann_recall_report
@@ -1024,6 +1028,7 @@ def test_ivfpq_per_query_cell_restriction(spark, tmp_path):
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
 
 
+@pytest.mark.slow
 def test_ivfpq_add_tail_searched_and_compact_invariant(spark, tmp_path):
     from momyre_spark.operators.pq import (
         build_ivfpq_index,
@@ -1062,6 +1067,7 @@ def test_ivfpq_add_tail_searched_and_compact_invariant(spark, tmp_path):
     assert sorted(map(tuple, after.collect())) == sorted(map(tuple, exact.collect()))
 
 
+@pytest.mark.slow
 def test_ivf_empty_add_epoch_does_not_brick_search(spark, tmp_path):
     """An ingest epoch whose batch dedupes away entirely writes an adds
     epoch with zero data files; reads must see zero rows, not an
@@ -1087,6 +1093,7 @@ def test_ivf_empty_add_epoch_does_not_brick_search(spark, tmp_path):
     assert sorted(map(tuple, after.collect())) == sorted(map(tuple, exact.collect()))
 
 
+@pytest.mark.slow
 def test_maxsim_token_cell_candidates_cover_and_converge(spark):
     """Token-cell candidate generation: with ONE cell every doc is a
     candidate, so the pruned result equals the unrestricted maxsim; with
@@ -1140,6 +1147,7 @@ def test_maxsim_token_cell_candidates_cover_and_converge(spark):
         assert cellmap[r["query_id"]] & cellmap[r["doc_id"]], r
 
 
+@pytest.mark.slow
 def test_ivfpq_rebuild_drops_stale_add_tail(spark, tmp_path):
     """A rebuild retrains codebooks and indexes the full corpus — an
     add-tail from the previous index generation must not survive it (its
@@ -1201,6 +1209,7 @@ def test_ann_recall_report_dedups_duplicate_pairs(spark):
                for r in rep.values())
 
 
+@pytest.mark.slow
 def test_ivfpq_topk_indexed_string_ids(spark, tmp_path):
     """ADVICE r05: ivfpq_topk_indexed carries the id through with its
     native type (string/UUID ids work like the sibling ivf_topk_indexed),

@@ -763,6 +763,7 @@ def _file_bounds(spark, root, version, cols):
     return out
 
 
+@pytest.mark.slow
 def test_zorder_preserves_content_and_clusters_files(spark, tmp_path):
     """snapshot_zorder commits a copy-on-write version with IDENTICAL rows
     (diff empty, parent still readable) whose files cover small hyper-

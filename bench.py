@@ -510,6 +510,27 @@ def main() -> None:
     timings["dedup_cc_distributed_1m2"] = round(min(runs), 3)
     spark.catalog.clearCache()
 
+    # ---- hub-skew CC probe (VERDICT r10 item #8) ------------------------
+    # Power-law variant of the probe above: one 500k-spoke hub destination
+    # measures the repartition(n, dst) layout's skew exposure per round
+    # (AQE cannot split a pinned-count repartition); excluded from the
+    # headline like the other probes.
+    from momyre_spark.plans.dedup_queries import _syn_edges_hub
+
+    _ch = _syn_edges_hub(spark)  # materializes the fixture outside timing
+    runs = []
+    for _ in range(3):
+        _cc_handles2: list = []
+        t0 = time.perf_counter()
+        duplicate_components(_ch, persisted=_cc_handles2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+        for _h in _cc_handles2:
+            _h.unpersist()
+    timings["dedup_cc_hubskew_synthetic"] = round(min(runs), 3)
+    spark.catalog.clearCache()
+
     # ---- giga-cluster frequency-cap probe (VERDICT r09 item #4) --------
     # 10M rows, one 5M-copy boilerplate cluster — the corpus the round-9
     # conditional-salt rewrite was iterated against (SCALE.md). Keeps the
@@ -536,6 +557,7 @@ def main() -> None:
         "dedup_linkage_synthetic_170k",
         "dedup_entity_synthetic_170k",
         "dedup_cc_distributed_1m2",
+        "dedup_cc_hubskew_synthetic",
         "dedup_freqcap_giga_synthetic",
     }
 

@@ -711,6 +711,41 @@ def _syn_edges(spark: SparkSession) -> DataFrame:
     )
 
 
+# Hub-skew variant of the CC probe (VERDICT r10 "What's wrong #4"): the
+# loop's repartition(n, dst) layout keys on dst alone with a PINNED
+# partition count, so a power-law hub destination concentrates its edge
+# rows in one partition and AQE cannot split it. This corpus makes that
+# exposure a measured number instead of an argument: node 0 receives an
+# edge from every one of nodes 1..500_000 (after symmetrization, one
+# partition holds >500k dst=0 rows vs ~64k average at 32 partitions —
+# ~8x max/median skew), plus 175_000 planted 4-node chains to keep the
+# total directed edge count (1_025_000) over the driver fast-path gate.
+# One giant star component + many tiny ones; output linear.
+_N_CC_HUB_SPOKES = 500_000
+_N_CC_HUB_NODES = 1_200_000
+
+
+def _syn_edges_hub(spark: SparkSession) -> DataFrame:
+    """Materialized once per process; 32 files like _syn_edges."""
+
+    def build(path: str) -> None:
+        spokes = spark.range(1, _N_CC_HUB_SPOKES + 1).select(
+            F.col("id").alias("a_id"), F.lit(0).cast("long").alias("b_id")
+        )
+        chains = (
+            spark.range(_N_CC_HUB_SPOKES + 1, _N_CC_HUB_NODES)
+            .filter(F.pmod(F.col("id"), F.lit(4)) != 0)
+            .select((F.col("id") - 1).alias("a_id"), F.col("id").alias("b_id"))
+        )
+        spokes.unionByName(chains).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    return _materialize_once(
+        spark, f"momyre_syncchub_{_N_CC_HUB_SPOKES}.parquet", build
+    )
+
+
 # Giga-cluster frequency-cap probe corpus: 10M rows — half ONE 5M-copy
 # boilerplate cluster (the salted giga route), half 1,000 clusters of
 # 5,000 copies each (the salt-0 sub-gate route) — so BOTH branches of

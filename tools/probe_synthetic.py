@@ -54,6 +54,23 @@ def main() -> None:
                     h.unpersist()
                 return dt
 
+        elif name == "dedup_cc_hubskew_synthetic":
+            from momyre_spark.operators.dedup import duplicate_components
+            from momyre_spark.plans.dedup_queries import _syn_edges_hub
+
+            fixture = _syn_edges_hub(spark)
+
+            def one() -> float:
+                handles: list = []
+                t0 = time.perf_counter()
+                duplicate_components(fixture, persisted=handles).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                for h in handles:
+                    h.unpersist()
+                return dt
+
         elif name == "dedup_freqcap_giga_synthetic":
             from momyre_spark.operators.dedup import frequency_cap
             from momyre_spark.plans.dedup_queries import _syn_freqcap
